@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query core — the Spark-native rendering of the reference's
+  * scan/filter/project/mutate surface (SURVEY.md §2.1–§2.2).
+  *
+  * Reference semantics (file:line cites in each entry) are re-expressed as
+  * declarative DataFrame programs so Catalyst handles pushdown, pruning and
+  * join strategy. Every query is ordered deterministically so the driver's
+  * DuckDB-oracle hash compare is stable.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1/Q13 analog — full scan + grouped aggregation (the reference's
+    * documented-but-stubbed `count(vertex)` intrinsic, README.md:190-197,
+    * generalized to TPC-H Q1 shape). Map-side partial aggregation + a single
+    * hash-shuffle on the two low-cardinality group keys: scales linearly.
+    */
+  val q1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q7 analog — point lookup on the row key (`{id: key}` predicate,
+    * gql.y:738-742, ScanPlan.cpp:575-592). Parquet min/max row-group stats
+    * prune this to near-zero IO at scale; the filter is pushed to the scan.
+    */
+  val qPointLookup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 42L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** Q3/Q5/Q6/Q9 analog — predicate algebra: ranges on number + datetime,
+    * `$and`/`$or` banks (ScanPlan.cpp:619-665, GRAD.h:41-45). All predicates
+    * push to the parquet scan (`PushedFilters`), no shuffle at all.
+    */
+  val qFilterRange: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_quantity") >= 30.0 &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+        (col("l_returnflag") === "R" || col("l_discount") > 0.05))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q4 analog — IN-list predicate (`{prop: ['a','b']}` → OR of equals,
+    * ScanPlan.cpp:767-772). Catalyst turns isin into an In filter pushed to
+    * the source.
+    */
+  val qInList: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Q12 analog — projection done properly (the reference parses member
+    * expressions but returns whole documents — ScanPlan.cpp:316-342). Column
+    * pruning reaches the scan: ReadSchema lists exactly two fields.
+    */
+  val qProjection: Q = (s, d) =>
+    Tables.part(s, d).select("p_partkey", "p_name").orderBy("p_partkey")
+
+  /** Q8 analog — existence predicate `{prop: *}` (attribute present,
+    * ScanPlan.cpp:744-751) → IS NOT NULL over a nullable column.
+    */
+  val qExists: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("props").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** Q14 analog — `limit` + order-by top-k (reserved token in the reference,
+    * gql.y:115; implemented properly here). Spark plans this as
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+    * driver — no full sort, no full shuffle, scale-safe.
+    */
+  val qTopK: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  /** Q2 analog — multi-group scan `{query: '*'}` (ScanPlan.cpp:505-518):
+    * union over group DataFrames with a tag column.
+    */
+  val qUnionGroups: Q = (s, d) => {
+    val r = Tables.region(s, d).select(lit("region").as("grp"), col("r_name").as("name"))
+    val n = Tables.nation(s, d).select(lit("nation").as("grp"), col("n_name").as("name"))
+    r.unionByName(n).orderBy("grp", "name")
+  }
+
+  /** Q13 — bare `count(vertex)` (README.md:190-197). */
+  val qCount: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+
+  /** Exact distinct — groundwork for the dedup family (§2.5 north-star). */
+  val qDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** S2 analog — upsert-merge semantics (UpsetPlan.cpp:88-127): new rows
+    * replace matched keys, unmatched old rows survive. Expressed as
+    * union(new, old anti-join new) — the Parquet merge-on-key pattern from
+    * SURVEY.md §2.1 S2 (no ACID layer offline). The anti-join broadcasts the
+    * small update batch, so at 100 TB this is one broadcast pass.
+    */
+  val qUpsertMerge: Q = (s, d) => {
+    val old = Tables.customer(s, d)
+    val updates = s.range(1, 11).select(
+      col("id").as("c_custkey"),
+      concat(lit("upserted#"), col("id")).as("c_name"),
+      lit(0).cast("int").as("c_nationkey"),
+      lit(0.0).as("c_acctbal"),
+      lit("UPSERTED").as("c_mktsegment"))
+    updates.unionByName(
+        old.join(broadcast(updates.select("c_custkey")), Seq("c_custkey"), "left_anti"))
+      .orderBy("c_custkey")
+  }
+
+  /** S5/S6 analog — remove with cascade (RemovePlan.cpp:9-21,25-80): delete
+    * vertices matching a predicate AND their incident edges. Customers of
+    * nation 3 are removed; orders (the edge group) cascade via anti-join.
+    */
+  val qRemoveCascade: Q = (s, d) => {
+    val removed = Tables.customer(s, d)
+      .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+    Tables.orders(s, d)
+      .join(broadcast(removed), col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** S4 analog — property update with `where` (UpsetPlan.cpp:48-86): merge a
+    * property into matched rows, leave the rest untouched.
+    */
+  val qPropertyUpdate: Q = (s, d) =>
+    Tables.part(s, d)
+      .withColumn("p_brand",
+        when(col("p_size") > 40, lit("Brand#XL")).otherwise(col("p_brand")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+
+  /** Join + aggregate — revenue per nation. The dimension side (customer ⋈
+    * nation) is broadcast; only the fact table streams. One shuffle for the
+    * final group-by on 25 keys.
+    */
+  val qJoinAgg: Q = (s, d) => {
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val dim = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    Tables.orders(s, d)
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg"            -> q1Agg,
+    "q_point_lookup"    -> qPointLookup,
+    "q_filter_range"    -> qFilterRange,
+    "q_in_list"         -> qInList,
+    "q_projection"      -> qProjection,
+    "q_exists"          -> qExists,
+    "q_topk"            -> qTopK,
+    "q_union_groups"    -> qUnionGroups,
+    "q_count"           -> qCount,
+    "q_distinct"        -> qDistinct,
+    "q_upsert_merge"    -> qUpsertMerge,
+    "q_remove_cascade"  -> qRemoveCascade,
+    "q_property_update" -> qPropertyUpdate,
+    "q_join_agg"        -> qJoinAgg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity >= 30.0
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01'
+        |  AND (l_returnflag = 'R' OR l_discount > 0.05)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_in_list" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') ORDER BY c_custkey""".stripMargin,
+    "q_projection" ->
+      "SELECT p_partkey, p_name FROM part ORDER BY p_partkey",
+    "q_exists" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE props IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_union_groups" ->
+      """SELECT 'region' AS grp, r_name AS name FROM region
+        |UNION ALL SELECT 'nation' AS grp, n_name AS name FROM nation
+        |ORDER BY grp, name""".stripMargin,
+    "q_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "q_upsert_merge" ->
+      """SELECT c_custkey, 'upserted#' || CAST(c_custkey AS VARCHAR) AS c_name,
+        |       0 AS c_nationkey, 0.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 10
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey NOT BETWEEN 1 AND 10
+        |ORDER BY c_custkey""".stripMargin,
+    "q_remove_cascade" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_property_update" ->
+      """SELECT CASE WHEN p_size > 40 THEN 'Brand#XL' ELSE p_brand END AS p_brand,
+        |       count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (north-star ops beyond the reference — SURVEY.md §2.5), plus the
+  * reference's edit-distance kernel (E13, stubbed in the reference at
+  * src/operand/distance/EditDistance.cpp — implemented properly here via
+  * Spark's codegen'd `levenshtein`).
+  *
+  * All scoring is pure column algebra (whole-stage codegen, no UDFs), so
+  * a 100 TB corpus runs these as a single scan with zero shuffles.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stop = Map(
+    "en" -> "(the|a|of|and|to|in)",
+    "de" -> "(der|die|das|und|ist)",
+    "fr" -> "(le|la|les|et|est)",
+    "es" -> "(el|los|las|y|es)")
+
+  /** Token counting — whitespace tokenizer. */
+  val qTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(Fns.tokens(col("text"))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/punctuation/stopword ratios. */
+  val qTextQuality: Q = (s, d) => {
+    val nWords = size(Fns.tokens(col("text"))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    val nStop = size(regexp_extract_all(col("text"), lit("\\b" + stop("en") + "\\b"), lit(0))).cast("double")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(nNonSpace / nWords, 2).as("avg_word_len"),
+      round(nPunct / nChars, 4).as("punct_ratio"),
+      round(nStop / nWords, 4).as("stopword_ratio"),
+      round(least(lit(1.0), nWords / 50.0) * (lit(1.0) - nPunct / nChars), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID — deterministic stopword/n-gram heuristic with a fixed
+    * tie-break preference (en > de > es > fr > zh). CJK codepoint presence
+    * drives zh. Runs as one scan; the per-language scores are codegen'd
+    * regexp counts. */
+  val qLangId: Q = (s, d) => {
+    def score(lang: String) =
+      size(regexp_extract_all(col("text"), lit("\\b" + stop(lang) + "\\b"), lit(0)))
+    val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val (en, de, fr, es) = (score("en"), score("de"), score("fr"), score("es"))
+    val pred =
+      when(zh > 0, "zh")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** E13 — edit distance (reference stub EditDistance.cpp): levenshtein of
+    * every part name against a probe string, filtered and ordered. */
+  val qLevenshtein: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), lit("small gizmo")).as("dist"))
+      .filter(col("dist") <= 7)
+      .orderBy("p_partkey")
+
+  /** Document fingerprint — 4-gram rolling window over tokens hashed with
+    * the md5-based hash32; fingerprint = min over windows (winnowing-lite).
+    * Used for cheap near-dup prefiltering at scale. */
+  val qFingerprint: Q = (s, d) => {
+    val sh = Fns.wordShingles(col("text"), 4)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(sh).as("g"))
+      .select(col("doc_id"), Fns.hash32(col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(min("h").as("fingerprint"), count(lit(1)).as("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_token_count"  -> qTokenCount,
+    "q_text_quality" -> qTextQuality,
+    "q_langid"       -> qLangId,
+    "q_levenshtein"  -> qLevenshtein,
+    "q_fingerprint"  -> qFingerprint,
+  )
+
+  private val sqlTokens =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"SELECT doc_id, CAST(len($sqlTokens) AS INT) AS n_tokens FROM documents ORDER BY doc_id",
+    "q_text_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len($sqlTokens) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS DOUBLE) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(n_nonspace / n_words, 2) AS avg_word_len,
+         |  round(n_punct / n_chars, 4) AS punct_ratio,
+         |  round(n_stop / n_words, 4) AS stopword_ratio,
+         |  round(least(1.0, n_words / 50.0) * (1.0 - n_punct / n_chars), 4) AS quality
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b', 0)) AS en,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b', 0)) AS de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b', 0)) AS fr,
+        |    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b', 0)) AS es,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]', 0)) AS zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+        |       WHEN de >= es AND de >= fr THEN 'de'
+        |       WHEN es >= fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_levenshtein" ->
+      """SELECT p_partkey, CAST(levenshtein(p_name, 'small gizmo') AS INT) AS dist
+        |FROM part WHERE levenshtein(p_name, 'small gizmo') <= 7 ORDER BY p_partkey""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($sqlTokens) >= 4
+         |      THEN list_transform(range(1, len($sqlTokens) - 2),
+         |             i -> array_to_string(($sqlTokens)[i:i+3], ' '))
+         |      ELSE [trim(text)] END AS grams
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(grams) AS g FROM sh)
+         |SELECT doc_id,
+         |  min(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS fingerprint,
+         |  count(*) AS n_grams
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}
