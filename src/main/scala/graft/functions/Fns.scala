@@ -32,7 +32,7 @@ object Fns {
     val w = tokens(text)
     when(size(w) >= k,
       transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, k))))
+        i => concat_ws(" ", slice(w, i, lit(k)))))
       .otherwise(array(trim(text)))
   }
 
