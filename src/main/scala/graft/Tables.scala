@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's synthetic parquet tables (TESTDATA.md).
   *
@@ -19,7 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * rejects by default (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via
+    * the legacy conf (runtime-settable) and convert to a micros timestamp
+    * with integral division — `ts / 1000` through doubles would lose
+    * precision above 2^53 ns (~1970+104 days), so `div` it is.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -27,13 +27,40 @@ object Fns {
   }
 
   /** k-word shingles joined by single space; texts with < k words collapse
-    * to one whole-text shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k)))))
+    * to one whole-text shingle.
+    *
+    * PERFORMANCE: pass a *materialized attribute* (a column produced by a
+    * prior `select`) as `toks`, not a raw expression — the `slice` inside the
+    * lambda evaluates its child once per shingle index, so an inline
+    * `split(...)` subtree here turns one split per row into one split per
+    * shingle (O(L²) regex work; measured 5× slowdown on the documents table).
+    */
+  def shinglesOfTokens(toks: Column, text: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array(trim(text)))
+
+  /** One-shot convenience form of [[shinglesOfTokens]]; only for small
+    * inputs/tests — see the performance note above. */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), text, k)
+
+  /** Oracle-portable round-half-up for non-negative doubles:
+    * floor(x*10^n + 0.5)/10^n. Spark's `round` on doubles detours through
+    * Double.toString (BigDecimal.valueOf), so e.g. 189/40 = 4.7249999...996
+    * prints "4.725" and rounds UP to 4.73, while DuckDB rounds the exact
+    * binary value DOWN to 4.72. floor arithmetic on the identical input
+    * double gives the identical answer in both engines. */
+  def roundP(c: Column, n: Int): Column = {
+    val p = math.pow(10.0, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** The DuckDB-side twin of [[roundP]] for oracle SQL strings. */
+  def roundPSql(expr: String, n: Int): String = {
+    val p = math.pow(10.0, n).toLong
+    s"floor(($expr) * $p + 0.5) / $p"
   }
 
   /** Dot product of two equal-length double arrays. Left-to-right fold, so

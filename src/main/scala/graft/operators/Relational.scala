@@ -24,10 +24,17 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
+        // Sums go through exact decimals: summing doubles directly makes the
+        // result depend on partition/summation order (an ulp near a rounding
+        // boundary flips the oracle hash). Decimal addition is exact, so any
+        // order gives the identical value; cast back to double for output.
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("sum_disc_price"),
+        graft.functions.Fns.roundP(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4)
+          .as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -120,9 +127,12 @@ object Relational {
     */
   val qUpsertMerge: Q = (s, d) => {
     val old = Tables.customer(s, d)
-    val updates = s.range(1, 11).select(
-      col("id").as("c_custkey"),
-      concat(lit("upserted#"), col("id")).as("c_name"),
+    // Update batch is derived from existing keys (c_custkey <= 10) rather
+    // than fabricated with range(1,11) — if any key in 1..10 were absent the
+    // fabricated batch would diverge from the oracle's FROM customer form.
+    val updates = old.filter(col("c_custkey") <= 10).select(
+      col("c_custkey"),
+      concat(lit("upserted#"), col("c_custkey")).as("c_name"),
       lit(0).cast("int").as("c_nationkey"),
       lit(0.0).as("c_acctbal"),
       lit("UPSERTED").as("c_mktsegment"))
@@ -141,7 +151,8 @@ object Relational {
     Tables.orders(s, d)
       .join(broadcast(removed), col("o_custkey") === col("c_custkey"), "left_anti")
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -168,7 +179,8 @@ object Relational {
     Tables.orders(s, d)
       .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy("n_name")
   }
 
@@ -192,10 +204,10 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_point_lookup" ->
@@ -230,13 +242,14 @@ object Relational {
     "q_upsert_merge" ->
       """SELECT c_custkey, 'upserted#' || CAST(c_custkey AS VARCHAR) AS c_name,
         |       0 AS c_nationkey, 0.0 AS c_acctbal, 'UPSERTED' AS c_mktsegment
-        |FROM customer WHERE c_custkey BETWEEN 1 AND 10
+        |FROM customer WHERE c_custkey <= 10
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey NOT BETWEEN 1 AND 10
+        |FROM customer WHERE c_custkey > 10
         |ORDER BY c_custkey""".stripMargin,
     "q_remove_cascade" ->
-      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -245,7 +258,9 @@ object Relational {
         |       count(*) AS cnt
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_agg" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

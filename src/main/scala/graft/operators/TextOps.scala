@@ -39,10 +39,10 @@ object TextOps {
     Tables.documents(s, d).select(
       col("doc_id"),
       nWords.cast("long").as("n_words"),
-      round(nNonSpace / nWords, 2).as("avg_word_len"),
-      round(nPunct / nChars, 4).as("punct_ratio"),
-      round(nStop / nWords, 4).as("stopword_ratio"),
-      round(least(lit(1.0), nWords / 50.0) * (lit(1.0) - nPunct / nChars), 4).as("quality"))
+      Fns.roundP(nNonSpace / nWords, 2).as("avg_word_len"),
+      Fns.roundP(nPunct / nChars, 4).as("punct_ratio"),
+      Fns.roundP(nStop / nWords, 4).as("stopword_ratio"),
+      Fns.roundP(least(lit(1.0), nWords / 50.0) * (lit(1.0) - nPunct / nChars), 4).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -77,16 +77,23 @@ object TextOps {
 
   /** Document fingerprint — 4-gram rolling window over tokens hashed with
     * the md5-based hash32; fingerprint = min over windows (winnowing-lite).
-    * Used for cheap near-dup prefiltering at scale. */
-  val qFingerprint: Q = (s, d) => {
-    val sh = Fns.wordShingles(col("text"), 4)
+    * Used for cheap near-dup prefiltering at scale.
+    *
+    * The fingerprint is row-local, so it is computed with `array_min` over a
+    * `transform` lambda — zero shuffle, one scan. (An earlier draft exploded
+    * every shingle and re-grouped by doc_id: that shuffles ~#shingles rows
+    * per document for no reason and was the bench outlier.) */
+  val qFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(sh).as("g"))
-      .select(col("doc_id"), Fns.hash32(col("g")).as("h"))
-      .groupBy("doc_id")
-      .agg(min("h").as("fingerprint"), count(lit(1)).as("n_grams"))
+      // Stage tokens and shingles as real columns: each is non-cheap and
+      // used more than once, so CollapseProject keeps them materialized and
+      // every split/shingle runs exactly once per row.
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Fns.shinglesOfTokens(col("toks"), col("text"), 4).as("sh"))
+      .select(col("doc_id"),
+        array_min(transform(col("sh"), g => Fns.hash32(g))).as("fingerprint"),
+        size(col("sh")).cast("long").as("n_grams"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "q_token_count"  -> qTokenCount,
@@ -112,10 +119,10 @@ object TextOps {
          |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS DOUBLE) AS n_stop
          |  FROM documents)
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-         |  round(n_nonspace / n_words, 2) AS avg_word_len,
-         |  round(n_punct / n_chars, 4) AS punct_ratio,
-         |  round(n_stop / n_words, 4) AS stopword_ratio,
-         |  round(least(1.0, n_words / 50.0) * (1.0 - n_punct / n_chars), 4) AS quality
+         |  ${Fns.roundPSql("n_nonspace / n_words", 2)} AS avg_word_len,
+         |  ${Fns.roundPSql("n_punct / n_chars", 4)} AS punct_ratio,
+         |  ${Fns.roundPSql("n_stop / n_words", 4)} AS stopword_ratio,
+         |  ${Fns.roundPSql("least(1.0, n_words / 50.0) * (1.0 - n_punct / n_chars)", 4)} AS quality
          |FROM b ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       """WITH s AS (
@@ -143,11 +150,11 @@ object TextOps {
          |      THEN list_transform(range(1, len($sqlTokens) - 2),
          |             i -> array_to_string(($sqlTokens)[i:i+3], ' '))
          |      ELSE [trim(text)] END AS grams
-         |  FROM documents),
-         |g AS (SELECT doc_id, unnest(grams) AS g FROM sh)
+         |  FROM documents)
          |SELECT doc_id,
-         |  min(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS fingerprint,
-         |  count(*) AS n_grams
-         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  list_min(list_transform(grams,
+         |    g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT))) AS fingerprint,
+         |  CAST(len(grams) AS BIGINT) AS n_grams
+         |FROM sh ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json entry in DuckDB against the sfDir parquet tables,
+loads the Spark result parquet the Verify main wrote, sorts columns by name
+(like the driver), and compares values. Dev tool only — the library itself
+has no Python dependency.
+"""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in got.columns:
+            gv, wv = got[col].tolist(), want[col].tolist()
+            for i, (g, w) in enumerate(zip(gv, wv)):
+                # numpy scalars -> python for stable comparison
+                g = g.item() if hasattr(g, "item") else g
+                w = w.item() if hasattr(w, "item") else w
+                if isinstance(g, float) or isinstance(w, float):
+                    try:
+                        g, w = float(g), float(w)
+                    except (TypeError, ValueError):
+                        pass
+                if not values_equal(g, w):
+                    bad = (col, i, g, w)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, g, w = bad
+            print(f"FAIL {name}: value mismatch col={col} row={i}: spark={g!r} oracle={w!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
