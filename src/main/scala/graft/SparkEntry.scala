@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-    operators.TextOps.queries
+    operators.TextOps.queries ++
+    operators.DedupOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
-    operators.TextOps.oracles
+    operators.TextOps.oracles ++
+    operators.DedupOps.oracles
 }

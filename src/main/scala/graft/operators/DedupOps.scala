@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface
+  * (SURVEY.md §2.5 north-star; net-new relative to the reference, which has
+  * no dedup — its nearest kin is the HNSW near-neighbor machinery,
+  * /root/reference/src/operand/query/HNSW.cpp).
+  *
+  * Scale design:
+  *  - Signatures (minhash bands, simhash) are computed ROW-LOCALLY with
+  *    column algebra — zero shuffle, one scan over the corpus.
+  *  - Candidate generation shuffles only (band_idx, band_key, doc_id)
+  *    tuples — `NUM_BANDS` small rows per document, never the text — and the
+  *    LSH band join touches only colliding buckets, never all pairs.
+  *  - Exact-verify joins shingle sets for candidate pairs only. At 100 TB
+  *    the candidate set is ~O(dups), so the expensive exact Jaccard runs on
+  *    a vanishing fraction of the corpus.
+  * All hashing is the md5-based [[Fns.hash32]] so every stage is
+  * reproducible in the driver's DuckDB oracle.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shingle size (words per shingle). */
+  val K = 3
+  /** Number of minhash functions = NUM_BANDS * ROWS_PER_BAND. */
+  val NUM_HASHES = 8
+  val NUM_BANDS = 4
+  val ROWS_PER_BAND = 2
+  /** Exact-Jaccard acceptance threshold for verified near-dup pairs. */
+  val THRESHOLD = 0.8
+
+  /** Universal-hash family over the md5-derived base hash: the h-th minhash
+    * permutation is x -> (A(h)*x + B(h)) mod P. One md5 per shingle total —
+    * the 8 permutations are int64 arithmetic, not 8 more digests (8x md5
+    * made the query 5 s for 500 docs; this form is sub-second). P is the
+    * Mersenne prime 2^31-1 so A*x+B stays well inside int64. */
+  val P = 2147483647L
+  val A = Seq(1103515245L, 1140671485L, 1664525L, 22695477L,
+              69069L, 1103527590L, 214013L, 134775813L)
+  val B = Seq(12345L, 67890L, 1013904223L, 1L,
+              362437L, 54321L, 2531011L, 7L)
+
+  /** doc_id + distinct K-word shingle set, staged so split/shingling run
+    * once per row (see Fns.shinglesOfTokens perf note). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), K)).as("sh"))
+
+  /** doc_id, shingle set, and the NUM_BANDS LSH band keys (each key is the
+    * comma-joined minhash row of that band). Row-local: shingles are hashed
+    * once into `hv`, then each band key is arithmetic over `hv`. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    def minhash(h: Int): Column =
+      array_min(transform(col("hv"), x => (x * lit(A(h)) + lit(B(h))) % lit(P)))
+    val bands = (0 until NUM_BANDS).map { b =>
+      val rows = (0 until ROWS_PER_BAND).map(r => minhash(b * ROWS_PER_BAND + r))
+      concat_ws(",", rows: _*)
+    }
+    shingleSets(s, d)
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), g => Fns.hash32(g) % lit(P)).as("hv"))
+      .select(col("doc_id"), col("sh"), array(bands: _*).as("bands"))
+  }
+
+  /** Exact dedup — group by content hash, keep the smallest doc_id.
+    * The shuffle key is md5(normalized text), not the text itself, so the
+    * exchange moves 32-byte keys even when documents are megabytes. */
+  val qDedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("content_key"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** MinHash-LSH banded near-dup detection: row-local signatures → band
+    * bucket self-join for candidates → exact Jaccard verify at THRESHOLD.
+    * Returns verified pairs (doc_a < doc_b) with their Jaccard similarity.
+    */
+  val qMinhashDedup: Q = (s, d) => {
+    // The signature table feeds three plan branches (bucket explode + both
+    // verify joins); Spark has no cross-branch CSE, so an unpersisted sig
+    // is recomputed — and the corpus rescanned — three times. Persist it:
+    // at scale this is the classic cache-the-signatures pattern (memory
+    // with disk spill, serialized columnar).
+    val sig = signatures(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // posexplode_OUTER, deliberately: with a plain posexplode Catalyst's
+    // InferFiltersFromGenerate injects `size(bands) > 0` and predicate
+    // pushdown re-inlines the whole minhash expression tree into that
+    // Filter below the staging projections — recomputing every signature
+    // per row (measured 20x slowdown). `bands` is a fixed-length array so
+    // outer semantics are identical.
+    val buckets = sig
+      .select(col("doc_id"), posexplode_outer(col("bands")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= THRESHOLD)
+      .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash document signature (16-bit): for each bit, sum +1/-1 over the
+    * distinct-token hash32s and keep the sign. Near-dup docs land within a
+    * small Hamming distance. Entirely row-local column algebra. */
+  val qSimhash: Q = (s, d) => {
+    val simhash = (0 until 16).map { b =>
+      val vote = aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("toks0"))
+      .select(col("doc_id"), array_distinct(col("toks0")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => Fns.hash32(t)).as("hs"))
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact"   -> qDedupExact,
+    "q_minhash_dedup" -> qMinhashDedup,
+    "q_simhash"       -> qSimhash,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val sqlTokens =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  /** Shingle-set CTE shared by the dedup oracles (mirrors shingleSets). */
+  private val sqlShingles =
+    s"""toks AS (SELECT doc_id, trim(text) AS t, $sqlTokens AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) >= $K
+       |      THEN list_transform(range(1, len(w) - ${K - 2}),
+       |             i -> array_to_string(w[i:i+${K - 1}], ' '))
+       |      ELSE [t] END) AS sh
+       |  FROM toks)""".stripMargin
+
+  private def sqlHash32(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  private def sqlMinhash(h: Int): String =
+    s"list_min(list_transform(hv, x -> (x * ${A(h)} + ${B(h)}) % $P))"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+    "q_minhash_dedup" -> {
+      val bandKeys = (0 until NUM_BANDS).map { b =>
+        val rows = (0 until ROWS_PER_BAND)
+          .map(r => s"CAST(m${b * ROWS_PER_BAND + r} AS VARCHAR)")
+        s"(${rows.mkString(" || ',' || ")})"
+      }
+      val mhCols = (0 until NUM_HASHES).map(h => s"${sqlMinhash(h)} AS m$h").mkString(",\n  ")
+      s"""WITH $sqlShingles,
+         |hv AS (SELECT doc_id, sh,
+         |  list_transform(sh, g -> ${sqlHash32("g")} % $P) AS hv FROM sh),
+         |mh AS (SELECT doc_id, sh,
+         |  $mhCols
+         |FROM hv),
+         |bands AS (
+         |  SELECT doc_id, b.band,
+         |    CASE ${bandKeys.zipWithIndex.map { case (k, i) => s"WHEN b.band = $i THEN $k" }.mkString(" ")} END AS key
+         |  FROM mh CROSS JOIN (SELECT unnest([${(0 until NUM_BANDS).mkString(",")}]) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
+         |FROM verified WHERE jac >= $THRESHOLD ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_simhash" -> {
+      val bits = (0 until 16).map { b =>
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH toks AS (SELECT doc_id, list_distinct($sqlTokens) AS toks FROM documents),
+         |hs AS (SELECT doc_id, list_transform(toks, t -> ${sqlHash32("t")}) AS hs FROM toks)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin
+    },
+  )
+}
