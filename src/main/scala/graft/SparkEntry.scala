@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
     operators.TextOps.queries ++
-    operators.DedupOps.queries
+    operators.DedupOps.queries ++
+    operators.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
     operators.TextOps.oracles ++
-    operators.DedupOps.oracles
+    operators.DedupOps.oracles ++
+    operators.VectorOps.oracles
 }

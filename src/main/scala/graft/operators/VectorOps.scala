@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Fns, VectorExprs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators (SURVEY.md §2 E9/Q10 + the pipeline
+  * similarity-search north-star).
+  *
+  * Reference semantics: HNSW KNN (/root/reference/src/operand/query/
+  * HNSW.cpp:86-165,219-255) and the `$near` proximity predicate
+  * (src/plan/query/ScanPlan.cpp:685-736) with SIMD squared-L2
+  * (src/base/math/Distance.cpp:133-157). HNSW's mutable layered graph
+  * doesn't fit a distributed executor model (SURVEY §7.4 #6); the Spark-
+  * first rendering is:
+  *  - exact brute-force KNN as the correctness baseline (broadcast probe,
+  *    codegen'd Dist2, per-partition top-k via TakeOrderedAndProject — no
+  *    full sort, no shuffle of the corpus);
+  *  - IVF (inverted-file) coarse quantization as the scale path: probe the
+  *    nprobe nearest cell centroids, scan only those cells. At 100 TB the
+  *    cells are partition keys, so a KNN touches nprobe/ncells of the data.
+  * All distance math is the codegen'd [[VectorExprs]] kernels with strict
+  * left-to-right summation — bit-reproducible in the DuckDB oracle.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val PROBE_ID = 0L
+  val TOPK = 10
+  /** $near radius (squared L2) — ~2% selectivity on the testdata. */
+  val RADIUS2 = 1.5
+  /** Cosine threshold for the brute-force near-dup pair scan. */
+  val COS_T = 0.45
+  /** IVF cells probed. */
+  val NPROBE = 2
+
+  /** Embeddings with the float vector cast once to array<double> (float→
+    * double is exact, so Spark and DuckDB see identical values). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  private def probe(s: SparkSession, d: String) =
+    broadcast(vecs(s, d).filter(col("vec_id") === PROBE_ID).select(col("v").as("pv")))
+
+  /** E9 — exact KNN: broadcast the probe, codegen'd squared-L2 against every
+    * vector, global top-k via TakeOrderedAndProject (per-partition heaps +
+    * k-row driver merge; the corpus is never shuffled or fully sorted). */
+  val qKnn: Q = (s, d) =>
+    vecs(s, d).filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"), Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(TOPK)
+
+  /** Q10 — `$near` radius predicate: dist2(v, probe) < r. One scan, filter
+    * evaluated in whole-stage codegen; no shuffle except the output sort. */
+  val qNear: Q = (s, d) =>
+    vecs(s, d).filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(probe(s, d))
+      .withColumn("d2", VectorExprs.dist2(col("v"), col("pv")))
+      .filter(col("d2") < RADIUS2)
+      .select(col("vec_id"), Fns.roundP(col("d2"), 6).as("dist2"))
+      .orderBy("vec_id")
+
+  /** E9 scale path — IVF with the label partition as coarse quantizer:
+    * centroids = per-(label,dim) mean (decimal-exact so the shuffle order
+    * can't change the result), probe the NPROBE nearest centroids, exact
+    * top-k within those cells only. At 100 TB: centroids are ncells×dim
+    * rows (tiny, broadcast), and the candidate scan prunes to nprobe/ncells
+    * of the corpus — ideally label-partitioned parquet so pruning is I/O. */
+  val qAnnIvf: Q = (s, d) => {
+    val v = vecs(s, d)
+    // long-form (label, pos, x) → decimal-exact mean per (label, pos)
+    val cent = v.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+    val probeDims = v.filter(col("vec_id") === PROBE_ID)
+      .select(posexplode(col("v")))
+      .select(col("pos"), col("col").as("px"))
+    // distance probe→centroid, decimal-exact over the (label,pos) shuffle
+    val nearCells = cent.join(broadcast(probeDims), "pos")
+      .groupBy(col("label"))
+      .agg(sum(((col("c") - col("px")) * (col("c") - col("px"))).cast("decimal(28,14)"))
+        .cast("double").as("cd"))
+      .orderBy(col("cd"), col("label"))
+      .limit(NPROBE)
+      .select(col("label"))
+    v.join(broadcast(nearCells), "label")
+      .filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"), Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(TOPK)
+  }
+
+  /** Embedding-cosine near-dup pairs — the brute-force all-pairs baseline
+    * (norms staged once per row; one codegen'd dot per pair). Quadratic by
+    * construction: at scale you run [[qAnnIvf]]-style cell blocking first
+    * and this verify only within blocks. */
+  val qCosinePairs: Q = (s, d) => {
+    val n = vecs(s, d)
+      .select(col("vec_id"), col("v"), sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"))
+    val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= COS_T)
+      .select(col("id_a"), col("id_b"), Fns.roundP(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_knn"          -> qKnn,
+    "q_near"         -> qNear,
+    "q_ann_ivf"      -> qAnnIvf,
+    "q_cosine_pairs" -> qCosinePairs,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val sqlVecs =
+    "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+
+  private def sqlDist2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+
+  val oracles: Map[String, String] = Map(
+    "q_knn" ->
+      s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
+         |FROM e b, p WHERE b.vec_id <> $PROBE_ID
+         |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_near" ->
+      s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
+         |FROM e b, p WHERE b.vec_id <> $PROBE_ID AND ${sqlDist2("b.v", "p.pv")} < $RADIUS2
+         |ORDER BY vec_id""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS ($sqlVecs),
+         |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM long GROUP BY label, pos),
+         |pd AS (SELECT i-1 AS pos, v[i] AS px FROM e, unnest(range(1, len(v)+1)) AS t(i) WHERE vec_id = $PROBE_ID),
+         |cells AS (
+         |  SELECT cent.label,
+         |    CAST(sum(CAST((c - px) * (c - px) AS DECIMAL(28,14))) AS DOUBLE) AS cd
+         |  FROM cent JOIN pd ON cent.pos = pd.pos
+         |  GROUP BY cent.label ORDER BY cd, label LIMIT $NPROBE),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
+         |FROM e b JOIN cells ON b.label = cells.label, p
+         |WHERE b.vec_id <> $PROBE_ID
+         |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_cosine_pairs" ->
+      s"""WITH e AS ($sqlVecs),
+         |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}
