@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.TextOps.queries ++
     operators.DedupOps.queries ++
-    operators.VectorOps.queries
+    operators.VectorOps.queries ++
+    operators.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     operators.Relational.oracles ++
     operators.TextOps.oracles ++
     operators.DedupOps.oracles ++
-    operators.VectorOps.oracles
+    operators.VectorOps.oracles ++
+    operators.GraphOps.oracles
 }
