@@ -20,7 +20,8 @@ object SparkEntry {
     operators.TextOps.queries ++
     operators.DedupOps.queries ++
     operators.VectorOps.queries ++
-    operators.GraphOps.queries
+    operators.GraphOps.queries ++
+    operators.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.TextOps.oracles ++
     operators.DedupOps.oracles ++
     operators.VectorOps.oracles ++
-    operators.GraphOps.oracles
+    operators.GraphOps.oracles ++
+    operators.EventOps.oracles
 }

@@ -19,9 +19,15 @@ object Fns {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  /** Full whitespace trim. Spark's `trim` strips only 0x20 spaces, so a
+    * text like "\t\n" would survive it and then split into ["", ""] —
+    * regexp-trim both ends instead. */
+  def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
+  /** Whitespace tokens; whitespace-only or empty text → empty array. */
   def tokens(text: Column): Column = {
-    val t = trim(text)
+    val t = wsTrim(text)
     when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(t, "\\s+"))
   }
@@ -39,7 +45,7 @@ object Fns {
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array(trim(text)))
+      .otherwise(array(wsTrim(text)))
 
   /** One-shot convenience form of [[shinglesOfTokens]]; only for small
     * inputs/tests — see the performance note above. */

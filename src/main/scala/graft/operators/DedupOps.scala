@@ -143,12 +143,11 @@ object DedupOps {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
-  private val sqlTokens =
-    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+  private val sqlTokens = TextOps.sqlTokens
 
   /** Shingle-set CTE shared by the dedup oracles (mirrors shingleSets). */
   private val sqlShingles =
-    s"""toks AS (SELECT doc_id, trim(text) AS t, $sqlTokens AS w FROM documents),
+    s"""toks AS (SELECT doc_id, ${TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(w) >= $K

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table — the net-new streaming/
+  * windowing surface (SURVEY.md §2.5: the reference has no windows, no
+  * aggregation, no event-time notion at all). Batch forms here are the
+  * correctness-gated queries; [[graft.streaming.EventStream]] exposes the
+  * same windowed aggregation as a Structured Streaming query (watermark +
+  * tumbling window), exercised by the test suite.
+  *
+  * Scale design: tumbling-window aggs are a single hash shuffle on
+  * (window, key) with map-side partial aggregation; sessionization is a
+  * window function over (user, time) — one shuffle partitioned by user,
+  * in-partition sort, no driver state. E12 entropy is two aggregations.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap for sessionization. */
+  val GAP_MIN = 30
+
+  /** Tumbling 1-hour window counts + decimal-exact value sums per type.
+    * Output window start as epoch seconds so Spark and DuckDB compare
+    * timestamps as plain integers. */
+  val qWindowAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Top event type per 1-hour window by count (row_number, deterministic
+    * tiebreak on type). */
+  val qWindowTop: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("cnt"))
+    val rn = Window.partitionBy(col("ws")).orderBy(col("cnt").desc, col("event_type").asc)
+    counts.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") === 1)
+      .select("ws", "event_type", "cnt")
+      .orderBy("ws")
+  }
+
+  /** Sessionization: per-user session count with a GAP_MIN-minute idle gap.
+    * lag() over (user, ts, event_id) — a new session starts when the gap
+    * from the previous event exceeds the threshold. */
+  val qSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        // exact integer micros on both engines — second-granularity
+        // conversions round differently near boundaries
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > GAP_MIN * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** E12 — Shannon entropy of the event-type distribution
+    * (reference src/base/math/Entropy.cpp:11-25): H = -sum p*log2(p).
+    * Counts are exact; the five p*log2(p) terms are decimal-summed so
+    * aggregation order cannot perturb the result. */
+  val qEntropy: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val total = Tables.events(s, d).agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select((col("cnt").cast("double") / col("total")).as("p"))
+      .agg(Fns.roundP(
+        sum((-col("p") * log2(col("p"))).cast("decimal(28,18)")).cast("double"), 6)
+        .as("entropy"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_agg" -> qWindowAgg,
+    "q_window_top" -> qWindowTop,
+    "q_sessionize" -> qSessionize,
+    "q_entropy"    -> qEntropy,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+  // DuckDB reads the nanos parquet natively; CAST to micros timestamp
+  // matches Spark's div-1000 conversion (Tables.events).
+
+  private val sqlWs =
+    "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "q_window_agg" ->
+      s"""SELECT $sqlWs AS ws, event_type, count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_window_top" ->
+      s"""WITH c AS (
+         |  SELECT $sqlWs AS ws, event_type, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT ws, event_type, cnt,
+         |  row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type ASC) AS rn
+         |  FROM c)
+         |SELECT ws, event_type, cnt FROM r WHERE rn = 1 ORDER BY ws""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH l AS (
+         |  SELECT user_id,
+         |    CAST(ts AS TIMESTAMP) AS t,
+         |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+         |  FROM events)
+         |SELECT user_id,
+         |  sum(CASE WHEN prev_t IS NULL
+         |        OR epoch_us(t) - epoch_us(prev_t) > ${GAP_MIN * 60L * 1000000L} THEN 1 ELSE 0 END) AS n_sessions,
+         |  count(*) AS n_events
+         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_entropy" ->
+      s"""WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+         |t AS (SELECT count(*) AS total FROM events),
+         |p AS (SELECT cnt::DOUBLE / total AS p FROM c, t)
+         |SELECT ${Fns.roundPSql(
+               "CAST(sum(CAST(-p * log2(p) AS DECIMAL(28,18))) AS DOUBLE)", 6)} AS entropy
+         |FROM p""".stripMargin,
+  )
+}

@@ -103,8 +103,12 @@ object TextOps {
     "q_fingerprint"  -> qFingerprint,
   )
 
-  private val sqlTokens =
-    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+  // regexp whitespace trim (SQL trim strips only spaces — must match
+  // Fns.wsTrim)
+  private[operators] val sqlWsTrim =
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+  private[operators] val sqlTokens =
+    s"CASE WHEN length($sqlWsTrim) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrim, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->

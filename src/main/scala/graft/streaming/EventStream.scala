@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming rendering of the events pipeline (SURVEY.md §7.1
+  * scale-out posture: the `events` table is the streaming surface the
+  * reference lacks entirely).
+  *
+  * The same tumbling-window aggregation as
+  * [[graft.operators.EventOps.qWindowAgg]], expressed over `readStream` with
+  * an event-time watermark: at scale this runs continuously with bounded
+  * state (the watermark lets Spark drop window state once event time passes
+  * window end + delay). The test suite drives it with a memory sink via
+  * `processAllAvailable()` and checks it agrees with the batch query.
+  */
+object EventStream {
+
+  /** Schema of events.parquet with `ts` as raw nanos (read pre-conversion;
+    * the legacy nanos conf makes the parquet column a long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling-window counts/sums per event type, 10-minute
+    * watermark. Identical output columns to EventOps.qWindowAgg. */
+  def windowedCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+}

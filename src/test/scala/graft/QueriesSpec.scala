@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query must execute end-to-end on sf0.001 with its
+  * declared schema; selected queries carry semantic assertions. This is the
+  * regression net that would have caught rounds 1-2's breakage (dangling
+  * module refs / non-compiling entry map). */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  // queries whose result must be non-empty even at sf0.001
+  private val nonEmpty = Set(
+    "q1_agg", "q_count", "q_filter_range", "q_in_list", "q_projection",
+    "q_topk", "q_union_groups", "q_distinct", "q_upsert_merge",
+    "q_remove_cascade", "q_property_update", "q_join_agg", "q_exists",
+    "q_token_count", "q_text_quality", "q_langid", "q_fingerprint",
+    "q_dedup_exact", "q_simhash", "q_knn", "q_ann_ivf",
+    "q_edge_scan", "q_neighbors", "q_degree", "q_bfs", "q_sssp",
+    "q_pagerank", "q_window_agg", "q_window_top", "q_sessionize",
+    "q_entropy")
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without oracle SQL (driver downgrades to rows-only): $noOracle")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name executes on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (nonEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_topk returns at most 10 rows, sorted by price desc") {
+    val rows = SparkEntry.queries("q_topk")(spark, sfDir).collect()
+    assert(rows.length <= 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q_knn returns exactly 10 ascending distances excluding the probe") {
+    val rows = SparkEntry.queries("q_knn")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val d = rows.map(_.getAs[Double]("dist2"))
+    assert(d.sameElements(d.sorted))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("q_bfs hops bounded and source present at hop 0") {
+    val rows = SparkEntry.queries("q_bfs")(spark, sfDir).collect()
+    val byNode = rows.map(r => r.getAs[Int]("node") -> r.getAs[Int]("hops")).toMap
+    assert(byNode(operators.GraphOps.SRC_NATION) == 0)
+    assert(byNode.values.forall(h => h >= 0 && h <= operators.GraphOps.MAX_HOPS))
+  }
+
+  test("q_minhash_dedup pairs are ordered and above threshold") {
+    val rows = SparkEntry.queries("q_minhash_dedup")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= operators.DedupOps.THRESHOLD)
+    }
+  }
+}

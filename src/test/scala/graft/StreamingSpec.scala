@@ -1,0 +1,36 @@
+package graft
+
+import graft.streaming.EventStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Structured Streaming window aggregation must agree with the batch
+  * EventOps.qWindowAgg on the same data (complete mode over one file batch
+  * — no rows are late relative to the watermark in a single batch). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("streaming windowed counts equal the batch window aggregation") {
+    // the file streaming source requires a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.windowedCounts(spark, dir.toString)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("win_counts")
+      .orderBy("ws", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = operators.EventOps.qWindowAgg(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+}
