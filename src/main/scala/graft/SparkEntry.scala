@@ -21,7 +21,8 @@ object SparkEntry {
     operators.DedupOps.queries ++
     operators.VectorOps.queries ++
     operators.GraphOps.queries ++
-    operators.EventOps.queries
+    operators.EventOps.queries ++
+    operators.GqlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     operators.DedupOps.oracles ++
     operators.VectorOps.oracles ++
     operators.GraphOps.oracles ++
-    operators.EventOps.oracles
+    operators.EventOps.oracles ++
+    operators.GqlOps.oracles
 }

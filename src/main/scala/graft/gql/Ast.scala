@@ -1,0 +1,86 @@
+package graft.gql
+
+/** AST for the JSON-flavored GQL surface (reference grammar src/gql.y;
+  * node taxonomy include/base/type.h:8-44). Statements execute one at a
+  * time in script order (gql.y:152-156 interleaves parse and execution —
+  * SURVEY.md §7.4 #7). */
+object Ast {
+
+  // ---- values --------------------------------------------------------------
+  sealed trait GVal
+  case class GStr(v: String) extends GVal
+  case class GInt(v: Long) extends GVal
+  case class GNum(v: Double) extends GVal
+  /** `0d<epoch-seconds-or-millis>` datetime literal (src/Type/Datetime.cpp). */
+  case class GDatetime(epoch: Long) extends GVal
+  /** `0b'BASE64'` binary literal (src/Type/Binary.cpp:11-102). */
+  case class GBinary(bytes: Array[Byte]) extends GVal
+  case class GArr(items: Seq[GVal]) extends GVal
+  case class GObj(fields: Seq[(String, GVal)]) extends GVal
+  /** `*` wildcard. */
+  case object GStar extends GVal
+  /** Lambda `() => { ... }` — constant-folded at plan time (SURVEY §2.4). */
+  case class GLambda(body: Seq[Lambda.Stmt]) extends GVal
+
+  // ---- where predicates ----------------------------------------------------
+  sealed trait Pred
+  case class Eq(prop: String, v: GVal) extends Pred
+  case class In(prop: String, vs: Seq[GVal]) extends Pred
+  /** `$gt/$gte/$lt/$lte` bounds; several may combine on one property. */
+  case class Range(prop: String, bounds: Seq[(String, GVal)]) extends Pred
+  case class IdEq(key: GVal) extends Pred
+  /** `{prop: *}` existence. */
+  case class Exists(prop: String) extends Pred
+  case class And(ps: Seq[Pred]) extends Pred
+  case class Or(ps: Seq[Pred]) extends Pred
+  /** `{prop: {$near: {$geometry: [...], $lt: r}}}` proximity. */
+  case class Near(prop: String, geometry: Seq[Double], op: String, r: Double) extends Pred
+  /** Edge endpoint pattern `[a, ->/<-/--, b]` with `*` wildcards. */
+  case class EdgePattern(from: GVal, dir: String, to: GVal) extends Pred
+  /** `{id: v, --: *, neighbor: 1}`. */
+  case class Neighbor(key: GVal, dir: String, hops: Int) extends Pred
+
+  // ---- statements ----------------------------------------------------------
+  sealed trait Stmt
+  /** Group declaration: name, declared props, index list, or edge triple. */
+  sealed trait GroupDecl
+  case class VertexGroup(name: String, props: Seq[String], index: Seq[String]) extends GroupDecl
+  case class EdgeGroup(from: String, name: String, to: String) extends GroupDecl
+
+  case class Create(db: String, groups: Seq[GroupDecl], index: Seq[String]) extends Stmt
+  case class UpsetVertex(group: String, rows: Seq[(GVal, GObj)]) extends Stmt
+  /** Edge spec: (from, direction, props, to); `<-` normalized at exec time
+    * (UpsetPlan.cpp:227-230). `to == None` = self loop decl `[v]`. */
+  case class UpsetEdge(group: String, edges: Seq[(GVal, String, Option[GObj], Option[GVal])]) extends Stmt
+  case class UpsetProperty(group: String, props: GObj, where: Option[Pred]) extends Stmt
+  case class RemoveVertex(group: String, keys: Seq[GVal], where: Option[Pred]) extends Stmt
+  case class RemoveEdge(group: String, patterns: Seq[Pred]) extends Stmt
+  case class Drop(db: String) extends Stmt
+  case class Dump(db: String) extends Stmt
+  case class ShowGraph(db: Option[String]) extends Stmt
+  case class AstOf(stmt: Stmt) extends Stmt
+  case class Query(target: QueryTarget, in: Option[String], where: Option[Pred]) extends Stmt
+
+  sealed trait QueryTarget
+  case class GroupTarget(name: String) extends QueryTarget
+  case object AllGroups extends QueryTarget
+  /** Projection `[g.title, g.genres]` (Q12 — implemented properly here). */
+  case class Projection(group: String, props: Seq[String]) extends QueryTarget
+
+  /** Render an AST as an indented tree (S10 `ast` statement — view visitor
+    * src/base/lang/ASTNode.cpp analog). */
+  def render(v: Any, indent: Int = 0): String = {
+    val pad = "  " * indent
+    v match {
+      case p: Product =>
+        val kids = p.productIterator.toSeq
+        if (kids.isEmpty) s"$pad${p.productPrefix}"
+        else s"$pad${p.productPrefix}\n" + kids.map {
+          case s: Seq[_] => s.map(render(_, indent + 1)).mkString("\n")
+          case x => render(x, indent + 1)
+        }.filter(_.nonEmpty).mkString("\n")
+      case s: String => s"$pad'$s'"
+      case other => s"$pad$other"
+    }
+  }
+}

@@ -1,0 +1,486 @@
+package graft.gql
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+import graft.functions.VectorExprs
+
+/** GQL statement executor — the Spark lifecycle target of SURVEY.md §3.1:
+  * GQL text → [[Parser]] AST → DataFrame programs against a
+  * [[GraphCatalog]]; Catalyst does analyze/optimize/physical. Statements in
+  * a script run sequentially with mutations visible to later statements
+  * (reference interleaves parse and execution — gql.y:152-156).
+  */
+class GqlEngine(spark: SparkSession, root: String) {
+  val catalog = new GraphCatalog(spark, root)
+
+  /** One statement's outcome: a status line (CREATE SUCCESS / error), an
+    * optional result DataFrame (queries), optional text (ast/dump/show). */
+  case class Result(status: String, df: Option[DataFrame] = None, text: Option[String] = None)
+
+  /** Execute a script statement-at-a-time: a parse error in one statement
+    * becomes that statement's error Result and the rest still run —
+    * matching the reference's interleaved parse/execute loop. */
+  def exec(gql: String): Seq[Result] =
+    Parser.splitStatements(gql).map { chunk =>
+      try {
+        Parser.parse(chunk + ";") match {
+          case Seq(st) => execStmt(st)
+          case sts => sts.map(execStmt).last
+        }
+      } catch {
+        case e: Exception => Result(s"error: ${e.getMessage}")
+      }
+    }
+
+  /** Execute a single query returning its DataFrame (throws on error). */
+  def query(gql: String): DataFrame =
+    exec(gql).last.df.getOrElse(
+      throw new IllegalArgumentException("statement produced no result set"))
+
+  def execStmt(st: Stmt): Result =
+    try {
+      st match {
+        case Create(db, groups, index) =>
+          catalog.create(db, groups, index); Result("CREATE SUCCESS")
+        case Drop(db) => catalog.drop(db); Result("DROP SUCCESS")
+        case ShowGraph(None) =>
+          Result("SHOW SUCCESS", text = Some(catalog.listGraphs().mkString("\n")))
+        case ShowGraph(Some(db)) =>
+          Result("SHOW SUCCESS", text = Some(catalog.groups(db).mkString("\n")))
+        case AstOf(inner) => Result("AST SUCCESS", text = Some(Ast.render(inner)))
+        case Dump(db) => Result("DUMP SUCCESS", text = Some(dump(db)))
+        case u: UpsetVertex => upsetVertex(u); Result("UPSET SUCCESS")
+        case u: UpsetEdge => upsetEdge(u); Result("UPSET SUCCESS")
+        case u: UpsetProperty => upsetProperty(u); Result("UPSET SUCCESS")
+        case r: RemoveVertex => removeVertex(r); Result("REMOVE SUCCESS")
+        case r: RemoveEdge => removeEdge(r); Result("REMOVE SUCCESS")
+        case q: Query => Result("QUERY SUCCESS", df = Some(runQuery(q)))
+      }
+    } catch {
+      case e: Exception => Result(s"error: ${e.getMessage}")
+    }
+
+  // ---- value typing --------------------------------------------------------
+
+  private def sparkType(v: GVal): DataType = v match {
+    case GStr(_) => StringType
+    case GInt(_) => LongType
+    case GNum(_) => DoubleType
+    case GDatetime(_) => LongType // epoch number, compared numerically (§1.2)
+    case GBinary(_) => BinaryType
+    case GArr(Nil) => ArrayType(NullType) // element type decided by other rows
+    case GArr(items) if items.forall(i => i.isInstanceOf[GNum] || i.isInstanceOf[GInt]) =>
+      ArrayType(DoubleType)
+    case GArr(_) => ArrayType(StringType)
+    case GObj(_) => StringType // nested doc kept as compact literal text
+    case _ => StringType
+  }
+
+  private def sparkValue(v: GVal, t: DataType): Any = (v, t) match {
+    case (GStr(s), StringType) => s
+    case (GInt(l), LongType) => l
+    case (GInt(l), DoubleType) => l.toDouble
+    case (GNum(d), DoubleType) => d
+    case (GDatetime(e), LongType) => e
+    case (GBinary(b), BinaryType) => b
+    case (GArr(items), ArrayType(DoubleType, _)) =>
+      items.map {
+        case GNum(d) => d
+        case GInt(l) => l.toDouble
+        case other => throw new IllegalArgumentException(s"non-numeric vector item $other")
+      }
+    case (GArr(items), ArrayType(StringType, _)) =>
+      items.map { case GStr(s) => s; case other => other.toString }
+    case (GArr(Nil), ArrayType(_, _)) => Seq.empty[Any]
+    case (o: GObj, StringType) => renderValue(o)
+    case (other, t2) => throw new IllegalArgumentException(s"cannot store $other as $t2")
+  }
+
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (ArrayType(NullType, _), other: ArrayType) => other
+    case (other: ArrayType, ArrayType(NullType, _)) => other
+    case _ => throw new IllegalArgumentException(s"attribute type conflict: $a vs $b")
+  }
+
+  /** Columns still typed array<null> (only empty literals seen) settle on
+    * array<string>. */
+  private def settle(t: DataType): DataType = t match {
+    case ArrayType(NullType, _) => ArrayType(StringType)
+    case other => other
+  }
+
+  // ---- mutations -----------------------------------------------------------
+
+  private def keyOf(v: GVal): (Option[Long], Option[String], String) = v match {
+    case GInt(l) => (Some(l), None, "int")
+    case GStr(s) => (None, Some(s), "str")
+    case other => throw new IllegalArgumentException(s"bad key $other")
+  }
+
+  private def upsetVertex(u: UpsetVertex): Unit = {
+    val db = requireDb(u.group)
+    // infer batch schema from values; widen long→double on conflict
+    val colTypes = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    u.rows.foreach { case (_, props) =>
+      props.fields.foreach { case (k, v) =>
+        val t = sparkType(v)
+        colTypes(k) = colTypes.get(k).map(widen(_, t)).getOrElse(t)
+      }
+    }
+    val established = catalog.keyTypeOf(db, u.group)
+    val batchKeyTypes = u.rows.map(r => keyOf(r._1)._3).distinct
+    if (batchKeyTypes.length > 1)
+      throw new IllegalArgumentException("mixed key types in one upsert batch")
+    val kt = batchKeyTypes.head
+    if (established.nonEmpty && established != kt)
+      throw new IllegalArgumentException(
+        s"key type mismatch: group '${u.group}' keys are $established, got $kt")
+    val schema = StructType(GraphCatalog.vertexBaseSchema.fields ++
+      colTypes.map { case (k, t) => StructField(k, settle(t)) })
+    val rows: Seq[Row] = u.rows.map { case (key, props) =>
+      val (ki, ks, _) = keyOf(key)
+      val pm = props.fields.toMap
+      Row.fromSeq(
+        Seq[Any](ki.map(Long.box).orNull, ks.orNull) ++
+          colTypes.map { case (k, t) => pm.get(k).map(sparkValue(_, t)).orNull }.toSeq)
+    }
+    val batch = spark.createDataFrame(rows.asJava, schema)
+    val old = catalog.read(db, u.group)
+    // merge-on-key: new rows win, unmatched old rows survive (S2)
+    val aligned = alignSchemas(old, batch)
+    val merged = aligned._2.unionByName(
+      aligned._1.join(broadcast(batch.select(col("key_i"), col("key_s"))),
+        keyJoinCond(aligned._1, batch), "left_anti"),
+      allowMissingColumns = true)
+    catalog.write(db, u.group, merged, "vertex", kt)
+  }
+
+  private def keyJoinCond(old: DataFrame, batch: DataFrame): Column =
+    (old("key_i") <=> batch("key_i")) && (old("key_s") <=> batch("key_s"))
+
+  /** Align old/new column types (cast new numerics to the established
+    * type); returns (old, new) with compatible schemas. */
+  private def alignSchemas(old: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
+    var b = batch
+    batch.schema.fields.foreach { f =>
+      oldTypes.get(f.name).foreach { ot =>
+        if (ot != f.dataType) b = b.withColumn(f.name, col(f.name).cast(widen(ot, f.dataType)))
+      }
+    }
+    var o = old
+    b.schema.fields.foreach { f =>
+      oldTypes.get(f.name).foreach { ot =>
+        val w = widen(ot, f.dataType)
+        if (ot != w) o = o.withColumn(f.name, col(f.name).cast(w))
+      }
+    }
+    (o, b)
+  }
+
+  private def upsetEdge(u: UpsetEdge): Unit = {
+    val db = requireDb(u.group)
+    val colTypes = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    u.edges.foreach { case (_, _, props, _) =>
+      props.toSeq.flatMap(_.fields).foreach { case (k, v) =>
+        val t = sparkType(v)
+        colTypes(k) = colTypes.get(k).map(widen(_, t)).getOrElse(t)
+      }
+    }
+    val schema = StructType(GraphCatalog.edgeBaseSchema.fields ++
+      colTypes.map { case (k, t) => StructField(k, settle(t)) })
+    val rows: Seq[Row] = u.edges.map { case (from, dir, props, to) =>
+      // `<-` stored as reversed `->` (UpsetPlan.cpp:227-230); `--` undirected
+      val (f, t2, directed) = dir match {
+        case "<-" => (to, Some(from), true)
+        case "->" => (Some(from), to, true)
+        case _ => (Some(from), to, false)
+      }
+      val (fi, fs, _) = keyOf(f.get)
+      val (ti, ts) = t2.map(keyOf).map(k => (k._1, k._2)).getOrElse((None, None))
+      val pm = props.map(_.fields.toMap).getOrElse(Map.empty[String, GVal])
+      Row.fromSeq(
+        Seq[Any](fi.map(Long.box).orNull, fs.orNull,
+          ti.map(Long.box).orNull, ts.orNull, directed) ++
+          colTypes.map { case (k, t) => pm.get(k).map(sparkValue(_, t)).orNull }.toSeq)
+    }
+    val batch = spark.createDataFrame(rows.asJava, schema)
+    val old = catalog.read(db, u.group, kindHint = "edge")
+    val aligned = alignSchemas(old, batch)
+    // edges append (id = endpoints+direction); duplicate edge = replace
+    val merged = aligned._2.unionByName(
+      aligned._1.join(broadcast(batch.select("src_i", "src_s", "dst_i", "dst_s", "directed")),
+        Seq("src_i", "src_s", "dst_i", "dst_s", "directed").map(c =>
+          aligned._1(c) <=> batch(c)).reduce(_ && _), "left_anti"),
+      allowMissingColumns = true)
+    catalog.write(db, u.group, merged, "edge", "")
+  }
+
+  private def upsetProperty(u: UpsetProperty): Unit = {
+    val db = requireDb(u.group)
+    val df = catalog.read(db, u.group)
+    val pred = u.where.map(predColumn(df, _)).getOrElse(lit(true))
+    var out = df
+    u.props.fields.foreach { case (k, v) =>
+      val t = sparkType(v)
+      val newVal = lit(sparkValue(v, t))
+      out =
+        if (out.columns.contains(k))
+          out.withColumn(k, when(pred, newVal.cast(out.schema(k).dataType)).otherwise(col(k)))
+        else out.withColumn(k, when(pred, newVal).otherwise(lit(null).cast(t)))
+    }
+    catalog.write(db, u.group, out, "vertex", catalog.keyTypeOf(db, u.group))
+  }
+
+  private def removeVertex(r: RemoveVertex): Unit = {
+    val db = requireDb(r.group)
+    val df = catalog.read(db, r.group)
+    val pred: Column = if (r.keys.nonEmpty) keysPred(r.keys) else predColumn(df, r.where.get)
+    val removedKeys = df.filter(pred).select("key_i", "key_s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    catalog.write(db, r.group, df.filter(!coalesce(pred, lit(false))), "vertex",
+      catalog.keyTypeOf(db, r.group))
+    // S5 cascade: incident edges die with the vertex (RemovePlan.cpp:9-21)
+    catalog.edgeGroups(db).foreach { eg =>
+      val edges = catalog.read(db, eg)
+      val hitSrc = edges.join(broadcast(removedKeys),
+        edges("src_i") <=> removedKeys("key_i") && edges("src_s") <=> removedKeys("key_s"),
+        "left_anti")
+      val survivors = hitSrc.join(broadcast(removedKeys),
+        hitSrc("dst_i") <=> removedKeys("key_i") && hitSrc("dst_s") <=> removedKeys("key_s"),
+        "left_anti")
+      catalog.write(db, eg, survivors, "edge", "")
+    }
+  }
+
+  /** Remove keys match either key column: a numeric text key matches the
+    * int key too (reference converts digit strings — gutil.cpp hash64
+    * path). */
+  private def keysPred(keys: Seq[GVal]): Column =
+    keys.map {
+      case GInt(l) => col("key_i") === l
+      case GStr(s) if s.forall(_.isDigit) && s.nonEmpty =>
+        col("key_s") === s || col("key_i") === s.toLong
+      case GStr(s) => col("key_s") === s
+      case other => throw new IllegalArgumentException(s"bad remove key $other")
+    }.reduce(_ || _)
+
+  private def removeEdge(r: RemoveEdge): Unit = {
+    val db = requireDb(r.patterns.headOption.map(_ => r.group).getOrElse(r.group))
+    val df = catalog.read(db, r.group)
+    val pred = r.patterns.map(predColumn(df, _)).reduce(_ || _)
+    catalog.write(db, r.group, df.filter(!coalesce(pred, lit(false))), "edge", "")
+  }
+
+  // ---- query ---------------------------------------------------------------
+
+  private var lastDb: Option[String] = None
+
+  /** The reference binds statements to the open db handle; scripts here name
+    * the db via `in:` (queries) or inherit the last one used (mutations). */
+  private def requireDb(group: String): String = {
+    val dbs = catalog.listGraphs()
+    val hit = dbs.find(db => catalog.groups(db).contains(group))
+    hit.orElse(lastDb).getOrElse(
+      throw new IllegalArgumentException(s"no graph contains group '$group'"))
+  }
+
+  private def runQuery(q: Query): DataFrame = {
+    val db = q.in.orElse(lastDb).getOrElse(
+      catalog.listGraphs().headOption.getOrElse(
+        throw new IllegalArgumentException("no graph open")))
+    lastDb = Some(db)
+    q.target match {
+      case AllGroups =>
+        val dfs = catalog.groups(db).map(g => catalog.read(db, g))
+        val all = dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        q.where.map(p => all.filter(predColumn(all, p))).getOrElse(all)
+      case GroupTarget(g) =>
+        val df = catalog.read(db, g)
+        q.where match {
+          case Some(n: Neighbor) => neighborQuery(df, n)
+          case Some(p) => df.filter(predColumn(df, p))
+          case None => df
+        }
+      case Projection(g, props) =>
+        val df = catalog.read(db, g)
+        val base = q.where.map(p => df.filter(predColumn(df, p))).getOrElse(df)
+        base.select(props.filter(base.columns.contains).map(col): _*)
+    }
+  }
+
+  /** Compile a predicate to a Column over `df`. Missing attributes are
+    * SQL-null and thus never match (reference: attr access fails → no
+    * match). Equality against an array attribute is containment
+    * (`{keyword: 'b'}` matches keyword ['a','b']). */
+  private def predColumn(df: DataFrame, p: Pred): Column = {
+    def colType(name: String): Option[DataType] =
+      df.schema.fields.find(_.name == name).map(_.dataType)
+    def propCol(name: String): Option[Column] =
+      if (df.columns.contains(name)) Some(col(name)) else None
+    def litOf(v: GVal): Column = v match {
+      case GStr(s) => lit(s)
+      case GInt(l) => lit(l)
+      case GNum(d) => lit(d)
+      case GDatetime(e) => lit(e)
+      case other => throw new IllegalArgumentException(s"bad literal $other")
+    }
+    p match {
+      case Eq(prop, v) => (propCol(prop), colType(prop)) match {
+        case (Some(c), Some(ArrayType(_, _))) => array_contains(c, litOf(v))
+        case (Some(c), _) => c === litOf(v)
+        case _ => lit(false)
+      }
+      case In(prop, vs) => (propCol(prop), colType(prop)) match {
+        case (Some(c), Some(ArrayType(_, _))) =>
+          vs.map(v => array_contains(c, litOf(v))).reduce(_ || _)
+        case (Some(c), _) => c.isin(vs.map {
+          case GStr(s) => s
+          case GInt(l) => l
+          case GNum(d) => d
+          case GDatetime(e) => e
+          case other => throw new IllegalArgumentException(s"bad in-list item $other")
+        }: _*)
+        case _ => lit(false)
+      }
+      case Range(prop, bounds) => propCol(prop) match {
+        case Some(c) => bounds.map {
+          case ("$gt", v) => c > litOf(v)
+          case ("$gte", v) => c >= litOf(v)
+          case ("$lt", v) => c < litOf(v)
+          case ("$lte", v) => c <= litOf(v)
+          case (op, _) => throw new IllegalArgumentException(s"bad bound $op")
+        }.reduce(_ && _)
+        case None => lit(false)
+      }
+      case IdEq(k) => k match {
+        case GInt(l) => col("key_i") === l
+        case GStr(s) => col("key_s") === s
+        case other => throw new IllegalArgumentException(s"bad id $other")
+      }
+      case Exists(prop) => propCol(prop).map(_.isNotNull).getOrElse(lit(false))
+      case And(ps) => ps.map(predColumn(df, _)).reduceOption(_ && _).getOrElse(lit(true))
+      case Or(ps) => ps.map(predColumn(df, _)).reduceOption(_ || _).getOrElse(lit(false))
+      case Near(prop, geom, op, r) => propCol(prop) match {
+        case Some(c) =>
+          val d2 = VectorExprs.dist2(c.cast("array<double>"),
+            array(geom.map(lit): _*).cast("array<double>"))
+          op match {
+            case "$lt" => d2 < r
+            case "$lte" => d2 <= r
+            case "$gt" => d2 > r
+            case "$gte" => d2 >= r
+          }
+        case None => lit(false)
+      }
+      case EdgePattern(from, dir, to) =>
+        def endpoint(iCol: String, sCol: String, v: GVal): Column = v match {
+          case GStar => lit(true)
+          case GInt(l) => col(iCol) === l
+          case GStr(s) => col(sCol) === s
+          case other => throw new IllegalArgumentException(s"bad endpoint $other")
+        }
+        dir match {
+          case "->" => col("directed") &&
+            endpoint("src_i", "src_s", from) && endpoint("dst_i", "dst_s", to)
+          case "<-" => col("directed") &&
+            endpoint("src_i", "src_s", to) && endpoint("dst_i", "dst_s", from)
+          case _ => // `--`: either endpoint order (SURVEY §7.4 #3)
+            (endpoint("src_i", "src_s", from) && endpoint("dst_i", "dst_s", to)) ||
+              (endpoint("src_i", "src_s", to) && endpoint("dst_i", "dst_s", from))
+        }
+      case n: Neighbor =>
+        throw new IllegalArgumentException("neighbor predicate handled at query level")
+    }
+  }
+
+  /** E2 neighbor query: project the other endpoint of matching edges. */
+  private def neighborQuery(edges: DataFrame, n: Neighbor): DataFrame = {
+    def matches(iCol: String, sCol: String): Column = n.key match {
+      case GInt(l) => col(iCol) === l
+      case GStr(s) => col(sCol) === s
+      case other => throw new IllegalArgumentException(s"bad neighbor key $other")
+    }
+    val outgoing = edges
+      .filter(matches("src_i", "src_s") && (if (n.dir == "->") col("directed") else lit(true)))
+      .select(col("dst_i").as("neighbor_i"), col("dst_s").as("neighbor_s"))
+    val incoming = edges
+      .filter(matches("dst_i", "dst_s") && (if (n.dir == "<-") col("directed") else lit(true)))
+      .select(col("src_i").as("neighbor_i"), col("src_s").as("neighbor_s"))
+    val both = n.dir match {
+      case "->" => outgoing
+      case "<-" => incoming
+      case _ => outgoing.unionByName(incoming)
+    }
+    both.filter(col("neighbor_i").isNotNull || col("neighbor_s").isNotNull).distinct()
+  }
+
+  // ---- dump (S8) -----------------------------------------------------------
+
+  /** Replayable GQL script for a graph (UtilPlan.cpp:128-205 semantics). */
+  def dump(db: String): String = {
+    val sb = new StringBuilder
+    val groups = catalog.groups(db)
+    sb.append(s"{create: '$db', group: [${groups.map(g => s"'$g'").mkString(", ")}]};\n")
+    groups.foreach { g =>
+      val df = catalog.read(db, g)
+      val kind = catalog.groupKind(db, g).getOrElse("unknown")
+      val rows = df.collect() // dump is a driver-side export by definition
+      if (rows.nonEmpty && kind != "edge") {
+        val stmts = rows.map { row => renderVertex(df, row) }.mkString(", ")
+        sb.append(s"{upset: '$g', vertex: [$stmts]};\n")
+      } else if (rows.nonEmpty) {
+        val stmts = rows.map { row => renderEdge(df, row) }.mkString(", ")
+        sb.append(s"{upset: '$g', edge: [$stmts]};\n")
+      }
+    }
+    sb.toString
+  }
+
+  private def renderKey(i: Any, s: Any): String =
+    if (i != null) i.toString else s"'${s}'"
+
+  private def renderVertex(df: DataFrame, row: Row): String = {
+    val props = df.schema.fields.zipWithIndex
+      .filter { case (f, i) => !Set("key_i", "key_s")(f.name) && !row.isNullAt(i) }
+      .map { case (f, i) => s"${f.name}: ${renderCell(row.get(i))}" }
+    val key = renderKey(row.getAs[Any]("key_i"), row.getAs[Any]("key_s"))
+    if (props.isEmpty) s"[$key]" else s"[$key, {${props.mkString(", ")}}]"
+  }
+
+  private def renderEdge(df: DataFrame, row: Row): String = {
+    val from = renderKey(row.getAs[Any]("src_i"), row.getAs[Any]("src_s"))
+    val dir = if (row.getAs[Boolean]("directed")) "->" else "--"
+    val to = (row.getAs[Any]("dst_i"), row.getAs[Any]("dst_s")) match {
+      case (null, null) => null
+      case (i, s) => renderKey(i, s)
+    }
+    if (to == null) s"[$from]" else s"[$from, $dir, $to]"
+  }
+
+  private def renderCell(v: Any): String = v match {
+    case s: String => s"'${s.replace("'", "\\'")}'"
+    case b: Array[Byte] => s"0b'${java.util.Base64.getEncoder.encodeToString(b)}'"
+    case a: scala.collection.Seq[_] => s"[${a.map(renderCell).mkString(", ")}]"
+    case other => other.toString
+  }
+
+  private def renderValue(v: GVal): String = v match {
+    case GStr(s) => s"'$s'"
+    case GInt(l) => l.toString
+    case GNum(d) => d.toString
+    case GDatetime(e) => s"0d$e"
+    case GBinary(b) => s"0b'${java.util.Base64.getEncoder.encodeToString(b)}'"
+    case GArr(items) => s"[${items.map(renderValue).mkString(", ")}]"
+    case GObj(fields) => s"{${fields.map { case (k, x) => s"$k: ${renderValue(x)}" }.mkString(", ")}}"
+    case GStar => "*"
+    case GLambda(_) => "() => {...}"
+  }
+}

@@ -1,0 +1,167 @@
+package graft.gql
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+
+/** Parquet-backed graph catalog (SURVEY.md §1.1: a graph instance is a
+  * directory of Parquet group tables + a schema sidecar; no KV store, no
+  * adjacency lists — adjacency is a join).
+  *
+  * Storage layout: `<root>/<db>/<group>/v<N>/` parquet + `<root>/<db>/meta`
+  * (line-based sidecar). Every mutation writes a NEW version directory and
+  * flips the pointer — the merge-on-key upsert pattern over immutable
+  * parquet (no ACID layer offline, SURVEY §7.4 #4); readers of the old
+  * version are never disturbed, and at cluster scale the rewrite is an
+  * embarrassingly parallel partitioned write, not an in-place edit.
+  *
+  * Dual key types (reference StorageEngine.cpp:338-342): vertices carry
+  * `key_i`/`key_s` twin columns; the group's key type is fixed by first
+  * write and a mismatched upsert fails the statement
+  * (UpsetPlan.cpp:94-121 semantics).
+  */
+class GraphCatalog(spark: SparkSession, root: String) {
+  import GraphCatalog._
+
+  private def dbPath(db: String): Path = Paths.get(root, db)
+  private def metaPath(db: String): Path = dbPath(db).resolve("meta")
+
+  def exists(db: String): Boolean = Files.exists(metaPath(db))
+
+  def create(db: String, groups: Seq[GroupDecl], index: Seq[String]): Unit = {
+    val meta = if (exists(db)) readMeta(db) else Meta(db)
+    groups.foreach {
+      case VertexGroup(name, props, idx) =>
+        val g = meta.groups.getOrElse(name, GroupMeta(name))
+        meta.groups(name) = g.copy(declaredProps = props, index = idx)
+      case EdgeGroup(from, name, to) =>
+        val g = meta.groups.getOrElse(name, GroupMeta(name))
+        meta.groups(name) = g.copy(kind = "edge", from = from, to = to)
+    }
+    if (index.nonEmpty) meta.globalIndex = index
+    Files.createDirectories(dbPath(db))
+    writeMeta(meta)
+  }
+
+  def drop(db: String): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    if (Files.exists(dbPath(db))) rm(dbPath(db))
+  }
+
+  def listGraphs(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(root))) Nil
+    else Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("meta"))).map(_.getFileName.toString).toSeq.sorted
+
+  def groups(db: String): Seq[String] = readMeta(db).groups.keys.toSeq.sorted
+
+  def groupKind(db: String, group: String): Option[String] =
+    readMeta(db).groups.get(group).map(_.kind)
+
+  // ---- group data access ---------------------------------------------------
+
+  /** Current DataFrame of a group; empty (correct schema) if never written.
+    * A group declared by bare name has kind `unknown` until first upsert —
+    * `kindHint` tells an upsert path which empty schema to synthesize. */
+  def read(db: String, group: String, kindHint: String = ""): DataFrame = {
+    val meta = readMeta(db)
+    meta.groups.get(group) match {
+      case Some(g) if g.version > 0 =>
+        spark.read.parquet(dataDir(db, group, g.version).toString)
+      case Some(g) =>
+        val kind = if (g.kind != "unknown") g.kind else if (kindHint.nonEmpty) kindHint else "vertex"
+        val schema = if (kind == "edge") edgeBaseSchema else vertexBaseSchema
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      case None =>
+        throw new IllegalArgumentException(s"no such group '$group' in '$db'")
+    }
+  }
+
+  private def dataDir(db: String, group: String, v: Int): Path =
+    dbPath(db).resolve(group).resolve(s"v$v")
+
+  /** Replace a group's contents with `df` (written as the next version,
+    * pointer flipped in meta). */
+  def write(db: String, group: String, df: DataFrame, kind: String, keyType: String): Unit = {
+    val meta = readMeta(db)
+    val g = meta.groups.getOrElse(group, GroupMeta(group))
+    val next = g.version + 1
+    df.write.mode("overwrite").parquet(dataDir(db, group, next).toString)
+    meta.groups(group) = g.copy(
+      version = next,
+      kind = if (g.kind == "unknown") kind else g.kind,
+      keyType = if (g.keyType.isEmpty) keyType else g.keyType)
+    writeMeta(meta)
+  }
+
+  def keyTypeOf(db: String, group: String): String =
+    readMeta(db).groups.get(group).map(_.keyType).getOrElse("")
+
+  /** Edge groups of a db (for cascade delete). */
+  def edgeGroups(db: String): Seq[String] =
+    readMeta(db).groups.collect { case (n, g) if g.kind == "edge" => n }.toSeq.sorted
+
+  // ---- meta sidecar --------------------------------------------------------
+
+  private def writeMeta(meta: Meta): Unit = {
+    val lines = Seq(s"db|${meta.name}", s"gidx|${meta.globalIndex.mkString(",")}") ++
+      meta.groups.values.toSeq.sortBy(_.name).map { g =>
+        Seq("grp", g.name, g.kind, g.keyType, g.version.toString,
+          g.declaredProps.mkString(","), g.index.mkString(","), g.from, g.to).mkString("|")
+      }
+    Files.write(metaPath(meta.name), lines.asJava)
+  }
+
+  private def readMeta(db: String): Meta = {
+    if (!exists(db)) throw new IllegalArgumentException(s"no such graph '$db'")
+    val meta = Meta(db)
+    Files.readAllLines(metaPath(db)).asScala.foreach { line =>
+      val parts = line.split("\\|", -1)
+      parts(0) match {
+        case "db" => ()
+        case "gidx" => meta.globalIndex = parts(1).split(",").filter(_.nonEmpty).toSeq
+        case "grp" =>
+          meta.groups(parts(1)) = GroupMeta(
+            name = parts(1), kind = parts(2), keyType = parts(3),
+            version = parts(4).toInt,
+            declaredProps = parts(5).split(",").filter(_.nonEmpty).toSeq,
+            index = parts(6).split(",").filter(_.nonEmpty).toSeq,
+            from = parts(7), to = parts(8))
+        case _ => ()
+      }
+    }
+    meta
+  }
+}
+
+object GraphCatalog {
+  case class GroupMeta(
+    name: String,
+    kind: String = "unknown", // vertex | edge | unknown (fixed on first upsert)
+    keyType: String = "",     // int | str, fixed on first write
+    version: Int = 0,
+    declaredProps: Seq[String] = Nil,
+    index: Seq[String] = Nil,
+    from: String = "", to: String = "")
+
+  case class Meta(name: String) {
+    val groups = scala.collection.mutable.LinkedHashMap[String, GroupMeta]()
+    var globalIndex: Seq[String] = Nil
+  }
+
+  val vertexBaseSchema: StructType = StructType(Seq(
+    StructField("key_i", LongType), StructField("key_s", StringType)))
+
+  val edgeBaseSchema: StructType = StructType(Seq(
+    StructField("src_i", LongType), StructField("src_s", StringType),
+    StructField("dst_i", LongType), StructField("dst_s", StringType),
+    StructField("directed", BooleanType)))
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.gql.{GqlEngine, Parser}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end GQL engine tests mirroring the reference's grammar suite
+  * (/root/reference/test/grammar.cpp successful_test) — semantics ports
+  * with clean-engine counts, not byte-identical goldens (SURVEY §5). */
+class GqlSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private def freshEngine(): GqlEngine = {
+    val dir = java.nio.file.Files.createTempDirectory("gql").toString
+    new GqlEngine(spark, dir)
+  }
+
+  private def count(e: GqlEngine, gql: String): Long =
+    e.query(gql).count()
+
+  test("create / upset / key-type enforcement / scan counts") {
+    val e = freshEngine()
+    assert(e.exec("{create: 'ga', group: ['g']};").head.status == "CREATE SUCCESS")
+    assert(e.exec("{create: 'ga', group: [{g: ['title', 'class', 'keyword', 'color', 'create_time', 'location'], index: ['keyword', 'color', 'create_time', 'location']}, 'e', 'tag']};")
+      .head.status == "CREATE SUCCESS")
+    assert(e.exec("{upset: 'g', vertex: [[328, {title: 'Tale\\'s from the Crypt', genres: 'Horror|Thriller'}]]};")
+      .head.status == "UPSET SUCCESS")
+    // key type fixed on first write: string key into an int-keyed group fails
+    assert(e.exec("{upset: 'g', vertex: [['328', {title: 'dup'}]]};")
+      .head.status.startsWith("error"))
+    assert(count(e, "{query: 'g'};") == 1)
+    assert(count(e, "{query: 'g', in: 'ga'};") == 1)
+
+    assert(e.exec("{upset: 'g', vertex: [[55, {update_time: 0d12345}]]};").head.status == "UPSET SUCCESS")
+    assert(e.exec("{upset: 'g', vertex: [[1040187648, {datetime:'0d1600577894000', filename: 'a.jpg', size: 207879, width: 650}]]};")
+      .head.status == "UPSET SUCCESS")
+    assert(count(e, "{query: 'g', in: 'ga', where: {datetime: {$gt:0d1600531200000}}};") == 1)
+
+    assert(e.exec("{upset: 'g', property: {filename: '7777.jpg'}, where: {id: 1040187648}};")
+      .head.status == "UPSET SUCCESS")
+    assert(count(e, "{query: 'g', in: 'ga', where: {filename: '7777.jpg'}};") == 1)
+
+    assert(e.exec(
+      """{upset: 'g', vertex: [
+        |  [42, {class: 'a/c', location: [131.24194, 37.12532], keyword: ['a', 'b'], create_time: 1}],
+        |  [46, {color: [52, 62, 88], location: [131.24194, 36.12532], keyword: ['a'], create_time: 2, update_time: 0d1664268855}],
+        |  [45],
+        |  [4, {keyword: [], create_time: 1}]
+        |]};""".stripMargin).head.status == "UPSET SUCCESS")
+    assert(count(e, "{query: 'g', in: 'ga'};") == 7)
+
+    // array attr equality is containment
+    assert(count(e, "{query: 'g', in: 'ga', where: {keyword: 'b'}};") == 1)
+    // ranges incl. multiple bounds on one prop
+    assert(count(e, "{query: 'g', in: 'ga', where: {create_time: {$gt: 1, $lt: 5}}};") == 1)
+    assert(count(e, "{query: 'g', in: 'ga', where: {create_time: {$gte: 1, $lt: 5}}};") == 3)
+    assert(count(e, "{query: 'g', in: 'ga', where: {create_time: {$gt: 1}}};") == 1)
+    assert(count(e, "{query: 'g', in: 'ga', where: {create_time: {$lt: 5}}};") == 3)
+    assert(count(e, "{query: 'g', in: 'ga', where: {$and: [{create_time: {$lt: 5}}]}};") == 3)
+    assert(count(e, "{query: 'g', in: 'ga', where: {$or: [{create_time: {$lt: 5}}]}};") == 3)
+    // id lookup on the string column misses int keys
+    assert(count(e, "{query: 'g', in: 'ga', where: {id: 'v1'}};") == 0)
+
+    // $near over the color vector of vertex 46
+    assert(count(e, "{query: 'g', in: 'ga', where: {color: {$near: {$geometry: [52, 62, 88], $lt: 10}}}};") == 1)
+
+    // Q11 lambda constant-folds to its return value (10) at plan time
+    assert(count(e,
+      "{query: 'g', in: 'ga', where: {create_time: {$lt: ()=>{(1+2)*2/3-(1.0 + 2)/3.1;let a = 6; return 10;}}}};") == 3)
+
+    // projection (Q12 — done properly, unlike the reference)
+    val proj = e.query("{query: [g.title], in: 'ga', where: {keyword: 'b'}};")
+    assert(proj.columns.toSeq == Seq("title"))
+
+    // remove with digit-string key matches the int key; cascade-ready
+    assert(e.exec("{remove: 'g', vertex: ['55']};").head.status == "REMOVE SUCCESS")
+    assert(count(e, "{query: 'g', in: 'ga'};") == 6)
+  }
+
+  test("edges: normalization, wildcard patterns, neighbor query") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g', 'e', 'tag']};")
+    assert(e.exec("{upset: 'tag', edge: [[474, --: {tag: 'robots'}, 589]]};").head.status == "UPSET SUCCESS")
+    assert(e.exec("{upset: 'e', edge: [['player149', ->: {start_year: 2016, end_year: 2019 }, 'team219']]};")
+      .head.status == "UPSET SUCCESS")
+    e.exec("{upset: 'e', edge: [['v1', --, 'v2']]};")
+    e.exec("{upset: 'e', edge: [['v2', ->, 'v3']]};")
+    e.exec("{upset: 'e', edge: [['v4']]};")
+    e.exec("{upset: 'e', edge: [['v3', ->, 'v3']]};")
+    assert(count(e, "{query: 'e', in: 'ga'};") == 5)
+    assert(count(e, "{query: 'e', in: 'ga', where: ['v1', --, *]};") == 1)
+    assert(count(e, "{query: 'e', in: 'ga', where: ['v1', ->, *]};") == 0)
+    assert(count(e, "{query: 'e', in: 'ga', where: {id: 'v1', ->: *, neighbor: 1}};") == 0)
+    assert(count(e, "{query: 'e', in: 'ga', where: {id: 'v1', --: *, neighbor: 1}};") == 1)
+    // `<-` is stored reversed: v5 <- v3  ==  v3 -> v5
+    e.exec("{upset: 'e', edge: [['v5', <-, 'v3']]};")
+    assert(count(e, "{query: 'e', in: 'ga', where: ['v3', ->, 'v5']};") == 1)
+    assert(count(e, "{query: 'e', in: 'ga', where: ['v5', <-, 'v3']};") == 1)
+    // remove edge with wildcard endpoint
+    assert(e.exec("{remove: 'e', edge: [['v3', ->, *]]};").head.status == "REMOVE SUCCESS")
+    assert(count(e, "{query: 'e', in: 'ga', where: ['v3', ->, *]};") == 0)
+  }
+
+  test("remove vertex cascades to incident edges") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g', ['g', 'e', 'g']]};")
+    e.exec("{upset: 'g', vertex: [['a'], ['b'], ['c']]};")
+    e.exec("{upset: 'e', edge: [['a', ->, 'b'], ['b', ->, 'c'], ['a', --, 'c']]};")
+    assert(count(e, "{query: 'e', in: 'ga'};") == 3)
+    e.exec("{remove: 'g', vertex: ['a']};")
+    assert(count(e, "{query: 'g', in: 'ga'};") == 2)
+    // both edges touching 'a' are gone
+    assert(count(e, "{query: 'e', in: 'ga'};") == 1)
+  }
+
+  test("multi-group scan, show, ast, dump round-trip") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g', 'h']};")
+    e.exec("{upset: 'g', vertex: [[1, {x: 1}], [2, {x: 2}]]};")
+    e.exec("{upset: 'h', vertex: [[3, {y: 'z'}]]};")
+    assert(count(e, "{query: '*', in: 'ga'};") == 3)
+
+    val show = e.exec("show graph;").head
+    assert(show.text.get.contains("ga"))
+    val showG = e.exec("show graph 'ga';").head
+    assert(showG.text.get.contains("g") && showG.text.get.contains("h"))
+
+    val ast = e.exec("ast {query: 'g', in: 'ga', where: {x: {$lt: 2}}};").head
+    assert(ast.status == "AST SUCCESS" && ast.text.get.contains("Query"))
+
+    // dump emits a replayable script: drop, replay, same counts
+    val script = e.exec("{dump: 'ga'};").head.text.get
+    e.exec("{drop: 'ga'};")
+    assert(e.exec("show graph;").head.text.get.isEmpty)
+    script.split(";\n").filter(_.trim.nonEmpty).foreach(s => {
+      val r = e.exec(s + ";")
+      assert(!r.head.status.startsWith("error"), s"replay failed: $s -> ${r.head.status}")
+    })
+    assert(count(e, "{query: '*', in: 'ga'};") == 3)
+  }
+
+  test("parser handles unicode group names and comments") {
+    val stmts = Parser.parse(
+      """// comment line
+        |{create: 'vertex_db', group: '废墟', index: ['group', 'feature_name', 'loc']};
+        |{upset: '废墟', vertex: [['v1', {filename: '破旧小屋.jpg', datatime: 0d1653446732}]]};""".stripMargin)
+    assert(stmts.length == 2)
+  }
+
+  test("wrong grammar surfaces as error results, not crashes") {
+    val e = freshEngine()
+    val r1 = e.exec("{query: 'nope', in: 'nodb'};")
+    assert(r1.head.status.startsWith("error"))
+    intercept[Exception](Parser.parse("{create: }"))
+  }
+}
