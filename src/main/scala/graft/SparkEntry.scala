@@ -22,7 +22,8 @@ object SparkEntry {
     operators.VectorOps.queries ++
     operators.GraphOps.queries ++
     operators.EventOps.queries ++
-    operators.GqlOps.queries
+    operators.GqlOps.queries ++
+    operators.WalkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
     operators.VectorOps.oracles ++
     operators.GraphOps.oracles ++
     operators.EventOps.oracles ++
-    operators.GqlOps.oracles
+    operators.GqlOps.oracles ++
+    operators.WalkOps.oracles
 }
