@@ -23,7 +23,8 @@ object SparkEntry {
     operators.GraphOps.queries ++
     operators.EventOps.queries ++
     operators.GqlOps.queries ++
-    operators.WalkOps.queries
+    operators.WalkOps.queries ++
+    operators.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
     operators.GraphOps.oracles ++
     operators.EventOps.oracles ++
     operators.GqlOps.oracles ++
-    operators.WalkOps.oracles
+    operators.WalkOps.oracles ++
+    operators.MultimodalOps.oracles
 }

@@ -118,7 +118,11 @@ object GraphOps {
         .select(col("dst").as("node"), lit(h).as("hop"))
         .join(reached.select("node"), Seq("node"), "left_anti")
         .distinct()
-      reached = reached.unionByName(next)
+      // localCheckpoint truncates lineage: `reached` is referenced 3x per
+      // round, so an unbroken plan grows 3^h copies of the base tree and
+      // Catalyst analysis time explodes (measured seconds of driver time).
+      // At cluster scale this is a reliable checkpoint every k supersteps.
+      reached = reached.unionByName(next).localCheckpoint()
     }
     reached.groupBy(col("node")).agg(min(col("hop")).as("hops")).orderBy("node")
   }
@@ -139,6 +143,7 @@ object GraphOps {
         .select(col("dst").as("node"), (col("cost") + col("ecost")).as("cost"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint() // dist referenced 2x/round — see qBfs note
     }
     dist.select(col("node"), Fns.roundP(col("cost"), 8).as("cost")).orderBy("node")
   }
@@ -170,6 +175,34 @@ object GraphOps {
     rank.select(col("node"), Fns.roundP(col("rank"), 8).as("pagerank")).orderBy("node")
   }
 
+  /** E11 — strongly connected components: scc_id(v) = min node m with
+    * m⇄v mutually reachable. Reachability closure by ITERATIVE SQUARING
+    * (pairs2k = pairsk ⋈ pairsk): O(log diameter) join rounds instead of
+    * O(diameter) — the closure strategy that survives wide graphs. On the
+    * 25-node thinned graph CLOSURE_ROUNDS=5 covers diameter ≤ 2^5. */
+  val CLOSURE_ROUNDS = 5
+  val qScc: Q = (s, d) => {
+    val edges = topEdges(s, d).select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val self = Tables.nation(s, d)
+      .select(col("n_nationkey").as("src"), col("n_nationkey").as("dst"))
+    var reach = self.unionByName(edges).distinct().localCheckpoint()
+    for (_ <- 1 to CLOSURE_ROUNDS) {
+      val hop = reach.select(col("src"), col("dst").as("mid"))
+        .join(reach.select(col("src").as("mid"), col("dst")), "mid")
+        .select(col("src"), col("dst"))
+      // squaring references reach twice per round: without lineage
+      // truncation the plan doubles every round (2^5 copies) and driver
+      // planning dominates wall time (measured 20s+ for 625 rows).
+      reach = reach.unionByName(hop).distinct().localCheckpoint()
+    }
+    val back = reach.select(col("src").as("dst"), col("dst").as("src"))
+    reach.join(back, Seq("src", "dst")) // mutual reachability
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("scc_id"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_edge_scan" -> qEdgeScan,
     "q_neighbors" -> qNeighbors,
@@ -177,6 +210,7 @@ object GraphOps {
     "q_bfs"       -> qBfs,
     "q_sssp"      -> qSssp,
     "q_pagerank"  -> qPagerank,
+    "q_scc"       -> qScc,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -236,6 +270,15 @@ object GraphOps {
          |  WHERE w.depth < $SSSP_ROUNDS)
          |SELECT node, ${Fns.roundPSql("min(cost)", 8)} AS cost
          |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q_scc" ->
+      s"""WITH RECURSIVE $sqlTrade, $sqlTop,
+         |reach(src, dst) AS (
+         |  SELECT n_nationkey, n_nationkey FROM nation
+         |  UNION
+         |  SELECT r.src, t.dst FROM reach r JOIN top t ON t.src = r.dst)
+         |SELECT a.src AS node, min(a.dst) AS scc_id
+         |FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+         |GROUP BY a.src ORDER BY node""".stripMargin,
     "q_pagerank" -> {
       // 5 unrolled iterations via chained CTEs (r0..r5); contributions
       // decimal-summed exactly like the Spark side.

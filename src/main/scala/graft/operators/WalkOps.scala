@@ -94,7 +94,9 @@ object WalkOps {
           .select(col("dst").as("node"), lit(h).as("hop"))
           .join(reached.select("node"), Seq("node"), "left_anti")
           .distinct()
-        reached = reached.unionByName(next)
+        // lineage truncation — reached is referenced 3x per round (see
+        // GraphOps.qBfs note on exponential plan growth)
+        reached = reached.unionByName(next).localCheckpoint()
       }
       reached.groupBy("node").agg(min("hop").as("hop"))
     }
