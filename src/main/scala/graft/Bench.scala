@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/parquet-footer paths once so the first timed
+    // query isn't charged ~3s of cold-start that belongs to no query.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize every row through the noop sink: a bare .count() lets

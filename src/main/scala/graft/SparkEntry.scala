@@ -24,7 +24,8 @@ object SparkEntry {
     operators.EventOps.queries ++
     operators.GqlOps.queries ++
     operators.WalkOps.queries ++
-    operators.MultimodalOps.queries
+    operators.MultimodalOps.queries ++
+    operators.SourceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -37,5 +38,6 @@ object SparkEntry {
     operators.EventOps.oracles ++
     operators.GqlOps.oracles ++
     operators.WalkOps.oracles ++
-    operators.MultimodalOps.oracles
+    operators.MultimodalOps.oracles ++
+    operators.SourceOps.oracles
 }

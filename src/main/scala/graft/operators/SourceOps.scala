@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gated source/sink and semi-structured queries.
+  *
+  * q_csv_roundtrip drives the CSV sink + source end-to-end (the S11 import
+  * path): nation → CSV (header) → read back with explicit schema → agg.
+  * q_json_props parses the events table's JSON `props` column with a typed
+  * `from_json` — the semi-structured column path every log pipeline needs
+  * (and the reference's JSON-document row model rendered columnar).
+  */
+object SourceOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val nationCsvSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** Sink then source: CSV round-trip must preserve content exactly. */
+  val qCsvRoundtrip: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    Sources.writeCsv(Tables.nation(s, d), s"$tmp/nation")
+    Sources.csv(s, s"$tmp/nation", nationCsvSchema)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+      .orderBy("n_regionkey")
+  }
+
+  /** Typed extraction from the JSON props string column. */
+  val qJsonProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("p.k")).as("sum_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_json_props"    -> qJsonProps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
