@@ -59,6 +59,9 @@ object Ast {
   case class Dump(db: String) extends Stmt
   case class ShowGraph(db: Option[String]) extends Stmt
   case class AstOf(stmt: Stmt) extends Stmt
+  /** S11 `profile <query>` — reserved no-op in the reference; here it
+    * returns the Catalyst formatted physical plan. */
+  case class Profile(stmt: Stmt) extends Stmt
   case class Query(target: QueryTarget, in: Option[String], where: Option[Pred]) extends Stmt
 
   sealed trait QueryTarget

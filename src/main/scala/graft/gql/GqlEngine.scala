@@ -53,6 +53,17 @@ class GqlEngine(spark: SparkSession, root: String) {
         case ShowGraph(Some(db)) =>
           Result("SHOW SUCCESS", text = Some(catalog.groups(db).mkString("\n")))
         case AstOf(inner) => Result("AST SUCCESS", text = Some(Ast.render(inner)))
+        case Profile(inner) =>
+          inner match {
+            case q: Query =>
+              val df = runQuery(q)
+              // capture the formatted plan the way a CLI user sees it
+              val buf = new java.io.ByteArrayOutputStream()
+              Console.withOut(new java.io.PrintStream(buf)) { df.explain("formatted") }
+              Result("PROFILE SUCCESS", text = Some(buf.toString("UTF-8")))
+            case other =>
+              Result("PROFILE SUCCESS", text = Some(Ast.render(other)))
+          }
         case Dump(db) => Result("DUMP SUCCESS", text = Some(dump(db)))
         case u: UpsetVertex => upsetVertex(u); Result("UPSET SUCCESS")
         case u: UpsetEdge => upsetEdge(u); Result("UPSET SUCCESS")
@@ -428,7 +439,13 @@ class GqlEngine(spark: SparkSession, root: String) {
   def dump(db: String): String = {
     val sb = new StringBuilder
     val groups = catalog.groups(db)
-    sb.append(s"{create: '$db', group: [${groups.map(g => s"'$g'").mkString(", ")}]};\n")
+    val decls = groups.map { g =>
+      catalog.edgeEnds(db, g) match {
+        case Some((from, to)) => s"['$from', '$g', '$to']" // keep edge registration
+        case None => s"'$g'"
+      }
+    }
+    sb.append(s"{create: '$db', group: [${decls.mkString(", ")}]};\n")
     groups.foreach { g =>
       val df = catalog.read(db, g)
       val kind = catalog.groupKind(db, g).getOrElse("unknown")

@@ -66,6 +66,12 @@ class GraphCatalog(spark: SparkSession, root: String) {
   def groupKind(db: String, group: String): Option[String] =
     readMeta(db).groups.get(group).map(_.kind)
 
+  /** (from, to) endpoint registration of an edge group, if declared. */
+  def edgeEnds(db: String, group: String): Option[(String, String)] =
+    readMeta(db).groups.get(group)
+      .filter(g => g.from.nonEmpty && g.to.nonEmpty)
+      .map(g => (g.from, g.to))
+
   // ---- group data access ---------------------------------------------------
 
   /** Current DataFrame of a group; empty (correct schema) if never written.

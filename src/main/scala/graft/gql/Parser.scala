@@ -40,6 +40,7 @@ class Parser(toks: Vector[Tok]) {
 
   def statement(): Stmt = cur match {
     case TIdent("ast") => advance(); AstOf(statement())
+    case TIdent("profile") => advance(); Profile(statement())
     case TIdent("show") =>
       advance()
       ident() match {

@@ -1,0 +1,40 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.DataFrame
+
+/** GraphX bridge (SURVEY.md §7.1: GraphX `Graph[VD,ED]` built on demand
+  * from the edge DataFrames for the analytics kernels the reference stubs —
+  * PageRank src/operand/analysis/PageRank.cpp:5-18, Tarjan SCC (empty),
+  * degrees DegreeCentrality.cpp).
+  *
+  * The DataFrame-native versions in [[graft.operators.GraphOps]] are the
+  * oracle-gated path (deterministic decimal math); this bridge is the
+  * cluster-scale alternative — GraphX partitions the edge RDD and runs
+  * Pregel supersteps without driver-side loops. The test suite checks both
+  * agree on component structure and degree counts.
+  */
+object GraphXBridge {
+  /** Build a directed graph from an (src: int, dst: int) DataFrame. */
+  def fromEdgeDF(edges: DataFrame): Graph[Int, Int] = {
+    val e = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getInt(0).toLong, r.getInt(1).toLong, 1))
+    Graph.fromEdges(e, defaultValue = 0)
+  }
+
+  def degrees(g: Graph[Int, Int]): Map[VertexId, (Int, Int)] = {
+    val out = g.outDegrees.collectAsMap()
+    val in = g.inDegrees.collectAsMap()
+    (out.keySet ++ in.keySet).map(v =>
+      v -> (out.getOrElse(v, 0), in.getOrElse(v, 0))).toMap
+  }
+
+  def pageRank(g: Graph[Int, Int], iters: Int): Map[VertexId, Double] =
+    g.staticPageRank(iters).vertices.collectAsMap().toMap
+
+  def stronglyConnectedComponents(g: Graph[Int, Int], iters: Int): Map[VertexId, VertexId] =
+    g.stronglyConnectedComponents(iters).vertices.collectAsMap().toMap
+
+  def connectedComponents(g: Graph[Int, Int]): Map[VertexId, VertexId] =
+    g.connectedComponents().vertices.collectAsMap().toMap
+}

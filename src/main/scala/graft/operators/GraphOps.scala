@@ -40,8 +40,8 @@ object GraphOps {
 
   /** Full trade graph: (src, dst, cnt). Dimension tables (customer,
     * supplier) broadcast onto the fact tables; one shuffle for the final
-    * 625-key aggregation. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    * 625-key aggregation. Public: WalkOps and the GraphX bridge reuse it. */
+  def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -55,14 +55,19 @@ object GraphOps {
 
   /** Sparse subgraph for walks: each nation keeps its TOP_PARTNERS
     * strongest outgoing edges (cnt desc, dst asc tiebreak — deterministic).
-    * Edge cost = 1/cnt, so strong trade = cheap edge. */
-  private def topEdges(s: SparkSession, d: String): DataFrame = {
+    * Columns (src, dst, cnt, rn, cost); cost = 1/cnt, so strong trade =
+    * cheap edge. Public: WalkOps and the GraphX bridge reuse it. */
+  def thinnedEdges(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("dst").asc)
     tradeEdges(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TOP_PARTNERS)
-      .select(col("src"), col("dst"), (lit(1.0) / col("cnt")).as("cost"))
+      .select(col("src"), col("dst"), col("cnt"), col("rn"),
+        (lit(1.0) / col("cnt")).as("cost"))
   }
+
+  private def topEdges(s: SparkSession, d: String): DataFrame =
+    thinnedEdges(s, d).select(col("src"), col("dst"), col("cost"))
 
   /** E1 — edge pattern scan `[3, ->, *]`: directed edges from a fixed
     * endpoint, wildcard destination. */

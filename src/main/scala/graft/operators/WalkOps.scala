@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import graft.functions.{Fns, GeoHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Walk / pattern / geo operators closing out SURVEY.md §2.3:
@@ -23,20 +22,8 @@ object WalkOps {
   val BIDIR_DST = 14
   val BIDIR_HALF = 3
 
-  private def topEdges(s: SparkSession, d: String): DataFrame = {
-    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val trade = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("dst").asc)
-    trade.withColumn("rn", row_number().over(w)).filter(col("rn") <= GraphOps.TOP_PARTNERS)
-      .select("src", "dst", "rn")
-  }
+  private def topEdges(s: SparkSession, d: String): DataFrame =
+    GraphOps.thinnedEdges(s, d).select("src", "dst", "rn")
 
   /** E3 — subgraph (motif) match: directed triangles a→b→c→a with a<b<c
     * canonicalization. Three-way self-join on the edge relation — each hop

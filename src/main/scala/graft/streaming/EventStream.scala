@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming rendering of the events pipeline (SURVEY.md §7.1
@@ -26,6 +27,42 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState (SURVEY §2.5
+    * streaming surface: `KeyValueGroupedDataset` stateful processing). Each
+    * user's events are gap-split (30 min, microsecond-exact) inside the
+    * group function; `GroupState` carries the running totals so subsequent
+    * micro-batches keep counting — the structure a continuous pipeline
+    * needs, exercised here with a single batch against the batch oracle
+    * (EventOps.qSessionize). */
+  def sessionCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = 30 * 60L * 1000000L
+    s.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val tss = it.map(_._2).toArray.sorted
+          var sessions = if (tss.isEmpty) 0L else 1L
+          var i = 1
+          while (i < tss.length) {
+            if (tss(i) - tss(i - 1) > gapUs) sessions += 1
+            i += 1
+          }
+          val (prevS, prevE) = state.getOption.getOrElse((0L, 0L))
+          val total = (prevS + sessions, prevE + tss.length)
+          state.update(total)
+          Iterator(UserSessions(uid, total._1, total._2))
+      }
+      .toDF()
+  }
 
   /** Streaming tumbling-window counts/sums per event type, 10-minute
     * watermark. Identical output columns to EventOps.qWindowAgg. */

@@ -33,4 +33,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
   }
+
+  test("stateful sessionization (flatMapGroupsWithState) equals batch qSessionize") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.sessionCounts(spark, dir.toString)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("sessions")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = operators.EventOps.qSessionize(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
 }
