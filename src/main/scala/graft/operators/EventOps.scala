@@ -83,8 +83,23 @@ object EventOps {
         .as("entropy"))
   }
 
+  /** Exact distinct-users per event type, two-phase: dedup on the compound
+    * (type, user) key first, then count per type. With only a handful of
+    * event types a direct groupBy(type).agg(countDistinct) funnels every
+    * row through ~5 hot reducers; the compound-key first phase spreads the
+    * shuffle across type×user cardinality — the de-skew pattern (salting
+    * with a natural salt). */
+  val qDistinctUsers: Q = (s, d) =>
+    Tables.events(s, d)
+      .select("event_type", "user_id")
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q_window_agg" -> qWindowAgg,
+    "q_distinct_users" -> qDistinctUsers,
     "q_window_top" -> qWindowTop,
     "q_sessionize" -> qSessionize,
     "q_entropy"    -> qEntropy,
@@ -98,6 +113,9 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_agg" ->
       s"""SELECT $sqlWs AS ws, event_type, count(*) AS cnt,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -184,8 +184,55 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q3 shape — shipping-priority: selective dim filter broadcast
+    * onto two fact joins, group on the join key, top-k by revenue. The
+    * 100 TB plan: customer filter broadcasts, orders⋈lineitem co-shuffle
+    * on orderkey, TakeOrderedAndProject caps the output. */
+  val qShipPriority: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape — revenue by supplier nation with the co-location
+    * predicate (customer and supplier in the same nation): all dims
+    * broadcast, one shuffle for the 25-key aggregate. */
+  val qLocalVolume: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg"            -> q1Agg,
+    "q_ship_priority"   -> qShipPriority,
+    "q_local_volume"    -> qLocalVolume,
     "q_point_lookup"    -> qPointLookup,
     "q_filter_range"    -> qFilterRange,
     "q_in_list"         -> qInList,
@@ -202,6 +249,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ship_priority" ->
+      """SELECT l_orderkey,
+        |  epoch(o_orderdate)::BIGINT AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
