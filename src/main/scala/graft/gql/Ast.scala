@@ -35,6 +35,9 @@ object Ast {
   case class Or(ps: Seq[Pred]) extends Pred
   /** `{prop: {$near: {$geometry: [...], $lt: r}}}` proximity. */
   case class Near(prop: String, geometry: Seq[Double], op: String, r: Double) extends Pred
+  /** `{prop: {limit: k, $near: [v...]}}` — KNN form (E9 via GQL; reference
+    * vertex suite "query nearest point"). */
+  case class Knn(prop: String, vec: Seq[Double], k: Int) extends Pred
   /** Edge endpoint pattern `[a, ->/<-/--, b]` with `*` wildcards. */
   case class EdgePattern(from: GVal, dir: String, to: GVal) extends Pred
   /** `{id: v, --: *, neighbor: 1}`. */

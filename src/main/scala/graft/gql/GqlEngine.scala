@@ -317,6 +317,13 @@ class GqlEngine(spark: SparkSession, root: String) {
         val df = catalog.read(db, g)
         q.where match {
           case Some(n: Neighbor) => neighborQuery(df, n)
+          case Some(Knn(prop, vec, k)) =>
+            // E9 via GQL: top-k by squared L2 (TakeOrderedAndProject plan)
+            if (!df.columns.contains(prop)) df.limit(0)
+            else df.filter(col(prop).isNotNull)
+              .orderBy(VectorExprs.dist2(col(prop).cast("array<double>"),
+                array(vec.map(lit): _*).cast("array<double>")))
+              .limit(k)
           case Some(p) => df.filter(predColumn(df, p))
           case None => df
         }
@@ -409,6 +416,8 @@ class GqlEngine(spark: SparkSession, root: String) {
         }
       case n: Neighbor =>
         throw new IllegalArgumentException("neighbor predicate handled at query level")
+      case k: Knn =>
+        throw new IllegalArgumentException("knn predicate handled at query level")
     }
   }
 

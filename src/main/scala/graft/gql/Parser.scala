@@ -339,30 +339,44 @@ class Parser(toks: Vector[Tok]) {
       advance()
       val bounds = Seq.newBuilder[(String, GVal)]
       var near: Option[Pred] = None
+      var nearVec: Option[Seq[Double]] = None
+      var limitK: Option[Int] = None
       var done = false
       while (!done) {
         cur match {
           case TPunct("}") => done = true
           case TPunct(",") => advance()
-          case TIdent("$near") =>
-            advance(); expect(":"); expect("{")
-            var geom = Seq.empty[Double]
-            var op = "$lt"; var r = 0.0
-            var ndone = false
-            while (!ndone) {
-              cur match {
-                case TPunct("}") => ndone = true
-                case TPunct(",") => advance()
-                case TIdent("$geometry") =>
-                  advance(); expect(":")
-                  geom = parseArray(parseValue _).map(toDouble)
-                case TIdent(o @ ("$lt" | "$lte" | "$gt" | "$gte")) =>
-                  advance(); expect(":"); op = o; r = toDouble(parseValue())
-                case other => fail(s"bad \\$$near clause $other")
-              }
+          case TIdent("limit") =>
+            advance(); expect(":")
+            parseValue() match {
+              case GInt(k) => limitK = Some(k.toInt)
+              case other => fail(s"limit needs int, got $other")
             }
-            expect("}")
-            near = Some(Near(prop, geom, op, r))
+          case TIdent("$near") =>
+            advance(); expect(":")
+            if (isPunct("[")) {
+              // bare vector form = KNN (paired with limit:)
+              nearVec = Some(parseArray(parseValue _).map(toDouble))
+            } else {
+              expect("{")
+              var geom = Seq.empty[Double]
+              var op = "$lt"; var r = 0.0
+              var ndone = false
+              while (!ndone) {
+                cur match {
+                  case TPunct("}") => ndone = true
+                  case TPunct(",") => advance()
+                  case TIdent("$geometry") =>
+                    advance(); expect(":")
+                    geom = parseArray(parseValue _).map(toDouble)
+                  case TIdent(o @ ("$lt" | "$lte" | "$gt" | "$gte")) =>
+                    advance(); expect(":"); op = o; r = toDouble(parseValue())
+                  case other => fail(s"bad \\$$near clause $other")
+                }
+              }
+              expect("}")
+              near = Some(Near(prop, geom, op, r))
+            }
           case TIdent(o @ ("$lt" | "$lte" | "$gt" | "$gte")) =>
             advance(); expect(":")
             val v = parseValue() match {
@@ -379,7 +393,10 @@ class Parser(toks: Vector[Tok]) {
         }
       }
       expect("}")
-      near.getOrElse(Range(prop, bounds.result()))
+      nearVec match {
+        case Some(v) => Knn(prop, v, limitK.getOrElse(1))
+        case None => near.getOrElse(Range(prop, bounds.result()))
+      }
     case _ => Eq(prop, parseValue())
   }
 
@@ -445,7 +462,9 @@ class Parser(toks: Vector[Tok]) {
       if (isPunct("(")) { // call like min() — treated as empty lambda marker
         advance(); while (!isPunct(")")) advance(); advance()
         GLambda(Nil)
-      } else GStr(name)
+      } else if (name.length > 1 && name.head == 'd' && name.tail.forall(_.isDigit))
+        GDatetime(name.tail.toLong) // bare d<epoch> form (vertex suite)
+      else GStr(name)
     case other => fail(s"bad value $other")
   }
 

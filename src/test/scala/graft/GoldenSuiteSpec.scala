@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.gql.{GqlEngine, Parser}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-file regression against the reference's own suites
+  * (/root/reference/test/{query,vertex}/grammar.gql, row counts from
+  * query/expect.out) — the SURVEY §5 plan: semantics port, asserting the
+  * counts the reference engine produces where our clean semantics agree,
+  * and our documented divergence where they don't.
+  *
+  * Statements are executed one at a time with EAGER row counts — result
+  * DataFrames are lazy and a later `drop` statement would otherwise delete
+  * the files under them. */
+class GoldenSuiteSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private def run(path: String): Seq[(String, Long)] = {
+    val script = Files.readString(Paths.get(path))
+    val root = Files.createTempDirectory("golden").toString
+    val engine = new GqlEngine(spark, root)
+    Parser.splitStatements(script).map { stmt =>
+      val r = engine.exec(stmt + ";").last
+      val n = r.df.map { df =>
+        try df.count()
+        catch { case _: Exception => -1L }
+      }.getOrElse(-1L)
+      (r.status, n)
+    }
+  }
+
+  test("reference query suite replays with golden row counts") {
+    assume(Files.exists(Paths.get("/root/reference/test/query/grammar.gql")))
+    val res = run("/root/reference/test/query/grammar.gql")
+    assert(res.length == 31, s"expected 31 statements, got ${res.length}")
+    def status(i: Int) = res(i)._1
+    def rows(i: Int) = res(i)._2
+
+    // mutations succeed; the int-key upsert into the string-keyed group
+    // fails exactly like the reference ([9] "ERROR: upset fail!")
+    Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13).foreach(i =>
+      assert(status(i).endsWith("SUCCESS"), s"[$i] ${status(i)}"))
+    assert(status(9).startsWith("error"), s"[9] ${status(9)}")
+
+    assert(rows(15) == 16) // full scan after merge-on-key re-upserts
+    // [16]/[17] target a nonexistent db/group: reference yields 0 rows,
+    // we surface an error result — same user-visible "no data" outcome
+    assert(status(16).startsWith("error") || rows(16) == 0)
+    assert(status(17).startsWith("error") || rows(17) == 0)
+    assert(rows(18) == 3)  // category equality
+    assert(rows(19) == 3)  // IN-list
+    assert(rows(21) == 4)  // datetime $lt
+    assert(rows(22) == 3)  // datetime $gt
+    assert(rows(23) == 6)  // datetime $gte
+    assert(rows(24) == 7)  // datetime $lte
+    assert(rows(25) == 10) // existence {datatime: *}
+    assert(rows(26) == 3)  // $near on the 2-d feature vectors
+    // [27]: lambda bound over an array attribute. The reference DROPS the
+    // lambda result (Q11 ◐) and matches all 16 rows; we constant-fold the
+    // lambda and reject array<double> <= 0.5 as a type error — documented
+    // divergence: implemented-properly beats bug-compatible.
+    assert(status(27).startsWith("error") || rows(27) == 0)
+    assert(status(28).endsWith("SUCCESS")) // remove {id: '3'}
+    assert(status(29).endsWith("SUCCESS")) // dump
+    assert(status(30).endsWith("SUCCESS")) // drop
+  }
+
+  test("reference vertex suite replays without unexpected errors") {
+    assume(Files.exists(Paths.get("/root/reference/test/vertex/grammar.gql")))
+    val res = run("/root/reference/test/vertex/grammar.gql")
+    assert(res.nonEmpty)
+    val errors = res.zipWithIndex.filter(_._1._1.startsWith("error"))
+    // the suite upserts int keys ([1,...], [221,...]) into the group whose
+    // key type was fixed as string by the first 'v1' batch — those MUST
+    // error (the same enforcement the query suite's golden [9] verifies);
+    // nothing else may
+    assert(errors.forall(_._1._1.contains("key type mismatch")),
+      s"unexpected errors: ${errors.map { case ((s, _), i) => s"[$i] $s" }}")
+    assert(errors.length == 2, s"expected exactly the two int-key upsert errors, got $errors")
+    // the KNN query ({limit: 3, $near: [vec]}) returns exactly 3 rows
+    val knn = res.filter { case (s, n) => s == "QUERY SUCCESS" && n == 3 }
+    assert(knn.length == 1, s"expected the limit-3 KNN query, got $res")
+  }
+}
