@@ -40,6 +40,10 @@ object Ast {
   case class Knn(prop: String, vec: Seq[Double], k: Int) extends Pred
   /** Edge endpoint pattern `[a, ->/<-/--, b]` with `*` wildcards. */
   case class EdgePattern(from: GVal, dir: String, to: GVal) extends Pred
+  /** `[a, ->: min('cost'), b]` — min-cost path walk (E4; the reference
+    * parses this and returns nothing, PathPlan.cpp:15-17 — implemented
+    * properly here). costProp = None means hop count. */
+  case class MinPath(from: GVal, dir: String, to: GVal, costProp: Option[String]) extends Pred
   /** `{id: v, --: *, neighbor: 1}`. */
   case class Neighbor(key: GVal, dir: String, hops: Int) extends Pred
 

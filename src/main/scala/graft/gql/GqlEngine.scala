@@ -310,13 +310,25 @@ class GqlEngine(spark: SparkSession, root: String) {
     lastDb = Some(db)
     q.target match {
       case AllGroups =>
-        val dfs = catalog.groups(db).map(g => catalog.read(db, g))
-        val all = dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-        q.where.map(p => all.filter(predColumn(all, p))).getOrElse(all)
+        q.where match {
+          case Some(mp: MinPath) =>
+            // walk over the union of every edge group in the graph
+            val eg = catalog.edgeGroups(db)
+            if (eg.isEmpty) throw new IllegalArgumentException(s"no edge groups in '$db'")
+            val edges = eg.map(g => catalog.read(db, g)
+                .select("src_i", "src_s", "dst_i", "dst_s", "directed"))
+              .reduce(_ unionByName _)
+            minPathQuery(edges, mp)
+          case where =>
+            val dfs = catalog.groups(db).map(g => catalog.read(db, g))
+            val all = dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+            where.map(p => all.filter(predColumn(all, p))).getOrElse(all)
+        }
       case GroupTarget(g) =>
         val df = catalog.read(db, g)
         q.where match {
           case Some(n: Neighbor) => neighborQuery(df, n)
+          case Some(mp: MinPath) => minPathQuery(df, mp)
           case Some(Knn(prop, vec, k)) =>
             // E9 via GQL: top-k by squared L2 (TakeOrderedAndProject plan)
             if (!df.columns.contains(prop)) df.limit(0)
@@ -418,7 +430,63 @@ class GqlEngine(spark: SparkSession, root: String) {
         throw new IllegalArgumentException("neighbor predicate handled at query level")
       case k: Knn =>
         throw new IllegalArgumentException("knn predicate handled at query level")
+      case m: MinPath =>
+        throw new IllegalArgumentException("min-path walk handled at query level")
     }
+  }
+
+  /** E4 — min-cost path walk `[a, ->: min('cost'), b]`: bounded
+    * Bellman-Ford over the edge group (the reference parses this and
+    * returns success without doing anything — PathPlan.cpp:15-17). Edge
+    * cost = the named property (default 1 = hop count); `<-` walks the
+    * stored edges reversed; `--` both directions. Returns one row
+    * (from, to, cost, hops) — null cost when unreachable within the
+    * relaxation bound. */
+  private def minPathQuery(edges: DataFrame, mp: MinPath): DataFrame = {
+    val rounds = 15
+    def keyCol(v: GVal, iCol: String, sCol: String): Column = v match {
+      case GInt(l) => col(iCol) === l
+      case GStr(s) => col(sCol) === s
+      case other => throw new IllegalArgumentException(s"min() needs concrete endpoints, got $other")
+    }
+    val costExpr = mp.costProp match {
+      case Some(p) if edges.columns.contains(p) => col(p).cast("double")
+      case _ => lit(1.0)
+    }
+    val fwd = edges.select(col("src_i"), col("src_s"), col("dst_i"), col("dst_s"),
+      costExpr.as("ecost"))
+    val rev = edges.select(col("dst_i").as("src_i"), col("dst_s").as("src_s"),
+      col("src_i").as("dst_i"), col("src_s").as("dst_s"), costExpr.as("ecost"))
+    val rel = (mp.dir match {
+      case "->" => fwd
+      case "<-" => rev
+      case _ => fwd.unionByName(rev)
+    }).withColumn("skey", coalesce(col("src_s"), col("src_i").cast("string")))
+      .withColumn("dkey", coalesce(col("dst_s"), col("dst_i").cast("string")))
+      .select("skey", "dkey", "ecost")
+      .localCheckpoint()
+    def keyStr(v: GVal): String = v match {
+      case GInt(l) => l.toString
+      case GStr(s) => s
+      case other => throw new IllegalArgumentException(s"bad endpoint $other")
+    }
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.functions.{min => fmin}
+    var dist = spark.range(1).select(
+      lit(keyStr(mp.from)).as("node"), lit(0.0).as("cost"), lit(0).as("hops"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(rel, col("node") === col("skey"))
+        .select(col("dkey").as("node"), (col("cost") + col("ecost")).as("cost"),
+          (col("hops") + 1).as("hops"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(fmin(struct(col("cost"), col("hops"))).as("best"))
+        .select(col("node"), col("best.cost").as("cost"), col("best.hops").as("hops"))
+        .localCheckpoint() // lineage truncation — see GraphOps.qBfs
+    }
+    val hit = dist.filter(col("node") === keyStr(mp.to))
+    spark.range(1).select(lit(keyStr(mp.from)).as("from"), lit(keyStr(mp.to)).as("to"))
+      .join(hit.select(col("cost"), col("hops")), lit(true), "left")
   }
 
   /** E2 neighbor query: project the other endpoint of matching edges. */

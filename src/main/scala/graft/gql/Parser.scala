@@ -285,11 +285,29 @@ class Parser(toks: Vector[Tok]) {
         case TPunct(d @ ("--" | "->" | "<-")) => d
         case other => fail(s"expected direction, got $other")
       }
-      if (isPunct(":")) { advance(); parseValue() } // walk condition e.g. min() — parsed, dropped (E4 handled by GraphOps)
+      // walk condition: `->: min()` / `->: min('distance')` = min-cost path
+      var minCost: Option[Option[String]] = None
+      if (isPunct(":")) {
+        advance()
+        cur match {
+          case TIdent("min") =>
+            advance(); expect("(")
+            val prop = cur match {
+              case TStr(_) => Some(str())
+              case _ => None
+            }
+            expect(")")
+            minCost = Some(prop)
+          case _ => parseValue() // other conditions parsed, unused
+        }
+      }
       expect(",")
       val to = parseValue()
       expect("]")
-      EdgePattern(from, dir, to)
+      minCost match {
+        case Some(prop) => MinPath(from, dir, to, prop)
+        case None => EdgePattern(from, dir, to)
+      }
     case TPunct("{") =>
       advance()
       val preds = Seq.newBuilder[Pred]
