@@ -11,10 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/parquet-footer paths once so the first timed
-    // query isn't charged ~3s of cold-start that belongs to no query.
+    // Warm up the JVM/codegen/parquet-footer/string-kernel paths once so
+    // the first timed query isn't charged ~3-10s of cold-start that
+    // belongs to no query (order of the query map is arbitrary).
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
+    spark.range(500)
+      .selectExpr("md5(concat('w', id)) AS h", "split(concat('a b c d e f ', id), ' ') AS t")
+      .selectExpr("conv(substring(h, 1, 8), 16, 10) AS x", "size(t) AS n",
+        "transform(t, v -> concat(v, 'x')) AS tt")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize every row through the noop sink: a bare .count() lets

@@ -51,7 +51,13 @@ class GqlEngine(spark: SparkSession, root: String) {
         case ShowGraph(None) =>
           Result("SHOW SUCCESS", text = Some(catalog.listGraphs().mkString("\n")))
         case ShowGraph(Some(db)) =>
-          Result("SHOW SUCCESS", text = Some(catalog.groups(db).mkString("\n")))
+          // schema dump (S9): group | kind | key type per line
+          val lines = catalog.groups(db).map { g =>
+            val kind = catalog.groupKind(db, g).getOrElse("unknown")
+            val kt = catalog.keyTypeOf(db, g)
+            s"$g|$kind${if (kt.nonEmpty) s"|$kt" else ""}"
+          }
+          Result("SHOW SUCCESS", text = Some(lines.mkString("\n")))
         case AstOf(inner) => Result("AST SUCCESS", text = Some(Ast.render(inner)))
         case Profile(inner) =>
           inner match {

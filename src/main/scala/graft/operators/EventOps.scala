@@ -97,9 +97,37 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
 
+  /** E12 (full) — information gain of event_type for predicting a binary
+    * label (value >= 50), the reference's GGain feature ranking
+    * (Entropy.cpp:27-77): IG = H(label) - Σ_type p(type)·H(label|type).
+    * All probabilities come from exact counts; entropy terms decimal-summed
+    * like qEntropy. Two aggregations over one scan. */
+  val qInfoGain: Q = (s, d) => {
+    val labeled = Tables.events(s, d)
+      .select(col("event_type"), (col("value") >= 50.0).cast("int").as("hi"))
+    val joint = labeled.groupBy("event_type", "hi").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val typeTot = joint.groupBy("event_type").agg(sum("cnt").as("ttot"))
+    val total = joint.agg(sum("cnt").as("total"))
+    def hTerm(p: org.apache.spark.sql.Column) =
+      (-p * log2(p)).cast("decimal(28,18)")
+    val hLabel = joint.groupBy("hi").agg(sum("cnt").as("lcnt"))
+      .crossJoin(broadcast(total))
+      .agg(sum(hTerm(col("lcnt").cast("double") / col("total"))).cast("double").as("h_label"))
+    val hCond = joint.join(typeTot, "event_type")
+      .groupBy(col("event_type"), col("ttot"))
+      .agg(sum(hTerm(col("cnt").cast("double") / col("ttot"))).cast("double").as("h_type"))
+      .crossJoin(broadcast(total))
+      .agg(sum((col("ttot").cast("double") / col("total") * col("h_type"))
+        .cast("decimal(28,18)")).cast("double").as("h_cond"))
+    hLabel.crossJoin(hCond)
+      .select(Fns.roundP(col("h_label") - col("h_cond"), 6).as("info_gain"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_agg" -> qWindowAgg,
     "q_distinct_users" -> qDistinctUsers,
+    "q_info_gain" -> qInfoGain,
     "q_window_top" -> qWindowTop,
     "q_sessionize" -> qSessionize,
     "q_entropy"    -> qEntropy,
@@ -116,6 +144,26 @@ object EventOps {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_info_gain" ->
+      s"""WITH j AS (
+         |  SELECT event_type, CAST(value >= 50.0 AS INT) AS hi, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |tt AS (SELECT event_type, sum(cnt) AS ttot FROM j GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM j),
+         |hl AS (
+         |  SELECT CAST(sum(CAST(-(lcnt::DOUBLE / total) * log2(lcnt::DOUBLE / total)
+         |    AS DECIMAL(28,18))) AS DOUBLE) AS h_label
+         |  FROM (SELECT hi, sum(cnt) AS lcnt FROM j GROUP BY 1), tot),
+         |ht AS (
+         |  SELECT j.event_type, tt.ttot,
+         |    CAST(sum(CAST(-(cnt::DOUBLE / ttot) * log2(cnt::DOUBLE / ttot)
+         |      AS DECIMAL(28,18))) AS DOUBLE) AS h_type
+         |  FROM j JOIN tt ON j.event_type = tt.event_type GROUP BY 1, 2),
+         |hc AS (
+         |  SELECT CAST(sum(CAST((ttot::DOUBLE / total) * h_type
+         |    AS DECIMAL(28,18))) AS DOUBLE) AS h_cond
+         |  FROM ht, tot)
+         |SELECT ${Fns.roundPSql("h_label - h_cond", 6)} AS info_gain FROM hl, hc""".stripMargin,
     "q_window_agg" ->
       s"""SELECT $sqlWs AS ws, event_type, count(*) AS cnt,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -138,6 +138,38 @@ class GqlSpec extends AnyFunSuite {
     assert(count(e, "{query: '*', in: 'ga'};") == 3)
   }
 
+  test("upsert is idempotent (merge-on-key property, SURVEY §5)") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g']};")
+    val batch = "{upset: 'g', vertex: [[1, {x: 5}], [2, {x: 9}], [3]]};"
+    e.exec(batch)
+    val once = e.query("{query: 'g', in: 'ga'};").orderBy("key_i").collect().toSeq
+    e.exec(batch)
+    val twice = e.query("{query: 'g', in: 'ga'};").orderBy("key_i").collect().toSeq
+    assert(once == twice)
+    assert(twice.length == 3)
+  }
+
+  test("edge normalization property: a<-b stores as b->a and dedups (SURVEY §5)") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: [['g', 'e', 'g']]};")
+    e.exec("{upset: 'e', edge: [['a', <-, 'b']]};")
+    e.exec("{upset: 'e', edge: [['b', ->, 'a']]};") // identical normalized id
+    assert(count(e, "{query: 'e', in: 'ga'};") == 1)
+    assert(count(e, "{query: 'e', in: 'ga', where: ['b', ->, 'a']};") == 1)
+    assert(count(e, "{query: 'e', in: 'ga', where: ['a', <-, 'b']};") == 1)
+    assert(count(e, "{query: 'e', in: 'ga', where: ['a', ->, 'b']};") == 0)
+  }
+
+  test("show graph 'db' dumps group schema lines") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g', ['g', 'e', 'g']]};")
+    e.exec("{upset: 'g', vertex: [[1]]};")
+    val text = e.exec("show graph 'ga';").head.text.get
+    assert(text.contains("g|vertex|int"))
+    assert(text.contains("e|edge"))
+  }
+
   test("parser handles unicode group names and comments") {
     val stmts = Parser.parse(
       """// comment line

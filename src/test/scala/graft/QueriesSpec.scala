@@ -21,7 +21,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_entropy", "q_near", "q_cosine_pairs", "q_minhash_dedup",
     "q_gql_filter", "q_gql_neighbors", "q_gql_mutate",
     "q_random_walk", "q_bidir_bfs", "q_geohash",
-    "q_mm_meta", "q_mm_features", "q_csv_roundtrip", "q_json_props")
+    "q_mm_meta", "q_mm_features", "q_csv_roundtrip", "q_json_props",
+    "q_info_gain", "q_distinct_users", "q_ship_priority", "q_local_volume")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
