@@ -104,7 +104,11 @@ class Parser(toks: Vector[Tok]) {
       advance()
       val name = ident()
       expect(":")
-      val props = parseArray(() => str())
+      // props: ['a','b'] or a single 'a' (edge suite: {tag: 'name'})
+      val props = cur match {
+        case TStr(_) => Seq(str())
+        case _ => parseArray(() => str())
+      }
       var index = Seq.empty[String]
       while (isPunct(",")) {
         advance()

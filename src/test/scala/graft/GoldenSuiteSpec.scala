@@ -67,6 +67,26 @@ class GoldenSuiteSpec extends AnyFunSuite {
     assert(status(30).endsWith("SUCCESS")) // drop
   }
 
+  test("reference edge suite replays with golden row counts incl. cascades") {
+    assume(Files.exists(Paths.get("/root/reference/test/edge/grammar.gql")))
+    val res = run("/root/reference/test/edge/grammar.gql")
+    assert(res.length == 36, s"expected 36 statements, got ${res.length}")
+    def status(i: Int) = res(i)._1
+    def rows(i: Int) = res(i)._2
+    (0 to 35).foreach(i => assert(!status(i).startsWith("error"), s"[$i] ${status(i)}"))
+    assert(rows(16) == 0) // missing id
+    assert(rows(18) == 1) // id lookup after property update
+    assert(rows(19) == 1) // concrete undirected pattern
+    assert(rows(20) == 1) // unicode endpoint + wildcard
+    assert(rows(22) == 4) // all 'test' tag edges
+    // [23] removes vertex 'type1' -> CASCADE kills its relation_dir edge
+    assert(rows(24) == 1)
+    assert(rows(25) == 1)
+    // [27] removes file_meta 2734686464 -> cascade kills test--2734686464
+    assert(rows(28) == 4)
+    assert(rows(30) == 4) // [29] removes already-cascaded edges: no-op
+  }
+
   test("reference vertex suite replays without unexpected errors") {
     assume(Files.exists(Paths.get("/root/reference/test/vertex/grammar.gql")))
     val res = run("/root/reference/test/vertex/grammar.gql")
