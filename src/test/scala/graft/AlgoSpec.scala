@@ -36,6 +36,21 @@ class AlgoSpec extends AnyFunSuite {
     assert(cost == 5.0) // 1 + 2 + 2
   }
 
+  test("graph similarity: relabeling-invariant, zero iff same profile multiset") {
+    import graft.algo.GraphSimilarity.degreeDistance
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    assert(degreeDistance(g, g) == 0.0)
+    // relabeled copy: profiles identical -> distance 0
+    val relabeled = g.map { case (a, b) => (a + 100, b + 100) }
+    assert(degreeDistance(g, relabeled) == 0.0)
+    // one extra edge changes two profiles by 1 each
+    val gPlus = g :+ (2L, 1L)
+    val d = degreeDistance(g, gPlus)
+    assert(d > 0.0 && d <= 2.0, s"d=$d")
+    // different sizes: padded with zero profiles, still finite and ordered
+    assert(degreeDistance(g, Seq((1L, 2L))) > degreeDistance(g, g))
+  }
+
   private def randVecs(n: Int, dim: Int, seed: Int): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     (0 until n).map(_ => Array.fill(dim)(rnd.nextDouble()))
