@@ -12,7 +12,7 @@ object Gql {
     val script = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
     val root = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("gql-catalog").toString
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
