@@ -290,9 +290,10 @@ class GqlEngine(spark: SparkSession, root: String) {
     }.reduce(_ || _)
 
   private def removeEdge(r: RemoveEdge): Unit = {
-    val db = requireDb(r.patterns.headOption.map(_ => r.group).getOrElse(r.group))
+    val db = requireDb(r.group)
     val df = catalog.read(db, r.group)
-    val pred = r.patterns.map(predColumn(df, _)).reduce(_ || _)
+    val pred = r.patterns.map(predColumn(df, _)).reduceOption(_ || _)
+      .getOrElse(throw new IllegalArgumentException("remove edge needs at least one pattern"))
     catalog.write(db, r.group, df.filter(!coalesce(pred, lit(false))), "edge", "")
   }
 
@@ -301,12 +302,16 @@ class GqlEngine(spark: SparkSession, root: String) {
   private var lastDb: Option[String] = None
 
   /** The reference binds statements to the open db handle; scripts here name
-    * the db via `in:` (queries) or inherit the last one used (mutations). */
+    * the db via `in:` (queries) or inherit the last one used (mutations).
+    * The last-used graph wins when it contains the group — otherwise two
+    * graphs sharing a group name would route mutations alphabetically. */
   private def requireDb(group: String): String = {
-    val dbs = catalog.listGraphs()
-    val hit = dbs.find(db => catalog.groups(db).contains(group))
-    hit.orElse(lastDb).getOrElse(
-      throw new IllegalArgumentException(s"no graph contains group '$group'"))
+    val fromLast = lastDb.filter(db =>
+      catalog.exists(db) && catalog.groups(db).contains(group))
+    fromLast
+      .orElse(catalog.listGraphs().find(db => catalog.groups(db).contains(group)))
+      .getOrElse(
+        throw new IllegalArgumentException(s"no graph contains group '$group'"))
   }
 
   private def runQuery(q: Query): DataFrame = {
@@ -318,12 +323,19 @@ class GqlEngine(spark: SparkSession, root: String) {
       case AllGroups =>
         q.where match {
           case Some(mp: MinPath) =>
-            // walk over the union of every edge group in the graph
+            // walk over the union of every edge group; keep the cost
+            // property when any group carries it (missing -> null -> the
+            // per-edge default applies)
             val eg = catalog.edgeGroups(db)
             if (eg.isEmpty) throw new IllegalArgumentException(s"no edge groups in '$db'")
-            val edges = eg.map(g => catalog.read(db, g)
-                .select("src_i", "src_s", "dst_i", "dst_s", "directed"))
-              .reduce(_ unionByName _)
+            val base = Seq("src_i", "src_s", "dst_i", "dst_s", "directed")
+            val keep = base ++ mp.costProp.toSeq
+            val edges = eg.map { g =>
+              val df = catalog.read(db, g)
+              df.select(keep.map(c =>
+                if (df.columns.contains(c)) col(c)
+                else lit(null).cast("double").as(c)): _*)
+            }.reduce(_ unionByName _)
             minPathQuery(edges, mp)
           case where =>
             val dfs = catalog.groups(db).map(g => catalog.read(db, g))
@@ -456,7 +468,9 @@ class GqlEngine(spark: SparkSession, root: String) {
       case other => throw new IllegalArgumentException(s"min() needs concrete endpoints, got $other")
     }
     val costExpr = mp.costProp match {
-      case Some(p) if edges.columns.contains(p) => col(p).cast("double")
+      // edges lacking the property (mixed groups) cost the unit default
+      case Some(p) if edges.columns.contains(p) =>
+        coalesce(col(p).cast("double"), lit(1.0))
       case _ => lit(1.0)
     }
     val fwd = edges.select(col("src_i"), col("src_s"), col("dst_i"), col("dst_s"),
@@ -495,25 +509,51 @@ class GqlEngine(spark: SparkSession, root: String) {
       .join(hit.select(col("cost"), col("hops")), lit(true), "left")
   }
 
-  /** E2 neighbor query: project the other endpoint of matching edges. */
+  /** E2 neighbor query: project the other endpoint of matching edges,
+    * expanded to `hops` orders (frontier join per hop, origin and already-
+    * reached nodes excluded). */
   private def neighborQuery(edges: DataFrame, n: Neighbor): DataFrame = {
-    def matches(iCol: String, sCol: String): Column = n.key match {
-      case GInt(l) => col(iCol) === l
-      case GStr(s) => col(sCol) === s
+    // normalized (skey -> dkey) relation honoring the pattern direction
+    val fwd = edges.select(col("src_i"), col("src_s"), col("dst_i"), col("dst_s"), col("directed"))
+    def norm(df: DataFrame) = df
+      .withColumn("skey", coalesce(col("src_s"), col("src_i").cast("string")))
+      .withColumn("dkey", coalesce(col("dst_s"), col("dst_i").cast("string")))
+      .select("skey", "dkey")
+    val rel = (n.dir match {
+      case "->" => norm(fwd.filter(col("directed")))
+      case "<-" => norm(fwd.filter(col("directed"))).select(
+        col("dkey").as("skey"), col("skey").as("dkey"))
+      case _ => norm(fwd).unionByName(
+        norm(fwd).select(col("dkey").as("skey"), col("skey").as("dkey")))
+    }).filter(col("dkey").isNotNull).localCheckpoint()
+    val origin = n.key match {
+      case GInt(l) => l.toString
+      case GStr(s) => s
       case other => throw new IllegalArgumentException(s"bad neighbor key $other")
     }
-    val outgoing = edges
-      .filter(matches("src_i", "src_s") && (if (n.dir == "->") col("directed") else lit(true)))
-      .select(col("dst_i").as("neighbor_i"), col("dst_s").as("neighbor_s"))
-    val incoming = edges
-      .filter(matches("dst_i", "dst_s") && (if (n.dir == "<-") col("directed") else lit(true)))
-      .select(col("src_i").as("neighbor_i"), col("src_s").as("neighbor_s"))
-    val both = n.dir match {
-      case "->" => outgoing
-      case "<-" => incoming
-      case _ => outgoing.unionByName(incoming)
+    val spark = edges.sparkSession
+    var reached = spark.range(1).select(lit(origin).as("node"))
+    var frontier = reached
+    for (_ <- 1 to math.max(1, n.hops)) {
+      frontier = frontier.join(rel, col("node") === col("skey"))
+        .select(col("dkey").as("node"))
+        .join(reached, Seq("node"), "left_anti")
+        .distinct()
+        .localCheckpoint()
+      reached = reached.unionByName(frontier).distinct().localCheckpoint()
     }
-    both.filter(col("neighbor_i").isNotNull || col("neighbor_s").isNotNull).distinct()
+    // neighbors keep the original twin-column shape for downstream callers
+    val keys = edges
+      .select(coalesce(col("src_s"), col("src_i").cast("string")).as("node"),
+        col("src_i").as("neighbor_i"), col("src_s").as("neighbor_s"))
+      .unionByName(edges.select(
+        coalesce(col("dst_s"), col("dst_i").cast("string")).as("node"),
+        col("dst_i").as("neighbor_i"), col("dst_s").as("neighbor_s")))
+      .distinct()
+    reached.filter(col("node") =!= origin)
+      .join(keys, "node")
+      .select("neighbor_i", "neighbor_s")
+      .distinct()
   }
 
   // ---- dump (S8) -----------------------------------------------------------
@@ -545,7 +585,8 @@ class GqlEngine(spark: SparkSession, root: String) {
   }
 
   private def renderKey(i: Any, s: Any): String =
-    if (i != null) i.toString else s"'${s}'"
+    if (i != null) i.toString
+    else s"'${s.toString.replace("\\", "\\\\").replace("'", "\\'")}'"
 
   private def renderVertex(df: DataFrame, row: Row): String = {
     val props = df.schema.fields.zipWithIndex
@@ -562,7 +603,13 @@ class GqlEngine(spark: SparkSession, root: String) {
       case (null, null) => null
       case (i, s) => renderKey(i, s)
     }
-    if (to == null) s"[$from]" else s"[$from, $dir, $to]"
+    val base = Set("src_i", "src_s", "dst_i", "dst_s", "directed")
+    val props = df.schema.fields.zipWithIndex
+      .filter { case (f, i) => !base(f.name) && !row.isNullAt(i) }
+      .map { case (f, i) => s"${f.name}: ${renderCell(row.get(i))}" }
+    if (to == null) s"[$from]"
+    else if (props.isEmpty) s"[$from, $dir, $to]"
+    else s"[$from, $dir: {${props.mkString(", ")}}, $to]"
   }
 
   private def renderCell(v: Any): String = v match {

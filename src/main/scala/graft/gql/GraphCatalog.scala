@@ -50,7 +50,11 @@ class GraphCatalog(spark: SparkSession, root: String) {
 
   def drop(db: String): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq.foreach(rm)
+        finally s.close() // directory streams leak fds if unclosed
+      }
       Files.deleteIfExists(p)
     }
     if (Files.exists(dbPath(db))) rm(dbPath(db))
@@ -58,8 +62,12 @@ class GraphCatalog(spark: SparkSession, root: String) {
 
   def listGraphs(): Seq[String] =
     if (!Files.isDirectory(Paths.get(root))) Nil
-    else Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("meta"))).map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("meta"))).map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
 
   def groups(db: String): Seq[String] = readMeta(db).groups.keys.toSeq.sorted
 

@@ -153,7 +153,7 @@ object TextOps {
          |    CASE WHEN len($sqlTokens) >= 4
          |      THEN list_transform(range(1, len($sqlTokens) - 2),
          |             i -> array_to_string(($sqlTokens)[i:i+3], ' '))
-         |      ELSE [trim(text)] END AS grams
+         |      ELSE [$sqlWsTrim] END AS grams
          |  FROM documents)
          |SELECT doc_id,
          |  list_min(list_transform(grams,

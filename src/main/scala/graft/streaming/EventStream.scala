@@ -33,10 +33,11 @@ object EventStream {
   /** Custom-state sessionization via flatMapGroupsWithState (SURVEY §2.5
     * streaming surface: `KeyValueGroupedDataset` stateful processing). Each
     * user's events are gap-split (30 min, microsecond-exact) inside the
-    * group function; `GroupState` carries the running totals so subsequent
-    * micro-batches keep counting — the structure a continuous pipeline
-    * needs, exercised here with a single batch against the batch oracle
-    * (EventOps.qSessionize). */
+    * group function; `GroupState` carries (sessions, events, lastTs) so a
+    * session spanning two micro-batches is NOT double-counted — the first
+    * event of a new batch only opens a session if it is beyond the gap
+    * from the stored last timestamp. Exercised single- and multi-batch
+    * against the batch oracle (EventOps.qSessionize). */
   def sessionCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,16 +49,16 @@ object EventStream {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
           val tss = it.map(_._2).toArray.sorted
-          var sessions = if (tss.isEmpty) 0L else 1L
-          var i = 1
-          while (i < tss.length) {
-            if (tss(i) - tss(i - 1) > gapUs) sessions += 1
-            i += 1
+          val (prevS, prevE, lastTs) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          var sessions = 0L
+          var prev = lastTs
+          tss.foreach { t =>
+            if (prev == Long.MinValue || t - prev > gapUs) sessions += 1
+            prev = t
           }
-          val (prevS, prevE) = state.getOption.getOrElse((0L, 0L))
-          val total = (prevS + sessions, prevE + tss.length)
+          val total = (prevS + sessions, prevE + tss.length, prev)
           state.update(total)
           Iterator(UserSessions(uid, total._1, total._2))
       }

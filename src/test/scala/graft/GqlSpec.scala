@@ -161,6 +161,48 @@ class GqlSpec extends AnyFunSuite {
     assert(count(e, "{query: 'e', in: 'ga', where: ['a', ->, 'b']};") == 0)
   }
 
+  test("lambda binary minus folds correctly (10-2 = 8, not 10)") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g']};")
+    e.exec("{upset: 'g', vertex: [[1, {x: 5}], [2, {x: 9}]]};")
+    // bound folds to 8: only x=5 passes
+    assert(count(e, "{query: 'g', in: 'ga', where: {x: {$lt: ()=>{ return 10-2; }}}};") == 1)
+  }
+
+  test("neighbor query honors hops (k-hop neighborhood)") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: [['g', 'e', 'g']]};")
+    e.exec("{upset: 'e', edge: [['a', ->, 'b'], ['b', ->, 'c'], ['c', ->, 'd']]};")
+    assert(count(e, "{query: 'e', in: 'ga', where: {id: 'a', ->: *, neighbor: 1}};") == 1) // b
+    assert(count(e, "{query: 'e', in: 'ga', where: {id: 'a', ->: *, neighbor: 2}};") == 2) // b, c
+    assert(count(e, "{query: 'e', in: 'ga', where: {id: 'a', ->: *, neighbor: 3}};") == 3) // b, c, d
+  }
+
+  test("dump preserves edge properties (min-cost walk survives replay)") {
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: [['g', 'e', 'g']]};")
+    e.exec("{upset: 'e', edge: [['a', ->: {w: 2}, 'b'], ['b', ->: {w: 3}, 'c'], ['a', ->: {w: 10}, 'c']]};")
+    val before = e.query("{query: 'e', in: 'ga', where: ['a', ->: min('w'), 'c']};")
+      .collect()(0).getAs[Double]("cost")
+    assert(before == 5.0)
+    val script = e.exec("{dump: 'ga'};").head.text.get
+    e.exec("{drop: 'ga'};")
+    e.exec(script)
+    val after = e.query("{query: 'e', in: 'ga', where: ['a', ->: min('w'), 'c']};")
+      .collect()(0).getAs[Double]("cost")
+    assert(after == 5.0, s"edge props lost in dump round-trip: $script")
+  }
+
+  test("mutations bind to the last-used graph when group names collide") {
+    val e = freshEngine()
+    e.exec("{create: 'adb', group: ['shared']};")
+    e.exec("{create: 'zdb', group: ['shared']};")
+    e.exec("{query: 'shared', in: 'zdb'};") // binds lastDb = zdb
+    e.exec("{upset: 'shared', vertex: [[1, {x: 1}]]};")
+    assert(count(e, "{query: 'shared', in: 'zdb'};") == 1)
+    assert(count(e, "{query: 'shared', in: 'adb'};") == 0)
+  }
+
   test("show graph 'db' dumps group schema lines") {
     val e = freshEngine()
     e.exec("{create: 'ga', group: ['g', ['g', 'e', 'g']]};")
