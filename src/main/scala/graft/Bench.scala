@@ -1,5 +1,21 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query wall times at the
+  * env-selected scale factor.
+  *
+  * Reporting contract (driver parses `BENCH_r{N}.json`): the JSON line is
+  * BOTH printed to stdout and written to `bench.json` in the working
+  * directory, because sbt's logger may prefix/interleave stdout and a
+  * prefixed line fails the driver's parse (round-3 postmortem).
+  *
+  * Measurement: every table is warmed through the noop sink first (cold
+  * parquet-footer reads and codegen otherwise charge several seconds to
+  * whichever query scans a table first), then each query is timed twice and
+  * the min is reported. A query that throws is reported with time -1 and an
+  * entry in `errors` — a failure must not read as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,29 +27,53 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/parquet-footer/string-kernel paths once so
-    // the first timed query isn't charged ~3-10s of cold-start that
-    // belongs to no query (order of the query map is arbitrary).
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
-    spark.range(500)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // Warm the JVM/codegen/string kernels and EVERY input table.
+    noop(spark.range(1000).selectExpr("sum(id)").toDF())
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      noop(spark.read.parquet(s"$sfDir/$t.parquet"))
+    }
+    noop(Tables.events(spark, sfDir)) // nanos→micros path included
+    noop(spark.range(500)
       .selectExpr("md5(concat('w', id)) AS h", "split(concat('a b c d e f ', id), ' ') AS t")
       .selectExpr("conv(substring(h, 1, 8), 16, 10) AS x", "size(t) AS n",
-        "transform(t, v -> concat(v, 'x')) AS tt")
-      .write.format("noop").mode("overwrite").save()
+        "transform(t, v -> concat(v, 'x')) AS tt"))
+
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Materialize every row through the noop sink: a bare .count() lets
       // Catalyst drop sorts and projections, which under-times top-k/sort
       // queries. The noop format executes the full physical plan.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { noop(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      }
+      val t = (once(), once()) match {
+        case (Right(a), Right(b)) => math.min(a, b)
+        case (r1, r2) =>
+          errors ::= (name -> r1.left.toOption.orElse(r2.left.toOption).getOrElse("?"))
+          -1.0
+      }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

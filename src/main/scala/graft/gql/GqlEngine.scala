@@ -37,10 +37,17 @@ class GqlEngine(spark: SparkSession, root: String) {
       }
     }
 
-  /** Execute a single query returning its DataFrame (throws on error). */
-  def query(gql: String): DataFrame =
-    exec(gql).last.df.getOrElse(
-      throw new IllegalArgumentException("statement produced no result set"))
+  /** Execute a single query returning its DataFrame (throws on error,
+    * surfacing the real parse/execution message — not a generic one). */
+  def query(gql: String): DataFrame = {
+    val last = exec(gql).last
+    last.df.getOrElse {
+      val msg =
+        if (last.status.startsWith("error")) last.status
+        else "statement produced no result set"
+      throw new IllegalArgumentException(msg)
+    }
+  }
 
   def execStmt(st: Stmt): Result =
     try {
@@ -143,16 +150,25 @@ class GqlEngine(spark: SparkSession, root: String) {
 
   private def upsetVertex(u: UpsetVertex): Unit = {
     val db = requireDb(u.group)
+    // dedupe the batch by key, last one wins — two rows for the same key in
+    // one upsert must collapse to the later row or the merge-on-key
+    // invariant (one row per key) breaks for every later anti-join
+    val rowsByKey = scala.collection.mutable.LinkedHashMap[(Option[Long], Option[String]), (GVal, GObj)]()
+    u.rows.foreach { case r @ (key, _) =>
+      val (ki, ks, _) = keyOf(key)
+      rowsByKey((ki, ks)) = r
+    }
+    val batchRows = rowsByKey.values.toSeq
     // infer batch schema from values; widen long→double on conflict
     val colTypes = scala.collection.mutable.LinkedHashMap[String, DataType]()
-    u.rows.foreach { case (_, props) =>
+    batchRows.foreach { case (_, props) =>
       props.fields.foreach { case (k, v) =>
         val t = sparkType(v)
         colTypes(k) = colTypes.get(k).map(widen(_, t)).getOrElse(t)
       }
     }
     val established = catalog.keyTypeOf(db, u.group)
-    val batchKeyTypes = u.rows.map(r => keyOf(r._1)._3).distinct
+    val batchKeyTypes = batchRows.map(r => keyOf(r._1)._3).distinct
     if (batchKeyTypes.length > 1)
       throw new IllegalArgumentException("mixed key types in one upsert batch")
     val kt = batchKeyTypes.head
@@ -161,7 +177,7 @@ class GqlEngine(spark: SparkSession, root: String) {
         s"key type mismatch: group '${u.group}' keys are $established, got $kt")
     val schema = StructType(GraphCatalog.vertexBaseSchema.fields ++
       colTypes.map { case (k, t) => StructField(k, settle(t)) })
-    val rows: Seq[Row] = u.rows.map { case (key, props) =>
+    val rows: Seq[Row] = batchRows.map { case (key, props) =>
       val (ki, ks, _) = keyOf(key)
       val pm = props.fields.toMap
       Row.fromSeq(
@@ -228,7 +244,14 @@ class GqlEngine(spark: SparkSession, root: String) {
           ti.map(Long.box).orNull, ts.orNull, directed) ++
           colTypes.map { case (k, t) => pm.get(k).map(sparkValue(_, t)).orNull }.toSeq)
     }
-    val batch = spark.createDataFrame(rows.asJava, schema)
+    // same in-batch dedupe as vertices: the edge id is (endpoints,
+    // direction) after normalization, last occurrence wins
+    val dedupedRows = {
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Row]()
+      rows.foreach(r => m(r.toSeq.take(5)) = r)
+      m.values.toSeq
+    }
+    val batch = spark.createDataFrame(dedupedRows.asJava, schema)
     val old = catalog.read(db, u.group, kindHint = "edge")
     val aligned = alignSchemas(old, batch)
     // edges append (id = endpoints+direction); duplicate edge = replace

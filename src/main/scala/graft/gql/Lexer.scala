@@ -71,7 +71,16 @@ object Lexer {
                  !isArrowStart(input, i))) {
         val s = i
         if (c == '-') i += 1
-        while (i < n && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+        // at most one '.' — `1.2.3` must surface as a parse error with
+        // position info, not a NumberFormatException from toDouble
+        var seenDot = false
+        var scanning = true
+        while (i < n && scanning) {
+          val ch = input.charAt(i)
+          if (ch.isDigit) i += 1
+          else if (ch == '.' && !seenDot) { seenDot = true; i += 1 }
+          else scanning = false
+        }
         // exponent form not used by the grammar; keep ints exact
         val text = input.substring(s, i)
         if (text.contains('.')) emit(TNum(text.toDouble))

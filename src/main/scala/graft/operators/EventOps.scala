@@ -183,8 +183,8 @@ object EventOps {
          |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
          |  FROM events)
          |SELECT user_id,
-         |  sum(CASE WHEN prev_t IS NULL
-         |        OR epoch_us(t) - epoch_us(prev_t) > ${GAP_MIN * 60L * 1000000L} THEN 1 ELSE 0 END) AS n_sessions,
+         |  CAST(sum(CASE WHEN prev_t IS NULL
+         |        OR epoch_us(t) - epoch_us(prev_t) > ${GAP_MIN * 60L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
          |  count(*) AS n_events
          |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_entropy" ->

@@ -23,10 +23,13 @@ object GqlOps {
     * q_gql_neighbors never mutate, so rebuilding the graph per invocation
     * (as a bench loop does) only re-measures catalog writes. q_gql_mutate
     * always builds fresh — it mutates. */
-  private val sharedBuilds = scala.collection.concurrent.TrieMap.empty[String, GqlEngine]
+  private val sharedBuilds =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GqlEngine]
 
   private def sharedBuild(s: SparkSession, d: String): GqlEngine =
-    sharedBuilds.getOrElseUpdate(d, build(s, d))
+    // keyed by (session, dir): an engine captured from a stopped session
+    // must not be reused by a later session in the same JVM
+    sharedBuilds.getOrElseUpdate((s, d), build(s, d))
 
   /** Fresh engine with nations as vertices (key = n_nationkey, props
     * mirror the row) and a deterministic per-region ring of `adj` edges. */

@@ -38,16 +38,19 @@ object GraphOps {
   /** Thinned subgraph: keep each nation's TOP_PARTNERS strongest partners. */
   val TOP_PARTNERS = 3
 
-  /** Full trade graph: (src, dst, cnt). Dimension tables (customer,
-    * supplier) broadcast onto the fact tables; one shuffle for the final
-    * 625-key aggregation. Public: WalkOps and the GraphX bridge reuse it. */
+  /** Full trade graph: (src, dst, cnt). The SF-scaled sides (orders,
+    * customer) carry NO broadcast hint — lineitem⋈orders co-shuffles on
+    * orderkey and AQE picks broadcast only when the runtime size allows
+    * (a forced hint OOMs executors at 100×). Only the true dimension
+    * (supplier) is broadcast. One shuffle for the final 625-key
+    * aggregation. Public: WalkOps and the GraphX bridge reuse it. */
   def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("cnt"))

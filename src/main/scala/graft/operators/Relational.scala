@@ -146,10 +146,12 @@ object Relational {
     * nation 3 are removed; orders (the edge group) cascade via anti-join.
     */
   val qRemoveCascade: Q = (s, d) => {
+    // `removed` is ~1/25 of the SF-scaled customer table — no broadcast
+    // hint; AQE broadcasts the anti-join side only when it actually fits.
     val removed = Tables.customer(s, d)
       .filter(col("c_nationkey") === 3).select(col("c_custkey"))
     Tables.orders(s, d)
-      .join(broadcast(removed), col("o_custkey") === col("c_custkey"), "left_anti")
+      .join(removed, col("o_custkey") === col("c_custkey"), "left_anti")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
@@ -167,8 +169,10 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("p_brand")
 
-  /** Join + aggregate — revenue per nation. The dimension side (customer ⋈
-    * nation) is broadcast; only the fact table streams. One shuffle for the
+  /** Join + aggregate — revenue per nation. Only the true dimension
+    * (nation) is broadcast; customer is SF-scaled, so orders⋈customer is
+    * left un-hinted — a shuffle join on custkey that AQE downgrades to
+    * broadcast only when the runtime size allows. One shuffle for the
     * final group-by on 25 keys.
     */
   val qJoinAgg: Q = (s, d) => {
@@ -177,7 +181,7 @@ object Relational {
     val dim = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "n_name")
     Tables.orders(s, d)
-      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
@@ -189,11 +193,14 @@ object Relational {
     * 100 TB plan: customer filter broadcasts, orders⋈lineitem co-shuffle
     * on orderkey, TakeOrderedAndProject caps the output. */
   val qShipPriority: Q = (s, d) => {
+    // The BUILDING segment is ~1/5 of the SF-scaled customer table — no
+    // broadcast hint (AQE re-plans to broadcast when the filtered side
+    // is small enough at runtime).
     val cust = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
@@ -209,16 +216,19 @@ object Relational {
   }
 
   /** TPC-H Q5 shape — revenue by supplier nation with the co-location
-    * predicate (customer and supplier in the same nation): all dims
-    * broadcast, one shuffle for the 25-key aggregate. */
+    * predicate (customer and supplier in the same nation). Orders and
+    * customer are SF-scaled facts: lineitem⋈orders co-shuffles on orderkey
+    * and …⋈customer on custkey (AQE re-plans to broadcast only when the
+    * runtime size allows); supplier/nation stay broadcast. One shuffle for
+    * the 25-key aggregate. */
   val qLocalVolume: Q = (s, d) => {
     val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
     val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     Tables.lineitem(s, d)
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))

@@ -56,7 +56,7 @@ object SourceOps {
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(*) AS cnt,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )

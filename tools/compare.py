@@ -57,6 +57,23 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # The driver hashes raw values: an int64 6 vs float64 6.0 flips the
+        # hash even when values compare equal (e.g. DuckDB HUGEINT sums land
+        # as float64). Compare dtype *kinds* so the local gate can't pass
+        # what the driver fails.
+        kind_bad = None
+        for col in got.columns:
+            gk, wk = got[col].dtype.kind, want[col].dtype.kind
+            # treat signed/unsigned int alike; object columns skip the check
+            norm = lambda k: "i" if k in "iu" else k
+            if "O" not in (gk, wk) and norm(gk) != norm(wk):
+                kind_bad = (col, got[col].dtype, want[col].dtype)
+                break
+        if kind_bad:
+            col, gd, wd = kind_bad
+            print(f"FAIL {name}: dtype kind mismatch col={col}: spark={gd} oracle={wd}")
+            n_fail += 1
+            continue
         bad = None
         for col in got.columns:
             gv, wv = got[col].tolist(), want[col].tolist()
