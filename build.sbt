@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON; sbt's default LoggedOutput prefixes forked stdout with "[info] ",
+// which broke the parse two rounds running. StdoutOutput inherits the raw
+// stdout/stderr of the sbt process instead.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // sun.jnu.encoding (filesystem path charset) follows the process locale on
 // Linux; the container default is POSIX, which breaks unicode group-name
 // directories in the graph catalog. Force a UTF-8 locale for forked JVMs.

@@ -38,12 +38,12 @@ object GraphOps {
   /** Thinned subgraph: keep each nation's TOP_PARTNERS strongest partners. */
   val TOP_PARTNERS = 3
 
-  /** Full trade graph: (src, dst, cnt). The SF-scaled sides (orders,
-    * customer) carry NO broadcast hint — lineitem⋈orders co-shuffles on
-    * orderkey and AQE picks broadcast only when the runtime size allows
-    * (a forced hint OOMs executors at 100×). Only the true dimension
-    * (supplier) is broadcast. One shuffle for the final 625-key
-    * aggregation. Public: WalkOps and the GraphX bridge reuse it. */
+  /** Full trade graph: (src, dst, cnt). Every SF-scaled side (orders,
+    * customer, supplier — all grow linearly with SF) carries NO broadcast
+    * hint: lineitem⋈orders co-shuffles on orderkey and AQE picks broadcast
+    * only when the runtime size allows (a forced hint OOMs executors at
+    * 100×). One shuffle for the final 625-key aggregation. Public: WalkOps
+    * and the GraphX bridge reuse it. */
   def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
@@ -51,7 +51,7 @@ object GraphOps {
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("cnt"))
   }

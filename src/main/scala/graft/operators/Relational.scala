@@ -216,11 +216,12 @@ object Relational {
   }
 
   /** TPC-H Q5 shape — revenue by supplier nation with the co-location
-    * predicate (customer and supplier in the same nation). Orders and
-    * customer are SF-scaled facts: lineitem⋈orders co-shuffles on orderkey
-    * and …⋈customer on custkey (AQE re-plans to broadcast only when the
-    * runtime size allows); supplier/nation stay broadcast. One shuffle for
-    * the 25-key aggregate. */
+    * predicate (customer and supplier in the same nation). Orders, customer
+    * AND supplier are SF-scaled facts (all grow linearly with SF), so none
+    * carries a broadcast hint: lineitem⋈orders co-shuffles on orderkey and
+    * AQE re-plans to broadcast only when the runtime size allows. Only the
+    * fixed-size nation dimension stays broadcast. One shuffle for the
+    * 25-key aggregate. */
   val qLocalVolume: Q = (s, d) => {
     val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
@@ -229,7 +230,7 @@ object Relational {
     Tables.lineitem(s, d)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
