@@ -21,6 +21,7 @@ object SparkEntry {
     operators.DedupOps.queries ++
     operators.VectorOps.queries ++
     operators.GraphOps.queries ++
+    operators.BigGraphOps.queries ++
     operators.EventOps.queries ++
     operators.GqlOps.queries ++
     operators.WalkOps.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     operators.DedupOps.oracles ++
     operators.VectorOps.oracles ++
     operators.GraphOps.oracles ++
+    operators.BigGraphOps.oracles ++
     operators.EventOps.oracles ++
     operators.GqlOps.oracles ++
     operators.WalkOps.oracles ++

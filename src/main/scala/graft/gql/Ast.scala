@@ -69,6 +69,12 @@ object Ast {
   /** S11 `profile <query>` — reserved no-op in the reference; here it
     * returns the Catalyst formatted physical plan. */
   case class Profile(stmt: Stmt) extends Stmt
+  /** S11 `import <path>` — reserved no-op in the reference (gql.y:224-229
+    * frees the path and succeeds; LITERAL_PATH has no lexer rule, so no
+    * test exercises it). Here a `.gql` path replays the script at that
+    * path — the inverse of [[Dump]] — and any other path keeps the
+    * reserved no-op semantics. */
+  case class ImportPath(path: String) extends Stmt
   case class Query(target: QueryTarget, in: Option[String], where: Option[Pred]) extends Stmt
 
   sealed trait QueryTarget

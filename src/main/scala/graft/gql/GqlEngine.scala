@@ -78,6 +78,18 @@ class GqlEngine(spark: SparkSession, root: String) {
               Result("PROFILE SUCCESS", text = Some(Ast.render(other)))
           }
         case Dump(db) => Result("DUMP SUCCESS", text = Some(dump(db)))
+        case ImportPath(path) =>
+          // `.gql` replays the script (inverse of dump); anything else is
+          // the reference's reserved no-op — see Ast.ImportPath.
+          if (path.endsWith(".gql")) {
+            val script = new String(
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+              java.nio.charset.StandardCharsets.UTF_8)
+            exec(script).find(_.status.startsWith("error")) match {
+              case Some(bad) => Result(s"error: import '$path': ${bad.status}")
+              case None => Result("IMPORT SUCCESS")
+            }
+          } else Result("IMPORT SUCCESS")
         case u: UpsetVertex => upsetVertex(u); Result("UPSET SUCCESS")
         case u: UpsetEdge => upsetEdge(u); Result("UPSET SUCCESS")
         case u: UpsetProperty => upsetProperty(u); Result("UPSET SUCCESS")

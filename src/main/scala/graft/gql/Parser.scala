@@ -41,6 +41,12 @@ class Parser(toks: Vector[Tok]) {
   def statement(): Stmt = cur match {
     case TIdent("ast") => advance(); AstOf(statement())
     case TIdent("profile") => advance(); Profile(statement())
+    case TIdent("import") =>
+      advance()
+      cur match {
+        case TStr(_) => ImportPath(str())
+        case other => fail(s"import needs a quoted path, got $other")
+      }
     case TIdent("show") =>
       advance()
       ident() match {

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The walk/analysis operators of SURVEY.md §2.3 (E4/E6/E11) proven at
+  * data scale: where [[GraphOps]] runs them on the 25-nation trade graph
+  * (reference-parity scale — the reference's own walk suites use ≤60
+  * vertices, /root/reference/test/vnet.cpp:155-237), these gates run the
+  * SAME superstep dataflow on a customer co-purchase graph that scales
+  * linearly with SF: ~1.5k vertices / ~13k edges at sf0.01, ~15k vertices /
+  * ~140k edges at sf0.1, and at a 100 TB scale factor the construction
+  * stays a window + two hash shuffles.
+  *
+  * Graph construction (derived from the data, no adjacency lists):
+  * vertices = ordering customers; within each (order-week, order-priority)
+  * cohort, chain the distinct ordering customers by ascending custkey —
+  * edge (c → next c). Because a customer appears in many cohorts, the
+  * union of chains is one connected DAG (dst > src always) with mean
+  * out-degree ≈ orders-per-customer. The cohort key is the scale knob: at
+  * larger SF add dimensions (nation, segment) to keep the window partition
+  * bounded; every downstream superstep is a hash join keyed on node id
+  * regardless of cohort granularity.
+  *
+  * Edge weight = 1 + (src+dst) mod 3 — deterministic small integers, so
+  * SSSP costs are exact longs on both engines (no floating-point parity
+  * concerns in the recursive oracle).
+  */
+object BigGraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BFS hop bound / Bellman-Ford relaxation rounds / PageRank iterations.
+    * Bounded supersteps: the oracle enumerates paths of the same depth. */
+  val BFS_HOPS = 6
+  val SSSP_ROUNDS = 6
+  val PR_ITERS = 3
+
+  /** Co-purchase edges (src, dst, w): one window over (week, priority)
+    * cohorts, one distinct — two shuffles total, both on keys that scale
+    * with the data (no driver-side graph object). */
+  def coEdges(s: SparkSession, d: String): DataFrame = {
+    val memb = Tables.orders(s, d)
+      .select(
+        expr("datediff(o_orderdate, date'1992-01-01') div 7").as("wk"),
+        col("o_orderpriority").as("prio"),
+        col("o_custkey").as("ck"))
+      .distinct()
+    val w = Window.partitionBy(col("wk"), col("prio")).orderBy(col("ck"))
+    memb
+      .withColumn("nxt", lead(col("ck"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("ck").as("src"), col("nxt").as("dst"))
+      .distinct()
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 3)
+  }
+
+  private def persisted(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Start vertex: the minimum src in the edge set (deterministic per SF).
+    * One scalar aggregate to the driver — not a row loop. */
+  private def startNode(edges: DataFrame): Long =
+    edges.agg(min(col("src"))).head().getLong(0)
+
+  /** E6 at scale — min-hop BFS from the start vertex, BFS_HOPS supersteps.
+    * Identical dataflow to [[GraphOps.qBfs]]: each round one hash join
+    * frontier⋈edges on node id, anti-join dedupe, localCheckpoint lineage
+    * truncation (reached is referenced 3× per round). */
+  val qBfsBig: Q = (s, d) => {
+    val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
+    val start = startNode(edges)
+    var reached = s.range(1).select(lit(start).as("node"), lit(0).as("hop"))
+    for (h <- 1 to BFS_HOPS) {
+      val next = reached.filter(col("hop") === h - 1)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h).as("hop"))
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .distinct()
+      reached = reached.unionByName(next).localCheckpoint()
+    }
+    reached.groupBy(col("node")).agg(min(col("hop")).as("hops")).orderBy("node")
+  }
+
+  /** E4 at scale — bounded Bellman-Ford with integer edge weights:
+    * SSSP_ROUNDS rounds of dist⋈edges + min-combine per node (the Pregel
+    * SSSP dataflow). Costs are exact longs, so the recursive oracle needs
+    * no rounding. */
+  val qSsspBig: Q = (s, d) => {
+    val edges = persisted(
+      coEdges(s, d).select(col("src"), col("dst"), col("w").as("ecost")))
+    val start = startNode(edges)
+    var dist = s.range(1).select(lit(start).as("node"), lit(0L).as("cost"))
+    for (_ <- 1 to SSSP_ROUNDS) {
+      val relaxed = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("cost") + col("ecost")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint() // dist referenced 2x/round — see GraphOps.qBfs
+    }
+    dist.orderBy("node")
+  }
+
+  /** E11 at scale — PageRank, PR_ITERS synchronous iterations, damping
+    * 0.85, over the full vertex set (N from the data, not a constant).
+    * Contributions decimal-summed so the shuffle order can't perturb the
+    * ranks; each iteration is one join + one aggregation partitioned on
+    * node id. */
+  val qPagerankBig: Q = (s, d) => {
+    val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
+    val nodes = persisted(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count().toDouble
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = rank.join(edges, col("node") === col("src"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_sum"))
+      rank = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint() // linear chain, but keeps each round's plan flat
+    }
+    rank.select(col("node"), Fns.roundP(col("rank"), 8).as("pagerank")).orderBy("node")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bfs_big"      -> qBfsBig,
+    "q_sssp_big"     -> qSsspBig,
+    "q_pagerank_big" -> qPagerankBig,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val sqlEdges =
+    """memb AS (
+      |  SELECT DISTINCT
+      |    date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
+      |    o_orderpriority AS prio, o_custkey AS ck
+      |  FROM orders),
+      |edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT ck AS src,
+      |      lead(ck) OVER (PARTITION BY wk, prio ORDER BY ck) AS dst
+      |    FROM memb)
+      |  WHERE dst IS NOT NULL),
+      |start AS (SELECT min(src) AS s FROM edges)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // UNION (not UNION ALL) in the recursive terms: the chain DAG has
+    // exponentially many paths, but the deduped (node, hop)/(node, cost,
+    // depth) state space is linear in V × depth.
+    "q_bfs_big" ->
+      s"""WITH RECURSIVE $sqlEdges,
+         |walk(node, hop) AS (
+         |  SELECT s, 0 FROM start
+         |  UNION
+         |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.node
+         |  WHERE w.hop < $BFS_HOPS)
+         |SELECT node, min(hop) AS hops FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q_sssp_big" ->
+      s"""WITH RECURSIVE $sqlEdges,
+         |wedges AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM edges),
+         |walk(node, cost, depth) AS (
+         |  SELECT s, CAST(0 AS BIGINT), 0 FROM start
+         |  UNION
+         |  SELECT e.dst, w.cost + e.w, w.depth + 1
+         |  FROM walk w JOIN wedges e ON e.src = w.node
+         |  WHERE w.depth < $SSSP_ROUNDS)
+         |SELECT node, min(cost) AS cost FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q_pagerank_big" -> {
+      val iters = (1 to PR_ITERS).map { i =>
+        s"""r$i AS (
+           |  SELECT n.node,
+           |    0.15::DOUBLE / (SELECT c FROM cnt)
+           |      + 0.85::DOUBLE * coalesce(cb.in_sum, 0.0::DOUBLE) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst,
+           |      CAST(sum(CAST(r.rank / dg.deg AS DECIMAL(28,18))) AS DOUBLE) AS in_sum
+           |    FROM r${i - 1} r
+           |    JOIN edges e ON r.node = e.src
+           |    JOIN deg dg ON e.src = dg.src
+           |    GROUP BY e.dst) cb ON n.node = cb.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEdges,
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |cnt AS (SELECT count(*) AS c FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, 1.0::DOUBLE / (SELECT c FROM cnt) AS rank FROM nodes),
+         |$iters
+         |SELECT node, ${Fns.roundPSql("rank", 8)} AS pagerank
+         |FROM r$PR_ITERS ORDER BY node""".stripMargin
+    },
+  )
+}

@@ -95,10 +95,62 @@ object VectorOps {
       .limit(TOPK)
   }
 
+  /** Decimal-exact per-label centroids gathered into one array per cell:
+    * (cell, cv array&lt;double&gt;). ncells × dim rows — tiny, broadcastable. */
+  private def centroidArrays(v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x("c")).as("cv"))
+      .select(col("label").as("cell"), col("cv"))
+
+  /** Multi-probe assignment width: each vector joins its NASSIGN nearest
+    * cells. Single-cell assignment split near-dup pairs across boundaries
+    * (measured 2/7 recall at sf0.001); 2-probe is the standard IVF fix. */
+  val NASSIGN = 2
+
+  /** Embedding-cosine near-dup pairs, IVF-cell-blocked — the gated scale
+    * path. Each vector is assigned to its NASSIGN nearest label-centroids
+    * (broadcast centroids + codegen'd Dist2; top-cells per vector via a
+    * partial-aggregated sorted ncells-struct list with a deterministic cell
+    * tiebreak — no window shuffle of the corpus), then candidate pairs are
+    * generated ONLY within a cell: the self-join is an equi-join on `cell`,
+    * never an unconditioned `id_a < id_b` cartesian, and pairs sharing two
+    * cells dedupe through one distinct. At 100 TB the cells are partition
+    * keys and the pair scan is sum-of-squares *per cell*, not corpus².
+    * Recall semantics: pairs whose members share none of their NASSIGN
+    * cells are missed by construction — [[qCosinePairs]] stays as the
+    * spec-level exhaustive ground truth (CosineBlockingSpec asserts
+    * blocked ⊆ brute with usable recall on the test corpus). */
+  val qCosineBlocked: Q = (s, d) => {
+    val v = vecs(s, d)
+    val best = v.crossJoin(broadcast(centroidArrays(v)))
+      .withColumn("cd", VectorExprs.dist2(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("cd"), col("cell")))).as("cs"))
+      .select(col("vec_id"), explode(slice(col("cs"), 1, NASSIGN)).as("a"))
+      .select(col("vec_id"), col("a.cell").as("cell"))
+    val n = v.join(best, "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"),
+        sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"))
+      .persist() // consumed by both join sides — no cross-branch CSE
+    val a = n.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= COS_T)
+      .select(col("id_a"), col("id_b"), Fns.roundP(col("cos"), 6).as("cos_sim"))
+      .distinct() // a pair sharing both probe cells appears twice
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup pairs — the brute-force all-pairs baseline
     * (norms staged once per row; one codegen'd dot per pair). Quadratic by
-    * construction: at scale you run [[qAnnIvf]]-style cell blocking first
-    * and this verify only within blocks. */
+    * construction — NOT gated; spec-level ground truth for
+    * [[qCosineBlocked]]'s recall. */
   val qCosinePairs: Q = (s, d) => {
     val n = vecs(s, d)
       .select(col("vec_id"), col("v"), sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"))
@@ -112,10 +164,10 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_knn"          -> qKnn,
-    "q_near"         -> qNear,
-    "q_ann_ivf"      -> qAnnIvf,
-    "q_cosine_pairs" -> qCosinePairs,
+    "q_knn"            -> qKnn,
+    "q_near"           -> qNear,
+    "q_ann_ivf"        -> qAnnIvf,
+    "q_cosine_blocked" -> qCosineBlocked,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -158,13 +210,41 @@ object VectorOps {
          |FROM e b JOIN cells ON b.label = cells.label, p
          |WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
-    "q_cosine_pairs" ->
+    "q_cosine_blocked" ->
       s"""WITH e AS ($sqlVecs),
-         |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM long GROUP BY label, pos),
+         |carr AS (SELECT label AS cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+         |cd AS (
+         |  SELECT e.vec_id, carr.cell, ${sqlDist2("e.v", "carr.cv")} AS d
+         |  FROM e, carr),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM cd)
+         |  WHERE rn <= $NASSIGN),
+         |n AS (
+         |  SELECT a.cell, e.vec_id, e.v, sqrt(${sqlDot("e.v", "e.v")}) AS nrm
+         |  FROM e JOIN asg a ON e.vec_id = a.vec_id)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
          |ORDER BY id_a, id_b""".stripMargin,
   )
+
+  /** Brute-force twin of the retired q_cosine_pairs gate — kept for the
+    * spec-level recall check (CosineBlockingSpec). */
+  val cosinePairsBruteSql: String =
+    s"""WITH e AS ($sqlVecs),
+       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
+       |ORDER BY id_a, id_b""".stripMargin
 }

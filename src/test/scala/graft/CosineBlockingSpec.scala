@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** Recall contract of the IVF-cell-blocked cosine near-dup scan: every pair
+  * it reports must also be reported (with the identical similarity) by the
+  * exhaustive all-pairs baseline, and on the test corpus the blocking must
+  * retain a usable fraction of the true pairs (near-dups cluster, so their
+  * members land in the same nearest-centroid cell).
+  */
+class CosineBlockingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("blocked pairs are a subset of brute-force pairs with identical cosines") {
+    val brute = pairs(VectorOps.qCosinePairs(spark, dir))
+    val blocked = pairs(VectorOps.qCosineBlocked(spark, dir))
+    assert(blocked.nonEmpty, "blocking must retain at least one near-dup pair")
+    blocked.foreach { case (ids, cos) =>
+      assert(brute.contains(ids), s"blocked pair $ids missing from brute force")
+      assert(brute(ids) == cos, s"cosine mismatch for $ids")
+    }
+    // sanity on recall — not a tight bound, but a collapse to ~0 recall
+    // (e.g. every vector assigned to one cell of singletons) must fail
+    assert(blocked.size * 2 >= brute.size,
+      s"blocked recall too low: ${blocked.size}/${brute.size}")
+  }
+}

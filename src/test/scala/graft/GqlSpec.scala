@@ -226,4 +226,27 @@ class GqlSpec extends AnyFunSuite {
     assert(r1.head.status.startsWith("error"))
     intercept[Exception](Parser.parse("{create: }"))
   }
+
+  test("import: reserved no-op on a bare path, dump-replay on a .gql path (S11)") {
+    // reference surface: `import LITERAL_PATH` is a grammar-level no-op
+    // (gql.y:224-229); a non-.gql path must parse and succeed silently
+    val e = freshEngine()
+    assert(e.exec("import '/no/such/file.csv';").head.status == "IMPORT SUCCESS")
+
+    // real wiring: dump emits a replayable script, import replays it
+    e.exec("{create: 'ga', group: ['g', ['g', 'e', 'g']]};")
+    e.exec("{upset: 'g', vertex: [[1, {t: 'a'}], [2, {t: 'b'}], [3]]};")
+    e.exec("{upset: 'e', edge: [[1, ->, 2], [2, ->, 3]]};")
+    val script = e.exec("{dump: 'ga'};").head.text.get
+    val f = java.nio.file.Files.createTempFile("graft-import", ".gql")
+    java.nio.file.Files.write(f, script.getBytes("UTF-8"))
+
+    val e2 = freshEngine()
+    assert(e2.exec(s"import '$f';").head.status == "IMPORT SUCCESS")
+    assert(count(e2, "{query: 'g', in: 'ga'};") == 3)
+    assert(count(e2, "{query: 'e', in: 'ga'};") == 2)
+
+    // a .gql path that doesn't exist is an error, not a silent no-op
+    assert(e2.exec("import '/no/such/file.gql';").head.status.startsWith("error"))
+  }
 }
