@@ -19,8 +19,11 @@ object Ast {
   case class GObj(fields: Seq[(String, GVal)]) extends GVal
   /** `*` wildcard. */
   case object GStar extends GVal
-  /** Lambda `() => { ... }` — constant-folded at plan time (SURVEY §2.4). */
-  case class GLambda(body: Seq[Lambda.Stmt]) extends GVal
+  /** Lambda `(params) => { ... }` (reference grammar gql.y:936-983).
+    * Argument-free lambdas constant-fold at plan time (SURVEY §2.4);
+    * parameterized lambdas compile to a per-row Scala-closure UDF with each
+    * param bound to the row attribute of the same name. */
+  case class GLambda(params: Seq[String], body: Seq[Lambda.Stmt]) extends GVal
 
   // ---- where predicates ----------------------------------------------------
   sealed trait Pred

@@ -382,13 +382,7 @@ class GqlEngine(spark: SparkSession, root: String) {
         q.where match {
           case Some(n: Neighbor) => neighborQuery(df, n)
           case Some(mp: MinPath) => minPathQuery(df, mp)
-          case Some(Knn(prop, vec, k)) =>
-            // E9 via GQL: top-k by squared L2 (TakeOrderedAndProject plan)
-            if (!df.columns.contains(prop)) df.limit(0)
-            else df.filter(col(prop).isNotNull)
-              .orderBy(VectorExprs.dist2(col(prop).cast("array<double>"),
-                array(vec.map(lit): _*).cast("array<double>")))
-              .limit(k)
+          case Some(knn: Knn) => knnQuery(db, g, df, knn)
           case Some(p) => df.filter(predColumn(df, p))
           case None => df
         }
@@ -397,6 +391,71 @@ class GqlEngine(spark: SparkSession, root: String) {
         val base = q.where.map(p => df.filter(predColumn(df, p))).getOrElse(df)
         base.select(props.filter(base.columns.contains).map(col): _*)
     }
+  }
+
+  /** HNSW indexes built for (db, group, prop) at a given catalog version —
+    * any mutation bumps the version and the index rebuilds lazily. */
+  private val hnswCache =
+    scala.collection.mutable.Map[(String, String, String, Int), graft.vector.Hnsw]()
+
+  /** Number of HNSW indexes materialized by this engine (test hook). */
+  private[graft] def hnswIndexCount: Int = hnswCache.size
+
+  /** E9 via GQL `{prop: {limit: k, $near: [...]}}`. When the group DECLARES
+    * an index on `prop` (create's `index:` clause — stored by
+    * [[GraphCatalog]], and unlike the reference actually consulted here),
+    * the declared HNSW index prunes the scan: search the driver-side index
+    * (parity scale — see [[graft.vector.Hnsw]]; the distributed scale path
+    * is IVF cell pruning, [[graft.operators.VectorOps.qAnnIvf]]), then
+    * re-rank the k candidate rows with the same codegen'd kernel so both
+    * routes return identical rows in identical order. Without a declared
+    * index (or with string keys, which HNSW ids don't model): exact
+    * brute-force top-k — one scan, TakeOrderedAndProject, no shuffle. */
+  private def knnQuery(db: String, group: String, df: DataFrame, knn: Knn): DataFrame = {
+    if (!df.columns.contains(knn.prop)) return df.limit(0)
+    val orderExpr = VectorExprs.dist2(col(knn.prop).cast("array<double>"),
+      array(knn.vec.map(lit): _*).cast("array<double>"))
+    val brute = df.filter(col(knn.prop).isNotNull).orderBy(orderExpr).limit(knn.k)
+    val useIndex = catalog.indexedProps(db, group).contains(knn.prop) &&
+      catalog.keyTypeOf(db, group) == "int"
+    if (!useIndex) brute
+    else {
+      val ver = catalog.versionOf(db, group)
+      val idx = hnswCache.getOrElseUpdate((db, group, knn.prop, ver), {
+        val h = new graft.vector.Hnsw(knn.vec.length)
+        df.filter(col(knn.prop).isNotNull)
+          .select(col("key_i"), col(knn.prop).cast("array<double>"))
+          .collect() // driver-side build at parity scale, by design
+          .foreach { r =>
+            val v = r.getSeq[Double](1).toArray
+            if (v.length == knn.vec.length) h.add(r.getLong(0), v)
+          }
+        h
+      })
+      val ids = idx.search(knn.vec.toArray, knn.k).map(_._1)
+      if (ids.isEmpty) df.limit(0)
+      else df.filter(col("key_i").isin(ids: _*)).orderBy(orderExpr).limit(knn.k)
+    }
+  }
+
+  /** Q11 general lambdas (SURVEY §2.4(b)): a parameterized lambda bound
+    * becomes a per-row closure UDF — each param reads the row attribute of
+    * the same name (cast to double), the body runs in [[Lambda.evalWith]],
+    * and the returned value is the comparison operand. A row where any
+    * bound attribute is null/missing yields a null operand, so the
+    * predicate never matches — consistent with attribute semantics
+    * everywhere else. A UDF (not codegen) is the right tier here: the body
+    * is arbitrary user logic, and only the lambda-bound queries pay for it
+    * (constant-foldable lambdas never reach this path). See the divergence
+    * note on [[Lambda.evalWith]] — the reference drops the VM result. */
+  private def lambdaBound(df: DataFrame, params: Seq[String], body: Seq[Lambda.Stmt]): Column = {
+    val f = udf { (vals: Seq[java.lang.Double]) =>
+      if (vals.exists(_ == null)) None
+      else Lambda.evalWith(body, params.zip(vals.map(_.doubleValue())).toMap)
+    }
+    f(array(params.map(p =>
+      if (df.columns.contains(p)) col(p).cast("double")
+      else lit(null).cast("double")): _*))
   }
 
   /** Compile a predicate to a Column over `df`. Missing attributes are
@@ -434,13 +493,18 @@ class GqlEngine(spark: SparkSession, root: String) {
         case _ => lit(false)
       }
       case Range(prop, bounds) => propCol(prop) match {
-        case Some(c) => bounds.map {
-          case ("$gt", v) => c > litOf(v)
-          case ("$gte", v) => c >= litOf(v)
-          case ("$lt", v) => c < litOf(v)
-          case ("$lte", v) => c <= litOf(v)
-          case (op, _) => throw new IllegalArgumentException(s"bad bound $op")
-        }.reduce(_ && _)
+        case Some(c) =>
+          def boundCol(v: GVal): Column = v match {
+            case GLambda(params, body) => lambdaBound(df, params, body)
+            case other => litOf(other)
+          }
+          bounds.map {
+            case ("$gt", v) => c > boundCol(v)
+            case ("$gte", v) => c >= boundCol(v)
+            case ("$lt", v) => c < boundCol(v)
+            case ("$lte", v) => c <= boundCol(v)
+            case (op, _) => throw new IllegalArgumentException(s"bad bound $op")
+          }.reduce(_ && _)
         case None => lit(false)
       }
       case IdEq(k) => k match {
@@ -663,6 +727,6 @@ class GqlEngine(spark: SparkSession, root: String) {
     case GArr(items) => s"[${items.map(renderValue).mkString(", ")}]"
     case GObj(fields) => s"{${fields.map { case (k, x) => s"$k: ${renderValue(x)}" }.mkString(", ")}}"
     case GStar => "*"
-    case GLambda(_) => "() => {...}"
+    case GLambda(ps, _) => s"(${ps.mkString(", ")}) => {...}"
   }
 }

@@ -119,6 +119,21 @@ class GraphCatalog(spark: SparkSession, root: String) {
   def keyTypeOf(db: String, group: String): String =
     readMeta(db).groups.get(group).map(_.keyType).getOrElse("")
 
+  /** Properties with a declared index on this group: the group-level
+    * `index: [...]` list plus the db-level `create ... index:` list.
+    * Consulted by the GQL KNN path to pick the HNSW route (the reference
+    * stores the same declarations but never consults them — its NNSearch
+    * scan case is empty, ScanPlan.cpp:223-224). */
+  def indexedProps(db: String, group: String): Seq[String] = {
+    val m = readMeta(db)
+    m.groups.get(group).map(_.index).getOrElse(Nil) ++ m.globalIndex
+  }
+
+  /** Current version pointer of a group (0 = never written). Cache key for
+    * derived index structures — any mutation bumps it. */
+  def versionOf(db: String, group: String): Int =
+    readMeta(db).groups.get(group).map(_.version).getOrElse(0)
+
   /** Edge groups of a db (for cascade delete). */
   def edgeGroups(db: String): Seq[String] =
     readMeta(db).groups.collect { case (n, g) if g.kind == "edge" => n }.toSeq.sorted

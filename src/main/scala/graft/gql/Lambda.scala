@@ -27,12 +27,24 @@ object Lambda {
   case class ExprStmt(e: Expr) extends Stmt
   case class Return(e: Expr) extends Stmt
 
-  /** Evaluate a lambda body; returns the `return` value (Double) if one
-    * executes, else None. Scoping: one flat mutable frame per invocation —
-    * re-`let` shadows, matching GVM global/local slot behavior closely
-    * enough for the pure-arithmetic surface. */
-  def eval(body: Seq[Stmt]): Option[Double] = {
-    val env = scala.collection.mutable.Map[String, Any]()
+  /** Evaluate an argument-free lambda body (constant fold). */
+  def eval(body: Seq[Stmt]): Option[Double] = evalWith(body, Map.empty)
+
+  /** Evaluate a lambda body with `args` pre-bound (the per-row UDF path:
+    * each declared param bound to the row attribute of the same name);
+    * returns the `return` value (Double) if one executes, else None.
+    * Scoping: one flat mutable frame per invocation — re-`let` shadows,
+    * matching GVM global/local slot behavior closely enough for the
+    * pure-arithmetic surface. Unbound refs read 0.0, like GVM's
+    * zero-initialized slots.
+    *
+    * DIVERGENCE NOTE: the reference VM compiles and runs lambda predicates
+    * but then DROPS the result (/root/reference/src/plan/query/
+    * ScanPlan.cpp:424-427), so a lambda bound never filters anything
+    * there. Here the returned value is a real comparison operand — the
+    * declared semantics, implemented properly (SURVEY §2.4(b)). */
+  def evalWith(body: Seq[Stmt], args: Map[String, Double]): Option[Double] = {
+    val env = scala.collection.mutable.Map[String, Any](args.toSeq: _*)
     def ev(e: Expr): Any = e match {
       case Num(v) => v
       case Str(v) => v

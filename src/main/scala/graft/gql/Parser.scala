@@ -215,7 +215,7 @@ class Parser(toks: Vector[Tok]) {
         advance()
         parseValue() match {
           case o: GObj => Some(o)
-          case Ast.GLambda(_) => None // min() walk conditions parse as call — not stored
+          case Ast.GLambda(_, _) => None // min() walk conditions parse as call — not stored
           case _ => None
         }
       } else None
@@ -408,12 +408,16 @@ class Parser(toks: Vector[Tok]) {
           case TIdent(o @ ("$lt" | "$lte" | "$gt" | "$gte")) =>
             advance(); expect(":")
             val v = parseValue() match {
-              case GLambda(body) =>
-                // Q11: constant-fold the lambda at plan time (SURVEY §2.4)
+              case GLambda(Nil, body) =>
+                // Q11: constant-fold argument-free lambdas at plan time
+                // (SURVEY §2.4); no return -> NaN bound (never matches)
                 Lambda.eval(body) match {
                   case Some(d) => GNum(d)
                   case None => GNum(Double.NaN)
                 }
+              // parameterized lambda: defer to execution (closure UDF,
+              // params bound per row — see GqlEngine.lambdaBound)
+              case l: GLambda => l
               case v => v
             }
             bounds += (o -> v)
@@ -482,14 +486,21 @@ class Parser(toks: Vector[Tok]) {
       expect("}")
       GObj(fields.result())
     case TPunct("(") =>
-      // () => { ... } lambda
-      advance(); expect(")"); expect("=>")
-      GLambda(parseLambdaBlock())
+      // (a, b) => { ... } lambda (params optional — gql.y:941-945)
+      advance()
+      val params = Seq.newBuilder[String]
+      if (!isPunct(")")) {
+        params += ident()
+        while (isPunct(",")) { advance(); params += ident() }
+      }
+      expect(")")
+      expect("=>")
+      GLambda(params.result(), parseLambdaBlock())
     case TIdent(name) =>
       advance()
       if (isPunct("(")) { // call like min() — treated as empty lambda marker
         advance(); while (!isPunct(")")) advance(); advance()
-        GLambda(Nil)
+        GLambda(Nil, Nil)
       } else if (name.length > 1 && name.head == 'd' && name.tail.forall(_.isDigit))
         GDatetime(name.tail.toLong) // bare d<epoch> form (vertex suite)
       else GStr(name)

@@ -227,6 +227,58 @@ class GqlSpec extends AnyFunSuite {
     intercept[Exception](Parser.parse("{create: }"))
   }
 
+  test("declared vector index routes GQL KNN through HNSW with identical top-k (E9)") {
+    val e = freshEngine()
+    // vg declares an index on v; bg is the same data unindexed (brute path)
+    assert(e.exec("{create: 'vdb', group: [{vg: ['v'], index: ['v']}, {bg: ['v']}]};")
+      .head.status == "CREATE SUCCESS")
+    val rows = (0 until 40)
+      .map(i => s"[$i, {v: [${i % 8}.5, ${i / 8}.5]}]").mkString(", ")
+    e.exec(s"{upset: 'vg', vertex: [$rows]};")
+    e.exec(s"{upset: 'bg', vertex: [$rows]};")
+    def topk(g: String): Seq[(Long, Double)] =
+      e.query(s"{query: '$g', in: 'vdb', where: {v: {limit: 5, $$near: [3.2, 2.1]}}};")
+        .select("key_i", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).head)).toSeq
+    val viaIndex = topk("vg")
+    assert(e.hnswIndexCount == 1, "KNN on the indexed group must build the HNSW index")
+    val brute = topk("bg")
+    assert(e.hnswIndexCount == 1, "KNN on the unindexed group must NOT build an index")
+    assert(viaIndex == brute, s"index path $viaIndex != brute path $brute")
+
+    // mutation bumps the catalog version: the index rebuilds and sees new rows
+    e.exec("{upset: 'vg', vertex: [[99, {v: [3.0, 2.0]}]]};")
+    val after = topk("vg")
+    assert(e.hnswIndexCount == 2, "post-mutation KNN must rebuild at the new version")
+    assert(after.head._1 == 99L, s"new nearest vertex missing from index path: $after")
+  }
+
+  test("parameterized lambda bound evaluates per row as a closure UDF (Q11)") {
+    val e = freshEngine()
+    e.exec("{create: 'ldb', group: ['g']};")
+    e.exec(
+      """{upset: 'g', vertex: [
+        |  [1, {score: 10, base: 20}],
+        |  [2, {score: 30, base: 20}],
+        |  [3, {score: 50, base: 20}],
+        |  [4, {score: 90}]
+        |]};""".stripMargin)
+    // score > base + 5: row-dependent bound — rows 2 and 3; row 4 has no
+    // base, so the operand is null and it never matches
+    val got = e.query(
+      "{query: 'g', in: 'ldb', where: {score: {$gt: (base) => { return base + 5 }}}};")
+      .select("key_i").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(2L, 3L), s"lambda bound mismatch: $got")
+    // two params, let + assignment in the body
+    val got2 = e.query(
+      "{query: 'g', in: 'ldb', where: {score: {$lt: (base, score) => { let m = base * 2; m = m + score / 10; return m }}}};")
+      .select("key_i").collect().map(_.getLong(0)).toSeq.sorted
+    // bound = 2*base + score/10: row1 41>10 T, row2 43>30 T, row3 45<50 F
+    assert(got2 == Seq(1L, 2L), s"two-param lambda mismatch: $got2")
+    // argument-free lambdas still constant-fold (no UDF in the plan)
+    assert(count(e, "{query: 'g', in: 'ldb', where: {score: {$gt: () => { return 5 * 8 }}}};") == 2)
+  }
+
   test("import: reserved no-op on a bare path, dump-replay on a .gql path (S11)") {
     // reference surface: `import LITERAL_PATH` is a grammar-level no-op
     // (gql.y:224-229); a non-.gql path must parse and succeed silently
