@@ -657,7 +657,16 @@ class GqlEngine(spark: SparkSession, root: String) {
 
   // ---- dump (S8) -----------------------------------------------------------
 
-  /** Replayable GQL script for a graph (UtilPlan.cpp:128-205 semantics). */
+  /** Rows per emitted upset statement in [[dump]] — bounds both driver
+    * memory (one partition's chunk at a time via toLocalIterator) and the
+    * statement size a replaying parser must swallow. */
+  val DUMP_CHUNK = 1000
+
+  /** Replayable GQL script for a graph (UtilPlan.cpp:128-205 semantics).
+    * Dump is a driver-side export by definition, but it STREAMS: rows come
+    * through `toLocalIterator` (one partition in memory at a time, not the
+    * whole group) and every DUMP_CHUNK rows emit one upset statement, so a
+    * group larger than driver memory still dumps. */
   def dump(db: String): String = {
     val sb = new StringBuilder
     val groups = catalog.groups(db)
@@ -671,13 +680,11 @@ class GqlEngine(spark: SparkSession, root: String) {
     groups.foreach { g =>
       val df = catalog.read(db, g)
       val kind = catalog.groupKind(db, g).getOrElse("unknown")
-      val rows = df.collect() // dump is a driver-side export by definition
-      if (rows.nonEmpty && kind != "edge") {
-        val stmts = rows.map { row => renderVertex(df, row) }.mkString(", ")
-        sb.append(s"{upset: '$g', vertex: [$stmts]};\n")
-      } else if (rows.nonEmpty) {
-        val stmts = rows.map { row => renderEdge(df, row) }.mkString(", ")
-        sb.append(s"{upset: '$g', edge: [$stmts]};\n")
+      val render: Row => String =
+        if (kind == "edge") renderEdge(df, _) else renderVertex(df, _)
+      val listKind = if (kind == "edge") "edge" else "vertex"
+      df.toLocalIterator().asScala.grouped(DUMP_CHUNK).foreach { chunk =>
+        sb.append(s"{upset: '$g', $listKind: [${chunk.map(render).mkString(", ")}]};\n")
       }
     }
     sb.toString
