@@ -118,6 +118,48 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Posting-list document-frequency cap for [[qJaccardPairs]]: shingles in
+    * more than DF_CAP documents are too common to block on (a hot posting
+    * would quadratically pair everything containing a stock phrase). */
+  val DF_CAP = 10
+  /** Exact-Jaccard threshold for the inverted-index path. */
+  val JAC_T = 0.5
+
+  /** n-gram (K-word shingle) exact-Jaccard near-dup pairs via an INVERTED
+    * INDEX with df pruning — the deterministic counterpart to
+    * [[qMinhashDedup]]'s probabilistic banding: every pair sharing at least
+    * one rare shingle is found (exact recall on that candidate set; no
+    * hash collisions, no band luck), at the price of a larger candidate
+    * set. Dataflow: explode shingles → df count (partial+final agg) →
+    * keep postings with df ≤ DF_CAP → self-join the pruned index on the
+    * shingle (co-hash join, never all-pairs) → exact Jaccard verify on
+    * candidates only. At 100 TB every stage shuffles (shingle, doc_id)
+    * tuples — bounded by corpus token count — and the df cap bounds each
+    * posting's pair fan-out at DF_CAP². */
+  val qJaccardPairs: Q = (s, d) => {
+    val sh = shingleSets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DF_CAP)
+      .select(col("g"))
+    val idx = posting.join(rare, "g")
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= JAC_T)
+      .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash document signature (16-bit): for each bit, sum +1/-1 over the
     * distinct-token hash32s and keep the sign. Near-dup docs land within a
     * small Hamming distance. Entirely row-local column algebra. */
@@ -138,6 +180,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"   -> qDedupExact,
     "q_minhash_dedup" -> qMinhashDedup,
+    "q_jaccard_pairs" -> qJaccardPairs,
     "q_simhash"       -> qSimhash,
   )
 
@@ -196,6 +239,23 @@ object DedupOps {
          |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
          |FROM verified WHERE jac >= $THRESHOLD ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q_jaccard_pairs" ->
+      s"""WITH $sqlShingles,
+         |posting AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) <= $DF_CAP),
+         |idx AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
+         |FROM verified WHERE jac >= $JAC_T ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> {
       val bits = (0 until 16).map { b =>
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"

@@ -18,7 +18,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_dedup_exact", "q_simhash", "q_knn", "q_ann_ivf",
     "q_edge_scan", "q_neighbors", "q_degree", "q_bfs", "q_sssp",
     "q_pagerank", "q_scc", "q_window_agg", "q_window_top", "q_sessionize",
-    "q_entropy", "q_near", "q_cosine_pairs", "q_minhash_dedup",
+    "q_entropy", "q_near", "q_cosine_blocked", "q_minhash_dedup",
+    "q_jaccard_pairs", "q_bfs_big", "q_sssp_big", "q_pagerank_big",
     "q_gql_filter", "q_gql_neighbors", "q_gql_mutate",
     "q_random_walk", "q_bidir_bfs", "q_geohash",
     "q_mm_meta", "q_mm_features", "q_csv_roundtrip", "q_json_props",
