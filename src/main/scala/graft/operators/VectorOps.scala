@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Fns, VectorExprs}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector similarity operators (SURVEY.md §2 E9/Q10 + the pipeline
@@ -106,6 +106,61 @@ object VectorOps {
         x => x("c")).as("cv"))
       .select(col("label").as("cell"), col("cv"))
 
+  /** Random-hyperplane LSH bits (SimHash for embeddings): 2^LSH_BITS
+    * buckets. Hyperplane components are md5-derived pseudo-randoms, so the
+    * DuckDB oracle reproduces the identical planes. */
+  val LSH_BITS = 4
+  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
+  val DIM = 64
+
+  /** Hyperplane component for (bit h, dim i): uniform in [-0.5, 0.5) from
+    * the first 32 md5 bits of "lshp_h_i" — the same value
+    * `Fns.hash32`/DuckDB derive from the same string, computed ONCE here
+    * on the driver so the plane matrix is a literal in the plan (no
+    * per-row, per-element digests — at scale the planes are a broadcast
+    * constant, the signature pass one shuffle-free scan). */
+  private def planeVal(h: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lshp_${h}_$i".getBytes("UTF-8"))
+    val hx = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hx, 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** LSH bucket id of an array<double> column: bit h set when
+    * dot(v, plane_h) >= 0. Row-local column algebra, zero shuffle. */
+  private def lshBucket(v: Column): Column =
+    (0 until LSH_BITS).map { h =>
+      val plane = array((0 until DIM).map(i => lit(planeVal(h, i))): _*)
+      val dot = aggregate(zip_with(v, plane, (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** E9 scale path #2 — LSH-bucketed ANN (the brief's "LSH-bucketed
+    * variant" beside [[qAnnIvf]]'s IVF): every vector hashes row-locally
+    * into one of 2^LSH_BITS hyperplane buckets; the probe explores its own
+    * bucket plus all Hamming-1 neighbors (multi-probe — recall insurance
+    * for near-boundary vectors), and exact top-k re-ranks the candidates
+    * with the codegen'd kernel. At 100 TB the bucket is a partition key:
+    * the scan touches (1+LSH_BITS)/2^LSH_BITS of the corpus and the
+    * signature pass is one shuffle-free scan. */
+  val qAnnLsh: Q = (s, d) => {
+    val v = vecs(s, d)
+    val probeBucket = v.filter(col("vec_id") === PROBE_ID)
+      .select(lshBucket(col("v")).as("pb"))
+    // probe bucket ⊕ each single bit = the Hamming-1 probe set
+    val probes = broadcast(probeBucket.select(
+      explode(array(lit(0L) +: (0 until LSH_BITS).map(h => lit(1L << h)): _*)).as("flip"),
+      col("pb")).select((col("pb").bitwiseXOR(col("flip"))).as("bucket")))
+    v.filter(col("vec_id") =!= PROBE_ID)
+      .withColumn("bucket", lshBucket(col("v")))
+      .join(probes, "bucket")
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"), Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(TOPK)
+  }
+
   /** Multi-probe assignment width: each vector joins its NASSIGN nearest
     * cells. Single-cell assignment split near-dup pairs across boundaries
     * (measured 2/7 recall at sf0.001); 2-probe is the standard IVF fix. */
@@ -167,6 +222,7 @@ object VectorOps {
     "q_knn"            -> qKnn,
     "q_near"           -> qNear,
     "q_ann_ivf"        -> qAnnIvf,
+    "q_ann_lsh"        -> qAnnLsh,
     "q_cosine_blocked" -> qCosineBlocked,
   )
 
@@ -210,6 +266,26 @@ object VectorOps {
          |FROM e b JOIN cells ON b.label = cells.label, p
          |WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_ann_lsh" -> {
+      def planeComp(h: Int): String =
+        s"CAST('0x' || substr(md5('lshp_${h}_' || CAST(i-1 AS VARCHAR)), 1, 8) AS BIGINT)" +
+          " / 4294967296.0::DOUBLE - 0.5"
+      val bucketExpr = (0 until LSH_BITS).map { h =>
+        s"""CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+           |    i -> v[i] * (${planeComp(h)}))) >= 0 THEN ${1L << h} ELSE 0 END""".stripMargin
+      }.mkString("\n  + ")
+      val flips = (0L +: (0 until LSH_BITS).map(h => 1L << h)).mkString(", ")
+      s"""WITH e AS ($sqlVecs),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |probes AS (
+         |  SELECT DISTINCT xor(bucket, f) AS bucket
+         |  FROM b, unnest([$flips]) AS t(f) WHERE vec_id = $PROBE_ID),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT c.vec_id, ${Fns.roundPSql(sqlDist2("c.v", "p.pv"), 6)} AS dist2
+         |FROM b c JOIN probes USING (bucket), p
+         |WHERE c.vec_id <> $PROBE_ID
+         |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin
+    },
     "q_cosine_blocked" ->
       s"""WITH e AS ($sqlVecs),
          |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
