@@ -65,6 +65,26 @@ object EventStream {
       .toDF()
   }
 
+  /** Streaming exact dedup — drop re-delivered events by event_id with
+    * BOUNDED state: `dropDuplicatesWithinWatermark` keeps a key in the
+    * dedup state only until the event-time watermark passes it, so the
+    * state never grows with the stream (a plain streaming dropDuplicates
+    * would retain every key forever — the classic unbounded-state trap).
+    * The batch twin is a `groupBy(event_id).agg(first)` exact dedup; a
+    * duplicate arriving after its key aged out of state would also be
+    * watermark-late, so output semantics stay "one row per event_id". */
+  def dedupedEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // deliver file-at-a-time (tests re-delivery across micro-batches)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** Streaming tumbling-window counts/sums per event type, 10-minute
     * watermark. Identical output columns to EventOps.qWindowAgg. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame = {

@@ -34,6 +34,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming dedup drops re-delivered events with bounded state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream3")
+    // the same events file delivered twice = an at-least-once source
+    // re-delivering every event in a later micro-batch
+    for (name <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve(name))
+    val q = EventStream.dedupedEvents(spark, dir.toString)
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ids = spark.table("deduped").collect().map(_.getLong(0))
+    val distinctInSource = Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(ids.length.toLong == distinctInSource,
+      s"expected $distinctInSource unique events, got ${ids.length}")
+    assert(ids.distinct.length == ids.length, "output contains duplicate event_ids")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch qSessionize") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
