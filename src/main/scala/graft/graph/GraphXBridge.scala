@@ -22,6 +22,24 @@ object GraphXBridge {
     Graph.fromEdges(e, defaultValue = 0)
   }
 
+  /** Build a directed graph from an (src: long, dst: long) DataFrame —
+    * the SF-scaled co-purchase graph ([[graft.operators.BigGraphOps]]). */
+  def fromLongEdgeDF(edges: DataFrame): Graph[Int, Int] = {
+    val e = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(e, defaultValue = 0)
+  }
+
+  /** Unweighted shortest hop count from `src` to every reachable vertex
+    * (GraphX Pregel ShortestPaths — the library twin of the bounded
+    * frontier BFS in BigGraphOps.qBfsBig). ShortestPaths measures distance
+    * from each vertex TO the landmark along edge direction, so run it on
+    * the reversed graph to get source-to-vertex distances. */
+  def shortestHops(g: Graph[Int, Int], src: VertexId): Map[VertexId, Int] =
+    org.apache.spark.graphx.lib.ShortestPaths.run(g.reverse, Seq(src))
+      .vertices.collectAsMap().toMap
+      .collect { case (v, m) if m.contains(src) => v -> m(src) }
+
   def degrees(g: Graph[Int, Int]): Map[VertexId, (Int, Int)] = {
     val out = g.outDegrees.collectAsMap()
     val in = g.inDegrees.collectAsMap()

@@ -25,6 +25,24 @@ class GraphXSpec extends AnyFunSuite {
     assert(gx == dfPart)
   }
 
+  test("GraphX shortest hops agree with q_bfs_big on the co-purchase graph") {
+    val big = operators.BigGraphOps.coEdges(spark, sfDir).select("src", "dst")
+    val gx = GraphXBridge.fromLongEdgeDF(big)
+    val bfs = SparkEntry.queries("q_bfs_big")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val start = bfs.find(_._2 == 0).get._1
+    val hops = GraphXBridge.shortestHops(gx, start)
+    // every node the bounded BFS reached must carry the true shortest hops
+    bfs.foreach { case (n, h) =>
+      assert(hops.get(n).contains(h), s"node $n: bfs=$h graphx=${hops.get(n)}")
+    }
+    // and the bounded BFS must not miss any node within its hop bound
+    hops.filter(_._2 <= operators.BigGraphOps.BFS_HOPS).keys.foreach { n =>
+      assert(bfs.contains(n), s"node $n within bound missing from q_bfs_big")
+    }
+    assert(bfs.size > 50, s"agreement set too small to be meaningful: ${bfs.size}")
+  }
+
   test("GraphX degrees equal q_degree") {
     val gx = GraphXBridge.degrees(g)
     val df = SparkEntry.queries("q_degree")(spark, sfDir).collect()
