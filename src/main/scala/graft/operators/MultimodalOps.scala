@@ -33,7 +33,7 @@ object MultimodalOps {
     * payload digest + lane index, scaled to [0,1) — reproducible in the
     * DuckDB oracle, exact in doubles (k / 2^32). */
   object Decoder {
-    private def md5hex(b: Array[Byte]): String =
+    def md5hex(b: Array[Byte]): String =
       MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
     def decode(payload: Array[Byte]): Array[Double] = {
@@ -77,9 +77,48 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Fake-video frame geometry: FRAME_BYTES per frame, every
+    * FRAME_STRIDE-th frame sampled (the frame-sample step of a video
+    * pipeline). */
+  val FRAME_BYTES = 256
+  val FRAME_STRIDE = 2
+
+  case class MmFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_digest: String)
+
+  /** Frame sampling — the row-EXPANDING multimodal shape (one input row →
+    * many frame rows), complementing [[qMmFeatures]]'s 1:1 decode: the
+    * payload is chunked into FRAME_BYTES frames, every FRAME_STRIDE-th
+    * frame is kept, and each sampled frame leaves as (index, size,
+    * digest). Runs through the same typed mapPartitions batch contract as
+    * the decoder (`flatMap` per doc — a real frame extractor plugs in at
+    * the slice). The oracle slices VARCHAR (DuckDB 1.0 has no blob
+    * substring/md5); byte and char offsets agree because the corpus is
+    * pure ASCII — asserted over every SF dir (octet_length == length). */
+  val qMmFrames: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.flatMap { doc =>
+          val n = doc.payload.length
+          val nFrames = (n + FRAME_BYTES - 1) / FRAME_BYTES
+          (0 until nFrames by FRAME_STRIDE).iterator.map { i =>
+            val from = i * FRAME_BYTES
+            val until = math.min(from + FRAME_BYTES, n)
+            val frame = java.util.Arrays.copyOfRange(doc.payload, from, until)
+            MmFrame(doc.doc_id, i.toLong, (until - from).toLong, Decoder.md5hex(frame))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
+    "q_mm_frames"   -> qMmFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -98,5 +137,15 @@ object MultimodalOps {
          |  $lanes
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_mm_frames" ->
+      s"""WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |idx AS (
+         |  SELECT doc_id, text, n,
+         |    unnest(range(0, (n + ${FRAME_BYTES - 1}) // $FRAME_BYTES, $FRAME_STRIDE)) AS frame_idx
+         |  FROM f)
+         |SELECT doc_id, frame_idx,
+         |  CAST(length(substring(text, frame_idx * $FRAME_BYTES + 1, $FRAME_BYTES)) AS BIGINT) AS frame_bytes,
+         |  md5(substring(text, frame_idx * $FRAME_BYTES + 1, $FRAME_BYTES)) AS frame_digest
+         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
