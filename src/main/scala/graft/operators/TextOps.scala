@@ -23,10 +23,22 @@ object TextOps {
     "fr" -> "(le|la|les|et|est)",
     "es" -> "(el|los|las|y|es)")
 
-  /** Token counting — whitespace tokenizer. */
+  /** BPE-style pre-tokenizer pattern (the GPT-2 pre-split, minus its
+    * lookahead — RE2 in the DuckDB oracle has none): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. Alternation is leftmost-first in both Java regex and RE2, so
+    * token boundaries agree engine-to-engine on the ASCII corpus. */
+  val BPE_PATTERN = "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** Token counting — whitespace tokens plus the BPE-ish pre-tokenizer
+    * count (the number a byte-pair encoder would start from; the
+    * training-pipeline "how many tokens is this corpus" pass). One scan,
+    * both counts codegen'd regexps. */
   val qTokenCount: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), size(Fns.tokens(col("text"))).as("n_tokens"))
+      .select(col("doc_id"),
+        size(Fns.tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BPE_PATTERN), lit(0))).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   /** Quality scoring: length/punctuation/stopword ratios. */
@@ -112,7 +124,9 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
-      s"SELECT doc_id, CAST(len($sqlTokens) AS INT) AS n_tokens FROM documents ORDER BY doc_id",
+      s"""SELECT doc_id, CAST(len($sqlTokens) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${BPE_PATTERN.replace("'", "''")}')) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH b AS (
          |  SELECT doc_id,
