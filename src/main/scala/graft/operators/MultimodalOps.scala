@@ -115,10 +115,40 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize stride: keep every RESIZE_STRIDE-th payload byte. */
+  val RESIZE_STRIDE = 4
+
+  case class MmResized(doc_id: Long, n_bytes: Long, resized_bytes: Long, resized_digest: String)
+
+  /** Resize — the size-REDUCING multimodal shape (downsample in place of a
+    * real image/audio resampler, which would plug in at the stride loop):
+    * keep every RESIZE_STRIDE-th byte of the payload, emit the new size
+    * and digest. Same typed mapPartitions contract as the decoder; output
+    * is 1:1 so the pass pipelines with the metadata scan. Oracle slices
+    * VARCHAR — byte/char parity by the ASCII corpus (see qMmFrames). */
+  val qMmResize: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.map { doc =>
+          val resized = doc.payload.indices.collect {
+            case i if i % RESIZE_STRIDE == 0 => doc.payload(i)
+          }.toArray
+          MmResized(doc.doc_id, doc.payload.length.toLong,
+            resized.length.toLong, Decoder.md5hex(resized))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
     "q_mm_frames"   -> qMmFrames,
+    "q_mm_resize"   -> qMmResize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +167,18 @@ object MultimodalOps {
          |  $lanes
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_mm_resize" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    array_to_string(
+         |      list_transform(range(1, length(text) + 1, $RESIZE_STRIDE), i -> text[i]),
+         |      '') AS resized
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(length(resized) AS BIGINT) AS resized_bytes,
+         |  md5(resized) AS resized_digest
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_mm_frames" ->
       s"""WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
          |idx AS (

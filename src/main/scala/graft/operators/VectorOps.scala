@@ -54,6 +54,21 @@ object VectorOps {
       .orderBy(col("dist2"), col("vec_id"))
       .limit(TOPK)
 
+  /** E9 baseline — brute-force COSINE top-k (the brief's similarity-search
+    * baseline in its native metric): one scan, probe norm folded into the
+    * ordering (cos desc ≡ dot/|v| desc), codegen'd kernels,
+    * TakeOrderedAndProject. */
+  val qKnnCosine: Q = (s, d) =>
+    vecs(s, d).filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"),
+        Fns.roundP(
+          VectorExprs.dotp(col("v"), col("pv")) /
+            (sqrt(VectorExprs.dotp(col("v"), col("v"))) *
+             sqrt(VectorExprs.dotp(col("pv"), col("pv")))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(TOPK)
+
   /** Q10 — `$near` radius predicate: dist2(v, probe) < r. One scan, filter
     * evaluated in whole-stage codegen; no shuffle except the output sort. */
   val qNear: Q = (s, d) =>
@@ -220,6 +235,7 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "q_knn"            -> qKnn,
+    "q_knn_cosine"     -> qKnnCosine,
     "q_near"           -> qNear,
     "q_ann_ivf"        -> qAnnIvf,
     "q_ann_lsh"        -> qAnnLsh,
@@ -243,6 +259,13 @@ object VectorOps {
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_knn_cosine" ->
+      s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT b.vec_id,
+         |  ${Fns.roundPSql(
+             s"${sqlDot("b.v", "p.pv")} / (sqrt(${sqlDot("b.v", "b.v")}) * sqrt(${sqlDot("p.pv", "p.pv")}))", 6)} AS cos_sim
+         |FROM e b, p WHERE b.vec_id <> $PROBE_ID
+         |ORDER BY cos_sim DESC, vec_id LIMIT $TOPK""".stripMargin,
     "q_near" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
