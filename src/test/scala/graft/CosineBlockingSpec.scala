@@ -30,4 +30,21 @@ class CosineBlockingSpec extends AnyFunSuite {
     assert(blocked.size * 2 >= brute.size,
       s"blocked recall too low: ${blocked.size}/${brute.size}")
   }
+
+  test("LSH-bucketed ANN recalls exact neighbors and never invents distances") {
+    val exact = VectorOps.qKnn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = VectorOps.qAnnLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(lsh.length == VectorOps.TOPK, s"LSH returned ${lsh.length} rows")
+    // any id both paths return must carry the identical rounded distance
+    lsh.foreach { case (id, d) =>
+      exact.get(id).foreach(ed => assert(ed == d, s"dist mismatch for $id")) }
+    // recall floor: the corpus is unclustered random noise (the same data
+    // property PERF.md records for IVF), so 4-bit hyperplane LSH recall is
+    // modest — but fully deterministic run to run. A collapse to zero
+    // overlap would mean the bucketing or multi-probe broke.
+    val recall = lsh.count { case (id, _) => exact.contains(id) }
+    assert(recall >= 2, s"LSH recall collapsed: $recall/10 of exact top-k")
+  }
 }
