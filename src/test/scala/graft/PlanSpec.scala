@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net: the properties PERF.md records (pushdown
+  * reaching the scan, top-k without a global sort, partial+final
+  * aggregation, no quadratic joins in blocked paths) asserted from the
+  * physical plan text, so a refactor that silently loses one fails CI,
+  * not the 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filter_range pushes its predicates into the parquet scan") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_topk", "q_knn", "q_knn_cosine", "q_ship_priority")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost its top-k plan:\n$p")
+    }
+  }
+
+  test("q1_agg aggregates partial then final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("blocked pair scans contain no cartesian product") {
+    for (q <- Seq("q_cosine_blocked", "q_jaccard_pairs", "q_minhash_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went quadratic:\n$p")
+    }
+  }
+
+  test("q_cosine_blocked joins pairs on the cell key") {
+    val p = plan("q_cosine_blocked")
+    // the id_a < id_b condition must ride on a cell equi-join
+    assert(p.contains("cell"), p)
+    assert(p.contains("(id_a"), p)
+  }
+
+  test("q_projection reads only the projected columns") {
+    val p = plan("q_projection")
+    assert(p.contains("ReadSchema"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("o_totalprice"), s"unpruned scan: $read")
+  }
+}
