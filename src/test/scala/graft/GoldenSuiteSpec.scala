@@ -87,6 +87,43 @@ class GoldenSuiteSpec extends AnyFunSuite {
     assert(rows(30) == 4) // [29] removes already-cascaded edges: no-op
   }
 
+  test("reference error suite: every malformed statement errors, engine survives (regress_error)") {
+    val path = "/root/reference/test/error/errorinfo.gql"
+    assume(Files.exists(Paths.get(path)))
+    val root = Files.createTempDirectory("golden-err").toString
+    val engine = new GqlEngine(spark, root)
+    // the suite has no ';' separators — the reference regress harness feeds
+    // statements individually; replay line-at-a-time the same way
+    val stmts = Files.readString(Paths.get(path)).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    assert(stmts.nonEmpty)
+    stmts.foreach { stmt =>
+      val r = engine.exec(stmt + ";").last
+      assert(r.status.startsWith("error"), s"'$stmt' must error, got ${r.status}")
+    }
+    // and nothing leaked into the catalog: every create above failed
+    assert(engine.catalog.listGraphs().isEmpty)
+  }
+
+  test("reference util suite: show graph / show schema / dump (util/grammar.gql)") {
+    val path = "/root/reference/test/util/grammar.gql"
+    assume(Files.exists(Paths.get(path)))
+    val root = Files.createTempDirectory("golden-util").toString
+    val engine = new GqlEngine(spark, root)
+    // the util suite runs against an existing vertex_db — create the
+    // fixture the reference's vertex suite would have left behind
+    engine.exec("{create: 'vertex_db', group: ['v1']};")
+    engine.exec("{upset: 'v1', vertex: [['a', {x: 1}], ['b', {x: 2}]]};")
+    val res = Parser.splitStatements(Files.readString(Paths.get(path)))
+      .map(stmt => engine.exec(stmt + ";").last)
+    assert(res.nonEmpty)
+    assert(res.forall(!_.status.startsWith("error")),
+      s"util suite errored: ${res.map(_.status)}")
+    // show graph lists the db; dump emits a replayable script
+    assert(res.exists(_.text.exists(_.contains("vertex_db"))))
+    assert(res.last.text.exists(_.contains("{upset: 'v1'")))
+  }
+
   test("reference vertex suite replays without unexpected errors") {
     assume(Files.exists(Paths.get("/root/reference/test/vertex/grammar.gql")))
     val res = run("/root/reference/test/vertex/grammar.gql")
