@@ -67,20 +67,26 @@ object BigGraphOps {
     edges.agg(min(col("src"))).head().getLong(0)
 
   /** E6 at scale — min-hop BFS from the start vertex, BFS_HOPS supersteps.
-    * Identical dataflow to [[GraphOps.qBfs]]: each round one hash join
-    * frontier⋈edges on node id, anti-join dedupe, localCheckpoint lineage
-    * truncation (reached is referenced 3× per round). */
+    * Each round: one hash join frontier⋈edges on node id, anti-join dedupe
+    * against everything reached, distinct. Only the NEW frontier is
+    * localCheckpoint'ed each round — `reached` stays a flat union of the
+    * ≤BFS_HOPS checkpointed frontiers, so per-round materialization is
+    * O(frontier), not O(all reached so far), and the lineage still never
+    * compounds (every union leaf is a checkpoint). */
   val qBfsBig: Q = (s, d) => {
     val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
     val start = startNode(edges)
-    var reached = s.range(1).select(lit(start).as("node"), lit(0).as("hop"))
+    var frontier = s.range(1)
+      .select(lit(start).as("node"), lit(0).as("hop")).localCheckpoint()
+    var reached = frontier
     for (h <- 1 to BFS_HOPS) {
-      val next = reached.filter(col("hop") === h - 1)
+      frontier = frontier
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h).as("hop"))
         .join(reached.select("node"), Seq("node"), "left_anti")
         .distinct()
-      reached = reached.unionByName(next).localCheckpoint()
+        .localCheckpoint()
+      reached = reached.unionByName(frontier)
     }
     reached.groupBy(col("node")).agg(min(col("hop")).as("hops")).orderBy("node")
   }
