@@ -107,12 +107,39 @@ object TextOps {
         size(col("sh")).cast("long").as("n_grams"))
       .orderBy("doc_id")
 
+  /** Corpus-stats capstone — the pipeline stages COMPOSED in one plan:
+    * exact dedup (hash-groupBy on the 32-byte content key, min-doc
+    * winner), quality scoring on the survivors, quality-floor filter,
+    * corpus aggregate (docs / tokens / mean quality). One content-key
+    * shuffle plus one scalar aggregate; the winner's text rides the first
+    * shuffle as min(text) — deterministic on both engines, where first()
+    * would not be. This is the "what survives cleaning" number a training
+    * pipeline reports per corpus snapshot. */
+  val qCorpusStats: Q = (s, d) => {
+    val kept = Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("ck"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val scored = kept.select(
+      size(Fns.tokens(col("text"))).cast("double").as("nw"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("np"),
+      length(col("text")).cast("double").as("nc"))
+      .withColumn("quality",
+        Fns.roundP(least(lit(1.0), col("nw") / 50.0) * (lit(1.0) - col("np") / col("nc")), 4))
+    scored.filter(col("quality") >= 0.5)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw").cast("long")).as("total_tokens"),
+        Fns.roundP(
+          sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4
+        ).as("avg_quality"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count"  -> qTokenCount,
     "q_text_quality" -> qTextQuality,
     "q_langid"       -> qLangId,
     "q_levenshtein"  -> qLevenshtein,
     "q_fingerprint"  -> qFingerprint,
+    "q_corpus_stats" -> qCorpusStats,
   )
 
   // regexp whitespace trim (SQL trim strips only spaces — must match
@@ -123,6 +150,24 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrim) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrim, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      s"""WITH kept AS (
+         |  SELECT min(doc_id) AS doc_id, min(text) AS text
+         |  FROM documents GROUP BY md5(lower(trim(text)))),
+         |scored AS (
+         |  SELECT
+         |    CAST(len($sqlTokens) AS DOUBLE) AS nw,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+         |    CAST(length(text) AS DOUBLE) AS nc
+         |  FROM kept),
+         |q AS (
+         |  SELECT nw,
+         |    ${Fns.roundPSql("least(1.0::DOUBLE, nw / 50) * (1.0::DOUBLE - np / nc)", 4)} AS quality
+         |  FROM scored)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(nw AS BIGINT)) AS BIGINT) AS total_tokens,
+         |  ${Fns.roundPSql("CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)} AS avg_quality
+         |FROM q WHERE quality >= 0.5""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len($sqlTokens) AS INT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '${BPE_PATTERN.replace("'", "''")}')) AS INT) AS n_bpe_tokens

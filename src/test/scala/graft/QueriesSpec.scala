@@ -14,7 +14,7 @@ class QueriesSpec extends AnyFunSuite {
     "q1_agg", "q_count", "q_filter_range", "q_in_list", "q_projection",
     "q_topk", "q_union_groups", "q_distinct", "q_upsert_merge",
     "q_remove_cascade", "q_property_update", "q_join_agg", "q_exists",
-    "q_token_count", "q_text_quality", "q_langid", "q_fingerprint",
+    "q_token_count", "q_text_quality", "q_langid", "q_fingerprint", "q_corpus_stats",
     "q_dedup_exact", "q_simhash", "q_knn", "q_ann_ivf", "q_ann_lsh",
     "q_edge_scan", "q_neighbors", "q_degree", "q_bfs", "q_sssp",
     "q_pagerank", "q_scc", "q_window_agg", "q_window_top", "q_sessionize",
