@@ -422,15 +422,24 @@ class GqlEngine(spark: SparkSession, root: String) {
     else {
       val ver = catalog.versionOf(db, group)
       val idx = hnswCache.getOrElseUpdate((db, group, knn.prop, ver), {
-        val h = new graft.vector.Hnsw(knn.vec.length)
-        df.filter(col(knn.prop).isNotNull)
-          .select(col("key_i"), col(knn.prop).cast("array<double>"))
-          .collect() // driver-side build at parity scale, by design
-          .foreach { r =>
-            val v = r.getSeq[Double](1).toArray
-            if (v.length == knn.vec.length) h.add(r.getLong(0), v)
-          }
-        h
+        // persisted beside the group version it indexes (reference
+        // HNSW.cpp:358-374 persists per-layer maps the same way): a fresh
+        // engine on the same catalog reloads instead of rebuilding
+        val file = java.nio.file.Paths.get(root, db, group, s".hnsw_${knn.prop}_v$ver")
+        java.nio.file.Files.createDirectories(file.getParent)
+        if (java.nio.file.Files.exists(file)) graft.vector.Hnsw.load(file.toString)
+        else {
+          val h = new graft.vector.Hnsw(knn.vec.length)
+          df.filter(col(knn.prop).isNotNull)
+            .select(col("key_i"), col(knn.prop).cast("array<double>"))
+            .collect() // driver-side build at parity scale, by design
+            .foreach { r =>
+              val v = r.getSeq[Double](1).toArray
+              if (v.length == knn.vec.length) h.add(r.getLong(0), v)
+            }
+          h.save(file.toString)
+          h
+        }
       })
       val ids = idx.search(knn.vec.toArray, knn.k).map(_._1)
       if (ids.isEmpty) df.limit(0)

@@ -25,7 +25,7 @@ import Ast._
   * write and a mismatched upsert fails the statement
   * (UpsetPlan.cpp:94-121 semantics).
   */
-class GraphCatalog(spark: SparkSession, root: String) {
+class GraphCatalog(spark: SparkSession, val root: String) {
   import GraphCatalog._
 
   private def dbPath(db: String): Path = Paths.get(root, db)

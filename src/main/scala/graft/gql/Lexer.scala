@@ -55,7 +55,10 @@ object Lexer {
         i += 2
         val s = i
         while (i < n && input.charAt(i).isDigit) i += 1
-        emit(TDatetime(input.substring(s, i).toLong))
+        val text = input.substring(s, i)
+        try emit(TDatetime(text.toLong))
+        catch { case _: NumberFormatException =>
+          throw LexError(s"datetime literal out of range '0d$text' at $s") }
       }
       else if (c == '0' && peek(1) == 'b' && peek(2) == '\'') {
         i += 3
@@ -83,8 +86,14 @@ object Lexer {
         }
         // exponent form not used by the grammar; keep ints exact
         val text = input.substring(s, i)
-        if (text.contains('.')) emit(TNum(text.toDouble))
-        else emit(TInt(text.toLong))
+        try {
+          if (text.contains('.')) emit(TNum(text.toDouble))
+          else emit(TInt(text.toLong))
+        } catch { case _: NumberFormatException =>
+          // overflow digit-run or lone '-'/'.' — a malformed literal must
+          // surface as a LexError with position, not a NumberFormatException
+          throw LexError(s"bad numeric literal '$text' at $s")
+        }
       }
       else if (c == '-' && peek(1) == '>') { emit(TPunct("->")); i += 2 }
       else if (c == '<' && peek(1) == '-') { emit(TPunct("<-")); i += 2 }

@@ -251,6 +251,17 @@ class GqlSpec extends AnyFunSuite {
     val after = topk("vg")
     assert(e.hnswIndexCount == 2, "post-mutation KNN must rebuild at the new version")
     assert(after.head._1 == 99L, s"new nearest vertex missing from index path: $after")
+
+    // the index persists beside the catalog version: a fresh engine on the
+    // same root reloads it (reference HNSW.cpp:358-374 persistence) and
+    // answers identically
+    val e2 = new GqlEngine(SparkTestBase.spark, e.catalog.root)
+    def topk2(): Seq[(Long, Double)] =
+      e2.query(s"{query: 'vg', in: 'vdb', where: {v: {limit: 5, $$near: [3.2, 2.1]}}};")
+        .select("key_i", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).head)).toSeq
+    assert(topk2() == after, "reloaded index must answer like the builder engine")
+    assert(e2.hnswIndexCount == 1)
   }
 
   test("parameterized lambda bound evaluates per row as a closure UDF (Q11)") {
