@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -28,4 +30,28 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Minimal DOT reader for the `graph`/`digraph` subset the reference's
+    * test fixtures use (the .dot files under /root/reference/test/graphs):
+    * `a -- b [weight = N];` and `a -> b;` statements. Parsed driver-side —
+    * DOT files are hand-written graph fixtures, not data — into an
+    * (src, dst, directed, weight) DataFrame for the walk/analytics
+    * operators (weight null when unlabelled). */
+  def dot(s: SparkSession, path: String): DataFrame = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val edge =
+      """([A-Za-z0-9_]+)\s*(--|->)\s*([A-Za-z0-9_]+)\s*(?:\[\s*weight\s*=\s*([0-9.]+)\s*\])?\s*;""".r
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      edge.findAllMatchIn(text).map { m =>
+        org.apache.spark.sql.Row(
+          m.group(1), m.group(3), m.group(2) == "->",
+          Option(m.group(4)).map(_.toDouble).orNull)
+      }.toList.asJava
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("directed", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("weight", org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(rows, schema)
+  }
 }
