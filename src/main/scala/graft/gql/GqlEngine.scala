@@ -22,6 +22,10 @@ class GqlEngine(spark: SparkSession, root: String) {
     * optional result DataFrame (queries), optional text (ast/dump/show). */
   case class Result(status: String, df: Option[DataFrame] = None, text: Option[String] = None)
 
+  /** Import nesting bound — a cyclic `import` chain errors at this depth. */
+  val MAX_IMPORT_DEPTH = 16
+  private var importDepth = 0
+
   /** Execute a script statement-at-a-time: a parse error in one statement
     * becomes that statement's error Result and the rest still run —
     * matching the reference's interleaved parse/execute loop. */
@@ -82,12 +86,20 @@ class GqlEngine(spark: SparkSession, root: String) {
           // `.gql` replays the script (inverse of dump); anything else is
           // the reference's reserved no-op — see Ast.ImportPath.
           if (path.endsWith(".gql")) {
-            val script = new String(
-              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-              java.nio.charset.StandardCharsets.UTF_8)
-            exec(script).find(_.status.startsWith("error")) match {
-              case Some(bad) => Result(s"error: import '$path': ${bad.status}")
-              case None => Result("IMPORT SUCCESS")
+            // a script importing itself (directly or via a cycle) must
+            // error, not recurse unboundedly
+            if (importDepth >= MAX_IMPORT_DEPTH)
+              Result(s"error: import '$path': import depth exceeds $MAX_IMPORT_DEPTH")
+            else {
+              val script = new String(
+                java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+                java.nio.charset.StandardCharsets.UTF_8)
+              importDepth += 1
+              val results = try exec(script) finally importDepth -= 1
+              results.find(_.status.startsWith("error")) match {
+                case Some(bad) => Result(s"error: import '$path': ${bad.status}")
+                case None => Result("IMPORT SUCCESS")
+              }
             }
           } else Result("IMPORT SUCCESS")
         case u: UpsetVertex => upsetVertex(u); Result("UPSET SUCCESS")

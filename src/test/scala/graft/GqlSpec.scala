@@ -311,5 +311,12 @@ class GqlSpec extends AnyFunSuite {
 
     // a .gql path that doesn't exist is an error, not a silent no-op
     assert(e2.exec("import '/no/such/file.gql';").head.status.startsWith("error"))
+
+    // a self-importing script errors at the depth bound instead of
+    // recursing forever
+    val cyc = java.nio.file.Files.createTempFile("graft-cycle", ".gql")
+    java.nio.file.Files.write(cyc, s"import '$cyc';".getBytes("UTF-8"))
+    val r = e2.exec(s"import '$cyc';").head
+    assert(r.status.startsWith("error") && r.status.contains("depth"), r.status)
   }
 }
