@@ -433,12 +433,28 @@ class GqlEngine(spark: SparkSession, root: String) {
     if (!useIndex) brute
     else {
       val ver = catalog.versionOf(db, group)
-      val idx = hnswCache.getOrElseUpdate((db, group, knn.prop, ver), {
+      // the key carries the query dimension: a wrong-dimension probe must
+      // not build (or load) an empty index that then poisons
+      // correct-dimension queries at the same version
+      val key = (db, group, s"${knn.prop}#${knn.vec.length}", ver)
+      val idx = hnswCache.getOrElseUpdate(key, {
+        // stale versions of this index are dead weight — a rebuild after a
+        // mutation evicts the superseded cache entries and blob files
+        hnswCache.keys
+          .filter(k => k._1 == db && k._2 == group && k._3 == key._3 && k._4 != ver)
+          .foreach(hnswCache.remove)
         // persisted beside the group version it indexes (reference
         // HNSW.cpp:358-374 persists per-layer maps the same way): a fresh
         // engine on the same catalog reloads instead of rebuilding
-        val file = java.nio.file.Paths.get(root, db, group, s".hnsw_${knn.prop}_v$ver")
-        java.nio.file.Files.createDirectories(file.getParent)
+        val dir = java.nio.file.Paths.get(root, db, group)
+        java.nio.file.Files.createDirectories(dir)
+        val prefix = s".hnsw_${knn.prop}_d${knn.vec.length}_v"
+        val file = dir.resolve(s"$prefix$ver")
+        val stale = java.nio.file.Files.list(dir)
+        try stale.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(prefix) && p != file)
+          .toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally stale.close()
         if (java.nio.file.Files.exists(file)) graft.vector.Hnsw.load(file.toString)
         else {
           val h = new graft.vector.Hnsw(knn.vec.length)
@@ -474,9 +490,12 @@ class GqlEngine(spark: SparkSession, root: String) {
       if (vals.exists(_ == null)) None
       else Lambda.evalWith(body, params.zip(vals.map(_.doubleValue())).toMap)
     }
-    f(array(params.map(p =>
-      if (df.columns.contains(p)) col(p).cast("double")
-      else lit(null).cast("double")): _*))
+    val args =
+      if (params.isEmpty) array().cast("array<double>")
+      else array(params.map(p =>
+        if (df.columns.contains(p)) col(p).cast("double")
+        else lit(null).cast("double")): _*)
+    f(args)
   }
 
   /** Compile a predicate to a Column over `df`. Missing attributes are

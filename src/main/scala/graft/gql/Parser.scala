@@ -408,12 +408,15 @@ class Parser(toks: Vector[Tok]) {
           case TIdent(o @ ("$lt" | "$lte" | "$gt" | "$gte")) =>
             advance(); expect(":")
             val v = parseValue() match {
-              case GLambda(Nil, body) =>
+              case l @ GLambda(Nil, body) =>
                 // Q11: constant-fold argument-free lambdas at plan time
-                // (SURVEY §2.4); no return -> NaN bound (never matches)
+                // (SURVEY §2.4). A body with no `return` keeps the lambda:
+                // the execution path yields a NULL operand, so the bound
+                // never matches (a NaN literal here would MATCH every $lt
+                // row — Spark orders NaN above all doubles)
                 Lambda.eval(body) match {
                   case Some(d) => GNum(d)
-                  case None => GNum(Double.NaN)
+                  case None => l
                 }
               // parameterized lambda: defer to execution (closure UDF,
               // params bound per row — see GqlEngine.lambdaBound)
@@ -499,10 +502,15 @@ class Parser(toks: Vector[Tok]) {
     case TIdent(name) =>
       advance()
       if (isPunct("(")) { // call like min() — treated as empty lambda marker
-        advance(); while (!isPunct(")")) advance(); advance()
+        advance()
+        while (!isPunct(")") && cur != TEof) advance()
+        if (cur == TEof) fail("unterminated call argument list")
+        advance()
         GLambda(Nil, Nil)
       } else if (name.length > 1 && name.head == 'd' && name.tail.forall(_.isDigit))
-        GDatetime(name.tail.toLong) // bare d<epoch> form (vertex suite)
+        try GDatetime(name.tail.toLong) // bare d<epoch> form (vertex suite)
+        catch { case _: NumberFormatException =>
+          fail(s"datetime literal out of range '$name'") }
       else GStr(name)
     case other => fail(s"bad value $other")
   }

@@ -62,9 +62,15 @@ object BigGraphOps {
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Start vertex: the minimum src in the edge set (deterministic per SF).
-    * One scalar aggregate to the driver — not a row loop. */
-  private def startNode(edges: DataFrame): Long =
-    edges.agg(min(col("src"))).head().getLong(0)
+    * One scalar aggregate to the driver — not a row loop. An empty edge
+    * set (no cohort with 2+ customers) is a clear error, not an NPE from
+    * a null aggregate. */
+  private def startNode(edges: DataFrame): Long = {
+    val r = edges.agg(min(col("src"))).head()
+    if (r.isNullAt(0))
+      throw new IllegalArgumentException("co-purchase graph has no edges")
+    r.getLong(0)
+  }
 
   /** E6 at scale — min-hop BFS from the start vertex, BFS_HOPS supersteps.
     * Each round: one hash join frontier⋈edges on node id, anti-join dedupe

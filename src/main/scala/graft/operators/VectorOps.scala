@@ -336,14 +336,4 @@ object VectorOps {
          |ORDER BY id_a, id_b""".stripMargin,
   )
 
-  /** Brute-force twin of the retired q_cosine_pairs gate — kept for the
-    * spec-level recall check (CosineBlockingSpec). */
-  val cosinePairsBruteSql: String =
-    s"""WITH e AS ($sqlVecs),
-       |n AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
-       |ORDER BY id_a, id_b""".stripMargin
 }

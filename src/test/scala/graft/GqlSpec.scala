@@ -249,7 +249,8 @@ class GqlSpec extends AnyFunSuite {
     // mutation bumps the catalog version: the index rebuilds and sees new rows
     e.exec("{upset: 'vg', vertex: [[99, {v: [3.0, 2.0]}]]};")
     val after = topk("vg")
-    assert(e.hnswIndexCount == 2, "post-mutation KNN must rebuild at the new version")
+    // the rebuild evicts the superseded version's cache entry and blob
+    assert(e.hnswIndexCount == 1, "stale index version must be evicted on rebuild")
     assert(after.head._1 == 99L, s"new nearest vertex missing from index path: $after")
 
     // the index persists beside the catalog version: a fresh engine on the
@@ -262,6 +263,11 @@ class GqlSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getSeq[Double](1).head)).toSeq
     assert(topk2() == after, "reloaded index must answer like the builder engine")
     assert(e2.hnswIndexCount == 1)
+
+    // a wrong-dimension probe builds its own (empty) index under a
+    // dimension-scoped key and must not poison correct-dimension queries
+    e2.query("{query: 'vg', in: 'vdb', where: {v: {limit: 5, $near: [1.0, 2.0, 3.0]}}};").collect()
+    assert(topk2() == after, "wrong-dimension probe poisoned the index cache")
   }
 
   test("parameterized lambda bound evaluates per row as a closure UDF (Q11)") {
@@ -288,6 +294,10 @@ class GqlSpec extends AnyFunSuite {
     assert(got2 == Seq(1L, 2L), s"two-param lambda mismatch: $got2")
     // argument-free lambdas still constant-fold (no UDF in the plan)
     assert(count(e, "{query: 'g', in: 'ldb', where: {score: {$gt: () => { return 5 * 8 }}}};") == 2)
+    // a body with no `return` yields a null operand: the bound never
+    // matches — for $lt as well, where a NaN bound would match every row
+    assert(count(e, "{query: 'g', in: 'ldb', where: {score: {$lt: () => { let a = 1 }}}};") == 0)
+    assert(count(e, "{query: 'g', in: 'ldb', where: {score: {$gt: () => { let a = 1 }}}};") == 0)
   }
 
   test("import: reserved no-op on a bare path, dump-replay on a .gql path (S11)") {

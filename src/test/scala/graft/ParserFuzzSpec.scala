@@ -62,4 +62,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     intercept[Lexer.LexError](Lexer.tokenize("99999999999999999999999999"))
     intercept[Lexer.LexError](Lexer.tokenize("0d99999999999999999999999999"))
   }
+
+  test("bare-datetime overflow and unterminated calls are declared parse errors") {
+    intercept[IllegalArgumentException](
+      Parser.parse("{upset: 'g', vertex: [[1, {t: d99999999999999999999}]]};"))
+    intercept[IllegalArgumentException](
+      Parser.parse("{query: 'g', in: 'x', where: {a: min(}};"))
+  }
 }
