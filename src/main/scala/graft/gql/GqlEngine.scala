@@ -416,11 +416,14 @@ class GqlEngine(spark: SparkSession, root: String) {
   /** E9 via GQL `{prop: {limit: k, $near: [...]}}`. When the group DECLARES
     * an index on `prop` (create's `index:` clause — stored by
     * [[GraphCatalog]], and unlike the reference actually consulted here),
-    * the declared HNSW index prunes the scan: search the driver-side index
-    * (parity scale — see [[graft.vector.Hnsw]]; the distributed scale path
-    * is IVF cell pruning, [[graft.operators.VectorOps.qAnnIvf]]), then
-    * re-rank the k candidate rows with the same codegen'd kernel so both
-    * routes return identical rows in identical order. Without a declared
+    * the declared HNSW index prunes the scan: over-fetch max(4k, 50)
+    * candidates from the driver-side index (parity scale — see
+    * [[graft.vector.Hnsw]]; the distributed scale path is IVF cell
+    * pruning, [[graft.operators.VectorOps.qAnnIvf]]), then exact re-rank
+    * with the same codegen'd kernel and keep k. The index route is
+    * APPROXIMATE: results match the brute path whenever the true top-k
+    * lands in the over-fetched candidate set — the 4k/50 margin makes a
+    * recall miss rare, not impossible. Without a declared
     * index (or with string keys, which HNSW ids don't model): exact
     * brute-force top-k — one scan, TakeOrderedAndProject, no shuffle. */
   private def knnQuery(db: String, group: String, df: DataFrame, knn: Knn): DataFrame = {
@@ -469,7 +472,10 @@ class GqlEngine(spark: SparkSession, root: String) {
           h
         }
       })
-      val ids = idx.search(knn.vec.toArray, knn.k).map(_._1)
+      // over-fetch: a k-exact index probe turns any single recall miss
+      // into a silently different answer; with a 4x margin the exact
+      // re-rank below recovers unless ALL of the margin misses
+      val ids = idx.search(knn.vec.toArray, math.max(knn.k * 4, 50)).map(_._1)
       if (ids.isEmpty) df.limit(0)
       else df.filter(col("key_i").isin(ids: _*)).orderBy(orderExpr).limit(knn.k)
     }

@@ -503,7 +503,14 @@ class Parser(toks: Vector[Tok]) {
       advance()
       if (isPunct("(")) { // call like min() — treated as empty lambda marker
         advance()
-        while (!isPunct(")") && cur != TEof) advance()
+        // paren-depth aware skip: nested calls like min(f(x)) must not
+        // terminate on the inner ')'
+        var depth = 0
+        while ((depth > 0 || !isPunct(")")) && cur != TEof) {
+          if (isPunct("(")) depth += 1
+          else if (isPunct(")")) depth -= 1
+          advance()
+        }
         if (cur == TEof) fail("unterminated call argument list")
         advance()
         GLambda(Nil, Nil)

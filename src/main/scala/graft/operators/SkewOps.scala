@@ -25,6 +25,14 @@ object SkewOps {
   private def saltOf(rowKey: Column, salts: Int): Column =
     pmod(Fns.hash32(rowKey.cast("string")), lit(salts))
 
+  /** Internal salt column name guaranteed absent from every input —
+    * a fixed name would silently overwrite (then drop) caller data. */
+  private def freshSaltCol(inputs: DataFrame*): String = {
+    val taken = inputs.flatMap(_.columns).toSet
+    Iterator.from(0).map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(!taken.contains(_)).get
+  }
+
   /** Inner-join `fact` to `dim` on `key`, spreading each fact key over
     * `salts` partitions: fact rows get a salt hashed from `factRowKey`
     * (any unique column), dim rows are replicated once per salt value, and
@@ -33,10 +41,12 @@ object SkewOps {
     * `salts`, it never duplicates matches. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  factRowKey: String, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt", saltOf(col(factRowKey), salts))
-    val saltedDim = dim.withColumn("_salt",
+    require(salts > 0, s"salts must be positive (got $salts)")
+    val sc = freshSaltCol(fact, dim)
+    val saltedFact = fact.withColumn(sc, saltOf(col(factRowKey), salts))
+    val saltedDim = dim.withColumn(sc,
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
-    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(saltedDim, Seq(key, sc)).drop(sc)
   }
 
   /** Two-phase collect_list for a skewed group key: phase 1 collects per
@@ -44,10 +54,13 @@ object SkewOps {
     * — phase 2 flattens the per-salt lists and sorts for a deterministic
     * result. Equivalent to groupBy(key).agg(sort_array(collect_list)). */
   def saltedCollect(df: DataFrame, key: String, valueCol: String,
-                    rowKey: String, salts: Int): DataFrame =
-    df.withColumn("_salt", saltOf(col(rowKey), salts))
-      .groupBy(col(key), col("_salt"))
+                    rowKey: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive (got $salts)")
+    val sc = freshSaltCol(df)
+    df.withColumn(sc, saltOf(col(rowKey), salts))
+      .groupBy(col(key), col(sc))
       .agg(collect_list(col(valueCol)).as("_part"))
       .groupBy(col(key))
       .agg(sort_array(flatten(collect_list(col("_part")))).as(s"${valueCol}_list"))
+  }
 }

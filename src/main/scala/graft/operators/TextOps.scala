@@ -27,8 +27,12 @@ object TextOps {
     * lookahead — RE2 in the DuckDB oracle has none): contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs, whitespace
     * runs. Alternation is leftmost-first in both Java regex and RE2, so
-    * token boundaries agree engine-to-engine on the ASCII corpus. */
-  val BPE_PATTERN = "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+    * token boundaries agree engine-to-engine on the ASCII corpus. The
+    * whitespace class is spelled out rather than `\s` because the engines
+    * disagree on vertical tab (Java `\s` includes \x0B, RE2's does not) —
+    * explicit chars remove the engine-class dependency. */
+  val BPE_PATTERN =
+    "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r']+|[ \\t\\n\\f\\r]+"
 
   /** Token counting — whitespace tokens plus the BPE-ish pre-tokenizer
     * count (the number a byte-pair encoder would start from; the

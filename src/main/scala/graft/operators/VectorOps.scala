@@ -134,7 +134,7 @@ object VectorOps {
     * on the driver so the plane matrix is a literal in the plan (no
     * per-row, per-element digests — at scale the planes are a broadcast
     * constant, the signature pass one shuffle-free scan). */
-  private def planeVal(h: Int, i: Int): Double = {
+  private[graft] def planeVal(h: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"lshp_${h}_$i".getBytes("UTF-8"))
     val hx = md.take(4).map(b => f"${b & 0xff}%02x").mkString

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** ADVICE r5: LSH bucket bits (`dot >= 0`) and IVF cell assignment (argmin
+  * over dist2) hinge on unrounded cross-engine double comparisons — Spark's
+  * sequential `aggregate` fold and DuckDB's `list_sum` must land on the
+  * same side of the boundary. Summation-order differences perturb a sum by
+  * ~1 ulp (relative ~1e-16), so the gates are robust iff no vector sits
+  * within a comfortably larger margin of a decision boundary. This spec
+  * pins that property on the test corpus: if the driver regenerates data
+  * that violates it, these fail loudly instead of a gate hash flipping.
+  */
+class BoundaryMarginSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  /** Margin far above any summation-order perturbation (~1e-16 relative)
+    * yet far below real data spacing. */
+  private val EPS = 1e-9
+
+  private lazy val rows: Array[(Long, Array[Double], Long)] =
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v",
+        "cast(label as bigint) as label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+
+  test("no LSH hyperplane dot product sits within EPS of zero") {
+    val planes = Array.tabulate(VectorOps.LSH_BITS, VectorOps.DIM)(VectorOps.planeVal)
+    var minAbs = Double.MaxValue
+    for ((id, v, _) <- rows; h <- 0 until VectorOps.LSH_BITS) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planes(h)(i); i += 1 }
+      assert(math.abs(dot) > EPS,
+        s"vec $id dot plane $h = $dot — inside the cross-engine danger zone")
+      minAbs = math.min(minAbs, math.abs(dot))
+    }
+    info(f"minimum |dot| over corpus x planes: $minAbs%.3e")
+  }
+
+  test("IVF cell assignment gaps exceed EPS at both probe widths") {
+    // centroids as the operators compute them: per-(label, dim) mean
+    val byLabel = rows.groupBy(_._3)
+    val centroids = byLabel.map { case (lbl, vs) =>
+      val dim = vs.head._2.length
+      val c = new Array[Double](dim)
+      vs.foreach(t => for (i <- 0 until dim) c(i) += t._2(i))
+      for (i <- 0 until dim) c(i) /= vs.length
+      lbl -> c
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var minGap = Double.MaxValue
+    for ((id, v, _) <- rows) {
+      val ds = centroids.values.map(c => d2(v, c)).toArray.sorted
+      // the NASSIGN-th/(NASSIGN+1)-th gap pins q_cosine_blocked's 2-probe
+      // assignment; the NPROBE boundary pins q_ann_ivf's probe set
+      for (k <- Seq(VectorOps.NASSIGN, VectorOps.NPROBE).distinct
+           if k < ds.length) {
+        val gap = ds(k) - ds(k - 1)
+        assert(gap > EPS, s"vec $id: cell ranks ${k - 1}/$k separated by only $gap")
+        minGap = math.min(minGap, gap)
+      }
+    }
+    info(f"minimum assignment gap over corpus: $minGap%.3e")
+  }
+}

@@ -68,5 +68,17 @@ class ParserFuzzSpec extends AnyFunSuite {
       Parser.parse("{upset: 'g', vertex: [[1, {t: d99999999999999999999}]]};"))
     intercept[IllegalArgumentException](
       Parser.parse("{query: 'g', in: 'x', where: {a: min(}};"))
+    // a dangling open paren nested in the arguments must also terminate
+    intercept[IllegalArgumentException](
+      Parser.parse("{query: 'g', in: 'x', where: {a: min(f(}};"))
+  }
+
+  test("nested parens inside call arguments do not derail the statement") {
+    // the inner f(x)'s ')' must not be taken as min's terminator — both the
+    // trailing key after the call and the following statement must survive
+    val stmts = Parser.parse(
+      "{query: 'g', in: 'x', where: {a: min(f(x), g(h(2))), b: 7}}; " +
+        "{query: 'g2', in: 'x'};")
+    assert(stmts.length == 2, s"parsed ${stmts.length} statements")
   }
 }

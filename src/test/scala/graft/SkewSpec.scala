@@ -42,4 +42,22 @@ class SkewSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("_salt"), "join not keyed by the salt column:\n" + plan)
   }
+
+  test("salting rejects non-positive salt counts") {
+    val dim = events.select(col("event_type")).distinct()
+    intercept[IllegalArgumentException](
+      SkewOps.saltedJoin(events, dim, "event_type", "event_id", 0))
+    intercept[IllegalArgumentException](
+      SkewOps.saltedCollect(events, "event_type", "user_id", "event_id", -1))
+  }
+
+  test("a caller-owned _salt column survives salting untouched") {
+    val tagged = events.withColumn("_salt", lit(99))
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("type_tag", concat(lit("tag_"), col("event_type")))
+    val out = SkewOps.saltedJoin(tagged, dim, "event_type", "event_id", 4)
+    assert(out.columns.count(_ == "_salt") == 1, out.columns.mkString(","))
+    val vals = out.select("_salt").distinct().collect().map(_.getInt(0)).toSeq
+    assert(vals == Seq(99), s"caller _salt corrupted: $vals")
+  }
 }
