@@ -59,6 +59,11 @@ object Bench {
           errors ::= (name -> r1.left.toOption.orElse(r2.left.toOption).getOrElse("?"))
           -1.0
       }
+      // Drop whatever stage caches the query persisted. The two timed runs
+      // above still share them (run 2 hits run 1's blocks — CacheManager
+      // dedups by plan), but blocks must not accumulate across 60 queries:
+      // that memory pressure charges late queries for early queries' GC.
+      spark.catalog.clearCache()
       name -> t
     }
     def jstr(s: String): String =
