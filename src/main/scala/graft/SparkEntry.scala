@@ -23,6 +23,8 @@ object SparkEntry {
     operators.GraphOps.queries ++
     operators.BigGraphOps.queries ++
     operators.EventOps.queries ++
+    operators.TemporalOps.queries ++
+    operators.SketchOps.queries ++
     operators.GqlOps.queries ++
     operators.WalkOps.queries ++
     operators.MultimodalOps.queries ++
@@ -38,6 +40,8 @@ object SparkEntry {
     operators.GraphOps.oracles ++
     operators.BigGraphOps.oracles ++
     operators.EventOps.oracles ++
+    operators.TemporalOps.oracles ++
+    operators.SketchOps.oracles ++
     operators.GqlOps.oracles ++
     operators.WalkOps.oracles ++
     operators.MultimodalOps.oracles ++

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators over the events table — the brief's "as-of
+  * join, range join" examples of operators Spark lacks as built-ins
+  * (SURVEY.md §2.5 north-star surface; the reference has no temporal
+  * joins at all). Both are composed from existing relational operators
+  * (preference order (a) in the brief) rather than custom plans:
+  *
+  *  - AS-OF via the union+window technique: tag both sides, sort each
+  *    user's timeline once, carry the last reference row forward with
+  *    `last(..., ignoreNulls)`. ONE shuffle keyed by user, no join node
+  *    at all — at 100 TB this beats any join-shaped rendering because
+  *    the probe side is never replicated and there is no range predicate
+  *    for the optimizer to mis-plan as a cartesian.
+  *  - RANGE via time-bucketing: quantize both sides to window-width
+  *    buckets, equi-join on (user, bucket±1), exact residual filter.
+  *    The executed plan is a plain shuffled equi-join — candidate pairs
+  *    are bounded by per-bucket density, never |A|×|B|.
+  */
+object TemporalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Range-join half-window in microseconds (±24 h — sized to the
+    * testdata's ~1 click/user/2 days density; at 100 TB the bucket count
+    * scales with the time span, not the row count). */
+  val RANGE_US = 86400000000L
+
+  /** As-of join: for every click, the most recent purchase by the same
+    * user at-or-before the click (purchase at the identical micro wins —
+    * kind 0 sorts before kind 1). Clicks with no preceding purchase keep
+    * a null purchase_id, as a user of an as-of join expects. */
+  val qAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val ref = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(0).as("kind"), col("event_id").as("ref_id"),
+        lit(null).cast("long").as("probe_id"))
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("kind"), lit(null).cast("long").as("ref_id"),
+        col("event_id").as("probe_id"))
+    // identical-ts purchases tiebreak on ref_id so both engines carry the
+    // same row forward; NULLS LAST matches DuckDB's ASC default
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("kind").asc, col("ref_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref.unionByName(probe)
+      .withColumn("purchase_id", last(col("ref_id"), ignoreNulls = true).over(w))
+      .withColumn("ref_us",
+        last(when(col("kind") === 0, col("t_us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("probe_id").as("event_id"), col("user_id"),
+        col("purchase_id"), (col("t_us") - col("ref_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: per error event, how many clicks by the same user fall
+    * within ±RANGE_US. Errors explode to buckets {b-1, b, b+1}; a click
+    * lives in exactly one bucket, so each (error, click) candidate pair
+    * joins exactly once and the residual |dt| filter is exact. */
+  val qRangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"),
+        unix_micros(col("ts")).as("e_us"))
+      .withColumn("b", floor(col("e_us") / lit(RANGE_US)))
+      .withColumn("bucket", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", floor(col("c_us") / lit(RANGE_US)))
+    err.join(clicks, Seq("user_id", "bucket"), "left_outer")
+      .groupBy(col("e_id"))
+      .agg(count(when(abs(col("c_us") - col("e_us")) <= RANGE_US, col("c_id")))
+        .as("n_near_clicks"))
+      .select(col("e_id").as("event_id"), col("n_near_clicks"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_asof_join"  -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the identical union+window rendering (DuckDB's native ASOF JOIN has
+    // its own tie semantics; spelling the window out keeps both engines on
+    // one definition)
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, 0 AS kind,
+        |         event_id AS ref_id, NULL::BIGINT AS probe_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 1, NULL::BIGINT, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT probe_id, user_id, t_us, kind,
+        |    last_value(ref_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, kind, ref_id ASC NULLS LAST
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id,
+        |    last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, kind, ref_id ASC NULLS LAST
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_us
+        |  FROM u)
+        |SELECT probe_id AS event_id, user_id, purchase_id, t_us - ref_us AS gap_us
+        |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      s"""SELECT e.event_id, count(c.event_id) AS n_near_clicks
+         |FROM events e LEFT JOIN events c
+         |  ON c.user_id = e.user_id AND c.event_type = 'click'
+         |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))) <= $RANGE_US
+         |WHERE e.event_type = 'error'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

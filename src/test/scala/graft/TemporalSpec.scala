@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fns, Kmv}
+import graft.operators.{SketchOps, TemporalOps}
+
+/** Brute-force cross-checks for the temporal joins and the KMV sketch —
+  * the gated plans are bucketed/windowed for scale, so an independent
+  * O(n²)/driver-side rendering pins their semantics.
+  */
+class TemporalSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val ev: Array[(Long, Long, String, Long)] =
+    Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as t_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("as-of join matches a brute-force per-row scan") {
+    val purchases = ev.filter(_._3 == "purchase")
+    val got = TemporalOps.qAsofJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    val clicks = ev.filter(_._3 == "click")
+    assert(got.size == clicks.length, "every click must appear exactly once")
+    clicks.foreach { case (cid, user, _, tUs) =>
+      // most recent purchase at-or-before; ties on ts resolved to the
+      // larger ref_id (the window's last row in (t, kind, ref_id) order)
+      val cands = purchases.filter(p => p._2 == user && p._4 <= tUs)
+      val want =
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(p => (p._4, p._1))
+          Some((best._1, tUs - best._4))
+        }
+      assert(got(cid) == want, s"click $cid: got ${got(cid)}, want $want")
+    }
+  }
+
+  test("range join matches a brute-force pair count") {
+    val clicks = ev.filter(_._3 == "click")
+    val got = TemporalOps.qRangeJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val errors = ev.filter(_._3 == "error")
+    assert(got.size == errors.length, "every error must appear exactly once")
+    errors.foreach { case (eid, user, _, tUs) =>
+      val want = clicks.count(c =>
+        c._2 == user && math.abs(c._4 - tUs) <= TemporalOps.RANGE_US).toLong
+      assert(got(eid) == want, s"error $eid: got ${got(eid)}, want $want")
+    }
+    assert(got.values.sum > 0, "the window must capture at least one pair")
+  }
+
+  test("range join plan is an equi-join on (user, bucket), not a cartesian") {
+    val plan = TemporalOps.qRangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      "range join must not degrade to an unconditioned pair scan:\n" + plan)
+  }
+
+  test("KMV kth-min equals the driver-side bottom-K and the estimate is sane") {
+    val kth = ev.map { case (_, user, typ, tUs) =>
+      (typ, user.toString + "_" + (tUs / 86400000000L).toString)
+    }.distinct
+      .map { case (typ, s) => (typ, hash32Local(s)) }
+      .groupBy(_._1)
+      .map { case (typ, hs) => typ -> hs.map(_._2).distinct.sorted.apply(Kmv.K - 1) }
+    val got = SketchOps.qKmvDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == kth.size)
+    got.foreach { case (typ, nExact, est) =>
+      val want = Kmv.EST_NUM / kth(typ).toDouble
+      assert(math.abs(est - want) < 1e-3, s"$typ: est $est != $want")
+      // k=8 gives a loose but bounded estimator; a broken sketch is off by
+      // orders of magnitude, a correct one lands within ~3x at this k
+      assert(est > nExact / 3.0 && est < nExact * 3.0,
+        s"$typ: estimate $est implausible vs exact $nExact")
+    }
+  }
+
+  /** JVM twin of [[Fns.hash32]] (first 32 md5 bits, unsigned). */
+  private def hash32Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+}
