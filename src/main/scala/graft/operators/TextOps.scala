@@ -137,6 +137,23 @@ object TextOps {
         ).as("avg_quality"))
   }
 
+  /** Per-source document-length percentiles — the "filter the corpus to
+    * p5..p95 length" knob every training pipeline carries. Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share the same linear
+    * interpolation on sorted values, so the gate is value-exact (verified
+    * bit-identical on this corpus before rounding). Exact percentile is a
+    * holistic sort-per-group aggregate; the 100 TB path swaps in
+    * `percentile_approx` (KLL-style mergeable sketch, same call shape) and
+    * gives up the cross-engine gate, not the operator. */
+  val qLengthPercentiles: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Fns.roundP(expr("percentile(length(text), 0.5)"), 6).as("p50_len"),
+        Fns.roundP(expr("percentile(length(text), 0.9)"), 6).as("p90_len"),
+        Fns.roundP(expr("percentile(length(text), 0.99)"), 6).as("p99_len"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "q_token_count"  -> qTokenCount,
     "q_text_quality" -> qTextQuality,
@@ -144,6 +161,7 @@ object TextOps {
     "q_levenshtein"  -> qLevenshtein,
     "q_fingerprint"  -> qFingerprint,
     "q_corpus_stats" -> qCorpusStats,
+    "q_length_percentiles" -> qLengthPercentiles,
   )
 
   // regexp whitespace trim (SQL trim strips only spaces — must match
@@ -210,6 +228,12 @@ object TextOps {
     "q_levenshtein" ->
       """SELECT p_partkey, CAST(levenshtein(p_name, 'small gizmo') AS INT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small gizmo') <= 7 ORDER BY p_partkey""".stripMargin,
+    "q_length_percentiles" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  ${Fns.roundPSql("quantile_cont(length(text), 0.5)", 6)} AS p50_len,
+         |  ${Fns.roundPSql("quantile_cont(length(text), 0.9)", 6)} AS p90_len,
+         |  ${Fns.roundPSql("quantile_cont(length(text), 0.99)", 6)} AS p99_len
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fingerprint" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

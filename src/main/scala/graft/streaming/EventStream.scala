@@ -85,6 +85,33 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
+  /** Stream-stream interval self-join — the streaming rendering of the
+    * batch range/as-of joins ([[graft.operators.TemporalOps]]): every
+    * (click, purchase) pair by the same user where the purchase falls in
+    * the 24 h BEFORE the click. Both sides carry an event-time watermark
+    * and the join condition bounds `p_ts` relative to `c_ts`, which is
+    * what lets Spark age out join state: a buffered purchase is dropped
+    * once the click-side watermark passes p_ts + 24 h. Without the time
+    * bound this would be the unbounded-state stream-join trap. */
+  def clickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts - INTERVAL 24 HOURS AND p_ts <= c_ts"))
+      .select(col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming tumbling-window counts/sums per event type, 10-minute
     * watermark. Identical output columns to EventOps.qWindowAgg. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame = {

@@ -71,4 +71,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream4")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.clickPurchaseJoin(spark, dir.toString)
+      .writeStream.format("memory").queryName("cpjoin").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("cpjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // batch twin: the same (click, purchase-in-previous-24h) pairs
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as t_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val batch = (for {
+      c <- ev.iterator if c._3 == "click"
+      p <- purchases
+      if p._2 == c._2 && p._4 <= c._4 && p._4 >= c._4 - 86400000000L
+    } yield (c._1, p._1)).toArray.sorted
+    assert(streamed.nonEmpty, "the interval must capture at least one pair")
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} pairs, batch ${batch.length}")
+  }
 }
