@@ -12,8 +12,22 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement: every table is warmed through the noop sink first (cold
   * parquet-footer reads and codegen otherwise charge several seconds to
-  * whichever query scans a table first), then each query is timed twice and
-  * the min is reported. A query that throws is reported with time -1 and an
+  * whichever query scans a table first). Then the WHOLE query list runs
+  * PASSES (default 3) interleaved times, and each query reports its min
+  * across passes. Interleaving is the host-noise defense (round-6
+  * postmortem: identical code measured 35 s / 51 s / 79 s across hosts):
+  * a load spike poisons different queries in different passes, so the
+  * per-query min survives it, where min-of-2 back-to-back runs does not.
+  * All per-pass times are emitted under `"passes"` so an outlier run is
+  * self-diagnosing from the artifact alone.
+  *
+  * Cache scope: `clearCache()` runs once per PASS, not per query — shared
+  * loop-invariant stages (e.g. the trade-edges build feeding seven graph
+  * queries, the dedup signature stage) are rebuilt at most once per pass,
+  * matching how a resident service would hold them, while blocks still
+  * cannot accumulate across passes.
+  *
+  * A query that throws in every pass is reported with time -1 and an
   * entry in `errors` — a failure must not read as a fast success.
   */
 object Bench {
@@ -41,30 +55,38 @@ object Bench {
       .selectExpr("conv(substring(h, 1, 8), 16, 10) AS x", "size(t) AS n",
         "transform(t, v -> concat(v, 'x')) AS tt"))
 
-    var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // Materialize every row through the noop sink: a bare .count() lets
-      // Catalyst drop sorts and projections, which under-times top-k/sort
-      // queries. The noop format executes the full physical plan.
-      def once(): Either[String, Double] = {
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val queryList = SparkEntry.queries.toSeq
+    var errorMsgs = Map.empty[String, String]
+    // passTimes(p) = per-query seconds for pass p (-1 = threw this pass)
+    val passTimes: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      val times = queryList.map { case (name, fn) =>
+        // Materialize every row through the noop sink: a bare .count() lets
+        // Catalyst drop sorts and projections, which under-times top-k/sort
+        // queries. The noop format executes the full physical plan.
         val t0 = System.nanoTime()
-        try { noop(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+        val t = try { noop(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      }
-      val t = (once(), once()) match {
-        case (Right(a), Right(b)) => math.min(a, b)
-        case (r1, r2) =>
-          errors ::= (name -> r1.left.toOption.orElse(r2.left.toOption).getOrElse("?"))
+          errorMsgs += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
+        }
+        name -> t
       }
-      // Drop whatever stage caches the query persisted. The two timed runs
-      // above still share them (run 2 hits run 1's blocks — CacheManager
-      // dedups by plan), but blocks must not accumulate across 60 queries:
-      // that memory pressure charges late queries for early queries' GC.
+      // End-of-pass cache drop: loop-invariant stages persisted by one
+      // query stay warm for the rest of the pass (CacheManager dedups by
+      // canonicalized plan, so a structurally identical rebuild in a later
+      // query hits the same blocks), but blocks must not accumulate across
+      // passes — that memory pressure charges late passes for early
+      // passes' GC.
       spark.catalog.clearCache()
-      name -> t
+      times
+    }
+    val results: Seq[(String, Double)] = queryList.map { case (name, _) =>
+      val ok = passTimes.flatMap(_.collect { case (`name`, t) if t >= 0 => t })
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val errors = results.collect { case (name, t) if t < 0 =>
+      name -> errorMsgs.getOrElse(name, "?")
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -74,9 +96,12 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val passJson = passTimes.map { ts =>
+      ts.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     println(line)
     spark.stop()

@@ -28,7 +28,8 @@ object SparkEntry {
     operators.GqlOps.queries ++
     operators.WalkOps.queries ++
     operators.MultimodalOps.queries ++
-    operators.SourceOps.queries
+    operators.SourceOps.queries ++
+    operators.SkewOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -45,5 +46,6 @@ object SparkEntry {
     operators.GqlOps.oracles ++
     operators.WalkOps.oracles ++
     operators.MultimodalOps.oracles ++
-    operators.SourceOps.oracles
+    operators.SourceOps.oracles ++
+    operators.SkewOps.oracles
 }

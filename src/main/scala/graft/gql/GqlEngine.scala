@@ -15,7 +15,11 @@ import graft.functions.VectorExprs
   * a script run sequentially with mutations visible to later statements
   * (reference interleaves parse and execution — gql.y:152-156).
   */
-class GqlEngine(spark: SparkSession, root: String) {
+class GqlEngine(spark: SparkSession, root: String,
+                val knnOverFetch: Int = GqlEngine.KNN_OVER_FETCH,
+                val knnMinFetch: Int = GqlEngine.KNN_MIN_FETCH) {
+  require(knnOverFetch >= 1, s"knnOverFetch must be >= 1 (got $knnOverFetch)")
+  require(knnMinFetch >= 1, s"knnMinFetch must be >= 1 (got $knnMinFetch)")
   val catalog = new GraphCatalog(spark, root)
 
   /** One statement's outcome: a status line (CREATE SUCCESS / error), an
@@ -473,10 +477,15 @@ class GqlEngine(spark: SparkSession, root: String) {
         }
       })
       // over-fetch: a k-exact index probe turns any single recall miss
-      // into a silently different answer; with a 4x margin the exact
-      // re-rank below recovers unless ALL of the margin misses
-      val ids = idx.search(knn.vec.toArray, math.max(knn.k * 4, 50)).map(_._1)
-      if (ids.isEmpty) df.limit(0)
+      // into a silently different answer; with the knnOverFetch margin
+      // (engine-constructor tunable, default 4x/min 50) the exact re-rank
+      // below recovers unless ALL of the margin misses. If the index
+      // surrenders fewer than k candidates (tiny group, disconnected
+      // graph), fall back to the exact brute path — never return a
+      // short answer an exact scan would have filled.
+      val ids = idx.search(knn.vec.toArray,
+        math.max(knn.k * knnOverFetch, knnMinFetch)).map(_._1)
+      if (ids.size < knn.k) brute
       else df.filter(col("key_i").isin(ids: _*)).orderBy(orderExpr).limit(knn.k)
     }
   }
@@ -782,4 +791,13 @@ class GqlEngine(spark: SparkSession, root: String) {
     case GStar => "*"
     case GLambda(ps, _) => s"(${ps.mkString(", ")}) => {...}"
   }
+}
+
+object GqlEngine {
+  /** Default index-route candidate over-fetch factor (×k) before the exact
+    * re-rank — the recall-insurance margin (see knnQuery). */
+  val KNN_OVER_FETCH = 4
+  /** Default floor on the over-fetched candidate count, so small-k probes
+    * still carry a meaningful margin. */
+  val KNN_MIN_FETCH = 50
 }

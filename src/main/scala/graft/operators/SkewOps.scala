@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.Tables
 import graft.functions.Fns
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation building blocks (SURVEY §4 / the brief's "salting for
@@ -46,7 +47,11 @@ object SkewOps {
     val saltedFact = fact.withColumn(sc, saltOf(col(factRowKey), salts))
     val saltedDim = dim.withColumn(sc,
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
-    saltedFact.join(saltedDim, Seq(key, sc)).drop(sc)
+    // Salting exists precisely for the join where neither side broadcasts;
+    // the hint keeps Catalyst from broadcasting a small-at-test-SF dim and
+    // collapsing the (key, salt) exchange the operator is FOR. Build side
+    // is the dim (small per salt), probe side streams.
+    saltedFact.join(saltedDim.hint("shuffle_hash"), Seq(key, sc)).drop(sc)
   }
 
   /** Two-phase collect_list for a skewed group key: phase 1 collects per
@@ -63,4 +68,56 @@ object SkewOps {
       .groupBy(col(key))
       .agg(sort_array(flatten(collect_list(col("_part")))).as(s"${valueCol}_list"))
   }
+
+  // ---- gated queries -------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Salt fan-out for the gated queries. 8 spreads a hot key over a quarter
+    * of the 32 local cores; production tunes this to the observed skew. */
+  val SALTS = 8
+
+  /** Gated salted join — lineitem (fact, salted on its well-distributed
+    * order key) ⋈ supplier (dim, replicated ×SALTS), then a supplier-level
+    * rollup. The DuckDB oracle is the PLAIN join: salting must be
+    * result-invariant, so the unsalted SQL is exactly the right referee.
+    * The executed plan shuffles both sides on (suppkey, _salt) — the hot
+    * supplier's rows land on SALTS reducers instead of one. */
+  val qSaltedJoin: Q = (s, d) => {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    saltedJoin(fact, dim, "suppkey", "l_orderkey", SALTS)
+      .groupBy(col("suppkey"), col("s_name"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("suppkey")
+  }
+
+  /** Gated salted collect — per-segment sorted customer-name roster via the
+    * two-phase (key, salt) collect, flattened to a joined string so the
+    * cross-engine compare stays scalar. Oracle: plain string_agg with the
+    * same ordering. */
+  val qSaltedCollect: Q = (s, d) =>
+    saltedCollect(Tables.customer(s, d), "c_mktsegment", "c_name", "c_custkey", SALTS)
+      .select(col("c_mktsegment"), array_join(col("c_name_list"), "|").as("names"))
+      .orderBy("c_mktsegment")
+
+  val queries: Map[String, Q] = Map(
+    "q_salted_join"    -> qSaltedJoin,
+    "q_salted_collect" -> qSaltedCollect,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT l_suppkey AS suppkey, s_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY suppkey""".stripMargin,
+    "q_salted_collect" ->
+      """SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+  )
 }

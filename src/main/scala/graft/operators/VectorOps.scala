@@ -176,6 +176,59 @@ object VectorOps {
       .limit(TOPK)
   }
 
+  /** Partitions for the two-stage HNSW scatter. At 100 TB this is the
+    * executor-partition count; locally 8 keeps per-partition indexes big
+    * enough to be non-trivial at every test SF. */
+  val HNSW2_PARTS = 8
+  /** Per-partition candidate over-fetch factor (×TOPK): each partition
+    * surrenders its local top-(TOPK×OVER), so a local recall miss must
+    * evade the whole margin before the global answer can differ. */
+  val HNSW2_OVER = 4
+
+  /** E9 scale path #3 — two-stage distributed HNSW (retires the driver-side
+    * `.collect()` build in `GqlEngine.knnQuery` as the only HNSW route;
+    * reference knnSearch HNSW.cpp:134-165):
+    *   stage 1: deterministic hash-repartition of the corpus, each
+    *     partition builds a PARTITION-LOCAL [[graft.vector.Hnsw]] inside
+    *     `mapPartitions` (insertion order sorted by id, so the graph is
+    *     reproducible given partition contents) and emits its local
+    *     top-(TOPK×HNSW2_OVER) candidate ids;
+    *   stage 2: exact re-rank — the ≤ PARTS×TOPK×OVER candidate ids
+    *     broadcast-join back to the corpus, the codegen'd Dist2 kernel
+    *     recomputes true distances, TakeOrderedAndProject keeps k.
+    * The probe is a 1-row scalar fetch (same tier as BigGraphOps.startNode).
+    * At 100 TB: each executor holds its partition's index (build is one
+    * scan, no shuffle beyond the repartition), the merge moves only
+    * PARTS×k×OVER ids — the classic scatter-gather ANN serving shape.
+    * Gated against the brute-force oracle: over-fetch + exact re-rank make
+    * the two agree whenever every true top-k member survives its own
+    * partition's local search (ef ≳ 2× local corpus at test SFs). */
+  val qAnnHnsw2: Q = (s, d) => {
+    import s.implicits._
+    val v = vecs(s, d)
+    val pv: Array[Double] = v.filter(col("vec_id") === PROBE_ID)
+      .select(col("v")).as[Seq[Double]].head().toArray
+    val want = TOPK * HNSW2_OVER
+    val cands = v.filter(col("vec_id") =!= PROBE_ID)
+      .select(col("vec_id"), col("v"))
+      .repartition(HNSW2_PARTS, col("vec_id"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = new graft.vector.Hnsw(pv.length)
+          rows.foreach { case (id, vec) => idx.add(id, vec.toArray) }
+          idx.search(pv, want, ef = math.max(4 * want, 256)).map(_._1).iterator
+        }
+      }.toDF("vec_id")
+    v.join(broadcast(cands), "vec_id")
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"), Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(TOPK)
+  }
+
   /** Multi-probe assignment width: each vector joins its NASSIGN nearest
     * cells. Single-cell assignment split near-dup pairs across boundaries
     * (measured 2/7 recall at sf0.001); 2-probe is the standard IVF fix. */
@@ -239,6 +292,7 @@ object VectorOps {
     "q_near"           -> qNear,
     "q_ann_ivf"        -> qAnnIvf,
     "q_ann_lsh"        -> qAnnLsh,
+    "q_ann_hnsw2"      -> qAnnHnsw2,
     "q_cosine_blocked" -> qCosineBlocked,
   )
 
@@ -255,6 +309,13 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q_knn" ->
+      s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
+         |FROM e b, p WHERE b.vec_id <> $PROBE_ID
+         |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    // Two-stage HNSW must agree with brute force after exact re-rank —
+    // the oracle IS the brute top-k.
+    "q_ann_hnsw2" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
