@@ -75,15 +75,22 @@ object EventStream {
     * watermark-late, so output semantics stay "one row per event_id". */
   def dedupedEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1") // deliver file-at-a-time (tests re-delivery across micro-batches)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    dedupedEventsOf(
+      s.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", "1") // deliver file-at-a-time (tests re-delivery across micro-batches)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  /** Source-agnostic core of [[dedupedEvents]] — takes any streaming frame
+    * with (event_id, user_id, event_type, value, ts timestamp) so the soak
+    * suite can drive it from a MemoryStream and watch the state plateau. */
+  def dedupedEventsOf(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-  }
 
   /** Stream-stream interval self-join — the streaming rendering of the
     * batch range/as-of joins ([[graft.operators.TemporalOps]]): every
@@ -116,15 +123,24 @@ object EventStream {
     * watermark. Identical output columns to EventOps.qWindowAgg. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .parquet(s"$dir")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    windowedCountsOf(
+      s.readStream
+        .schema(rawSchema)
+        .parquet(s"$dir")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  /** Source-agnostic core of [[windowedCounts]]: any streaming frame with
+    * (ts timestamp, event_type, value). The 10-minute watermark is what
+    * bounds state — a window's rows drop once the watermark passes window
+    * end + 10 min, which the soak suite asserts as a numRowsTotal plateau
+    * across watermark advances. */
+  def windowedCountsOf(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
         col("cnt"), col("sum_value"))
-  }
 }

@@ -70,4 +70,45 @@ class BoundaryMarginSpec extends AnyFunSuite {
     }
     info(f"minimum assignment gap over corpus: $minGap%.3e")
   }
+
+  /** ADVICE r6: the corpus loops above cover the probe only because
+    * PROBE_ID happens to be a corpus row — pin the PROBE's own decision
+    * boundaries by name so the guarantee survives any future probe that
+    * is NOT part of the table (a user query vector). These are the two
+    * boundaries that pick what q_ann_ivf scans (centroid ranking at rank
+    * NPROBE) and where q_ann_lsh looks (the probe's bucket bits). */
+  test("the fixed probe vector's own margins: NPROBE centroid gap and plane dots") {
+    val probe = rows.find(_._1 == VectorOps.PROBE_ID)
+      .getOrElse(fail(s"probe ${VectorOps.PROBE_ID} missing from embeddings"))._2
+
+    // LSH: every bucket bit of the probe is decided by a comfortable margin
+    val planes = Array.tabulate(VectorOps.LSH_BITS, VectorOps.DIM)(VectorOps.planeVal)
+    for (h <- 0 until VectorOps.LSH_BITS) {
+      var dot = 0.0
+      var i = 0
+      while (i < probe.length) { dot += probe(i) * planes(h)(i); i += 1 }
+      assert(math.abs(dot) > EPS, s"probe dot plane $h = $dot — bucket bit unstable")
+      info(f"probe plane $h%d dot: $dot%.3e")
+    }
+
+    // IVF: the probe's centroid ranking is stable at the NPROBE cut
+    val byLabel = rows.groupBy(_._3)
+    val centroids = byLabel.map { case (lbl, vs) =>
+      val dim = vs.head._2.length
+      val c = new Array[Double](dim)
+      vs.foreach(t => for (i <- 0 until dim) c(i) += t._2(i))
+      for (i <- 0 until dim) c(i) /= vs.length
+      lbl -> c
+    }
+    val ds = centroids.values.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = probe(i) - c(i); s += d * d; i += 1 }
+      s
+    }.toArray.sorted
+    assert(VectorOps.NPROBE < ds.length, "corpus has too few cells to rank")
+    val gap = ds(VectorOps.NPROBE) - ds(VectorOps.NPROBE - 1)
+    assert(gap > EPS,
+      s"probe centroid ranks ${VectorOps.NPROBE - 1}/${VectorOps.NPROBE} separated by only $gap")
+    info(f"probe NPROBE-cut centroid gap: $gap%.3e")
+  }
 }

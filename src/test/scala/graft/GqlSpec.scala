@@ -270,6 +270,37 @@ class GqlSpec extends AnyFunSuite {
     assert(topk2() == after, "wrong-dimension probe poisoned the index cache")
   }
 
+  test("KNN over-fetch margin is engine-tunable, with brute fallback under k (r6 advice)") {
+    val root = java.nio.file.Files.createTempDirectory("gql").toString
+    // the tightest legal margin: the index surrenders exactly k candidates,
+    // so the exact re-rank has zero slack — the boundary the default
+    // 4k/50 margin exists to stay away from
+    val tight = new GqlEngine(spark, root, knnOverFetch = 1, knnMinFetch = 1)
+    tight.exec("{create: 'vdb', group: [{vg: ['v'], index: ['v']}, {bg: ['v']}]};")
+    val rows = (0 until 40)
+      .map(i => s"[$i, {v: [${i % 8}.5, ${i / 8}.5]}]").mkString(", ")
+    tight.exec(s"{upset: 'vg', vertex: [$rows]};")
+    tight.exec(s"{upset: 'bg', vertex: [$rows]};")
+    def topk(e: GqlEngine, g: String, k: Int): Seq[Long] =
+      e.query(s"{query: '$g', in: 'vdb', where: {v: {limit: $k, $$near: [3.2, 2.1]}}};")
+        .select("key_i").collect().map(_.getLong(0)).toSeq
+    // at-margin probe: exactly k candidates fetched; on this 40-point
+    // fixed grid HNSW recall is exhaustive, so it still matches brute
+    assert(topk(tight, "vg", 5) == topk(tight, "bg", 5),
+      "k-exact fetch diverged from brute on a corpus HNSW covers fully")
+    // k beyond the group size: the index can only surrender 40 candidates
+    // < k, so the engine must fall back to the exact brute path and
+    // return every vertex, not a short answer
+    assert(topk(tight, "vg", 60).length == 40,
+      "candidate set < k must fall back to brute, not return short")
+    // a widened margin changes candidate count, never the answer
+    val wide = new GqlEngine(spark, root, knnOverFetch = 16, knnMinFetch = 200)
+    assert(topk(wide, "vg", 5) == topk(tight, "bg", 5))
+    // nonsensical margins are rejected at construction
+    intercept[IllegalArgumentException](new GqlEngine(spark, root, knnOverFetch = 0))
+    intercept[IllegalArgumentException](new GqlEngine(spark, root, knnMinFetch = 0))
+  }
+
   test("parameterized lambda bound evaluates per row as a closure UDF (Q11)") {
     val e = freshEngine()
     e.exec("{create: 'ldb', group: ['g']};")

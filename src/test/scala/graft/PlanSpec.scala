@@ -47,6 +47,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("(id_a"), p)
   }
 
+  test("q_salted_join shuffles on the (key, salt) compound, never a broadcast") {
+    val p = plan("q_salted_join")
+    assert(p.contains("hashpartitioning"), p)
+    assert(p.contains("_salt"), s"join not keyed by the salt column:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"dim side broadcast — the salt exchange was optimized away:\n$p")
+  }
+
+  test("q_ann_hnsw2 re-ranks candidates via broadcast + top-k, no corpus shuffle") {
+    val p = plan("q_ann_hnsw2")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate ids must broadcast back onto the corpus scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"re-rank lost its top-k plan:\n$p")
+  }
+
   test("q_projection reads only the projected columns") {
     val p = plan("q_projection")
     assert(p.contains("ReadSchema"), p)
