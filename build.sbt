@@ -43,3 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Optional scratch-root override for forked JVMs (A/B-ing catalog tmp dirs
+// against a tmpfs; e.g. SPARK_GRAFT_TMPDIR=/dev/shm).
+javaOptions ++= sys.env.get("SPARK_GRAFT_TMPDIR")
+  .map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -19,12 +19,17 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
+      // time construction separately: statement-style entries (the GQL
+      // mutation gates) do their writes eagerly while BUILDING the frame,
+      // so exec-only timing would hide their real cost
+      val tb = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, sfDir)
+      val buildS = (System.nanoTime() - tb) / 1e9
       println(s"===== $n =====")
       df.explain("formatted")
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"[time] $n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[time] $n build $buildS%.3f s + exec ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }
