@@ -84,7 +84,7 @@ object DedupOps {
     * bucket self-join for candidates → exact Jaccard verify at THRESHOLD.
     * Returns verified pairs (doc_a < doc_b) with their Jaccard similarity.
     */
-  val qMinhashDedup: Q = (s, d) => {
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     // The signature table feeds three plan branches (bucket explode + both
     // verify joins); Spark has no cross-branch CSE, so an unpersisted sig
     // is recomputed — and the corpus rescanned — three times. Persist it:
@@ -116,7 +116,76 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jac") >= THRESHOLD)
       .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  val qMinhashDedup: Q = (s, d) =>
+    minhashVerifiedPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** Near-dup CLUSTER ASSIGNMENT — the stage an actual dedup pipeline
+    * ships: verified near-dup pairs ([[minhashVerifiedPairs]]) are edges of
+    * an undirected graph; each document gets `cluster_id` = the smallest
+    * doc_id in its connected component, and `keep` marks the one canonical
+    * survivor per cluster (singletons keep themselves). Pairs alone
+    * under-delete: with A~B and B~C but A!~C, pairwise drop-the-larger
+    * keeps A and C even though they are transitive dups of B.
+    *
+    * Scale shape: the min-label propagation loop runs ONLY over documents
+    * that appear in some pair (O(dups), a vanishing fraction of a 100 TB
+    * corpus), one hash-shuffle per superstep with map-side min combine,
+    * `localCheckpoint` truncating the plan per round (the iterative-loop
+    * lineage trap — PERF.md). The full corpus joins in once at the end for
+    * the singleton fill. Components are near-dup clusters with tiny
+    * diameter, so the loop converges in a few supersteps; a 20-round cap
+    * guards pathological chains. */
+  val qDedupClusters: Q = (s, d) => {
+    val pairs = minhashVerifiedPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster").as("nc")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("nc")).as("nmin"))
+      val stepped = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // consumed twice below; truncates loop lineage
+      changed = stepped.filter(col("cluster") =!= col("old")).count()
+      labels = stepped.select("doc_id", "cluster")
+      iter += 1
+    }
+    val out = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+    edges.unpersist() // labels are checkpointed; the output plan no longer reads edges
+    out
+  }
+
+  /** Deterministic stratified sampling — the "mix corpora at per-source
+    * rates" knob of a training pipeline. The keep decision is pure column
+    * algebra on [[Fns.hash32]] of a salted doc_id (NOT rand(): the sample
+    * must be reproducible run-to-run, engine-to-engine, and at any
+    * partitioning), so at 100 TB this is a zero-shuffle scan that Catalyst
+    * can push behind column pruning. Per-source rates here derive from the
+    * source's trailing number (even 30%, odd 70%) standing in for a real
+    * pipeline's rate table, which would broadcast-join in the same shape. */
+  val qStratifiedSample: Q = (s, d) => {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val permille = when(srcNum % 2 === 0, lit(300)).otherwise(lit(700))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .filter(pmod(Fns.hash32(concat(lit("smp_"), col("doc_id").cast("string"))),
+        lit(1000)) < permille)
+      .orderBy("doc_id")
   }
 
   /** Exact-Jaccard threshold for the inverted-index path — the rational
@@ -193,10 +262,12 @@ object DedupOps {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_dedup_exact"   -> qDedupExact,
-    "q_minhash_dedup" -> qMinhashDedup,
-    "q_jaccard_pairs" -> qJaccardPairs,
-    "q_simhash"       -> qSimhash,
+    "q_dedup_exact"       -> qDedupExact,
+    "q_minhash_dedup"     -> qMinhashDedup,
+    "q_dedup_clusters"    -> qDedupClusters,
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_jaccard_pairs"     -> qJaccardPairs,
+    "q_simhash"           -> qSimhash,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -220,40 +291,69 @@ object DedupOps {
   private def sqlMinhash(h: Int): String =
     s"list_min(list_transform(hv, x -> (x * ${A(h)} + ${B(h)}) % $P))"
 
+  /** CTE chain ending in `verified(doc_a, doc_b, jac)` — the minhash-LSH
+    * candidate+verify pipeline shared by the pair and cluster oracles. */
+  private val sqlVerifiedCtes: String = {
+    val bandKeys = (0 until NUM_BANDS).map { b =>
+      val rows = (0 until ROWS_PER_BAND)
+        .map(r => s"CAST(m${b * ROWS_PER_BAND + r} AS VARCHAR)")
+      s"(${rows.mkString(" || ',' || ")})"
+    }
+    val mhCols = (0 until NUM_HASHES).map(h => s"${sqlMinhash(h)} AS m$h").mkString(",\n  ")
+    s"""$sqlShingles,
+       |hv AS (SELECT doc_id, sh,
+       |  list_transform(sh, g -> ${sqlHash32("g")} % $P) AS hv FROM sh),
+       |mh AS (SELECT doc_id, sh,
+       |  $mhCols
+       |FROM hv),
+       |bands AS (
+       |  SELECT doc_id, b.band,
+       |    CASE ${bandKeys.zipWithIndex.map { case (k, i) => s"WHEN b.band = $i THEN $k" }.mkString(" ")} END AS key
+       |  FROM mh CROSS JOIN (SELECT unnest([${(0 until NUM_BANDS).mkString(",")}]) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
-    "q_minhash_dedup" -> {
-      val bandKeys = (0 until NUM_BANDS).map { b =>
-        val rows = (0 until ROWS_PER_BAND)
-          .map(r => s"CAST(m${b * ROWS_PER_BAND + r} AS VARCHAR)")
-        s"(${rows.mkString(" || ',' || ")})"
-      }
-      val mhCols = (0 until NUM_HASHES).map(h => s"${sqlMinhash(h)} AS m$h").mkString(",\n  ")
-      s"""WITH $sqlShingles,
-         |hv AS (SELECT doc_id, sh,
-         |  list_transform(sh, g -> ${sqlHash32("g")} % $P) AS hv FROM sh),
-         |mh AS (SELECT doc_id, sh,
-         |  $mhCols
-         |FROM hv),
-         |bands AS (
-         |  SELECT doc_id, b.band,
-         |    CASE ${bandKeys.zipWithIndex.map { case (k, i) => s"WHEN b.band = $i THEN $k" }.mkString(" ")} END AS key
-         |  FROM mh CROSS JOIN (SELECT unnest([${(0 until NUM_BANDS).mkString(",")}]) AS band) b),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT p.doc_a, p.doc_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
-         |  FROM pairs p
-         |  JOIN sh sa ON sa.doc_id = p.doc_a
-         |  JOIN sh sb ON sb.doc_id = p.doc_b)
+    "q_minhash_dedup" ->
+      s"""WITH $sqlVerifiedCtes
          |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
-         |FROM verified WHERE jac >= $THRESHOLD ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |FROM verified WHERE jac >= $THRESHOLD ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components over the verified pairs: `reach` floods every
+    // label through the undirected edge set (UNION dedups the state space
+    // to vertices × labels of one component), min(lbl) is the component id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlVerifiedCtes,
+         |vp AS (SELECT doc_a, doc_b FROM verified WHERE jac >= $THRESHOLD),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |          UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${sqlHash32("'smp_' || CAST(doc_id AS VARCHAR)")} % 1000
+         |  < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
+         |         THEN 300 ELSE 700 END
+         |ORDER BY doc_id""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $sqlShingles,
          |posting AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),
