@@ -188,6 +188,49 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-mix budget: keep ~MIX_NUM/MIX_DEN of the MEAN per-source token
+    * total from every source. */
+  val MIX_NUM = 6L
+  val MIX_DEN = 10L
+  /** Hash sample space for the mix's keep test. */
+  val SAMPLE_SPACE = 100000L
+
+  /** Token-budget corpus mixing — the rate-TABLE form of
+    * [[qStratifiedSample]] a production pipeline runs: per-source sampling
+    * rates are COMPUTED from the data (rate_src = budget / tokens_src with
+    * budget = (MIX_NUM/MIX_DEN) × mean source token total), broadcast back
+    * onto the corpus, and applied as a deterministic hash test. The keep
+    * decision is INTEGER-exact — `h·n_src·t_src·MIX_DEN <
+    * t_total·MIX_NUM·SAMPLE_SPACE` is the cross-multiplied form of
+    * h/SPACE < rate, so no float rounding can diverge between engines,
+    * and the rate caps at 1 naturally (if the rhs exceeds every possible
+    * h, the whole source is kept). Output is the per-source mix report
+    * (docs and tokens surviving the budget).
+    *
+    * Scale shape: one partial+final agg for the rate table (n_sources
+    * rows, broadcast), one scan with a pushed-down projection for the
+    * filter, one final agg. All sums are exact integer token counts —
+    * order-independent. Overflow headroom: h < 2³², so the lhs stays
+    * inside int64 while n_src·t_src·MIX_DEN < 2³¹ (~10⁹ total source
+    * tokens at these constants); a 100 TB run promotes to decimal(38). */
+  val qCorpusMix: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    val perSrc = toks.groupBy("source").agg(sum("n_toks").as("t_src"))
+    val totals = perSrc.agg(sum("t_src").as("t_total"), count(lit(1)).as("n_src"))
+    toks.join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(totals))
+      .filter(
+        pmod(Fns.hash32(concat(lit("mix_"), col("doc_id").cast("string"))),
+          lit(SAMPLE_SPACE)) * col("n_src") * col("t_src") * lit(MIX_DEN)
+          < col("t_total") * lit(MIX_NUM) * lit(SAMPLE_SPACE))
+      .groupBy("source")
+      .agg(max("t_src").as("t_src"), count(lit(1)).as("n_kept"),
+        sum("n_toks").as("toks_kept"))
+      .orderBy("source")
+  }
+
   /** Exact-Jaccard threshold for the inverted-index path — the rational
     * 4/5, so the prefix/positional pruning bounds below are EXACT integer
     * arithmetic (no float rounding can diverge between engines). */
@@ -266,6 +309,7 @@ object DedupOps {
     "q_minhash_dedup"     -> qMinhashDedup,
     "q_dedup_clusters"    -> qDedupClusters,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_corpus_mix"        -> qCorpusMix,
     "q_jaccard_pairs"     -> qJaccardPairs,
     "q_simhash"           -> qSimhash,
   )
@@ -354,6 +398,19 @@ object DedupOps {
          |  < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
          |         THEN 300 ELSE 700 END
          |ORDER BY doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len(${TextOps.sqlTokens}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_src FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t_src) AS BIGINT) AS t_total, count(*) AS n_src FROM ps)
+         |SELECT t.source, max(ps.t_src) AS t_src, count(*) AS n_kept,
+         |  CAST(sum(t.n_toks) AS BIGINT) AS toks_kept
+         |FROM t JOIN ps USING (source), tot
+         |WHERE (${sqlHash32("'mix_' || CAST(doc_id AS VARCHAR)")} % $SAMPLE_SPACE)
+         |    * tot.n_src * ps.t_src * $MIX_DEN
+         |  < tot.t_total * $MIX_NUM * $SAMPLE_SPACE
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $sqlShingles,
          |posting AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),
