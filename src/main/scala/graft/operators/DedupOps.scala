@@ -217,7 +217,10 @@ object DedupOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    // n_sources rows, consumed by BOTH the rate join and the totals agg —
+    // no cross-branch CSE, so unpersisted it would re-scan the corpus
     val perSrc = toks.groupBy("source").agg(sum("n_toks").as("t_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = perSrc.agg(sum("t_src").as("t_total"), count(lit(1)).as("n_src"))
     toks.join(broadcast(perSrc), "source")
       .crossJoin(broadcast(totals))

@@ -229,6 +229,40 @@ object VectorOps {
       .limit(TOPK)
   }
 
+  /** Int8 symmetric per-vector quantization of the embedding column — the
+    * serving-side compression step of an ANN pipeline (4× smaller vectors,
+    * SIMD-friendly dot products downstream). Pure row-local column algebra,
+    * zero shuffle: scale = max|x|/127, q_i = round-half-up(x/scale). The
+    * gate reports the per-vector scale, the INTEGER checksum of the
+    * quantized codes (exact, order-independent), and the max reconstruction
+    * error — element-wise IEEE doubles are bit-identical across engines
+    * (the cross-engine hazards are summation ORDER and round(), both
+    * avoided: `floor(x+0.5)` is exact, max is order-free, the code sum is
+    * integer). The scale is STAGED as a column before the lambdas — a HOF
+    * lambda re-evaluates non-attribute children per element (PERF.md). An
+    * all-zero vector quantizes to zeros with scale 0 rather than NaN.
+    *
+    * The error is computed BEFORE the select that re-aliases `scale`:
+    * Spark's lateral column alias resolution makes a later expression in
+    * the same select bind `scale` to the just-rounded alias, not the input
+    * column — which silently rewrote every error by q·(scale−round(scale))
+    * (≈1.9e-7, measured; PERF.md round-7 trap note). */
+  val qEmbedQuantize: Q = (s, d) =>
+    vecs(s, d)
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("q",
+        when(col("scale") > 0,
+          transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
+          .otherwise(transform(col("v"), _ => lit(0L))))
+      .withColumn("err",
+        array_max(zip_with(col("v"), col("q"),
+          (x, c) => abs(x - c.cast("double") * col("scale")))))
+      .select(col("vec_id"),
+        Fns.roundP(col("scale"), 8).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        Fns.roundP(col("err"), 8).as("max_err"))
+      .orderBy("vec_id")
+
   /** Multi-probe assignment width: each vector joins its NASSIGN nearest
     * cells. Single-cell assignment split near-dup pairs across boundaries
     * (measured 2/7 recall at sf0.001); 2-probe is the standard IVF fix. */
@@ -293,6 +327,7 @@ object VectorOps {
     "q_ann_ivf"        -> qAnnIvf,
     "q_ann_lsh"        -> qAnnLsh,
     "q_ann_hnsw2"      -> qAnnHnsw2,
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_blocked" -> qCosineBlocked,
   )
 
@@ -313,6 +348,20 @@ object VectorOps {
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_embed_quantize" ->
+      s"""WITH e AS ($sqlVecs),
+         |sc AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         |q AS (SELECT vec_id, v, scale,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qc
+         |  FROM sc)
+         |SELECT vec_id, ${Fns.roundPSql("scale", 8)} AS scale,
+         |  CAST(list_sum(qc) AS BIGINT) AS code_sum,
+         |  ${Fns.roundPSql(
+             "list_max(list_transform(range(1, len(v)+1), i -> abs(v[i] - CAST(qc[i] AS DOUBLE) * scale)))", 8)} AS max_err
+         |FROM q ORDER BY vec_id""".stripMargin,
     // Two-stage HNSW must agree with brute force after exact re-rank —
     // the oracle IS the brute top-k.
     "q_ann_hnsw2" ->
