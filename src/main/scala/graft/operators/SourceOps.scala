@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 
 import graft.Tables
+import graft.functions.Fns
 import graft.sources.Sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,6 +35,33 @@ object SourceOps {
       .orderBy("n_regionkey")
   }
 
+  val docJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** JSONL round-trip for the documents corpus — newline-delimited JSON is
+    * the interchange format most training corpora actually arrive in.
+    * Spark's json sink escapes embedded newlines/quotes, so arbitrary text
+    * survives; the read-back uses an EXPLICIT schema (schema inference at
+    * 100 TB is a full extra pass over the data, and silently widens types).
+    * The aggregate proves content equality against the parquet original —
+    * the oracle reads the same table straight from parquet, so any
+    * serialization loss flips the gate. */
+  val qJsonlRoundtrip: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    Tables.documents(s, d).write.mode("overwrite").json(s"$tmp/docs")
+    s.read.schema(docJsonlSchema).json(s"$tmp/docs")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        Fns.hash32(min(col("text"))).as("min_text_h"))
+      .orderBy("source")
+  }
+
   /** Typed extraction from the JSON props string column. */
   val qJsonProps: Q = (s, d) =>
     Tables.events(s, d)
@@ -46,14 +74,21 @@ object SourceOps {
       .orderBy("event_type")
 
   val queries: Map[String, Q] = Map(
-    "q_csv_roundtrip" -> qCsvRoundtrip,
-    "q_json_props"    -> qJsonProps,
+    "q_csv_roundtrip"   -> qCsvRoundtrip,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_json_props"      -> qJsonProps,
   )
 
   val oracles: Map[String, String] = Map(
     "q_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc,
+        |  CAST('0x' || substr(md5(min(text)), 1, 8) AS BIGINT) AS min_text_h
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
