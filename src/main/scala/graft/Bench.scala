@@ -102,6 +102,15 @@ object Bench {
     val errors = results.collect { case (name, t) if t < 0 =>
       name -> errorMsgs.getOrElse(name, "?")
     }
+    // A query that threw in SOME passes but succeeded in another still
+    // reports its min success time — but the failure must not vanish from
+    // the artifact ("a failure must not read as a fast success"): flaky
+    // queries get their own key beside the clean errors map.
+    val flaky = results.collect {
+      case (name, t) if t >= 0 && errorMsgs.contains(name) =>
+        val n = passTimes.count(_.exists { case (k, v) => k == name && v < 0 })
+        name -> s"threw in $n/$passes passes: ${errorMsgs(name)}"
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -110,12 +119,13 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val flakyJson = flaky.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val passJson = passTimes.map { ts =>
       ts.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"passes":$passJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     println(line)
     spark.stop()

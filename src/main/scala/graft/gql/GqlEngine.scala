@@ -482,10 +482,14 @@ class GqlEngine(spark: SparkSession, root: String,
       // below recovers unless ALL of the margin misses. If the index
       // surrenders fewer than k candidates (tiny group, disconnected
       // graph), fall back to the exact brute path — never return a
-      // short answer an exact scan would have filled.
+      // short answer an exact scan would have filled. An EMPTY index is
+      // different: only wrong-dimension vectors existed (add() skips
+      // mismatched dims), so brute would rank by Dist2's prefix fold
+      // over min-length — garbage, not a fallback. Keep that empty.
       val ids = idx.search(knn.vec.toArray,
         math.max(knn.k * knnOverFetch, knnMinFetch)).map(_._1)
-      if (ids.size < knn.k) brute
+      if (idx.size == 0) df.limit(0)
+      else if (ids.size < knn.k) brute
       else df.filter(col("key_i").isin(ids: _*)).orderBy(orderExpr).limit(knn.k)
     }
   }

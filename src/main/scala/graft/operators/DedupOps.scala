@@ -139,15 +139,21 @@ object DedupOps {
     * guards pathological chains. */
   val qDedupClusters: Q = (s, d) => {
     val pairs = minhashVerifiedPairs(s, d).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both directions in ONE pass over the pair pipeline (a two-branch
+    // union would run the LSH candidate+verify joins twice — the
+    // no-cross-branch-CSE trap), then persisted for the loop
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
+    val MAX_SUPERSTEPS = 50
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < MAX_SUPERSTEPS) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster").as("nc")), "src")
         .groupBy(col("dst").as("doc_id"))
@@ -161,6 +167,12 @@ object DedupOps {
       labels = stepped.select("doc_id", "cluster")
       iter += 1
     }
+    // a truncated propagation would split one true component into several
+    // clusters and keep transitive duplicates — fail loudly, never ship a
+    // silently-unconverged assignment
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"cluster propagation did not converge in $MAX_SUPERSTEPS supersteps")
     val out = Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))

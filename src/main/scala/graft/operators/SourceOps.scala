@@ -25,9 +25,15 @@ object SourceOps {
     StructField("n_name", StringType),
     StructField("n_regionkey", IntegerType)))
 
+  /** One scratch dir per JVM, reused (mode=overwrite) across invocations —
+    * the bench calls each round-trip query several times per run, and a
+    * fresh dir per call would leak a corpus copy each time (worse under a
+    * tmpfs scratch root). */
+  private lazy val scratch = Files.createTempDirectory("graft-src").toString
+
   /** Sink then source: CSV round-trip must preserve content exactly. */
   val qCsvRoundtrip: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = scratch
     Sources.writeCsv(Tables.nation(s, d), s"$tmp/nation")
     Sources.csv(s, s"$tmp/nation", nationCsvSchema)
       .groupBy(col("n_regionkey"))
@@ -51,7 +57,7 @@ object SourceOps {
     * the oracle reads the same table straight from parquet, so any
     * serialization loss flips the gate. */
   val qJsonlRoundtrip: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val tmp = scratch
     Tables.documents(s, d).write.mode("overwrite").json(s"$tmp/docs")
     s.read.schema(docJsonlSchema).json(s"$tmp/docs")
       .groupBy(col("source"))

@@ -296,6 +296,13 @@ class GqlSpec extends AnyFunSuite {
     // a widened margin changes candidate count, never the answer
     val wide = new GqlEngine(spark, root, knnOverFetch = 16, knnMinFetch = 200)
     assert(topk(wide, "vg", 5) == topk(tight, "bg", 5))
+    // a wrong-dimension probe builds an EMPTY index; the brute fallback
+    // must NOT kick in there (Dist2's prefix fold would rank 2-dim
+    // vectors against a 3-dim probe) — the result is empty, not garbage
+    val wrongDim = tight
+      .query("{query: 'vg', in: 'vdb', where: {v: {limit: 5, $near: [1.0, 2.0, 3.0]}}};")
+      .count()
+    assert(wrongDim == 0, s"wrong-dimension probe must return empty, got $wrongDim rows")
     // nonsensical margins are rejected at construction
     intercept[IllegalArgumentException](new GqlEngine(spark, root, knnOverFetch = 0))
     intercept[IllegalArgumentException](new GqlEngine(spark, root, knnMinFetch = 0))
