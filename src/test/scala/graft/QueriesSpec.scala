@@ -24,7 +24,11 @@ class QueriesSpec extends AnyFunSuite {
     "q_random_walk", "q_bidir_bfs", "q_geohash",
     "q_mm_meta", "q_mm_features", "q_mm_frames", "q_mm_resize",
     "q_knn_cosine", "q_csv_roundtrip", "q_json_props",
-    "q_info_gain", "q_distinct_users", "q_ship_priority", "q_local_volume")
+    "q_info_gain", "q_distinct_users", "q_ship_priority", "q_local_volume",
+    "q_salted_join", "q_salted_collect", "q_ann_hnsw2", "q_embed_quantize",
+    "q_dedup_clusters", "q_stratified_sample", "q_corpus_mix",
+    "q_jsonl_roundtrip", "q_asof_join", "q_range_join", "q_kmv_distinct",
+    "q_length_percentiles")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -36,6 +40,11 @@ class QueriesSpec extends AnyFunSuite {
     test(s"$name executes on sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // blanket scale invariant: NO gated plan may contain a raw cartesian
+      // (1-row broadcast cross joins plan as BroadcastNestedLoopJoin and
+      // are fine; CartesianProduct is the partitioned quadratic one)
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
       val n = df.count()
       if (nonEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
