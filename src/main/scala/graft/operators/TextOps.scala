@@ -154,7 +154,45 @@ object TextOps {
         Fns.roundP(expr("percentile(length(text), 0.99)"), 6).as("p99_len"))
       .orderBy("source")
 
+  /** Top-K vocabulary terms corpus-wide — the "what's in this corpus"
+    * frequency table every training-data run reports. One explode of the
+    * (already lower-cased) token arrays, one hash shuffle on the token
+    * with map-side partial counts (hot tokens combine before moving), and
+    * a TakeOrderedAndProject top-K — no global sort. Deterministic
+    * tiebreak on the term itself. At 100 TB the skew concern is the hot
+    * stopwords, which is exactly what partial aggregation absorbs. */
+  val TOP_TERMS = 25
+  val qTopTerms: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(Fns.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(TOP_TERMS)
+
+  /** PII scrub report — the redaction pass a published corpus carries:
+    * emails and long digit runs (phone-ish) replaced with fixed tags.
+    * Both patterns are RE2-safe (no lookahead/backrefs), so the DuckDB
+    * oracle runs the identical regex. One scan, codegen'd regexps; the
+    * gate pins the per-doc redaction counts and the scrubbed length (the
+    * scrubbed TEXT itself is reproducible but large — the counts are what
+    * a pipeline monitors). */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_RE = "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+  val qPiiScrub: Q = (s, d) => {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EMAIL_RE), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PHONE_RE), lit(0))).as("n_phones"),
+        length(scrubbed).as("scrubbed_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_top_terms"    -> qTopTerms,
+    "q_pii_scrub"    -> qPiiScrub,
     "q_token_count"  -> qTokenCount,
     "q_text_quality" -> qTextQuality,
     "q_langid"       -> qLangId,
@@ -171,7 +209,25 @@ object TextOps {
   private[operators] val sqlTokens =
     s"CASE WHEN length($sqlWsTrim) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrim, '\\s+') END"
 
+  /** sqlTokens over lower-cased text (mirrors Fns.tokens(lower(text))). */
+  private val sqlWsTrimLower =
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
+  private val sqlTokensLower =
+    s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
+
   val oracles: Map[String, String] = Map(
+    "q_top_terms" ->
+      s"""WITH toks AS (SELECT $sqlTokensLower AS w FROM documents),
+         |t AS (SELECT unnest(w) AS term FROM toks)
+         |SELECT term, count(*) AS freq FROM t
+         |GROUP BY 1 ORDER BY freq DESC, term LIMIT $TOP_TERMS""".stripMargin,
+    "q_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EMAIL_RE')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PHONE_RE')) AS INT) AS n_phones,
+         |  CAST(length(regexp_replace(regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g'),
+         |    '$PHONE_RE', '<PHONE>', 'g')) AS INT) AS scrubbed_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH kept AS (
          |  SELECT min(doc_id) AS doc_id, min(text) AS text
