@@ -190,9 +190,72 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokens per packed bin — sequence-construction capacity. */
+  val PACK_CAP = 512L
+
+  /** Greedy document packing into fixed-token bins per source — the
+    * sequence-packing pass that turns a cleaned corpus into training
+    * rows. Bin id = ⌊(running token total − 1) / capacity⌋ over a
+    * per-source window ordered by doc_id: one window shuffle keyed by
+    * source (partition = one source's docs), integer-exact everywhere.
+    * The report (docs and tokens per bin) is what a packing run logs. */
+  val qDocPacking: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin", expr(s"(cum - 1) div $PACK_CAP")) // integer div — no fp detour
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      .orderBy("source", "bin")
+  }
+
+  /** Intra-document repetition — the duplicate-3-gram fraction from the
+    * Gopher/MassiveText repetition filters: 1 − distinct/total shingles.
+    * Entirely row-local (one scan, zero shuffle); integer counts divided
+    * once, so both engines do the identical single fp op. */
+  val qRepetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Fns.shinglesOfTokens(col("toks"), col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        Fns.roundP(lit(1.0) -
+          size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 4)
+          .as("dup_gram_frac"))
+      .orderBy("doc_id")
+
+  /** Gopher-style rule bundle — the published quality-filter thresholds
+    * (Rae et al. 2021 §A1.1 flavor) as one single-scan report: word-count
+    * window, mean word length window, symbol ratio cap, and a minimum
+    * stopword presence; `keep` is their conjunction. Every rule is the
+    * same arithmetic on both engines (integer counts, one division per
+    * ratio), so the boolean flags gate exactly. */
+  val qGopherRules: Q = (s, d) => {
+    val nWords = size(Fns.tokens(col("text"))).cast("double")
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    val nSym = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    val nStop = size(regexp_extract_all(col("text"), lit("\\b" + stop("en") + "\\b"), lit(0)))
+    val meanWl = nNonSpace / nWords
+    val wordsOk = nWords >= 50 && nWords <= 100000
+    val wlOk = meanWl >= 3.0 && meanWl <= 10.0
+    val symOk = nSym / length(col("text")).cast("double") < 0.1
+    val stopOk = nStop >= 2
+    Tables.documents(s, d)
+      .select(col("doc_id"), wordsOk.as("words_ok"), wlOk.as("word_len_ok"),
+        symOk.as("symbol_ok"), stopOk.as("stopword_ok"),
+        (wordsOk && wlOk && symOk && stopOk).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_top_terms"    -> qTopTerms,
     "q_pii_scrub"    -> qPiiScrub,
+    "q_doc_packing"  -> qDocPacking,
+    "q_repetition"   -> qRepetition,
+    "q_gopher_rules" -> qGopherRules,
     "q_token_count"  -> qTokenCount,
     "q_text_quality" -> qTextQuality,
     "q_langid"       -> qLangId,
@@ -228,6 +291,47 @@ object TextOps {
          |  CAST(length(regexp_replace(regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g'),
          |    '$PHONE_RE', '<PHONE>', 'g')) AS INT) AS scrubbed_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($sqlTokens) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT source, (cum - 1) // $PACK_CAP AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS toks
+         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlWsTrim AS t, $sqlTokens AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |      THEN list_transform(range(1, len(w) - 1),
+         |             i -> array_to_string(w[i:i+2], ' '))
+         |      ELSE [t] END AS sh
+         |  FROM toks)
+         |SELECT doc_id,
+         |  ${Fns.roundPSql("1.0::DOUBLE - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)", 4)} AS dup_gram_frac
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len($sqlTokens) AS DOUBLE) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nns,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS nsym,
+         |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS nstop,
+         |    CAST(length(text) AS DOUBLE) AS nc
+         |  FROM documents)
+         |SELECT doc_id,
+         |  (nw >= 50 AND nw <= 100000) AS words_ok,
+         |  (nns / nw >= 3.0 AND nns / nw <= 10.0) AS word_len_ok,
+         |  (nsym / nc < 0.1) AS symbol_ok,
+         |  (nstop >= 2) AS stopword_ok,
+         |  ((nw >= 50 AND nw <= 100000) AND (nns / nw >= 3.0 AND nns / nw <= 10.0)
+         |    AND (nsym / nc < 0.1) AND (nstop >= 2)) AS keep
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH kept AS (
          |  SELECT min(doc_id) AS doc_id, min(text) AS text

@@ -28,7 +28,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_salted_join", "q_salted_collect", "q_ann_hnsw2", "q_embed_quantize",
     "q_dedup_clusters", "q_stratified_sample", "q_corpus_mix",
     "q_jsonl_roundtrip", "q_asof_join", "q_range_join", "q_kmv_distinct",
-    "q_length_percentiles", "q_top_terms", "q_pii_scrub")
+    "q_length_percentiles", "q_top_terms", "q_pii_scrub",
+    "q_doc_packing", "q_repetition", "q_gopher_rules")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
