@@ -29,7 +29,8 @@ object SparkEntry {
     operators.WalkOps.queries ++
     operators.MultimodalOps.queries ++
     operators.SourceOps.queries ++
-    operators.SkewOps.queries
+    operators.SkewOps.queries ++
+    operators.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -47,5 +48,6 @@ object SparkEntry {
     operators.WalkOps.oracles ++
     operators.MultimodalOps.oracles ++
     operators.SourceOps.oracles ++
-    operators.SkewOps.oracles
+    operators.SkewOps.oracles ++
+    operators.CorpusOps.oracles
 }

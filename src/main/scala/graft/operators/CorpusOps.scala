@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-analytics operators rounding out the training-data pipeline
+  * surface (SURVEY.md §2.5 north-star ops, beyond the reference):
+  * benchmark decontamination, unigram-LM surprisal scoring, per-document
+  * TF-IDF key terms, and the reporting shapes (ROLLUP, PIVOT) a corpus
+  * dashboard is built from.
+  *
+  * Scale posture: every query is explode → keyed agg/join — the shuffle
+  * keys are tokens/n-grams (bounded by vocab), never documents; the only
+  * whole-row movement is the per-doc final agg keyed by doc_id.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decontamination n-gram width. Published pipelines collide 8–13-gram
+    * spans against benchmark text (GPT-3 appx. C flavor); the synthetic
+    * corpus draws from a ~30-word vocabulary, so 3-grams are the width at
+    * which overlap is informative here. */
+  val DECON_K = 3
+
+  /** Every doc_id ≡ 0 (mod this) plays the "benchmark" split. */
+  val BENCH_MOD = 41L
+
+  /** Key terms kept per document by [[qTfidfTerms]]. */
+  val TFIDF_TOP = 3
+
+  /** Fixed pivot columns for [[qPivotLangs]] (the langid label set). */
+  val LANGS = Seq("de", "en", "es", "fr", "zh")
+
+  /** Benchmark decontamination — flag training docs sharing any
+    * [[DECON_K]]-gram with the held-out benchmark split. The flag is an
+    * integer collision count (no float threshold), so the gate is exact.
+    *
+    * Plan: distinct grams stay row-local (array algebra); the probe→bench
+    * join is keyed by the gram string. At 100 TB the bench side is a
+    * fixed-size eval suite — a broadcast — while the probe side streams;
+    * locally AQE makes that call. The gram stage feeds both branches and
+    * Spark has no cross-branch CSE, so it is persisted.
+    */
+  val qDecontaminate: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), DECON_K)).as("gs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bench = grams.filter(col("doc_id") % BENCH_MOD === 0)
+      .select(explode(col("gs")).as("gr")).distinct()
+    // posexplode_outer: gs is never empty (shingles fall back to the whole
+    // trimmed text), and outer keeps InferFiltersFromGenerate from cloning
+    // the gram projection into a filter (see DedupOps / PERF.md).
+    val probe = grams.filter(col("doc_id") % BENCH_MOD =!= 0)
+      .select(col("doc_id"), posexplode_outer(col("gs")))
+      .select(col("doc_id"), col("col").as("gr"))
+    val hits = probe.join(bench, Seq("gr"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val tot = probe.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // stage the coalesce in a prior withColumn — re-aliasing n_hit in the
+    // same select that reads it is the lateral-alias trap (CLAUDE.md)
+    tot.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        Fns.roundP(col("n_hit").cast("double") / col("n_grams"), 4).as("overlap_frac"),
+        (col("n_hit") >= 1).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM surprisal — score each document by its mean negative log
+    * probability under the corpus's own unigram distribution (the cheap
+    * perplexity proxy quality filters rank by). Terms are decimal-summed
+    * so aggregation order cannot perturb the mean (the qEntropy pattern).
+    *
+    * The token→count join is keyed by token; the count side is bounded by
+    * vocabulary size, so at scale it broadcasts (Zipf skew on the exploded
+    * side is then irrelevant — no shuffle of the big side at all).
+    */
+  val qSurprisal: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Fns.tokens(lower(col("text")))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("tot"))
+    val nll = (log(col("tot").cast("double")) - log(col("c").cast("double")))
+      .cast("decimal(28,18)")
+    toks.join(counts, Seq("w")).crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Fns.roundP(sum(nll).cast("double") / count(lit(1)), 6).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document TF-IDF key terms — the top [[TFIDF_TOP]] terms per doc by
+    * tf·ln(N/df). Ranking happens on the ROUNDED score (the same value the
+    * gate hashes) with the term as tie-break, so both engines rank the
+    * identical keys. Two keyed aggs + one window partitioned by doc_id. */
+  val qTfidfTerms: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(Fns.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("nd"))
+    val score = Fns.roundP(
+      col("tf") * (log(col("nd").cast("double")) - log(col("df").cast("double"))), 6)
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("term"), col("tf"), score.as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TFIDF_TOP)
+      .select("doc_id", "term", "tf", "tfidf")
+      .orderBy("doc_id", "term")
+  }
+
+  /** Corpus composition ROLLUP — doc counts and char volume by
+    * (lang, source), with subtotal and grand-total rows. Subtotal keys are
+    * coalesced to 'ALL' so the gate never compares engine NULL-sort rules.
+    * One partial+final agg; grouping-set expansion is map-side. */
+  val qRollupStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("tot_chars"))
+      .orderBy("lang", "source")
+
+  /** Source × language PIVOT (crosstab) — doc counts per source with one
+    * column per language. The pivot value list is fixed ([[LANGS]]) so the
+    * output schema is static; absent cells coalesce to 0 (Spark pivots
+    * them to NULL, DuckDB's FILTER counts 0). One partial+final agg. */
+  val qPivotLangs: Q = (s, d) => {
+    val p = Tables.documents(s, d)
+      .groupBy("source").pivot("lang", LANGS).agg(count(lit(1)))
+    p.select(col("source") +:
+      LANGS.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_surprisal"     -> qSurprisal,
+    "q_tfidf_terms"   -> qTfidfTerms,
+    "q_rollup_stats"  -> qRollupStats,
+    "q_pivot_langs"   -> qPivotLangs,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val sqlTokens = TextOps.sqlTokens
+  private val sqlWsTrimLower =
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
+  private val sqlTokensLower =
+    s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= $DECON_K
+         |    THEN list_transform(range(1, len(w) - ${DECON_K - 2}),
+         |           i -> array_to_string(w[i:i+${DECON_K - 1}], ' '))
+         |    ELSE [t] END) AS gs FROM toks),
+         |bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % $BENCH_MOD = 0),
+         |dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % $BENCH_MOD <> 0),
+         |hits AS (SELECT dg.doc_id, count(*) AS n_hit FROM dg JOIN bg USING (gr) GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+         |  ${Fns.roundPSql("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams", 4)} AS overlap_frac,
+         |  (COALESCE(h.n_hit, 0) >= 1) AS contaminated
+         |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+         |sc AS (SELECT doc_id,
+         |  CAST(ln(CAST(tot AS DOUBLE)) - ln(CAST(c AS DOUBLE)) AS DECIMAL(28,18)) AS s
+         |  FROM t JOIN c USING (w) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  ${Fns.roundPSql("CAST(sum(s) AS DOUBLE) / count(*)", 6)} AS mean_nll
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |sc AS (SELECT doc_id, term, tf,
+         |  ${Fns.roundPSql("tf * (ln(CAST(nd AS DOUBLE)) - ln(CAST(df AS DOUBLE)))", 6)} AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, term) AS rk FROM sc)
+         |SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= $TFIDF_TOP
+         |ORDER BY doc_id, term""".stripMargin,
+    "q_rollup_stats" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |FROM documents GROUP BY ROLLUP(lang, source) ORDER BY 1, 2""".stripMargin,
+    "q_pivot_langs" ->
+      s"""SELECT source,
+         |${LANGS.map(l => s"  count(*) FILTER (WHERE lang = '$l') AS $l").mkString(",\n")}
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

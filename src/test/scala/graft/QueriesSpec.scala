@@ -29,7 +29,9 @@ class QueriesSpec extends AnyFunSuite {
     "q_dedup_clusters", "q_stratified_sample", "q_corpus_mix",
     "q_jsonl_roundtrip", "q_asof_join", "q_range_join", "q_kmv_distinct",
     "q_length_percentiles", "q_top_terms", "q_pii_scrub",
-    "q_doc_packing", "q_repetition", "q_gopher_rules")
+    "q_doc_packing", "q_repetition", "q_gopher_rules",
+    "q_decontaminate", "q_surprisal", "q_tfidf_terms",
+    "q_rollup_stats", "q_pivot_langs")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
