@@ -124,6 +124,62 @@ object EventOps {
       .select(Fns.roundP(col("h_label") - col("h_cond"), 6).as("info_gain"))
   }
 
+  /** Microseconds per day — day bucketing via integer division on the
+    * epoch-micros value, so the day key is timezone-free on both engines
+    * (Spark `date_trunc`/`to_date` render in the session timezone; this
+    * does not). */
+  val DAY_US = 86400000000L
+
+  /** Funnel conversion — users reaching each step of view → click →
+    * purchase, where each step must STRICTLY follow the user's first
+    * event of the previous step. Three aggregations chained by user-keyed
+    * joins: the standard shuffle-by-user funnel shape (each stage's state
+    * is one row per surviving user, never the raw event stream). */
+  val qFunnel: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t2 = e.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def cnt(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("step_name"), col("n_users"))
+    cnt(t1, 1, "view").unionAll(cnt(t2, 2, "click")).unionAll(cnt(t3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** Day-over-day retention — for each day, how many distinct active users
+    * return the next day. The (user, day) dedup is the only pass over the
+    * raw events; the self-join moves one row per user-day, keyed by
+    * user_id — the cohort-retention shape that survives a 100× event
+    * volume because its working set is active-users, not events. */
+  val qRetention: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DAY_US").as("day_idx"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val act = ud.groupBy("day_idx").agg(count(lit(1)).as("n_active"))
+    val ret = ud.as("a")
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day_idx") + 1 === col("b.day_idx"))
+      .groupBy(col("a.day_idx")).agg(count(lit(1)).as("n_retained"))
+      .select(col("a.day_idx").as("day_idx"), col("n_retained"))
+    act.join(ret, Seq("day_idx"), "left")
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .select(col("day_idx"), col("n_active"), col("n_retained"),
+        Fns.roundP(col("n_retained").cast("double") / col("n_active"), 4)
+          .as("retention_rate"))
+      .orderBy("day_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_agg" -> qWindowAgg,
     "q_distinct_users" -> qDistinctUsers,
@@ -131,6 +187,8 @@ object EventOps {
     "q_window_top" -> qWindowTop,
     "q_sessionize" -> qSessionize,
     "q_entropy"    -> qEntropy,
+    "q_funnel"     -> qFunnel,
+    "q_retention"  -> qRetention,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -194,5 +252,26 @@ object EventOps {
          |SELECT ${Fns.roundPSql(
                "CAST(sum(CAST(-p * log2(p) AS DECIMAL(28,18))) AS DOUBLE)", 6)} AS entropy
          |FROM p""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM t1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        |ORDER BY step""".stripMargin,
+    "q_retention" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // $DAY_US AS day_idx FROM events),
+         |act AS (SELECT day_idx, count(*) AS n_active FROM ud GROUP BY 1),
+         |ret AS (SELECT a.day_idx, count(*) AS n_retained FROM ud a
+         |        JOIN ud b ON a.user_id = b.user_id AND a.day_idx + 1 = b.day_idx
+         |        GROUP BY 1)
+         |SELECT act.day_idx, act.n_active, COALESCE(ret.n_retained, 0) AS n_retained,
+         |  ${Fns.roundPSql("COALESCE(ret.n_retained, 0)::DOUBLE / act.n_active", 4)} AS retention_rate
+         |FROM act LEFT JOIN ret USING (day_idx) ORDER BY day_idx""".stripMargin,
   )
 }

@@ -62,6 +62,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"re-rank lost its top-k plan:\n$p")
   }
 
+  test("corpus-analytics joins broadcast their vocab-bounded side") {
+    // the count/df/bench-gram tables are bounded by vocabulary, not corpus
+    // size — at 100 TB these joins must NOT shuffle the exploded-token side
+    for (q <- Seq("q_surprisal", "q_tfidf_terms", "q_decontaminate")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q shuffles the token stream instead of broadcasting the vocab side:\n$p")
+    }
+  }
+
+  test("q_tfidf_terms prunes rank>K before the window exchange") {
+    val p = plan("q_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-partition top-K pruning (WindowGroupLimit) lost:\n$p")
+  }
+
+  test("q_retention self-join is an equi-join on (user, day)") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"retention join degraded to a product:\n$p")
+  }
+
   test("q_projection reads only the projected columns") {
     val p = plan("q_projection")
     assert(p.contains("ReadSchema"), p)
