@@ -45,7 +45,63 @@ object SketchOps {
       .orderBy("event_type")
   }
 
-  val queries: Map[String, Q] = Map("q_kmv_distinct" -> qKmvDistinct)
+  /** Count-Min sketch geometry: [[CMS_D]] hash rows × [[CMS_W]] counters.
+    * Affine-mod hashes over [[graft.functions.Fns.hash32]] with the same
+    * Mersenne modulus the minhash family uses, so both engines compute the
+    * identical buckets in pure integer arithmetic. */
+  val CMS_D = 3
+  // narrow enough that the ~30-word synthetic vocab actually collides
+  // (6/10 top terms over-count at sf0.01) — the min-over-rows estimate and
+  // its one-sided error are load-bearing in the gate, not vacuously exact
+  val CMS_W = 16
+  val CMS_P = 2147483647L
+  val CMS_A = Seq(1103515245L, 1664525L, 22695477L)
+  val CMS_B = Seq(12345L, 1013904223L, 67890L)
+
+  /** Heavy hitters reported by [[qCmsTopk]]. */
+  val CMS_TOP = 10
+
+  private def cmsBucket(h: org.apache.spark.sql.Column, i: Int) =
+    ((h * CMS_A(i) + CMS_B(i)) % CMS_P) % CMS_W
+
+  /** Count-Min heavy-hitter estimation — build a D×W counter sketch over
+    * the token stream, then read the CMS estimate (min over rows of the
+    * term's bucket counter) beside the exact count for the corpus's top
+    * terms. The estimate over-counts by construction (bucket collisions
+    * only ever add), and the gate pins estimate AND truth, so the sketch's
+    * error is itself regression-tested.
+    *
+    * Scale posture: the sketch is a FIXED-SIZE (D×W rows) partial+final
+    * aggregate — map-side combine reduces each partition to ≤768 counters
+    * regardless of corpus size, the streaming/mergeable heavy-hitter shape
+    * (Cormode–Muthukrishnan 2005). The exact-count branch exists to pin
+    * the sketch's input and goes away in production. */
+  val qCmsTopk: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(Fns.tokens(lower(col("text")))).as("w"))
+      .select(col("w"), Fns.hash32(col("w")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cms = toks
+      .select(posexplode(array((0 until CMS_D).map(i => cmsBucket(col("h"), i)): _*)))
+      .select(col("pos").as("row_i"), col("col").as("bucket"))
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("bsum"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(CMS_TOP)
+      .select(col("w"), col("freq"), Fns.hash32(col("w")).as("h"))
+    val probes = top
+      .select(col("w"), col("freq"),
+        posexplode(array((0 until CMS_D).map(i => cmsBucket(col("h"), i)): _*)))
+      .select(col("w"), col("freq"), col("pos").as("row_i"), col("col").as("bucket"))
+    probes.join(cms, Seq("row_i", "bucket"))
+      .groupBy(col("w").as("term"), col("freq"))
+      .agg(min("bsum").as("cms_est"))
+      .orderBy(col("freq").desc, col("term"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_kmv_distinct" -> qKmvDistinct,
+    "q_cms_topk"     -> qCmsTopk,
+  )
 
   val oracles: Map[String, String] = Map(
     "q_kmv_distinct" ->
@@ -64,5 +120,29 @@ object SketchOps {
          |    ELSE NULL END AS kmv_est
          |FROM r JOIN ex ON r.event_type = ex.event_type
          |WHERE rn = ${Kmv.K} ORDER BY r.event_type""".stripMargin,
+    "q_cms_topk" -> {
+      val wsTrimLower = "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
+      val toksLower =
+        s"CASE WHEN length($wsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($wsTrimLower, '\\s+') END"
+      def bucket(hExpr: String, i: Int) =
+        s"(($hExpr * ${CMS_A(i)} + ${CMS_B(i)}) % $CMS_P) % $CMS_W"
+      val buildRows = (0 until CMS_D).map(i =>
+        s"SELECT $i AS row_i, ${bucket("h", i)} AS bucket FROM h").mkString("\n  UNION ALL ")
+      val probeRows = (0 until CMS_D).map(i =>
+        s"SELECT w, freq, $i AS row_i, ${bucket("h", i)} AS bucket FROM top").mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT unnest($toksLower) AS w FROM documents),
+         |h AS (SELECT w, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM t),
+         |b AS (
+         |  $buildRows),
+         |cms AS (SELECT row_i, bucket, count(*) AS bsum FROM b GROUP BY 1, 2),
+         |ex AS (SELECT w, count(*) AS freq FROM t GROUP BY 1),
+         |top AS (SELECT w, freq, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+         |        FROM ex ORDER BY freq DESC, w LIMIT $CMS_TOP),
+         |p AS (
+         |  $probeRows)
+         |SELECT p.w AS term, p.freq, CAST(min(c.bsum) AS BIGINT) AS cms_est
+         |FROM p JOIN cms c USING (row_i, bucket)
+         |GROUP BY 1, 2 ORDER BY p.freq DESC, term""".stripMargin
+    },
   )
 }
