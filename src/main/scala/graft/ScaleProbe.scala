@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Linear-scaling probe (dev tool, like [[Explain]]): replicate the input
+  * tables N× with shifted keys into /tmp and time one representative query
+  * per operator family at each multiple. The "would this survive 100×"
+  * question answered empirically instead of by plan inspection alone —
+  * a super-linear curve here means a shuffle/candidate structure that will
+  * not hold at 100 TB.
+  *
+  * Replication shifts the entity keys (doc_id / user_id / event_id /
+  * l_orderkey) so per-entity state grows in COUNT, not in size — each copy
+  * is a disjoint population, which is how a bigger day of real traffic
+  * looks. Tables not scaled by a probe (dims) are copied 1×. The minhash
+  * family is deliberately absent: replicating identical texts manufactures
+  * Θ(mult²) true near-dup pairs per document — a worst-case dup corpus, not
+  * a bigger one (its scaling story is the banded candidate bound, PERF.md).
+  */
+object ScaleProbe {
+  val PROBES = Seq(
+    "q1_agg",           // scan + partial/final agg (lineitem)
+    "q_window_agg",     // time-window agg (events)
+    "q_sessionize",     // window-function-by-user (events)
+    "q_retention",      // distinct + self-join (events)
+    "q_funnel",         // chained user-keyed joins (events)
+    "q_distinct_users", // de-skewed distinct (events)
+    "q_token_count",    // zero-shuffle column algebra (documents)
+    "q_surprisal",      // explode + vocab-broadcast join (documents)
+    "q_tfidf_terms",    // two keyed aggs + window top-k (documents)
+    "q_dedup_exact",    // hash-key group dedup (documents)
+    "q_cms_topk",       // fixed-size sketch agg (documents)
+    "q_decontaminate")  // gram-set broadcast semi-join (documents)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mults = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                else Seq(1, 4, 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(spark.range(1000).selectExpr("sum(id)").toDF())
+
+    val results = mults.map { m =>
+      val dir = s"/tmp/graft_scale_$m"
+      if (!Files.exists(Paths.get(dir, "_built"))) build(spark, sfDir, m, dir)
+      // warm every table through the noop sink (parquet footers + codegen)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings")
+        .foreach(t => noop(spark.read.parquet(s"$dir/$t.parquet")))
+      noop(Tables.events(spark, dir))
+      val times = PROBES.map { name =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(name)(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        spark.catalog.clearCache()
+        println(f"SCALE $m%dx $name%-18s $t%.2f s")
+        name -> t
+      }
+      m -> times.toMap
+    }.toMap
+
+    val json = PROBES.map { q =>
+      val per = mults.map(m => s""""${m}": ${f"${results(m)(q)}%.3f"}""").mkString(",")
+      s""""$q":{$per}"""
+    }.mkString(",")
+    println(s"""{"probe":"scale","sf":"$sfDir","mults":[${mults.mkString(",")}],"queries":{$json}}""")
+    spark.stop()
+  }
+
+  /** Write mult disjoint key-shifted copies of the scaled tables (and one
+    * copy of the rest) under dir. Events keep their raw long-nanos ts so
+    * Tables.events' nanos path is exercised identically at every multiple.
+    */
+  def build(s: SparkSession, src: String, mult: Int, dir: String): Unit = {
+    def copies(df: DataFrame, shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(i => shift(df, i)).reduce(_ unionAll _)
+    copies(s.read.parquet(s"$src/documents.parquet"),
+      (d, i) => d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    copies(s.read.parquet(s"$src/events.parquet"),
+      (d, i) => d.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+                 .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    copies(s.read.parquet(s"$src/lineitem.parquet"),
+      (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "embeddings")
+      .foreach(t => s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+    Files.createFile(Paths.get(dir, "_built"))
+  }
+}
