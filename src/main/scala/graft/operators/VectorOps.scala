@@ -320,7 +320,58 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Lloyd's k-means geometry: [[KM_K]] clusters, [[KM_ITERS]] iterations,
+    * deterministic init (the first K vectors by id). */
+  val KM_K = 8
+  val KM_ITERS = 3
+
+  /** Distributed k-means (Lloyd's) — the in-engine centroid trainer for
+    * [[qAnnIvf]]'s coarse quantizer: fixed iterations, deterministic init,
+    * reported as per-cluster sizes + decimal-summed inertia.
+    *
+    * Every iteration is the 100 TB shape: centroids BROADCAST onto the
+    * corpus scan (k×dim doubles — tiny), assignment is a row-local argmin
+    * (window by vec_id with (dist, cid) tie-break), and the re-estimation
+    * is a partial+final agg on (cid, dim) — k×dim result rows regardless
+    * of corpus size. The corpus is never shuffled except by the argmin
+    * window; lineage is truncated per round (localCheckpoint) so the plan
+    * cannot grow exponentially (PERF.md iterative-loop trap). Cross-engine
+    * exactness: distances are strict left-to-right double sums (identical
+    * IEEE ops both engines), means are decimal-summed — so the gate pins
+    * all three iterations, not just the report. */
+  val qKmeans: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, d).select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          VectorExprs.dist2(col("v"), col("cv")).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x("c")).as("cv"))
+    var cents = v.filter(col("vec_id") < KM_K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to KM_ITERS)
+      cents = recompute(assign(cents)).localCheckpoint()
+    assign(cents)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Fns.roundP(sum(col("dist").cast("decimal(28,12)")).cast("double"), 4).as("inertia"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kmeans"         -> qKmeans,
     "q_knn"            -> qKnn,
     "q_knn_cosine"     -> qKnnCosine,
     "q_near"           -> qNear,
@@ -342,7 +393,41 @@ object VectorOps {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
 
+  /** Unrolled Lloyd's-iteration CTE chain for the q_kmeans oracle:
+    * e, c0, (a1, c1) … (aN, cN), final assignment aF against cN. */
+  private def sqlKmeans: String = {
+    def assignCte(name: String, centSrc: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid, dist FROM (
+         |    SELECT vec_id, v, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM (SELECT e.vec_id, e.v, c.cid, ${sqlDist2("e.v", "c.cv")} AS dist
+         |          FROM e CROSS JOIN $centSrc c))
+         |  WHERE rk = 1)""".stripMargin
+    def centCte(name: String, assignSrc: String) =
+      s"""$name AS (
+         |  SELECT cid, list(cm ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos,
+         |      CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cm
+         |    FROM (SELECT cid, i-1 AS pos, v[i] AS x
+         |          FROM $assignSrc, unnest(range(1, len(v)+1)) AS t(i))
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    val iters = (1 to KM_ITERS).flatMap { k =>
+      Seq(assignCte(s"a$k", if (k == 1) "c0" else s"c${k - 1}"), centCte(s"c$k", s"a$k"))
+    }
+    val ctes = (Seq(
+      s"e AS ($sqlVecs)",
+      s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KM_K)") ++
+      iters :+ assignCte("af", s"c$KM_ITERS")).mkString(",\n")
+    s"""WITH $ctes
+       |SELECT cid AS cluster, count(*) AS n_vecs,
+       |  ${Fns.roundPSql("CAST(sum(CAST(dist AS DECIMAL(28,12))) AS DOUBLE)", 4)} AS inertia
+       |FROM af GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> sqlKmeans,
     "q_knn" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
