@@ -61,7 +61,7 @@ object SketchOps {
   /** Heavy hitters reported by [[qCmsTopk]]. */
   val CMS_TOP = 10
 
-  private def cmsBucket(h: org.apache.spark.sql.Column, i: Int) =
+  private[graft] def cmsBucket(h: org.apache.spark.sql.Column, i: Int) =
     ((h * CMS_A(i) + CMS_B(i)) % CMS_P) % CMS_W
 
   /** Count-Min heavy-hitter estimation — build a D×W counter sketch over

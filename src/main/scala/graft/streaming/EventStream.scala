@@ -143,4 +143,36 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+  /** Shared CMS-counter build (no watermark — works on batch and stream):
+    * hourly-windowed Count-Min counters over the event-type stream, the
+    * streaming face of [[graft.operators.SketchOps.qCmsTopk]]. The sketch
+    * is mergeable BY CONSTRUCTION (counters are counts), so the streaming
+    * partial aggregation is the same D×W-bounded state per window that the
+    * batch map-side combine produces — this is the property that makes CMS
+    * the streaming heavy-hitter structure. */
+  def cmsCountersCore(events: DataFrame): DataFrame = {
+    import graft.operators.SketchOps
+    events
+      .select(col("ts"), graft.functions.Fns.hash32(col("event_type")).as("h"))
+      .select(col("ts"), posexplode(
+        array((0 until SketchOps.CMS_D).map(i => SketchOps.cmsBucket(col("h"), i)): _*)))
+      .select(col("ts"), col("pos").as("row_i"), col("col").as("bucket"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("bsum"))
+      .select(unix_timestamp(col("w.start")).as("ws"),
+        col("row_i"), col("bucket"), col("bsum"))
+  }
+
+  /** Streaming wrapper of [[cmsCountersCore]]: event-time watermark bounds
+    * the per-window counter state exactly like the windowed aggregation. */
+  def cmsCounters(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cmsCountersCore(
+      s.readStream
+        .schema(rawSchema)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes"))
+  }
 }

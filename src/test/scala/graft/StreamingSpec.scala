@@ -97,4 +97,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       s"streamed ${streamed.length} pairs, batch ${batch.length}")
   }
+
+  test("streaming CMS counters equal the batch sketch build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream5")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.cmsCounters(spark, dir.toString)
+      .writeStream.format("memory").queryName("cms_counters")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    val streamed = rows(spark.table("cms_counters"))
+    val batch = rows(EventStream.cmsCountersCore(Tables.events(spark, sfDir)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} counters, batch ${batch.length}")
+  }
 }
