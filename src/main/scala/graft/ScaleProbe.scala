@@ -32,7 +32,10 @@ object ScaleProbe {
     "q_tfidf_terms",    // two keyed aggs + window top-k (documents)
     "q_dedup_exact",    // hash-key group dedup (documents)
     "q_cms_topk",       // fixed-size sketch agg (documents)
-    "q_decontaminate")  // gram-set broadcast semi-join (documents)
+    "q_decontaminate",  // gram-set broadcast semi-join (documents)
+    "q_kmeans",         // iterative broadcast + argmin + keyed means (embeddings)
+    "q_ann_ivf",        // centroid prune + cell scan (embeddings)
+    "q_knn")            // broadcast probe + top-k, no shuffle (embeddings)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -97,7 +100,11 @@ object ScaleProbe {
     copies(s.read.parquet(s"$src/lineitem.parquet"),
       (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "embeddings")
+    // copy 0 keeps vec_ids 0..K-1, so probe/init vectors exist at every mult
+    copies(s.read.parquet(s"$src/embeddings.parquet"),
+      (d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
       .foreach(t => s.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
     Files.createFile(Paths.get(dir, "_built"))
