@@ -180,7 +180,38 @@ object EventOps {
       .orderBy("day_idx")
   }
 
+  /** Per-group OLS regression + Pearson correlation of event value against
+    * hour-of-day — grouped statistics as one partial+final aggregation.
+    * The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are decimal-summed so
+    * shuffle order cannot perturb them; the closed-form slope/intercept/r
+    * then runs on identical doubles in both engines. Hour comes from
+    * epoch-micros integer division — timezone-free (the [[DAY_US]] note).
+    * One scan, one shuffle of 5 groups × 6 numbers. */
+  val qRegression: Q = (s, d) => {
+    val x = (expr("unix_micros(ts)") / lit(3600000000L)).cast("long") % 24
+    val m = Tables.events(s, d)
+      .select(col("event_type"), x.cast("double").as("x"), col("value").as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,6)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(18,6)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(28,6)")).cast("double").as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"),
+        col("n").cast("long").as("n_events"),
+        Fns.roundP(cov / varx, 6).as("slope"),
+        Fns.roundP((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
+        Fns.roundP(cov / sqrt(varx * vary), 6).as("pearson_r"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_regression" -> qRegression,
     "q_window_agg" -> qWindowAgg,
     "q_distinct_users" -> qDistinctUsers,
     "q_info_gain" -> qInfoGain,
@@ -252,6 +283,28 @@ object EventOps {
          |SELECT ${Fns.roundPSql(
                "CAST(sum(CAST(-p * log2(p) AS DECIMAL(28,18))) AS DOUBLE)", 6)} AS entropy
          |FROM p""".stripMargin,
+    "q_regression" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS DOUBLE) AS x,
+         |    value AS y
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         |  FROM b GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+         |  ${Fns.roundPSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
+         |  ${Fns.roundPSql(
+             "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept,
+         |  ${Fns.roundPSql(
+             "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS pearson_r
+         |FROM m ORDER BY event_type""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
         |t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite {
       s"retention join degraded to a product:\n$p")
   }
 
+  test("q_kmeans broadcasts centroids and reuses the persisted corpus") {
+    val p = plan("q_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast onto the corpus scan:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus re-read from parquet instead of the persisted cache:\n$p")
+  }
+
   test("q_projection reads only the projected columns") {
     val p = plan("q_projection")
     assert(p.contains("ReadSchema"), p)
