@@ -52,8 +52,11 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save()
     noop(spark.range(1000).selectExpr("sum(id)").toDF())
 
+    // cache key includes the SOURCE dir: a probe against a different SF
+    // must rebuild, not silently reuse another input's replicas
+    val srcTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val results = mults.map { m =>
-      val dir = s"/tmp/graft_scale_$m"
+      val dir = s"/tmp/graft_scale_${srcTag}_$m"
       if (!Files.exists(Paths.get(dir, "_built"))) build(spark, sfDir, m, dir)
       // warm every table through the noop sink (parquet footers + codegen)
       Seq("region", "nation", "customer", "supplier", "part", "orders",

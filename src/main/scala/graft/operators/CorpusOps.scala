@@ -85,7 +85,10 @@ object CorpusOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(Fns.tokens(lower(col("text")))).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // counts feeds two branches (the scalar total and the join build side);
+    // no cross-branch CSE in Spark, so persist the vocab aggregation
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum("c").as("tot"))
     val nll = (log(col("tot").cast("double")) - log(col("c").cast("double")))
       .cast("decimal(28,18)")
@@ -155,10 +158,7 @@ object CorpusOps {
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val sqlTokens = TextOps.sqlTokens
-  private val sqlWsTrimLower =
-    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
-  private val sqlTokensLower =
-    s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
+  private val sqlTokensLower = TextOps.sqlTokensLower
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" ->

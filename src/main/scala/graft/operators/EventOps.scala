@@ -188,7 +188,7 @@ object EventOps {
     * epoch-micros integer division — timezone-free (the [[DAY_US]] note).
     * One scan, one shuffle of 5 groups × 6 numbers. */
   val qRegression: Q = (s, d) => {
-    val x = (expr("unix_micros(ts)") / lit(3600000000L)).cast("long") % 24
+    val x = expr("unix_micros(ts) div 3600000000") % 24
     val m = Tables.events(s, d)
       .select(col("event_type"), x.cast("double").as("x"), col("value").as("y"))
       .groupBy("event_type")

@@ -85,9 +85,11 @@ object SketchOps {
       .select(posexplode(array((0 until CMS_D).map(i => cmsBucket(col("h"), i)): _*)))
       .select(col("pos").as("row_i"), col("col").as("bucket"))
       .groupBy("row_i", "bucket").agg(count(lit(1)).as("bsum"))
-    val top = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+    // group by (w, h) — h is functionally dependent on w, and grouping on
+    // both reuses the cached hash instead of re-deriving an md5 per term
+    val top = toks.groupBy("w", "h").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(CMS_TOP)
-      .select(col("w"), col("freq"), Fns.hash32(col("w")).as("h"))
+      .select(col("w"), col("freq"), col("h"))
     val probes = top
       .select(col("w"), col("freq"),
         posexplode(array((0 until CMS_D).map(i => cmsBucket(col("h"), i)): _*)))
@@ -121,9 +123,7 @@ object SketchOps {
          |FROM r JOIN ex ON r.event_type = ex.event_type
          |WHERE rn = ${Kmv.K} ORDER BY r.event_type""".stripMargin,
     "q_cms_topk" -> {
-      val wsTrimLower = "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
-      val toksLower =
-        s"CASE WHEN length($wsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($wsTrimLower, '\\s+') END"
+      val toksLower = TextOps.sqlTokensLower
       def bucket(hExpr: String, i: Int) =
         s"(($hExpr * ${CMS_A(i)} + ${CMS_B(i)}) % $CMS_P) % $CMS_W"
       val buildRows = (0 until CMS_D).map(i =>

@@ -272,10 +272,12 @@ object TextOps {
   private[operators] val sqlTokens =
     s"CASE WHEN length($sqlWsTrim) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrim, '\\s+') END"
 
-  /** sqlTokens over lower-cased text (mirrors Fns.tokens(lower(text))). */
-  private val sqlWsTrimLower =
+  /** sqlTokens over lower-cased text (mirrors Fns.tokens(lower(text))).
+    * Shared with CorpusOps/SketchOps — ONE definition, so a tokenizer
+    * change cannot desynchronize a subset of oracles. */
+  private[operators] val sqlWsTrimLower =
     "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
-  private val sqlTokensLower =
+  private[operators] val sqlTokensLower =
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(

@@ -20,14 +20,19 @@ class PartitionPruneSpec extends AnyFunSuite {
 
     val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
     val plan = pruned.queryExecution.executedPlan.toString
+    // FileSourceScanExec prints "... PartitionFilters: [...], PushedFilters:
+    // [...], ReadSchema: ..." on ONE line — split the scan line there so
+    // each assertion reads its own section, not the whole line.
     val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
     assert(scanLine.isDefined, s"no PartitionFilters in scan:\n$plan")
-    assert(scanLine.get.contains("lang"),
-      s"lang predicate did not become a partition filter: ${scanLine.get}")
-    // and it must NOT degrade to a row-level data filter after the scan
-    val dataFilters = plan.linesIterator.find(_.trim.startsWith("PushedFilters"))
-    assert(dataFilters.forall(!_.contains("lang")),
-      s"lang filtered row-by-row instead of by directory: ${dataFilters.getOrElse("")}")
+    val pushedIdx = scanLine.get.indexOf("PushedFilters")
+    assert(pushedIdx >= 0, s"scan line has no PushedFilters section: ${scanLine.get}")
+    val (partSection, pushedSection) = scanLine.get.splitAt(pushedIdx)
+    assert(partSection.contains("lang"),
+      s"lang predicate did not become a partition filter: $partSection")
+    // and it must NOT degrade to a row-level pushed/data filter
+    assert(!pushedSection.contains("lang"),
+      s"lang filtered row-by-row instead of by directory: $pushedSection")
 
     val expected = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en").count()
