@@ -210,7 +210,38 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Anomaly threshold in sample standard deviations. */
+  val Z_T = 3.0
+
+  /** Per-group z-score anomaly report — mean/std from decimal-exact moment
+    * sums, then one re-scan counting events beyond [[Z_T]]σ. The stats side
+    * is groups×3 numbers (broadcast); the events side is scanned twice from
+    * the persisted stage — the standard two-pass anomaly shape (a streaming
+    * deployment would feed the same stats from the previous window). The
+    * flag compares identically-derived doubles, so the outlier COUNTS gate
+    * exactly — no epsilon anywhere. */
+  val qAnomaly: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast("decimal(28,6)")).cast("double").as("syy"))
+      .select(col("event_type"), col("n"),
+        (col("sy") / col("n")).as("mean"),
+        sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)).as("std"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Fns.roundP(first(col("mean")), 4).as("mean"),
+        Fns.roundP(first(col("std")), 4).as("std"),
+        sum(when(abs(col("y") - col("mean")) > lit(Z_T) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_anomaly"    -> qAnomaly,
     "q_regression" -> qRegression,
     "q_window_agg" -> qWindowAgg,
     "q_distinct_users" -> qDistinctUsers,
@@ -283,6 +314,22 @@ object EventOps {
          |SELECT ${Fns.roundPSql(
                "CAST(sum(CAST(-p * log2(p) AS DECIMAL(28,18))) AS DOUBLE)", 6)} AS entropy
          |FROM p""".stripMargin,
+    "q_anomaly" ->
+      s"""WITH st AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         |  FROM events GROUP BY 1),
+         |s2 AS (SELECT event_type, sy / n AS mean,
+         |       sqrt((syy - sy * sy / n) / (n - 1)) AS std FROM st)
+         |SELECT e.event_type, count(*) AS n_events,
+         |  ${Fns.roundPSql("min(s2.mean)", 4)} AS mean,
+         |  ${Fns.roundPSql("min(s2.std)", 4)} AS std,
+         |  CAST(sum(CASE WHEN abs(e.value - s2.mean) > $Z_T::DOUBLE * s2.std
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM events e JOIN s2 USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_regression" ->
       s"""WITH b AS (
          |  SELECT event_type,

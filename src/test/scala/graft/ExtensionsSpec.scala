@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.GraftExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-registered kernels must be callable from `spark.sql` and agree
+  * with the DataFrame route (same Expression class, so agreement is by
+  * construction — this pins the registration plumbing and the codegen path
+  * staying active under the SQL parser). */
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("graft_dist2 / graft_dot are SQL-callable and match the column API") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dist2(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d2,
+        |       graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp
+        |""".stripMargin).head()
+    assert(row.getDouble(0) === 25.0)
+    assert(row.getDouble(1) === 32.0)
+    // and over a real table, equal to the DataFrame-API expression
+    GraftExtensions.register(spark)  // idempotent re-registration must not throw
+    val d = s"$sfDir"
+    Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      s"""SELECT a.vec_id, graft_dist2(a.v, b.v) AS d2
+         |FROM ext_vecs a JOIN ext_vecs b ON b.vec_id = 0 AND a.vec_id < 10
+         |ORDER BY a.vec_id""".stripMargin).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaDf = {
+      import org.apache.spark.sql.functions._
+      val v = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probe = v.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      v.filter(col("vec_id") < 10).crossJoin(broadcast(probe))
+        .select(col("vec_id"), graft.functions.VectorExprs.dist2(col("v"), col("pv")).as("d2"))
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    assert(viaSql.sameElements(viaDf))
+  }
+}
