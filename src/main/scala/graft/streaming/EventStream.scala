@@ -164,6 +164,43 @@ object EventStream {
         col("row_i"), col("bucket"), col("bsum"))
   }
 
+  case class AnomalyUpdate(event_type: String, n_prior: Long, n_batch: Long,
+    n_outliers: Long)
+
+  /** Streaming z-score anomaly detector — the deployed form of
+    * [[graft.operators.EventOps.qAnomaly]]: per event type, `GroupState`
+    * carries the running value moments from ALL PRIOR batches, and each
+    * new micro-batch is scored against that history (the "stats from the
+    * previous window" posture the batch op's doc names). State is three
+    * longs per key — moments are integer-exact (values quantized to
+    * centi-units), so the emitted outlier counts are deterministic
+    * regardless of partition or iterator order. A batch seen before ≥2
+    * prior observations emits n_outliers = -1 (no baseline yet) rather
+    * than a fake 0. */
+  def anomalyUpdatesOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Double)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val vs = it.map(_._2).toArray
+          val (n0, s0, q0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val nOut = if (n0 >= 2) {
+            val mean = s0.toDouble / 100.0 / n0
+            val variance = (q0.toDouble / 10000.0 - n0 * mean * mean) / (n0 - 1)
+            val std = math.sqrt(math.max(variance, 0.0))
+            vs.count(v => math.abs(v - mean) > 3.0 * std).toLong
+          } else -1L
+          val cents = vs.map(v => math.round(v * 100))
+          state.update((n0 + vs.length, s0 + cents.sum,
+            q0 + cents.map(x => x * x).sum))
+          Iterator(AnomalyUpdate(typ, n0, vs.length, nOut))
+      }
+      .toDF()
+  }
+
   /** Streaming wrapper of [[cmsCountersCore]]: event-time watermark bounds
     * the per-window counter state exactly like the windowed aggregation. */
   def cmsCounters(s: SparkSession, dir: String): DataFrame = {

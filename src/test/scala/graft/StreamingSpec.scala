@@ -98,6 +98,36 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} pairs, batch ${batch.length}")
   }
 
+  test("streaming anomaly detector scores each batch against prior history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = EventStream.anomalyUpdatesOf(mem.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    val b1 = Seq.tabulate(50)(i => ("click", 10.0 + (i % 5)))       // tight cluster
+    val b2 = Seq(("click", 12.0), ("click", 500.0), ("click", 11.0),
+                 ("click", 900.0))                                   // 2 wild outliers
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("anom").orderBy("n_prior").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch 1: no baseline yet
+    assert(rows(0) === (("click", 0L, 50L, -1L)))
+    // batch 2 scored against batch 1's exact integer moments
+    val cents = b1.map(v => math.round(v._2 * 100))
+    val n = cents.length
+    val mean = cents.sum.toDouble / 100.0 / n
+    val std = math.sqrt((cents.map(c => c * c).sum.toDouble / 10000.0 -
+      n * mean * mean) / (n - 1))
+    val expect = b2.count(v => math.abs(v._2 - mean) > 3.0 * std).toLong
+    assert(expect === 2L, s"test fixture should have exactly 2 outliers, got $expect")
+    assert(rows(1) === (("click", 50L, 4L, expect)))
+  }
+
   test("streaming CMS counters equal the batch sketch build") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream5")
     java.nio.file.Files.copy(
