@@ -87,4 +87,45 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("jaccard") >= operators.DedupOps.THRESHOLD)
     }
   }
+
+  test("q_cms_topk estimates are one-sided (est >= exact, always)") {
+    val rows = SparkEntry.queries("q_cms_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("freq"),
+        s"CMS undercounted ${r.getAs[String]("term")} — impossible by construction"))
+  }
+
+  test("q_kmeans partitions every vector into exactly one cluster") {
+    val rows = SparkEntry.queries("q_kmeans")(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    rows.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
+  }
+
+  test("q_funnel step counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("q_funnel")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("n_users"))
+    assert(rows.length === 3)
+    assert(rows(0) >= rows(1) && rows(1) >= rows(2),
+      s"a later funnel step cannot out-convert an earlier one: ${rows.mkString(",")}")
+  }
+
+  test("q_anomaly outlier counts are a strict subset of each group") {
+    val rows = SparkEntry.queries("q_anomaly")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") >= 0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("std") > 0.0)
+    }
+  }
+
+  test("q_decontaminate never reports more hits than grams") {
+    val rows = SparkEntry.queries("q_decontaminate")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (g, h) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))
+      assert(h >= 0 && h <= g)
+      assert(r.getAs[Boolean]("contaminated") === (h >= 1))
+    }
+  }
 }
