@@ -320,6 +320,33 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Results returned by [[qSemanticSearch]]. */
+  val SEM_K = 5
+
+  /** Semantic retrieval with metadata join-back — the RAG-retrieval shape:
+    * cosine top-k over the embedding column, THEN the k winners broadcast
+    * back onto the document store for their metadata. Order matters at
+    * 100 TB: the ANN stage reduces to k ids before any join, so the
+    * join-back moves k rows against a pruned doc scan — never a full
+    * corpus⋈corpus join. (The doc/embedding tables are row-aligned:
+    * doc_id ≡ vec_id in the testdata, TESTDATA.md.) */
+  val qSemanticSearch: Q = (s, d) => {
+    val nn = vecs(s, d).filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"),
+        Fns.roundP(
+          VectorExprs.dotp(col("v"), col("pv")) /
+            (sqrt(VectorExprs.dotp(col("v"), col("v"))) *
+             sqrt(VectorExprs.dotp(col("pv"), col("pv")))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(SEM_K)
+    Tables.documents(s, d)
+      .join(broadcast(nn), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+  }
+
   /** Lloyd's k-means geometry: [[KM_K]] clusters, [[KM_ITERS]] iterations,
     * deterministic init (the first K vectors by id). */
   val KM_K = 8
@@ -371,6 +398,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_semantic_search" -> qSemanticSearch,
     "q_kmeans"         -> qKmeans,
     "q_knn"            -> qKnn,
     "q_knn_cosine"     -> qKnnCosine,
@@ -427,6 +455,17 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_semantic_search" ->
+      s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID),
+         |nn AS (
+         |  SELECT b.vec_id,
+         |    ${Fns.roundPSql(
+             s"${sqlDot("b.v", "p.pv")} / (sqrt(${sqlDot("b.v", "b.v")}) * sqrt(${sqlDot("p.pv", "p.pv")}))", 6)} AS cos_sim
+         |  FROM e b, p WHERE b.vec_id <> $PROBE_ID
+         |  ORDER BY cos_sim DESC, vec_id LIMIT $SEM_K)
+         |SELECT d.doc_id, d.source, d.lang, d.n_chars, nn.cos_sim
+         |FROM documents d JOIN nn ON d.doc_id = nn.vec_id
+         |ORDER BY nn.cos_sim DESC, d.doc_id""".stripMargin,
     "q_kmeans" -> sqlKmeans,
     "q_knn" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)

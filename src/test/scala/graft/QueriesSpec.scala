@@ -32,7 +32,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_doc_packing", "q_repetition", "q_gopher_rules",
     "q_decontaminate", "q_surprisal", "q_tfidf_terms",
     "q_rollup_stats", "q_pivot_langs", "q_funnel", "q_retention",
-    "q_cms_topk", "q_kmeans", "q_regression", "q_anomaly")
+    "q_cms_topk", "q_kmeans", "q_regression", "q_anomaly",
+    "q_semantic_search")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
