@@ -347,6 +347,39 @@ object VectorOps {
       .orderBy(col("cos_sim").desc, col("doc_id"))
   }
 
+  /** Lexical/vector fusion weight for [[qHybridSearch]]. */
+  val HYBRID_ALPHA = 0.5
+
+  /** Hybrid retrieval — fuse the embedding cosine with a lexical Jaccard
+    * overlap (distinct-token sets vs the query doc) and rank on the ROUNDED
+    * fused score: `α·cos + (1−α)·jaccard`. The corpus pass is ONE 1:1
+    * co-keyed doc⋈embedding join plus two broadcast probes (query tokens,
+    * query vector); both similarity legs are row-local column algebra, and
+    * top-k is TakeOrderedAndProject — the dense+sparse fusion shape modern
+    * retrieval stacks run, with no extra shuffle over pure vector search. */
+  val qHybridSearch: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(Fns.tokens(lower(col("text")))).as("tk"))
+    val qtk = broadcast(docs.filter(col("doc_id") === PROBE_ID)
+      .select(col("tk").as("qtk")))
+    docs.join(vecs(s, d), col("doc_id") === col("vec_id"))
+      .filter(col("doc_id") =!= PROBE_ID)
+      .crossJoin(qtk).crossJoin(probe(s, d))
+      .withColumn("inter", size(array_intersect(col("tk"), col("qtk"))).cast("double"))
+      .withColumn("tot", (size(col("tk")) + size(col("qtk"))).cast("double"))
+      .withColumn("lex", col("inter") / (col("tot") - col("inter")))
+      .withColumn("cos",
+        VectorExprs.dotp(col("v"), col("pv")) /
+          (sqrt(VectorExprs.dotp(col("v"), col("v"))) *
+           sqrt(VectorExprs.dotp(col("pv"), col("pv")))))
+      .withColumn("hybrid", Fns.roundP(
+        lit(HYBRID_ALPHA) * col("cos") + lit(1.0 - HYBRID_ALPHA) * col("lex"), 6))
+      .orderBy(col("hybrid").desc, col("doc_id"))
+      .limit(TOPK)
+      .select(col("doc_id"), Fns.roundP(col("lex"), 6).as("lex_sim"),
+        Fns.roundP(col("cos"), 6).as("cos_sim"), col("hybrid"))
+  }
+
   /** Lloyd's k-means geometry: [[KM_K]] clusters, [[KM_ITERS]] iterations,
     * deterministic init (the first K vectors by id). */
   val KM_K = 8
@@ -398,6 +431,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_hybrid_search"  -> qHybridSearch,
     "q_semantic_search" -> qSemanticSearch,
     "q_kmeans"         -> qKmeans,
     "q_knn"            -> qKnn,
@@ -455,6 +489,24 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_hybrid_search" ->
+      s"""WITH tk AS (SELECT doc_id, list_distinct(${TextOps.sqlTokensLower}) AS tk FROM documents),
+         |q AS (SELECT tk AS qtk FROM tk WHERE doc_id = $PROBE_ID),
+         |e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    CAST(len(list_filter(t.tk, x -> list_contains(q.qtk, x))) AS DOUBLE) AS inter,
+         |    CAST(len(t.tk) + len(q.qtk) AS DOUBLE) AS tot,
+         |    ${sqlDot("e.v", "p.pv")} / (sqrt(${sqlDot("e.v", "e.v")}) * sqrt(${sqlDot("p.pv", "p.pv")})) AS cos
+         |  FROM tk t JOIN e ON t.doc_id = e.vec_id, q, p
+         |  WHERE t.doc_id <> $PROBE_ID),
+         |h AS (SELECT doc_id, inter / (tot - inter) AS lex, cos,
+         |      ${Fns.roundPSql(
+             s"$HYBRID_ALPHA::DOUBLE * cos + ${1.0 - HYBRID_ALPHA}::DOUBLE * (inter / (tot - inter))", 6)} AS hybrid
+         |      FROM sc)
+         |SELECT doc_id, ${Fns.roundPSql("lex", 6)} AS lex_sim,
+         |  ${Fns.roundPSql("cos", 6)} AS cos_sim, hybrid
+         |FROM h ORDER BY hybrid DESC, doc_id LIMIT $TOPK""".stripMargin,
     "q_semantic_search" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID),
          |nn AS (
