@@ -230,13 +230,17 @@ object EventOps {
       .select(col("event_type"), col("n"),
         (col("sy") / col("n")).as("mean"),
         sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)).as("std"))
+    // stage the outlier flag BEFORE the agg that re-aliases mean/std to
+    // their rounded forms — referencing those names inside the same agg is
+    // the lateral-alias trap (CLAUDE.md; the q_embed_quantize failure mode)
     ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_out",
+        (abs(col("y") - col("mean")) > lit(Z_T) * col("std")).cast("long"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         Fns.roundP(first(col("mean")), 4).as("mean"),
         Fns.roundP(first(col("std")), 4).as("std"),
-        sum(when(abs(col("y") - col("mean")) > lit(Z_T) * col("std"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+        sum(col("is_out")).as("n_outliers"))
       .orderBy("event_type")
   }
 

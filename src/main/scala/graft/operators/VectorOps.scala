@@ -58,14 +58,18 @@ object VectorOps {
     * baseline in its native metric): one scan, probe norm folded into the
     * ordering (cos desc ≡ dot/|v| desc), codegen'd kernels,
     * TakeOrderedAndProject. */
+  /** Shared cosine kernel — ONE definition for qKnnCosine /
+    * qSemanticSearch / qHybridSearch (SQL twin: sqlCos), so a kernel
+    * change cannot desynchronize a subset of gates. */
+  private def cosSim(v: Column, pv: Column): Column =
+    VectorExprs.dotp(v, pv) /
+      (sqrt(VectorExprs.dotp(v, v)) * sqrt(VectorExprs.dotp(pv, pv)))
+
   val qKnnCosine: Q = (s, d) =>
     vecs(s, d).filter(col("vec_id") =!= PROBE_ID)
       .crossJoin(probe(s, d))
       .select(col("vec_id"),
-        Fns.roundP(
-          VectorExprs.dotp(col("v"), col("pv")) /
-            (sqrt(VectorExprs.dotp(col("v"), col("v"))) *
-             sqrt(VectorExprs.dotp(col("pv"), col("pv")))), 6).as("cos_sim"))
+        Fns.roundP(cosSim(col("v"), col("pv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(TOPK)
 
@@ -334,10 +338,7 @@ object VectorOps {
     val nn = vecs(s, d).filter(col("vec_id") =!= PROBE_ID)
       .crossJoin(probe(s, d))
       .select(col("vec_id"),
-        Fns.roundP(
-          VectorExprs.dotp(col("v"), col("pv")) /
-            (sqrt(VectorExprs.dotp(col("v"), col("v"))) *
-             sqrt(VectorExprs.dotp(col("pv"), col("pv")))), 6).as("cos_sim"))
+        Fns.roundP(cosSim(col("v"), col("pv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(SEM_K)
     Tables.documents(s, d)
@@ -368,10 +369,7 @@ object VectorOps {
       .withColumn("inter", size(array_intersect(col("tk"), col("qtk"))).cast("double"))
       .withColumn("tot", (size(col("tk")) + size(col("qtk"))).cast("double"))
       .withColumn("lex", col("inter") / (col("tot") - col("inter")))
-      .withColumn("cos",
-        VectorExprs.dotp(col("v"), col("pv")) /
-          (sqrt(VectorExprs.dotp(col("v"), col("v"))) *
-           sqrt(VectorExprs.dotp(col("pv"), col("pv")))))
+      .withColumn("cos", cosSim(col("v"), col("pv")))
       .withColumn("hybrid", Fns.roundP(
         lit(HYBRID_ALPHA) * col("cos") + lit(1.0 - HYBRID_ALPHA) * col("lex"), 6))
       .orderBy(col("hybrid").desc, col("doc_id"))
@@ -455,6 +453,10 @@ object VectorOps {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
 
+  /** SQL twin of [[cosSim]]. */
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
   /** Unrolled Lloyd's-iteration CTE chain for the q_kmeans oracle:
     * e, c0, (a1, c1) … (aN, cN), final assignment aF against cN. */
   private def sqlKmeans: String = {
@@ -497,7 +499,7 @@ object VectorOps {
          |  SELECT t.doc_id,
          |    CAST(len(list_filter(t.tk, x -> list_contains(q.qtk, x))) AS DOUBLE) AS inter,
          |    CAST(len(t.tk) + len(q.qtk) AS DOUBLE) AS tot,
-         |    ${sqlDot("e.v", "p.pv")} / (sqrt(${sqlDot("e.v", "e.v")}) * sqrt(${sqlDot("p.pv", "p.pv")})) AS cos
+         |    ${sqlCos("e.v", "p.pv")} AS cos
          |  FROM tk t JOIN e ON t.doc_id = e.vec_id, q, p
          |  WHERE t.doc_id <> $PROBE_ID),
          |h AS (SELECT doc_id, inter / (tot - inter) AS lex, cos,
@@ -512,7 +514,7 @@ object VectorOps {
          |nn AS (
          |  SELECT b.vec_id,
          |    ${Fns.roundPSql(
-             s"${sqlDot("b.v", "p.pv")} / (sqrt(${sqlDot("b.v", "b.v")}) * sqrt(${sqlDot("p.pv", "p.pv")}))", 6)} AS cos_sim
+             s"${sqlCos("b.v", "p.pv")}", 6)} AS cos_sim
          |  FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |  ORDER BY cos_sim DESC, vec_id LIMIT $SEM_K)
          |SELECT d.doc_id, d.source, d.lang, d.n_chars, nn.cos_sim
@@ -549,7 +551,7 @@ object VectorOps {
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
          |SELECT b.vec_id,
          |  ${Fns.roundPSql(
-             s"${sqlDot("b.v", "p.pv")} / (sqrt(${sqlDot("b.v", "b.v")}) * sqrt(${sqlDot("p.pv", "p.pv")}))", 6)} AS cos_sim
+             s"${sqlCos("b.v", "p.pv")}", 6)} AS cos_sim
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY cos_sim DESC, vec_id LIMIT $TOPK""".stripMargin,
     "q_near" ->

@@ -193,9 +193,15 @@ object EventStream {
             val std = math.sqrt(math.max(variance, 0.0))
             vs.count(v => math.abs(v - mean) > 3.0 * std).toLong
           } else -1L
+          // exact arithmetic that FAILS LOUDLY on Long overflow instead of
+          // silently wrapping (wraparound would clamp std to 0 and flag
+          // every event an outlier forever); the batch twin's decimal sums
+          // have the same no-silent-corruption property
           val cents = vs.map(v => math.round(v * 100))
-          state.update((n0 + vs.length, s0 + cents.sum,
-            q0 + cents.map(x => x * x).sum))
+          val s1 = cents.foldLeft(s0)(Math.addExact)
+          val q1 = cents.foldLeft(q0)((acc, x) =>
+            Math.addExact(acc, Math.multiplyExact(x, x)))
+          state.update((n0 + vs.length, s1, q1))
           Iterator(AnomalyUpdate(typ, n0, vs.length, nOut))
       }
       .toDF()
