@@ -39,4 +39,24 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(viaSql.sameElements(viaDf))
   }
+
+  test("SQL route casts raw float arrays and rejects wrong arity") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("ext_raw")
+    // embedding is array<float> — the builder's Cast must make this equal
+    // to the explicitly-cast route instead of reading float bits as doubles
+    val viaRaw = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS n2 FROM ext_raw WHERE vec_id = 1")
+      .head().getDouble(0)
+    val viaCast = spark.sql(
+      """SELECT graft_dot(cast(embedding AS array<double>),
+        |                 cast(embedding AS array<double>)) AS n2
+        |FROM ext_raw WHERE vec_id = 1""".stripMargin).head().getDouble(0)
+    assert(viaRaw === viaCast)
+    assert(viaRaw > 0.0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dist2(array(1.0D))").head()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
 }
