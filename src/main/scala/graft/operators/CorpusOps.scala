@@ -99,6 +99,36 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM surprisal — the conditional companion to [[qSurprisal]]:
+    * score each document by its mean −ln p(w₂|w₁) under the corpus's own
+    * bigram MLE (p = c(w₁w₂) / Σ_w c(w₁w)). Bigram pairs come from two
+    * shifted array slices zipped row-locally; both count tables are
+    * vocab²-bounded, so the joins broadcast at scale exactly like the
+    * unigram case. Documents with fewer than two tokens have no bigrams
+    * and are excluded on both engines. Decimal-summed terms, qEntropy
+    * discipline. */
+  val qBigramSurprisal: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val big = toks
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
+    val nll = (log(col("cp").cast("double")) - log(col("cb").cast("double")))
+      .cast("decimal(28,18)")
+    big.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Fns.roundP(sum(nll).cast("double") / count(lit(1)), 6).as("mean_nll2"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document TF-IDF key terms — the top [[TFIDF_TOP]] terms per doc by
     * tf·ln(N/df). Ranking happens on the ROUNDED score (the same value the
     * gate hashes) with the term as tie-break, so both engines rank the
@@ -150,6 +180,7 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_surprisal"     -> qSurprisal,
+    "q_bigram_surprisal" -> qBigramSurprisal,
     "q_tfidf_terms"   -> qTfidfTerms,
     "q_rollup_stats"  -> qRollupStats,
     "q_pivot_langs"   -> qPivotLangs,
@@ -184,6 +215,18 @@ object CorpusOps {
          |  FROM t JOIN c USING (w) CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_tokens,
          |  ${Fns.roundPSql("CAST(sum(s) AS DOUBLE) / count(*)", 6)} AS mean_nll
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_bigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlTokensLower AS tk FROM documents),
+         |b AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |      FROM tk WHERE len(tk) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+         |cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |  CAST(ln(CAST(cp AS DOUBLE)) - ln(CAST(cb AS DOUBLE)) AS DECIMAL(28,18)) AS s
+         |  FROM b JOIN cb USING (w1, w2) JOIN cp USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${Fns.roundPSql("CAST(sum(s) AS DOUBLE) / count(*)", 6)} AS mean_nll2
          |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_tfidf_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS term FROM documents),

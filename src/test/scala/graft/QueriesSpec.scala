@@ -33,7 +33,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_decontaminate", "q_surprisal", "q_tfidf_terms",
     "q_rollup_stats", "q_pivot_langs", "q_funnel", "q_retention",
     "q_cms_topk", "q_kmeans", "q_regression", "q_anomaly",
-    "q_semantic_search", "q_hybrid_search")
+    "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
