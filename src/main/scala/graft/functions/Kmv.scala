@@ -33,18 +33,23 @@ object Kmv {
   /** The estimate's constant numerator (K-1)·2^32, exact in double. */
   val EST_NUM: Double = (K - 1).toDouble * HASH_SPACE
 
+  /** Shared bottom-K buffer insert: keeps the ≤K smallest distinct hashes
+    * in ascending order. Partition-order independent by construction (the
+    * K smallest of a fixed set are the K smallest regardless of arrival
+    * or merge order), which is what makes both aggregators gateable. */
+  private def insert(b: Array[Long], h: Long): Array[Long] =
+    if (b.length >= K && h >= b(b.length - 1)) b
+    else if (b.contains(h)) b // defensive: inputs are pre-distinct
+    else {
+      val m = (b :+ h).sorted
+      if (m.length > K) m.take(K) else m
+    }
+
   /** Bounded bottom-K aggregator over (assumed-distinct) hash values.
     * Returns the K-th smallest hash, or null when the group has fewer
     * than K distinct hashes (the sketch is undefined there — callers
     * filter, matching the oracle's `WHERE rn = K`). */
   class KthMinAgg extends Aggregator[Long, Array[Long], Option[Long]] {
-    private def insert(b: Array[Long], h: Long): Array[Long] =
-      if (b.length >= K && h >= b(b.length - 1)) b
-      else if (b.contains(h)) b // defensive: inputs are pre-distinct
-      else {
-        val m = (b :+ h).sorted
-        if (m.length > K) m.take(K) else m
-      }
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = b.foldLeft(a)(insert)
@@ -52,5 +57,20 @@ object Kmv {
       if (b.length < K) None else Some(b(K - 1))
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Option[Long]] = ExpressionEncoder[Option[Long]]()
+  }
+
+  /** Bottom-K aggregator that keeps the WHOLE sketch (the ≤K smallest
+    * hashes, ascending) instead of just the K-th value — the theta-sketch
+    * form that supports set algebra: union/intersect two sketches, clip at
+    * θ = min(θ_A, θ_B), and estimate overlap from the surviving sample
+    * (Bar-Yossef et al. 2002 §4; Dasgupta et al., "Theta sketch framework",
+    * 2016). Same bounded buffer and merge posture as [[KthMinAgg]]. */
+  class BottomKAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = b.foldLeft(a)(insert)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 }

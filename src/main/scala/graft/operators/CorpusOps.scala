@@ -177,6 +177,35 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Per-group feature normalization — z-score each document's length
+    * against its LANGUAGE's distribution (the per-subcorpus normalization
+    * step before mixing/filtering a multilingual corpus: a 300-char doc is
+    * long for zh and short for en). Moments come from exact integer sums
+    * (sum, sum-of-squares, n — n_chars is a long), so mean and population
+    * variance are the same IEEE doubles on both engines and the z-score is
+    * hash-gateable; a zero-variance group yields null, loudly, not a
+    * division blowup.
+    *
+    * Plan: one partial+final agg over 5 language groups, then a broadcast
+    * join back to the doc stream — the per-doc pass never shuffles. At
+    * 100 TB the stats side stays O(groups) and the join stays broadcast;
+    * the same shape handles any group key (source, shard, date). */
+  val qGroupNormalize: Q = (s, d) => {
+    val st = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("ss"),
+        count(lit(1)).as("n"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(st), "lang")
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("vr", col("ss").cast("double") / col("n") - col("mean") * col("mean"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("vr") > 0,
+          Fns.roundP((col("n_chars") - col("mean")) / sqrt(col("vr")), 6)).as("z_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_surprisal"     -> qSurprisal,
@@ -184,6 +213,7 @@ object CorpusOps {
     "q_tfidf_terms"   -> qTfidfTerms,
     "q_rollup_stats"  -> qRollupStats,
     "q_pivot_langs"   -> qPivotLangs,
+    "q_group_normalize" -> qGroupNormalize,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -248,5 +278,22 @@ object CorpusOps {
       s"""SELECT source,
          |${LANGS.map(l => s"  count(*) FILTER (WHERE lang = '$l') AS $l").mkString(",\n")}
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_normalize" ->
+      // mean/variance staged exactly like the Spark side: exact integer
+      // (sum, sumsq, n) per lang, then the identical double expressions.
+      s"""WITH st AS (
+         |  SELECT lang, sum(n_chars) AS s, sum(n_chars * n_chars) AS ss,
+         |    count(*) AS n
+         |  FROM documents GROUP BY lang),
+         |m AS (
+         |  SELECT lang, CAST(s AS DOUBLE) / n AS mean,
+         |    CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS vr
+         |  FROM st)
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |  CASE WHEN m.vr > 0
+         |    THEN ${Fns.roundPSql("(d.n_chars - m.mean) / sqrt(m.vr)", 6)}
+         |    ELSE NULL END AS z_chars
+         |FROM documents d JOIN m USING (lang)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -45,6 +45,57 @@ object SketchOps {
       .orderBy("event_type")
   }
 
+  /** The two activity shards whose (user, day) sets [[qKmvOverlap]]
+    * compares. Partial overlap by construction (≈0.23 Jaccard at sf0.01). */
+  val OVERLAP_SHARDS = ("click", "purchase")
+
+  /** KMV/theta sketch SET ALGEBRA — estimate the overlap between two
+    * corpus shards' (user, day) activity sets from two bottom-K sketches
+    * alone: θ = min(θ_A, θ_B), the sample below θ is a uniform sample of
+    * the union, and |A∩B| ≈ |sample∩| · 2³²/θ, J(A,B) ≈ |sample∩|/|sample∪|
+    * (theta-sketch estimators — Dasgupta et al. 2016). The exact overlap
+    * count rides along to pin the estimator's input and error, like
+    * q_cms_topk does for Count-Min.
+    *
+    * Scale posture: each shard reduces to a ≤K-long sketch via map-side
+    * partials (the same bounded merge as [[Kmv.KthMinAgg]]); the set
+    * algebra then runs on TWO ARRAYS in a 1×1 join — at 100 TB the only
+    * full-data cost is the distinct pre-pass, and the exact companion
+    * column is dropped. Estimating shard overlap without co-shuffling the
+    * shards is the entire point of sketch set operations. */
+  val qKmvOverlap: Q = (s, d) => {
+    import graft.functions.Kmv.{HASH_SPACE, K}
+    val (shardA, shardB) = OVERLAP_SHARDS
+    val day = floor(unix_micros(col("ts")) / lit(DAY_US)).cast("string")
+    val h = Tables.events(s, d)
+      .filter(col("event_type").isin(shardA, shardB))
+      .select(col("event_type").as("shard"),
+        Fns.hash32(concat(col("user_id").cast("string"), lit("_"), day)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bottomK = udaf(new Kmv.BottomKAgg())
+    val sk = h.groupBy(col("shard")).agg(bottomK(col("h")).as("ks"))
+    val ka = sk.filter(col("shard") === shardA).select(col("ks").as("ka"))
+    val kb = sk.filter(col("shard") === shardB).select(col("ks").as("kb"))
+    // exact overlap of the two distinct-hash sets (gate companion only)
+    val exact = h.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2).agg(count(lit(1)).as("n_overlap_hashes"))
+    ka.crossJoin(kb).crossJoin(exact) // three 1-row inputs
+      // arrays are ascending, so element K is each sketch's θ
+      .withColumn("theta", least(element_at(col("ka"), K), element_at(col("kb"), K)))
+      .withColumn("inter_sample",
+        size(filter(array_intersect(col("ka"), col("kb")), x => x < col("theta"))).cast("long"))
+      .withColumn("union_sample",
+        size(filter(array_union(col("ka"), col("kb")), x => x < col("theta"))).cast("long"))
+      .select(col("theta"), col("inter_sample"), col("union_sample"),
+        Fns.roundP(col("inter_sample").cast("double") * lit(HASH_SPACE) / col("theta").cast("double"), 4)
+          .as("kmv_inter_est"),
+        when(col("union_sample") > 0,
+          Fns.roundP(col("inter_sample").cast("double") / col("union_sample").cast("double"), 4))
+          .as("kmv_jaccard_est"),
+        col("n_overlap_hashes"))
+  }
+
   /** Count-Min sketch geometry: [[CMS_D]] hash rows × [[CMS_W]] counters.
     * Affine-mod hashes over [[graft.functions.Fns.hash32]] with the same
     * Mersenne modulus the minhash family uses, so both engines compute the
@@ -102,6 +153,7 @@ object SketchOps {
 
   val queries: Map[String, Q] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_kmv_overlap"  -> qKmvOverlap,
     "q_cms_topk"     -> qCmsTopk,
   )
 
@@ -122,6 +174,31 @@ object SketchOps {
          |    ELSE NULL END AS kmv_est
          |FROM r JOIN ex ON r.event_type = ex.event_type
          |WHERE rn = ${Kmv.K} ORDER BY r.event_type""".stripMargin,
+    "q_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS shard,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+         |      CAST(CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / $DAY_US) AS BIGINT) AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM events WHERE event_type IN ('${OVERLAP_SHARDS._1}', '${OVERLAP_SHARDS._2}')),
+         |ka AS (SELECT h FROM h WHERE shard = '${OVERLAP_SHARDS._1}' ORDER BY h LIMIT ${Kmv.K}),
+         |kb AS (SELECT h FROM h WHERE shard = '${OVERLAP_SHARDS._2}' ORDER BY h LIMIT ${Kmv.K}),
+         |theta AS (SELECT least((SELECT max(h) FROM ka), (SELECT max(h) FROM kb)) AS t),
+         |inter AS (SELECT count(*) AS c FROM ka JOIN kb USING (h)
+         |          WHERE h < (SELECT t FROM theta)),
+         |un AS (SELECT count(*) AS c FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+         |       WHERE h < (SELECT t FROM theta)),
+         |ex AS (SELECT count(*) AS c FROM (
+         |         SELECT h FROM h GROUP BY h HAVING count(*) = 2) g)
+         |SELECT (SELECT t FROM theta) AS theta,
+         |  (SELECT c FROM inter) AS inter_sample,
+         |  (SELECT c FROM un) AS union_sample,
+         |  ${Fns.roundPSql(
+             s"CAST((SELECT c FROM inter) AS DOUBLE) * ${Kmv.HASH_SPACE} / CAST((SELECT t FROM theta) AS DOUBLE)", 4)} AS kmv_inter_est,
+         |  CASE WHEN (SELECT c FROM un) > 0
+         |    THEN ${Fns.roundPSql(
+             "CAST((SELECT c FROM inter) AS DOUBLE) / CAST((SELECT c FROM un) AS DOUBLE)", 4)}
+         |    ELSE NULL END AS kmv_jaccard_est,
+         |  (SELECT c FROM ex) AS n_overlap_hashes""".stripMargin,
     "q_cms_topk" -> {
       val toksLower = TextOps.sqlTokensLower
       def bucket(hExpr: String, i: Int) =

@@ -98,4 +98,20 @@ class PlanSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!read.contains("o_totalprice"), s"unpruned scan: $read")
   }
+
+  test("q_group_normalize broadcasts the 5-group stats onto the doc stream") {
+    val p = plan("q_group_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang stats not broadcast — doc stream would co-shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc stream shuffled for a 5-row dim:\n$p")
+  }
+
+  test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
+    val p = plan("q_kmv_overlap")
+    // the udaf aggregates partial -> final (ObjectHashAggregate pair), so
+    // the shuffle carries <=K longs per shard, never the raw hash stream
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"bottom-K sketch not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

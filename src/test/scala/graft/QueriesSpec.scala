@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 /** Every SparkEntry query must execute end-to-end on sf0.001 with its
   * declared schema; selected queries carry semantic assertions. This is the
@@ -33,7 +34,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_decontaminate", "q_surprisal", "q_tfidf_terms",
     "q_rollup_stats", "q_pivot_langs", "q_funnel", "q_retention",
     "q_cms_topk", "q_kmeans", "q_regression", "q_anomaly",
-    "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal")
+    "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal",
+    "q_kmv_overlap", "q_label_prop", "q_group_normalize")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -127,6 +129,48 @@ class QueriesSpec extends AnyFunSuite {
       val (g, h) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))
       assert(h >= 0 && h <= g)
       assert(r.getAs[Boolean]("contaminated") === (h >= 1))
+    }
+  }
+
+  test("q_kmv_overlap sketch sample is consistent and both shards cover K") {
+    val r = SparkEntry.queries("q_kmv_overlap")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val (i, u) = (row.getAs[Long]("inter_sample"), row.getAs[Long]("union_sample"))
+    assert(i >= 0 && i <= u, s"intersection sample $i exceeds union sample $u")
+    assert(u <= 2L * graft.functions.Kmv.K)
+    assert(row.getAs[Long]("theta") > 0)
+    // the sketch requires >= K distinct elements per shard — pin the data
+    // precondition element_at(ks, K) relies on (ANSI element_at throws)
+    val (sa, sb) = operators.SketchOps.OVERLAP_SHARDS
+    for (t <- Seq(sa, sb)) {
+      val n = Tables.events(spark, sfDir).filter(col("event_type") === t)
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(86400000000L)).as("dy"))
+        .distinct().count()
+      assert(n >= graft.functions.Kmv.K, s"shard $t has $n < K distinct (user,day)")
+    }
+  }
+
+  test("q_label_prop labels every vertex with a known vertex id") {
+    val rows = SparkEntry.queries("q_label_prop")(spark, sfDir).collect()
+    val nodes = rows.map(_.getAs[Long]("node")).toSet
+    val labels = rows.map(_.getAs[Long]("community")).toSet
+    assert(rows.length === nodes.size, "duplicate node rows")
+    assert(labels.subsetOf(nodes), "a community label is not a vertex id")
+    assert(labels.size > 1, "label propagation collapsed to one community")
+  }
+
+  test("q_group_normalize z-scores mean to ~0 within each language") {
+    val rows = SparkEntry.queries("q_group_normalize")(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      val zs = rs.map(_.getAs[java.lang.Double]("z_chars")).filter(_ ne null).map(_.doubleValue)
+      assert(zs.nonEmpty, s"$lang: all z-scores null (zero variance?)")
+      val mean = zs.sum / zs.length
+      // z-scores are rounded to 6 places; the group mean must still be ~0
+      assert(math.abs(mean) < 1e-4, s"$lang z mean $mean not ~0")
     }
   }
 }
