@@ -244,8 +244,45 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Point-in-time feature lookback window (micros) and the label rows'
+    * event type for [[qSlidingFeatures]]. 24 h covers 87% of purchases
+    * with ≥1 prior event at sf0.01 (max 10 in frame). */
+  val FEAT_WINDOW_US = 24L * 3600000000L
+  val FEAT_LABEL = "purchase"
+
+  /** Point-in-time feature generation — for every [[FEAT_LABEL]] event,
+    * aggregate the SAME user's full activity stream (all event types) over
+    * the preceding [[FEAT_WINDOW_US]]: prior-event count, value sum, value
+    * max. The time-range window frame ends at `ts − 1 µs`, so the label
+    * row never leaks into its own features and events at the exact label
+    * timestamp are excluded on both engines (value-based RANGE frame, not
+    * row-based — tie-safe). This is the training-set construction step for
+    * churn/propensity models: features computed over the full stream,
+    * training rows filtered to labels afterwards. Value sums go through
+    * decimal so frame iteration order can't perturb the doubles.
+    *
+    * Plan: ONE shuffle (window partition by user_id), no join, no label
+    * leakage; at 100 TB the frame state per user is bounded by the
+    * lookback horizon — the same posture as the streaming sessionizer. */
+  val qSlidingFeatures: Q = (s, d) => {
+    val win = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-FEAT_WINDOW_US, -1L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("n_prev_1d", count(lit(1)).over(win))
+      .withColumn("sum_prev",
+        sum(col("value").cast("decimal(28,12)")).over(win).cast("double"))
+      .withColumn("max_prev_1d", max(col("value")).over(win))
+      .filter(col("event_type") === FEAT_LABEL)
+      .select(col("event_id"), col("user_id"), col("n_prev_1d"),
+        Fns.roundP(col("sum_prev"), 6).as("sum_prev_1d"), col("max_prev_1d"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_anomaly"    -> qAnomaly,
+    "q_sliding_features" -> qSlidingFeatures,
     "q_regression" -> qRegression,
     "q_window_agg" -> qWindowAgg,
     "q_distinct_users" -> qDistinctUsers,
@@ -288,6 +325,22 @@ object EventOps {
          |    AS DECIMAL(28,18))) AS DOUBLE) AS h_cond
          |  FROM ht, tot)
          |SELECT ${Fns.roundPSql("h_label - h_cond", 6)} AS info_gain FROM hl, hc""".stripMargin,
+    "q_sliding_features" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, user_id, event_type,
+         |    count(*) OVER win AS n_prev_1d,
+         |    CAST(sum(CAST(value AS DECIMAL(28,12))) OVER win AS DOUBLE) AS sum_prev,
+         |    max(value) OVER win AS max_prev_1d
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu
+         |    RANGE BETWEEN $FEAT_WINDOW_US PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, n_prev_1d,
+         |  ${Fns.roundPSql("sum_prev", 6)} AS sum_prev_1d, max_prev_1d
+         |FROM w WHERE event_type = '$FEAT_LABEL' ORDER BY event_id""".stripMargin,
     "q_window_agg" ->
       s"""SELECT $sqlWs AS ws, event_type, count(*) AS cnt,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

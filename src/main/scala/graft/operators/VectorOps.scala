@@ -428,7 +428,52 @@ object VectorOps {
       .orderBy("cluster")
   }
 
+  /** Output dimensionality of [[qRandomProjection]]. */
+  val RP_DIMS = 8
+
+  /** ±1 sign for (output dim j, input dim i): parity of the first 32 md5
+    * bits of "rp_<i + j·DIM>" — the same value `Fns.hash32`/DuckDB derive
+    * from the same string. Computed ONCE on the driver (the [[planeVal]]
+    * discipline), so the sign matrix is a literal in the plan. A plain
+    * LCG-parity matrix was measured nearly rank-1 here (sign rows
+    * pairwise-correlated up to 54/64); md5 rows stay ≤14/64. */
+  private[graft] def rpSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${i + j * DIM}".getBytes("UTF-8"))
+    val hx = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hx, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Embedding compression by sparse-free random projection (Johnson–
+    * Lindenstrauss; Achlioptas 2003's ±1 database-friendly variant):
+    * project DIM=64 float dims onto [[RP_DIMS]] ±1 pseudo-random
+    * directions, p_j = Σᵢ s(j,i)·vᵢ. The jl_ratio column
+    * ((Σ p_j²/RP_DIMS) / |v|², ≈1 in expectation) gates the norm-
+    * preservation property itself, not just the arithmetic.
+    *
+    * Plan: the sign matrix is 8 literal arrays broadcast inside the plan;
+    * each projection is the same codegen'd [[VectorExprs.dotp]] fold the
+    * KNN family gates (ordered sum ≍ DuckDB list_sum) — one shuffle-free
+    * scan per 100 TB pass, the map-side compression step before ANN
+    * indexing or dedup at scale. */
+  val qRandomProjection: Q = (s, d) => {
+    val signs = (1 to RP_DIMS).map { j =>
+      array((1 to DIM).map(i => lit(rpSign(j, i))): _*)
+    }
+    var pr = vecs(s, d).select(col("vec_id"), col("v"))
+      .withColumn("nv", VectorExprs.dotp(col("v"), col("v")))
+    for (j <- 1 to RP_DIMS)
+      pr = pr.withColumn(s"praw$j", VectorExprs.dotp(col("v"), signs(j - 1)))
+    val sq = (1 to RP_DIMS).map(j => col(s"praw$j") * col(s"praw$j")).reduce(_ + _)
+    pr.withColumn("jl_raw", sq / lit(RP_DIMS) / col("nv"))
+      .select(col("vec_id") +:
+        (1 to RP_DIMS).map(j => Fns.roundP(col(s"praw$j"), 6).as(s"p$j")) :+
+        Fns.roundP(col("jl_raw"), 4).as("jl_ratio"): _*)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_random_projection" -> qRandomProjection,
     "q_hybrid_search"  -> qHybridSearch,
     "q_semantic_search" -> qSemanticSearch,
     "q_kmeans"         -> qKmeans,
@@ -526,6 +571,25 @@ object VectorOps {
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_random_projection" -> {
+      def sgn(j: Int) =
+        s"""list_sum(list_transform(range(1, ${DIM + 1}), i ->
+           |    v[i] * (CASE WHEN CAST('0x' || substr(md5('rp_' || CAST(i + $j * $DIM AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+           |      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))""".stripMargin
+      val pcols = (1 to RP_DIMS).map(j => s"  ${sgn(j)} AS praw$j").mkString(",\n")
+      val sq = (1 to RP_DIMS).map(j => s"praw$j * praw$j").mkString(" + ")
+      s"""WITH e AS ($sqlVecs),
+         |pr AS (
+         |  SELECT vec_id,
+         |$pcols,
+         |  list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] * v[i])) AS nv
+         |  FROM e),
+         |j AS (SELECT *, $sq AS sqsum FROM pr)
+         |SELECT vec_id,
+         |${(1 to RP_DIMS).map(j => s"  ${Fns.roundPSql(s"praw$j", 6)} AS p$j").mkString(",\n")},
+         |  ${Fns.roundPSql(s"sqsum / $RP_DIMS / nv", 4)} AS jl_ratio
+         |FROM j ORDER BY vec_id""".stripMargin
+    },
     "q_embed_quantize" ->
       s"""WITH e AS ($sqlVecs),
          |sc AS (SELECT vec_id, v,

@@ -106,6 +106,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"doc stream shuffled for a 5-row dim:\n$p")
   }
 
+  test("q_sliding_features is one window pass - no join, one user-keyed shuffle") {
+    val p = plan("q_sliding_features")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"point-in-time features must not self-join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1, p)
+  }
+
+  test("q_random_projection is a shuffle-free scan (signs are plan literals)") {
+    val p = plan("q_random_projection")
+    assert(!p.contains("Join"), p)
+    // only the final presentation sort may exchange; no hash shuffle at all
+    assert(!p.contains("hashpartitioning"),
+      s"projection pass should not shuffle:\n$p")
+    assert(!p.contains("md5"), s"sign matrix recomputed per row instead of folded:\n$p")
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so

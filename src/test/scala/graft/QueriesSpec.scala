@@ -35,7 +35,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_rollup_stats", "q_pivot_langs", "q_funnel", "q_retention",
     "q_cms_topk", "q_kmeans", "q_regression", "q_anomaly",
     "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal",
-    "q_kmv_overlap", "q_label_prop", "q_group_normalize")
+    "q_kmv_overlap", "q_label_prop", "q_group_normalize",
+    "q_sliding_features", "q_random_projection")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -159,6 +160,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.length === nodes.size, "duplicate node rows")
     assert(labels.subsetOf(nodes), "a community label is not a vertex id")
     assert(labels.size > 1, "label propagation collapsed to one community")
+  }
+
+  test("q_sliding_features never leaks the label row into its own features") {
+    val rows = SparkEntry.queries("q_sliding_features")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_prev_1d")
+      val sumNull = r.isNullAt(r.fieldIndex("sum_prev_1d"))
+      val maxNull = r.isNullAt(r.fieldIndex("max_prev_1d"))
+      // empty frame <=> null aggregates: the label's own value never
+      // appears in its features (the frame ends at ts - 1 microsecond)
+      assert((n == 0) === sumNull, s"count $n vs sum-null $sumNull")
+      assert((n == 0) === maxNull, s"count $n vs max-null $maxNull")
+    }
+  }
+
+  test("q_random_projection preserves norms on average (JL property)") {
+    val rows = SparkEntry.queries("q_random_projection")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getAs[Double]("jl_ratio"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3,
+      s"mean norm ratio $mean far from 1 - sign matrix degenerate?")
+    // a rank-deficient sign matrix would collapse distinct inputs
+    assert(rows.map(_.getAs[Double]("p1")).distinct.length > rows.length / 2)
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
