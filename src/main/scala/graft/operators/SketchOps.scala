@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
 object SketchOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Micros per day — the activity grain being counted. */
-  private val DAY_US = 86400000000L
+  /** Micros per day — the activity grain being counted. private[graft] so
+    * the spec pinning q_kmv_overlap's data precondition counts at the same
+    * grain the query does. */
+  private[graft] val DAY_US = 86400000000L
 
   /** KMV distinct (user, day) pairs per event type — "daily active users"
     * cardinality, the canonical pipeline sketch workload. Reports the
@@ -64,7 +66,7 @@ object SketchOps {
     * column is dropped. Estimating shard overlap without co-shuffling the
     * shards is the entire point of sketch set operations. */
   val qKmvOverlap: Q = (s, d) => {
-    import graft.functions.Kmv.{HASH_SPACE, K}
+    import graft.functions.Kmv.HASH_SPACE
     val (shardA, shardB) = OVERLAP_SHARDS
     val day = floor(unix_micros(col("ts")) / lit(DAY_US)).cast("string")
     val h = Tables.events(s, d)
@@ -74,15 +76,25 @@ object SketchOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bottomK = udaf(new Kmv.BottomKAgg())
+    // ONE bottom-K pass over the hash set, then both sketches pulled from
+    // the 2-row result in a single global agg (max-of-one-non-null): two
+    // filter branches would re-run the full aggregation — no cross-branch
+    // CSE (PERF.md)
     val sk = h.groupBy(col("shard")).agg(bottomK(col("h")).as("ks"))
-    val ka = sk.filter(col("shard") === shardA).select(col("ks").as("ka"))
-    val kb = sk.filter(col("shard") === shardB).select(col("ks").as("kb"))
+      .agg(max(when(col("shard") === shardA, col("ks"))).as("ka"),
+        max(when(col("shard") === shardB, col("ks"))).as("kb"))
     // exact overlap of the two distinct-hash sets (gate companion only)
     val exact = h.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") === 2).agg(count(lit(1)).as("n_overlap_hashes"))
-    ka.crossJoin(kb).crossJoin(exact) // three 1-row inputs
-      // arrays are ascending, so element K is each sketch's θ
-      .withColumn("theta", least(element_at(col("ka"), K), element_at(col("kb"), K)))
+    sk.crossJoin(exact) // two 1-row inputs
+      // arrays are ascending, so each sketch's θ is its LAST element — not
+      // element K, which would throw under ANSI on a shard with fewer than
+      // K distinct hashes where the oracle's max-of-rows degrades to exact
+      // mode (θ = the set's max; the estimator is then exact, like
+      // KthMinAgg's null-under-K discipline but defined on both engines)
+      .withColumn("theta", least(
+        element_at(col("ka"), size(col("ka"))),
+        element_at(col("kb"), size(col("kb")))))
       .withColumn("inter_sample",
         size(filter(array_intersect(col("ka"), col("kb")), x => x < col("theta"))).cast("long"))
       .withColumn("union_sample",

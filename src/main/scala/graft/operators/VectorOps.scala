@@ -138,11 +138,19 @@ object VectorOps {
     * on the driver so the plane matrix is a literal in the plan (no
     * per-row, per-element digests — at scale the planes are a broadcast
     * constant, the signature pass one shuffle-free scan). */
-  private[graft] def planeVal(h: Int, i: Int): Double = {
+  /** First 32 md5 bits of a seed string as a long — the driver-side twin
+    * of [[Fns.hash32]]/the DuckDB md5-substr idiom. ONE definition for
+    * every plan-literal pseudo-random matrix ([[planeVal]], [[rpSign]]):
+    * these must stay bit-compatible with the SQL oracles, and a drift in
+    * one copy would silently flip a gate hash. */
+  private def md5Head32(seed: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"lshp_${h}_$i".getBytes("UTF-8"))
-    val hx = md.take(4).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hx, 16).toDouble / 4294967296.0 - 0.5
+      .digest(seed.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  private[graft] def planeVal(h: Int, i: Int): Double = {
+    md5Head32(s"lshp_${h}_$i").toDouble / 4294967296.0 - 0.5
   }
 
   /** LSH bucket id of an array<double> column: bit h set when
@@ -437,12 +445,8 @@ object VectorOps {
     * discipline), so the sign matrix is a literal in the plan. A plain
     * LCG-parity matrix was measured nearly rank-1 here (sign rows
     * pairwise-correlated up to 54/64); md5 rows stay ≤14/64. */
-  private[graft] def rpSign(j: Int, i: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"rp_${i + j * DIM}".getBytes("UTF-8"))
-    val hx = md.take(4).map(b => f"${b & 0xff}%02x").mkString
-    if (java.lang.Long.parseLong(hx, 16) % 2 == 0) 1.0 else -1.0
-  }
+  private[graft] def rpSign(j: Int, i: Int): Double =
+    if (md5Head32(s"rp_${i + j * DIM}") % 2 == 0) 1.0 else -1.0
 
   /** Embedding compression by sparse-free random projection (Johnson–
     * Lindenstrauss; Achlioptas 2003's ±1 database-friendly variant):
@@ -460,10 +464,13 @@ object VectorOps {
     val signs = (1 to RP_DIMS).map { j =>
       array((1 to DIM).map(i => lit(rpSign(j, i))): _*)
     }
-    var pr = vecs(s, d).select(col("vec_id"), col("v"))
-      .withColumn("nv", VectorExprs.dotp(col("v"), col("v")))
-    for (j <- 1 to RP_DIMS)
-      pr = pr.withColumn(s"praw$j", VectorExprs.dotp(col("v"), signs(j - 1)))
+    // one projection adds all 8 dims + nv (8 chained withColumns would
+    // re-analyze a growing plan each time)
+    val pr = vecs(s, d).select(col("vec_id"), col("v"))
+      .select(col("vec_id") +:
+        VectorExprs.dotp(col("v"), col("v")).as("nv") +:
+        (1 to RP_DIMS).map(j =>
+          VectorExprs.dotp(col("v"), signs(j - 1)).as(s"praw$j")): _*)
     val sq = (1 to RP_DIMS).map(j => col(s"praw$j") * col(s"praw$j")).reduce(_ + _)
     pr.withColumn("jl_raw", sq / lit(RP_DIMS) / col("nv"))
       .select(col("vec_id") +:

@@ -141,13 +141,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(i >= 0 && i <= u, s"intersection sample $i exceeds union sample $u")
     assert(u <= 2L * graft.functions.Kmv.K)
     assert(row.getAs[Long]("theta") > 0)
-    // the sketch requires >= K distinct elements per shard — pin the data
-    // precondition element_at(ks, K) relies on (ANSI element_at throws)
+    // under K distinct elements the sketch degrades to exact mode (theta =
+    // set max) rather than throwing; pin that the testdata actually
+    // exercises the ESTIMATION regime (>= K per shard) at the query's
+    // own day grain
     val (sa, sb) = operators.SketchOps.OVERLAP_SHARDS
     for (t <- Seq(sa, sb)) {
       val n = Tables.events(spark, sfDir).filter(col("event_type") === t)
         .select(col("user_id"),
-          floor(unix_micros(col("ts")) / lit(86400000000L)).as("dy"))
+          floor(unix_micros(col("ts")) / lit(operators.SketchOps.DAY_US)).as("dy"))
         .distinct().count()
       assert(n >= graft.functions.Kmv.K, s"shard $t has $n < K distinct (user,day)")
     }
