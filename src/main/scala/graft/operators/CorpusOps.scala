@@ -45,14 +45,22 @@ object CorpusOps {
     * locally AQE makes that call. The gram stage feeds both branches and
     * Spark has no cross-branch CSE, so it is persisted.
     */
-  val qDecontaminate: Q = (s, d) => {
-    val grams = Tables.documents(s, d)
+  /** Shared per-doc distinct-gram stage (persisted: bench and probe
+    * branches both consume it — no cross-branch CSE). */
+  private def gramStage(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), DECON_K)).as("gs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bench = grams.filter(col("doc_id") % BENCH_MOD === 0)
+
+  private def benchGrams(grams: DataFrame): DataFrame =
+    grams.filter(col("doc_id") % BENCH_MOD === 0)
       .select(explode(col("gs")).as("gr")).distinct()
+
+  val qDecontaminate: Q = (s, d) => {
+    val grams = gramStage(s, d)
+    val bench = benchGrams(grams)
     // posexplode_outer: gs is never empty (shingles fall back to the whole
     // trimmed text), and outer keeps InferFiltersFromGenerate from cloning
     // the gram projection into a filter (see DedupOps / PERF.md).
@@ -177,6 +185,60 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Bloom filter geometry for [[qBloomDecontaminate]]: M bit positions,
+    * SEEDS hash functions. M=8192 over the ~1.6k bench-gram positions at
+    * sf0.01 leaves measured collisions (30 false-positive docs, 121
+    * gram-level false positives) without saturating the doc flag — the
+    * one-sided error is load-bearing in the gate, like CMS_W. */
+  val BLOOM_M = 8192L
+  val BLOOM_SEEDS = 3
+
+  /** Decontamination behind a FIXED-SIZE Bloom filter — the 100 TB form
+    * of [[qDecontaminate]]: the benchmark suite collapses to ≤M bit
+    * positions (a broadcast constant independent of bench-suite text
+    * size), each probe gram tests its [[BLOOM_SEEDS]] md5 positions, and
+    * a gram is flagged iff ALL positions are set (Bloom 1970). One-sided
+    * by construction: n_maybe ≥ n_hit always (no false negatives — the
+    * gate pins the exact count beside the Bloom count, so the filter's
+    * FP behavior is itself regression-tested, the q_cms_topk
+    * discipline).
+    *
+    * Scale posture: the bit set is O(M) regardless of corpus or bench
+    * size and the probe side streams row-locally into a broadcast
+    * semi-probe — where the exact variant's broadcast grows with the
+    * bench suite's distinct grams, this one is CONSTANT-size. The exact
+    * companion branch exists to pin the error and goes away in
+    * production. */
+  val qBloomDecontaminate: Q = (s, d) => {
+    def positions(g: Column) = array((0 until BLOOM_SEEDS).map(i =>
+      Fns.hash32(concat(g, lit(s"_b$i"))) % BLOOM_M): _*)
+    val grams = gramStage(s, d)
+    val bench = benchGrams(grams)
+    val bits = bench.select(explode(positions(col("gr"))).as("pos")).distinct()
+    val probe = grams.filter(col("doc_id") % BENCH_MOD =!= 0)
+      .select(col("doc_id"), posexplode_outer(col("gs")))
+      .select(col("doc_id"), col("col").as("gr"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // bloom + exact + totals branches
+    val pp = probe
+      .select(col("doc_id"), col("gr"), posexplode(positions(col("gr"))))
+      .select(col("doc_id"), col("gr"), col("pos").as("seed"), col("col").as("pos"))
+    val maybe = pp.join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("gr"))
+      .agg(count(lit(1)).as("nseed")) // seeds are distinct per gram by construction
+      .filter(col("nseed") === BLOOM_SEEDS)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
+    val exact = probe.join(bench, Seq("gr"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val tot = probe.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    tot.join(maybe, Seq("doc_id"), "left").join(exact, Seq("doc_id"), "left")
+      .withColumn("n_maybe", coalesce(col("n_maybe"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_maybe"), col("n_hit"),
+        (col("n_maybe") >= 1).as("bloom_flagged"),
+        (col("n_hit") >= 1).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Per-group feature normalization — z-score each document's length
     * against its LANGUAGE's distribution (the per-subcorpus normalization
     * step before mixing/filtering a multilingual corpus: a 300-char doc is
@@ -214,6 +276,7 @@ object CorpusOps {
     "q_rollup_stats"  -> qRollupStats,
     "q_pivot_langs"   -> qPivotLangs,
     "q_group_normalize" -> qGroupNormalize,
+    "q_bloom_decontaminate" -> qBloomDecontaminate,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -278,6 +341,35 @@ object CorpusOps {
       s"""SELECT source,
          |${LANGS.map(l => s"  count(*) FILTER (WHERE lang = '$l') AS $l").mkString(",\n")}
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_decontaminate" -> {
+      def posRows(src: String, cols: String) = (0 until BLOOM_SEEDS).map { i =>
+        s"SELECT $cols, CAST('0x' || substr(md5(gr || '_b$i'), 1, 8) AS BIGINT) % $BLOOM_M AS pos FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= $DECON_K
+         |    THEN list_transform(range(1, len(w) - ${DECON_K - 2}),
+         |           i -> array_to_string(w[i:i+${DECON_K - 1}], ' '))
+         |    ELSE [t] END) AS gs FROM toks),
+         |bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % $BENCH_MOD = 0),
+         |bits AS (SELECT DISTINCT pos FROM (
+         |  ${posRows("bg", "gr")})),
+         |dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % $BENCH_MOD <> 0),
+         |pp AS (
+         |  ${posRows("dg", "doc_id, gr")}),
+         |hitg AS (
+         |  SELECT p.doc_id, p.gr, count(*) AS nseed
+         |  FROM pp p JOIN bits b ON p.pos = b.pos GROUP BY 1, 2),
+         |maybe AS (SELECT doc_id, count(*) AS n_maybe FROM hitg
+         |          WHERE nseed = $BLOOM_SEEDS GROUP BY 1),
+         |exact AS (SELECT d.doc_id, count(*) AS n_hit FROM dg d JOIN bg USING (gr) GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams,
+         |  COALESCE(m.n_maybe, 0) AS n_maybe, COALESCE(e.n_hit, 0) AS n_hit,
+         |  (COALESCE(m.n_maybe, 0) >= 1) AS bloom_flagged,
+         |  (COALESCE(e.n_hit, 0) >= 1) AS contaminated
+         |FROM tot t LEFT JOIN maybe m USING (doc_id) LEFT JOIN exact e USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
     "q_group_normalize" ->
       // mean/variance staged exactly like the Spark side: exact integer
       // (sum, sumsq, n) per lang, then the identical double expressions.

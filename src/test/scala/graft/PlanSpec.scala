@@ -122,6 +122,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("md5"), s"sign matrix recomputed per row instead of folded:\n$p")
   }
 
+  test("q_bloom_decontaminate broadcasts the fixed-size bit set") {
+    val p = plan("q_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bit set not broadcast onto the probe stream:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so

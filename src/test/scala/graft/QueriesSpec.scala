@@ -36,7 +36,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_cms_topk", "q_kmeans", "q_regression", "q_anomaly",
     "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal",
     "q_kmv_overlap", "q_label_prop", "q_group_normalize",
-    "q_sliding_features", "q_random_projection")
+    "q_sliding_features", "q_random_projection", "q_bloom_decontaminate")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -162,6 +162,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.length === nodes.size, "duplicate node rows")
     assert(labels.subsetOf(nodes), "a community label is not a vertex id")
     assert(labels.size > 1, "label propagation collapsed to one community")
+  }
+
+  test("q_bloom_decontaminate is one-sided: no false negatives ever") {
+    val rows = SparkEntry.queries("q_bloom_decontaminate")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nm, nh) = (r.getAs[Long]("n_maybe"), r.getAs[Long]("n_hit"))
+      assert(nm >= nh, s"doc ${r.getAs[Long]("doc_id")}: bloom missed a true hit ($nm < $nh)")
+      if (r.getAs[Boolean]("contaminated"))
+        assert(r.getAs[Boolean]("bloom_flagged"), "contaminated doc not bloom-flagged")
+    }
   }
 
   test("q_sliding_features never leaks the label row into its own features") {
