@@ -35,6 +35,22 @@ object CorpusOps {
   /** Fixed pivot columns for [[qPivotLangs]] (the langid label set). */
   val LANGS = Seq("de", "en", "es", "fr", "zh")
 
+  /** Shared per-doc distinct-gram stage (persisted: bench and probe
+    * branches both consume it — no cross-branch CSE). */
+  private def gramStage(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), DECON_K)).as("gs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Distinct grams of the benchmark split. NOT persisted here — the
+    * single-consumer exact query reads it once; multi-consumer callers
+    * persist the returned frame themselves. */
+  private def benchGrams(grams: DataFrame): DataFrame =
+    grams.filter(col("doc_id") % BENCH_MOD === 0)
+      .select(explode(col("gs")).as("gr")).distinct()
+
   /** Benchmark decontamination — flag training docs sharing any
     * [[DECON_K]]-gram with the held-out benchmark split. The flag is an
     * integer collision count (no float threshold), so the gate is exact.
@@ -45,19 +61,6 @@ object CorpusOps {
     * locally AQE makes that call. The gram stage feeds both branches and
     * Spark has no cross-branch CSE, so it is persisted.
     */
-  /** Shared per-doc distinct-gram stage (persisted: bench and probe
-    * branches both consume it — no cross-branch CSE). */
-  private def gramStage(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), DECON_K)).as("gs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-  private def benchGrams(grams: DataFrame): DataFrame =
-    grams.filter(col("doc_id") % BENCH_MOD === 0)
-      .select(explode(col("gs")).as("gr")).distinct()
-
   val qDecontaminate: Q = (s, d) => {
     val grams = gramStage(s, d)
     val bench = benchGrams(grams)
@@ -213,18 +216,22 @@ object CorpusOps {
     def positions(g: Column) = array((0 until BLOOM_SEEDS).map(i =>
       Fns.hash32(concat(g, lit(s"_b$i"))) % BLOOM_M): _*)
     val grams = gramStage(s, d)
-    val bench = benchGrams(grams)
+    // persisted: the bits and exact branches both consume the bench
+    // explode->distinct (no cross-branch CSE)
+    val bench = benchGrams(grams).persist(StorageLevel.MEMORY_AND_DISK)
     val bits = bench.select(explode(positions(col("gr"))).as("pos")).distinct()
     val probe = grams.filter(col("doc_id") % BENCH_MOD =!= 0)
       .select(col("doc_id"), posexplode_outer(col("gs")))
       .select(col("doc_id"), col("col").as("gr"))
       .persist(StorageLevel.MEMORY_AND_DISK) // bloom + exact + totals branches
-    val pp = probe
-      .select(col("doc_id"), col("gr"), posexplode(positions(col("gr"))))
-      .select(col("doc_id"), col("gr"), col("pos").as("seed"), col("col").as("pos"))
+    // one row per (gram, seed position); rows are per-seed, so the count
+    // of bit-set matches per gram equals the number of set seed positions
+    // even when two seeds collide into the same bucket
+    val pp = probe.select(col("doc_id"), col("gr"),
+      explode(positions(col("gr"))).as("pos"))
     val maybe = pp.join(broadcast(bits), Seq("pos"))
       .groupBy(col("doc_id"), col("gr"))
-      .agg(count(lit(1)).as("nseed")) // seeds are distinct per gram by construction
+      .agg(count(lit(1)).as("nseed"))
       .filter(col("nseed") === BLOOM_SEEDS)
       .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
     val exact = probe.join(bench, Seq("gr"))

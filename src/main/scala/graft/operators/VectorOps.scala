@@ -132,12 +132,6 @@ object VectorOps {
   /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
   val DIM = 64
 
-  /** Hyperplane component for (bit h, dim i): uniform in [-0.5, 0.5) from
-    * the first 32 md5 bits of "lshp_h_i" — the same value
-    * `Fns.hash32`/DuckDB derive from the same string, computed ONCE here
-    * on the driver so the plane matrix is a literal in the plan (no
-    * per-row, per-element digests — at scale the planes are a broadcast
-    * constant, the signature pass one shuffle-free scan). */
   /** First 32 md5 bits of a seed string as a long — the driver-side twin
     * of [[Fns.hash32]]/the DuckDB md5-substr idiom. ONE definition for
     * every plan-literal pseudo-random matrix ([[planeVal]], [[rpSign]]):
@@ -149,6 +143,12 @@ object VectorOps {
     java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
   }
 
+  /** Hyperplane component for (bit h, dim i): uniform in [-0.5, 0.5) from
+    * the first 32 md5 bits of "lshp_h_i" — the same value
+    * `Fns.hash32`/DuckDB derive from the same string, computed ONCE here
+    * on the driver so the plane matrix is a literal in the plan (no
+    * per-row, per-element digests — at scale the planes are a broadcast
+    * constant, the signature pass one shuffle-free scan). */
   private[graft] def planeVal(h: Int, i: Int): Double = {
     md5Head32(s"lshp_${h}_$i").toDouble / 4294967296.0 - 0.5
   }
