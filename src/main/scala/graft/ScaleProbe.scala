@@ -35,7 +35,12 @@ object ScaleProbe {
     "q_decontaminate",  // gram-set broadcast semi-join (documents)
     "q_kmeans",         // iterative broadcast + argmin + keyed means (embeddings)
     "q_ann_ivf",        // centroid prune + cell scan (embeddings)
-    "q_knn")            // broadcast probe + top-k, no shuffle (embeddings)
+    "q_knn",            // broadcast probe + top-k, no shuffle (embeddings)
+    "q_sliding_features",    // user-keyed RANGE window, no join (events)
+    "q_kmv_overlap",         // bounded-sketch agg + 1x1 algebra (events)
+    "q_group_normalize",     // O(groups) stats broadcast (documents)
+    "q_bloom_decontaminate", // fixed-size bit-set broadcast probe (documents)
+    "q_random_projection")   // shuffle-free plan-literal folds (embeddings)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
