@@ -409,27 +409,49 @@ class GqlEngine(spark: SparkSession, root: String,
     }
   }
 
-  /** HNSW indexes built for (db, group, prop) at a given catalog version —
-    * any mutation bumps the version and the index rebuilds lazily. */
-  private val hnswCache =
-    scala.collection.mutable.Map[(String, String, String, Int), graft.vector.Hnsw]()
-
-  /** Number of HNSW indexes materialized by this engine (test hook). */
-  private[graft] def hnswIndexCount: Int = hnswCache.size
+  /** Number of distinct HNSW index generations (one per (db, group, prop,
+    * dim, version)) materialized under the catalog root (test hook). A
+    * generation is the SET of per-partition blobs `.hnswp_*_v<ver>_p<pid>`
+    * written by [[knnQuery]]'s scatter; mutations bump the version and the
+    * stale generation is evicted before the next indexed query. */
+  private[graft] def hnswIndexCount: Int = {
+    val r = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(r)) 0
+    else {
+      val st = java.nio.file.Files.walk(r)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(".hnswp_"))
+        .map(_.replaceAll("_p\\d+$", ""))
+        .toSet.size
+      finally st.close()
+    }
+  }
 
   /** E9 via GQL `{prop: {limit: k, $near: [...]}}`. When the group DECLARES
     * an index on `prop` (create's `index:` clause — stored by
     * [[GraphCatalog]], and unlike the reference actually consulted here),
-    * the declared HNSW index prunes the scan: over-fetch max(4k, 50)
-    * candidates from the driver-side index (parity scale — see
-    * [[graft.vector.Hnsw]]; the distributed scale path is IVF cell
-    * pruning, [[graft.operators.VectorOps.qAnnIvf]]), then exact re-rank
-    * with the same codegen'd kernel and keep k. The index route is
-    * APPROXIMATE: results match the brute path whenever the true top-k
-    * lands in the over-fetched candidate set — the 4k/50 margin makes a
-    * recall miss rare, not impossible. Without a declared
-    * index (or with string keys, which HNSW ids don't model): exact
-    * brute-force top-k — one scan, TakeOrderedAndProject, no shuffle. */
+    * the query runs the two-stage distributed HNSW scatter
+    * ([[graft.operators.VectorOps.qAnnHnsw2]]'s shape; reference knnSearch
+    * HNSW.cpp:134-165): deterministic hash-repartition of the group, each
+    * partition builds — or RELOADS — a partition-local
+    * [[graft.vector.Hnsw]] and surrenders its local top-`want`
+    * (want = max(k·knnOverFetch, knnMinFetch)) candidate ids; the driver
+    * merge moves only PARTS×want ids (bounded regardless of group size —
+    * the group itself is never collected), and the exact codegen'd re-rank
+    * keeps k. Partition indexes persist beside the catalog version they
+    * index as `.hnswp_<prop>_d<dim>_v<ver>_p<pid>` blobs (the distributed
+    * form of reference HNSW.cpp:358-374's persistence): a repeat query —
+    * or a fresh engine on the same root — loads instead of rebuilding,
+    * because `repartition(PARTS, key_i)` routes identical rows to
+    * identical partitions across sessions. Mutations bump the catalog
+    * version; the superseded generation's blobs are evicted before the
+    * next scatter. The index route is APPROXIMATE: results match the brute
+    * path whenever the true top-k survives its own partition's local
+    * search — the over-fetch margin makes a miss rare, not impossible.
+    * Without a declared index (or with string keys, which HNSW ids don't
+    * model): exact brute-force top-k — one scan, TakeOrderedAndProject,
+    * no shuffle. */
   private def knnQuery(db: String, group: String, df: DataFrame, knn: Knn): DataFrame = {
     if (!df.columns.contains(knn.prop)) return df.limit(0)
     val orderExpr = VectorExprs.dist2(col(knn.prop).cast("array<double>"),
@@ -439,57 +461,65 @@ class GqlEngine(spark: SparkSession, root: String,
       catalog.keyTypeOf(db, group) == "int"
     if (!useIndex) brute
     else {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       val ver = catalog.versionOf(db, group)
-      // the key carries the query dimension: a wrong-dimension probe must
-      // not build (or load) an empty index that then poisons
+      val dim = knn.vec.length
+      val dir = Paths.get(root, db, group)
+      Files.createDirectories(dir)
+      // generation name carries the query dimension: a wrong-dimension
+      // probe builds its own (empty) generation and cannot poison
       // correct-dimension queries at the same version
-      val key = (db, group, s"${knn.prop}#${knn.vec.length}", ver)
-      val idx = hnswCache.getOrElseUpdate(key, {
-        // stale versions of this index are dead weight — a rebuild after a
-        // mutation evicts the superseded cache entries and blob files
-        hnswCache.keys
-          .filter(k => k._1 == db && k._2 == group && k._3 == key._3 && k._4 != ver)
-          .foreach(hnswCache.remove)
-        // persisted beside the group version it indexes (reference
-        // HNSW.cpp:358-374 persists per-layer maps the same way): a fresh
-        // engine on the same catalog reloads instead of rebuilding
-        val dir = java.nio.file.Paths.get(root, db, group)
-        java.nio.file.Files.createDirectories(dir)
-        val prefix = s".hnsw_${knn.prop}_d${knn.vec.length}_v"
-        val file = dir.resolve(s"$prefix$ver")
-        val stale = java.nio.file.Files.list(dir)
-        try stale.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith(prefix) && p != file)
-          .toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally stale.close()
-        if (java.nio.file.Files.exists(file)) graft.vector.Hnsw.load(file.toString)
-        else {
-          val h = new graft.vector.Hnsw(knn.vec.length)
-          df.filter(col(knn.prop).isNotNull)
-            .select(col("key_i"), col(knn.prop).cast("array<double>"))
-            .collect() // driver-side build at parity scale, by design
-            .foreach { r =>
-              val v = r.getSeq[Double](1).toArray
-              if (v.length == knn.vec.length) h.add(r.getLong(0), v)
+      val genStem = s".hnswp_${knn.prop}_d$dim"
+      val gen = s"${genStem}_v${ver}_p"
+      // evict superseded generations (any version but the current one)
+      val stale = Files.list(dir)
+      try stale.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(s"${genStem}_v") && !n.startsWith(gen)
+        }.toSeq.foreach(Files.deleteIfExists(_))
+      finally stale.close()
+      val want = math.max(knn.k * knnOverFetch, knnMinFetch)
+      val pvec = knn.vec.toArray
+      val dirStr = dir.toString
+      import spark.implicits._
+      // stage 1: per-partition build-or-load + local search. Each task
+      // touches only its partition; blobs are written via temp + atomic
+      // move so a re-run can never observe a half-written index.
+      val ids: Array[Long] = df.filter(col(knn.prop).isNotNull)
+        .select(col("key_i"), col(knn.prop).cast("array<double>"))
+        .as[(Long, Seq[Double])]
+        .repartition(GqlEngine.KNN_PARTS, col("key_i"))
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val file = Paths.get(dirStr, s"$gen$pid")
+          val idx =
+            if (Files.exists(file)) graft.vector.Hnsw.load(file.toString)
+            else {
+              // insertion order sorted by id → reproducible local graph
+              val rows = it.toArray.sortBy(_._1)
+              val h = new graft.vector.Hnsw(dim)
+              rows.foreach { case (id, vec) =>
+                if (vec != null && vec.length == dim) h.add(id, vec.toArray)
+              }
+              // "tmp" prefix keeps half-written files out of the
+              // generation namespace the hnswIndexCount hook scans
+              val tmp = Files.createTempFile(Paths.get(dirStr), s"tmp$gen$pid", ".tmp")
+              h.save(tmp.toString)
+              Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING)
+              h
             }
-          h.save(file.toString)
-          h
-        }
-      })
-      // over-fetch: a k-exact index probe turns any single recall miss
-      // into a silently different answer; with the knnOverFetch margin
-      // (engine-constructor tunable, default 4x/min 50) the exact re-rank
-      // below recovers unless ALL of the margin misses. If the index
-      // surrenders fewer than k candidates (tiny group, disconnected
-      // graph), fall back to the exact brute path — never return a
-      // short answer an exact scan would have filled. An EMPTY index is
-      // different: only wrong-dimension vectors existed (add() skips
-      // mismatched dims), so brute would rank by Dist2's prefix fold
-      // over min-length — garbage, not a fallback. Keep that empty.
-      val ids = idx.search(knn.vec.toArray,
-        math.max(knn.k * knnOverFetch, knnMinFetch)).map(_._1)
-      if (idx.size == 0) df.limit(0)
-      else if (ids.size < knn.k) brute
+          idx.search(pvec, want, ef = math.max(4 * want, 256)).map(_._1).iterator
+        }.collect() // ≤ PARTS×want ids — the bounded scatter-gather merge
+      // stage 2: exact re-rank of the candidate ids. Empty candidates ⟺
+      // no same-dimension vector exists in ANY partition (a non-empty
+      // partition index always surrenders ≥1 id) — return empty, because
+      // brute would rank wrong-dimension vectors by Dist2's prefix fold
+      // (garbage, not a fallback). Fewer than k candidates (tiny group,
+      // local recall shortfall): fall back to the exact brute path —
+      // never return a short answer an exact scan would have filled.
+      if (ids.isEmpty) df.limit(0)
+      else if (ids.length < knn.k) brute
       else df.filter(col("key_i").isin(ids: _*)).orderBy(orderExpr).limit(knn.k)
     }
   }
@@ -804,4 +834,9 @@ object GqlEngine {
   /** Default floor on the over-fetched candidate count, so small-k probes
     * still carry a meaningful margin. */
   val KNN_MIN_FETCH = 50
+  /** Partitions for the declared-index KNN scatter — the executor-partition
+    * count at cluster scale; locally sized like
+    * [[graft.operators.VectorOps.HNSW2_PARTS]] so per-partition indexes
+    * stay non-trivial at test SFs. */
+  val KNN_PARTS = 8
 }

@@ -184,11 +184,68 @@ object BigGraphOps {
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
 
+  /** Outer-iteration bound for GraphX SCC — the graph resolves in 2-3
+    * coloring rounds; 16 is margin, and the ground-truth oracle fails the
+    * gate loudly if the bound were ever too small. */
+  val SCC_ITERS = 16
+
+  /** Directed co-purchase graph WITH CYCLES for [[qSccBig]] — the plain
+    * [[coEdges]] chains always ascend (dst > src), making every SCC a
+    * singleton, so SCC needs its own construction: the cohort key gains a
+    * customer-id band (ck div 100) to keep components LOCAL, and every
+    * cohort whose (week + band) ≡ 0 (mod 4) closes its chain into a cycle
+    * with a wrap edge (max ck → min ck). Overlapping closed cohorts merge
+    * into multi-cohort components: at sf0.01 this yields 320 SCCs with
+    * sizes 1–87 (286 singletons, 15 band-sized components) — a real
+    * decomposition, not a degenerate giant component. Same two-shuffle
+    * cost as coEdges plus one bounded agg for the wrap edges. */
+  def sccEdges(s: SparkSession, d: String): DataFrame = {
+    val memb = Tables.orders(s, d)
+      .select(
+        expr("datediff(o_orderdate, date'1992-01-01') div 7").as("wk"),
+        col("o_orderpriority").as("prio"),
+        expr("o_custkey div 100").as("band"),
+        col("o_custkey").as("ck"))
+      .distinct()
+    val w = Window.partitionBy(col("wk"), col("prio"), col("band")).orderBy(col("ck"))
+    val chain = memb
+      .withColumn("nxt", lead(col("ck"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("ck").as("src"), col("nxt").as("dst"))
+      .distinct()
+    val wrap = memb.groupBy(col("wk"), col("prio"), col("band"))
+      .agg(max(col("ck")).as("src"), min(col("ck")).as("dst"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && pmod(col("wk") + col("band"), lit(4)) === 0)
+      .select(col("src"), col("dst"))
+    chain.unionByName(wrap).distinct()
+  }
+
+  /** E11 at scale — strongly connected components on the cyclic
+    * co-purchase graph: scc_id(v) = min node id in v's component.
+    * [[GraphOps.qScc]]'s iterative-squaring closure is O(V²) state — right
+    * for the 25-nation graph, fatal at data scale — so this gate runs
+    * GraphX's Pregel SCC ([[graft.graph.GraphXBridge]]): coloring rounds
+    * of forward min-label propagation + backward confirmation, O(V) state,
+    * edge RDD partitioned across executors, no driver-side graph object
+    * (the result RDD converts straight to a DataFrame). The DuckDB oracle
+    * is algorithm-independent ground truth (recursive closure + mutual-
+    * reachability min), so a convergence shortfall fails the hash gate
+    * loudly. Reference kin: Tarjan.cpp is E11's declared-but-empty SCC —
+    * a driver-recursive formulation that cannot distribute; coloring can. */
+  val qSccBig: Q = (s, d) => {
+    val g = graft.graph.GraphXBridge.fromLongEdgeDF(sccEdges(s, d))
+    s.createDataFrame(g.stronglyConnectedComponents(SCC_ITERS).vertices)
+      .toDF("node", "scc_id")
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
     "q_pagerank_big" -> qPagerankBig,
     "q_label_prop"   -> qLabelProp,
+    "q_scc_big"      -> qSccBig,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -250,6 +307,32 @@ object BigGraphOps {
          |$rounds
          |SELECT node, lbl AS community FROM l$LP_ITERS ORDER BY node""".stripMargin
     },
+    // ground truth, not an algorithm mirror: full reachability closure,
+    // mutual pairs, min-id per node — any correct SCC algorithm matches
+    "q_scc_big" ->
+      """WITH RECURSIVE memb AS (
+        |  SELECT DISTINCT date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
+        |    o_orderpriority AS prio, o_custkey // 100 AS band, o_custkey AS ck
+        |  FROM orders),
+        |chain AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT ck AS src,
+        |      lead(ck) OVER (PARTITION BY wk, prio, band ORDER BY ck) AS dst
+        |    FROM memb)
+        |  WHERE dst IS NOT NULL),
+        |wrap AS (SELECT max(ck) AS src, min(ck) AS dst FROM memb
+        |  GROUP BY wk, prio, band HAVING count(*) >= 2 AND (wk + band) % 4 = 0),
+        |e2 AS (SELECT src, dst FROM chain UNION SELECT src, dst FROM wrap),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e2
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON e.src = r.dst),
+        |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+        |mutual AS (
+        |  SELECT a.src AS u, a.dst AS v
+        |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc_id
+        |FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        |GROUP BY n.node ORDER BY node""".stripMargin,
     "q_pagerank_big" -> {
       val iters = (1 to PR_ITERS).map { i =>
         s"""r$i AS (

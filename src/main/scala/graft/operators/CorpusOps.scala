@@ -165,14 +165,20 @@ object CorpusOps {
 
   /** Corpus composition ROLLUP — doc counts and char volume by
     * (lang, source), with subtotal and grand-total rows. Subtotal keys are
-    * coalesced to 'ALL' so the gate never compares engine NULL-sort rules.
+    * renamed via GROUPING() — not a bare coalesce — so a genuinely-NULL
+    * key (mapped to a distinct '<null>' sentinel) can never collide with
+    * the 'ALL' subtotal row and flip the gate's ORDER BY on a data regen.
     * One partial+final agg; grouping-set expansion is map-side. */
   val qRollupStats: Q = (s, d) =>
     Tables.documents(s, d)
       .rollup("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("source"), lit("ALL")).as("source"),
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"),
+        grouping(col("lang")).as("gl"), grouping(col("source")).as("gs"))
+      .select(
+        when(col("gl") === 1, lit("ALL"))
+          .otherwise(coalesce(col("lang"), lit("<null>"))).as("lang"),
+        when(col("gs") === 1, lit("ALL"))
+          .otherwise(coalesce(col("source"), lit("<null>"))).as("source"),
         col("n_docs"), col("tot_chars"))
       .orderBy("lang", "source")
 
@@ -262,8 +268,11 @@ object CorpusOps {
   val qGroupNormalize: Q = (s, d) => {
     val st = Tables.documents(s, d)
       .groupBy(col("lang"))
-      .agg(sum(col("n_chars")).as("s"),
-        sum(col("n_chars") * col("n_chars")).as("ss"),
+      .agg(sum(col("n_chars").cast("decimal(28,0)")).as("s"),
+        // the squared-moment sum MUST go through decimal: a plain long sum
+        // wraps silently under non-ANSI mode at corpus scale, while the
+        // oracle's HUGEINT widens — the qRegression/qAnomaly discipline
+        sum((col("n_chars").cast("long") * col("n_chars")).cast("decimal(28,0)")).as("ss"),
         count(lit(1)).as("n"))
     Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
       .join(broadcast(st), "lang")
@@ -341,7 +350,11 @@ object CorpusOps {
          |SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= $TFIDF_TOP
          |ORDER BY doc_id, term""".stripMargin,
     "q_rollup_stats" ->
-      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+        |       ELSE COALESCE(lang, '<null>') END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+        |       ELSE COALESCE(source, '<null>') END AS source,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
         |FROM documents GROUP BY ROLLUP(lang, source) ORDER BY 1, 2""".stripMargin,
     "q_pivot_langs" ->
@@ -381,7 +394,8 @@ object CorpusOps {
       // mean/variance staged exactly like the Spark side: exact integer
       // (sum, sumsq, n) per lang, then the identical double expressions.
       s"""WITH st AS (
-         |  SELECT lang, sum(n_chars) AS s, sum(n_chars * n_chars) AS ss,
+         |  SELECT lang, sum(CAST(n_chars AS DECIMAL(28,0))) AS s,
+         |    sum(CAST(CAST(n_chars AS BIGINT) * n_chars AS DECIMAL(28,0))) AS ss,
          |    count(*) AS n
          |  FROM documents GROUP BY lang),
          |m AS (

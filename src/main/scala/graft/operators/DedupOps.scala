@@ -222,9 +222,11 @@ object DedupOps {
     * Scale shape: one partial+final agg for the rate table (n_sources
     * rows, broadcast), one scan with a pushed-down projection for the
     * filter, one final agg. All sums are exact integer token counts —
-    * order-independent. Overflow headroom: h < 2³², so the lhs stays
-    * inside int64 while n_src·t_src·MIX_DEN < 2³¹ (~10⁹ total source
-    * tokens at these constants); a 100 TB run promotes to decimal(38). */
+    * order-independent. Overflow: both cross-multiplied sides are
+    * evaluated in decimal(38,0) ([[mixKeepTest]]) — int64 would wrap
+    * silently past ~10⁹ tokens/source at these constants, decimal keeps
+    * the compare exact to 10³⁸ (≫ any corpus; boundary case pinned in
+    * BoundaryMarginSpec). */
   val qCorpusMix: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -236,15 +238,26 @@ object DedupOps {
     val totals = perSrc.agg(sum("t_src").as("t_total"), count(lit(1)).as("n_src"))
     toks.join(broadcast(perSrc), "source")
       .crossJoin(broadcast(totals))
-      .filter(
+      .filter(mixKeepTest(
         pmod(Fns.hash32(concat(lit("mix_"), col("doc_id").cast("string"))),
-          lit(SAMPLE_SPACE)) * col("n_src") * col("t_src") * lit(MIX_DEN)
-          < col("t_total") * lit(MIX_NUM) * lit(SAMPLE_SPACE))
+          lit(SAMPLE_SPACE)),
+        col("n_src"), col("t_src"), col("t_total")))
       .groupBy("source")
       .agg(max("t_src").as("t_src"), count(lit(1)).as("n_kept"),
         sum("n_toks").as("toks_kept"))
       .orderBy("source")
   }
+
+  /** [[qCorpusMix]]'s keep decision, `h·n_src·t_src·MIX_DEN <
+    * t_total·MIX_NUM·SAMPLE_SPACE`, with every operand promoted to
+    * decimal(38,0) BEFORE the multiplies: the products are exact to 10³⁸
+    * on both engines, where the int64 form wraps silently (Spark
+    * non-ANSI) once n_src·t_src·MIX_DEN passes 2⁶³/h ≈ 10⁹ tokens/source.
+    * Factored out so the overflow boundary is unit-testable. */
+  private[graft] def mixKeepTest(h: Column, nSrc: Column, tSrc: Column,
+      tTotal: Column): Column =
+    h.cast("decimal(38,0)") * nSrc * tSrc * lit(MIX_DEN) <
+      tTotal.cast("decimal(38,0)") * lit(MIX_NUM) * lit(SAMPLE_SPACE)
 
   /** Exact-Jaccard threshold for the inverted-index path — the rational
     * 4/5, so the prefix/positional pruning bounds below are EXACT integer
@@ -422,9 +435,9 @@ object DedupOps {
          |SELECT t.source, max(ps.t_src) AS t_src, count(*) AS n_kept,
          |  CAST(sum(t.n_toks) AS BIGINT) AS toks_kept
          |FROM t JOIN ps USING (source), tot
-         |WHERE (${sqlHash32("'mix_' || CAST(doc_id AS VARCHAR)")} % $SAMPLE_SPACE)
-         |    * tot.n_src * ps.t_src * $MIX_DEN
-         |  < tot.t_total * $MIX_NUM * $SAMPLE_SPACE
+         |WHERE CAST(${sqlHash32("'mix_' || CAST(doc_id AS VARCHAR)")} % $SAMPLE_SPACE
+         |      AS DECIMAL(38,0)) * tot.n_src * ps.t_src * $MIX_DEN
+         |  < CAST(tot.t_total AS DECIMAL(38,0)) * $MIX_NUM * $SAMPLE_SPACE
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $sqlShingles,

@@ -395,40 +395,66 @@ object VectorOps {
     * [[qAnnIvf]]'s coarse quantizer: fixed iterations, deterministic init,
     * reported as per-cluster sizes + decimal-summed inertia.
     *
-    * Every iteration is the 100 TB shape: centroids BROADCAST onto the
-    * corpus scan (k×dim doubles — tiny), assignment is a row-local argmin
-    * (window by vec_id with (dist, cid) tie-break), and the re-estimation
-    * is a partial+final agg on (cid, dim) — k×dim result rows regardless
-    * of corpus size. The corpus is never shuffled except by the argmin
-    * window; lineage is truncated per round (localCheckpoint) so the plan
-    * cannot grow exponentially (PERF.md iterative-loop trap). Cross-engine
-    * exactness: distances are strict left-to-right double sums (identical
-    * IEEE ops both engines), means are decimal-summed — so the gate pins
-    * all three iterations, not just the report. */
+    * Every iteration is the 100 TB shape (the MLlib dataflow): the k
+    * centroids live on the DRIVER between rounds (k×dim doubles — tiny;
+    * the only "collect" is the k-row re-estimation aggregate, same tier as
+    * a scalar agg) and are re-embedded as plan literals, so assignment is
+    * a genuinely row-local argmin — k codegen'd [[VectorExprs.dist2]]
+    * columns folded with a strict smallest-(dist, cid)-wins chain, ZERO
+    * exchange between the persisted corpus scan and the assignment
+    * (PlanSpec pins this). The re-estimation is the one shuffle per
+    * iteration: a partial+final agg on (cid, dim) — k×dim result rows
+    * regardless of corpus size. Lineage cannot grow across rounds because
+    * each round's plan starts from the persisted scan + fresh literals.
+    * Cross-engine exactness: distances are strict left-to-right double
+    * sums (identical IEEE ops both engines), means are decimal-summed —
+    * so the gate pins all three iterations, not just the report. The
+    * collected mean is the same double the old crossJoin plan put in the
+    * `cv` column (cast happens before collect), so values are
+    * bit-identical to the r7 gate. */
   val qKmeans: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val v = vecs(s, d).select(col("vec_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"),
-          VectorExprs.dist2(col("v"), col("cv")).as("dist"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+    // cents: cid → centroid, ascending cid, driver-side between rounds.
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      // stage the k distances as attribute columns FIRST (PERF.md: never
+      // re-evaluate an expensive child inside a fold), then a when-chain
+      // argmin: strict < keeps the earlier (smaller) cid on ties —
+      // identical to the old window's (dist, cid) ordering.
+      val staged = v.select(col("vec_id") +: col("v") +:
+        cents.map { case (cid, cv) =>
+          VectorExprs.dist2(col("v"), array(cv.map(lit): _*)).as(s"d_$cid")
+        }: _*)
+      // argmin in two linear expressions (a naive fold duplicating the
+      // accumulator in both when-branches is an O(2^k) expression tree):
+      // min via least(), then the FIRST equal cid — equality against the
+      // min is exact (least returns one of the operands bit-for-bit), and
+      // first-match ≡ the old window's (dist, cid) tie-break.
+      val minDist = least(cents.map { case (cid, _) => col(s"d_$cid") }: _*)
+      staged.withColumn("dist", minDist)
+        .withColumn("cid",
+          cents.tail.foldLeft(when(col(s"d_${cents.head._1}") === col("dist"),
+            lit(cents.head._1.toLong))) { case (acc, (cid, _)) =>
+            acc.when(col(s"d_$cid") === col("dist"), lit(cid.toLong))
+          })
         .select(col("vec_id"), col("v"), col("cid"), col("dist"))
     }
-    def recompute(assigned: DataFrame): DataFrame =
+    // one (cid, pos)-keyed shuffle; k×dim rows back to the driver.
+    def recompute(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned.select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos")
         .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x("c")).as("cv"))
-    var cents = v.filter(col("vec_id") < KM_K)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }.toSeq.sortBy(_._1)
+    var cents: Seq[(Int, Seq[Double])] = v.filter(col("vec_id") < KM_K)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .sortBy(_._1)
     for (_ <- 1 to KM_ITERS)
-      cents = recompute(assign(cents)).localCheckpoint()
+      cents = recompute(assign(cents))
     assign(cents)
       .groupBy(col("cid").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),

@@ -191,7 +191,12 @@ object EventStream {
             val mean = s0.toDouble / 100.0 / n0
             val variance = (q0.toDouble / 10000.0 - n0 * mean * mean) / (n0 - 1)
             val std = math.sqrt(math.max(variance, 0.0))
-            vs.count(v => math.abs(v - mean) > 3.0 * std).toLong
+            // score the QUANTIZED value against the quantized moments —
+            // scoring raw doubles against centi-unit moments would let a
+            // boundary event classify differently from its own state
+            // contribution (internal consistency over raw fidelity; the
+            // batch twin scores unquantized values against exact moments)
+            vs.count(v => math.abs(math.round(v * 100) / 100.0 - mean) > 3.0 * std).toLong
           } else -1L
           // exact arithmetic that FAILS LOUDLY on Long overflow instead of
           // silently wrapping (wraparound would clamp std to 0 and flag

@@ -111,4 +111,35 @@ class BoundaryMarginSpec extends AnyFunSuite {
       s"probe centroid ranks ${VectorOps.NPROBE - 1}/${VectorOps.NPROBE} separated by only $gap")
     info(f"probe NPROBE-cut centroid gap: $gap%.3e")
   }
+
+  test("corpus-mix keep test survives the int64 overflow boundary (decimal(38) promotion)") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions._
+    // t_src big enough that h·n_src·t_src·MIX_DEN wraps int64
+    // (99999·20·6e17·10 ≈ 1.2e24 ≫ 2⁶³ ≈ 9.2e18) but the true compare is
+    // well-defined; expected side computed in BigInt.
+    val cases = Seq(
+      (99999L, 20L, 600000000000000000L, 1200000000000000000L),
+      (1L, 20L, 600000000000000000L, 1200000000000000000L),
+      // exact lhs == rhs (6·10⁶ both sides): strict < must NOT keep
+      (6L, 1L, 100000L, 10L))
+    val df = spark.createDataFrame(cases).toDF("h", "n_src", "t_src", "t_total")
+      .withColumn("kept", DedupOps.mixKeepTest(
+        col("h"), col("n_src"), col("t_src"), col("t_total")))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4)))
+    for ((h, n, t, tt, kept) <- got) {
+      val expect = BigInt(h) * n * t * DedupOps.MIX_DEN <
+        BigInt(tt) * DedupOps.MIX_NUM * DedupOps.SAMPLE_SPACE
+      val wrapped = h * n * t * DedupOps.MIX_DEN <
+        tt * DedupOps.MIX_NUM * DedupOps.SAMPLE_SPACE
+      assert(kept == expect, s"(h=$h n=$n t=$t tt=$tt): got $kept want $expect")
+      info(s"h=$h: decimal=$kept int64-would-say=$wrapped exact=$expect")
+    }
+    // the spec is only meaningful if int64 actually disagrees somewhere
+    assert(got.exists { case (h, n, t, tt, _) =>
+      (BigInt(h) * n * t * DedupOps.MIX_DEN < BigInt(tt) * DedupOps.MIX_NUM * DedupOps.SAMPLE_SPACE) !=
+        (h * n * t * DedupOps.MIX_DEN < tt * DedupOps.MIX_NUM * DedupOps.SAMPLE_SPACE)
+    }, "no case exercised the overflow region — boundary spec is vacuous")
+  }
 }

@@ -84,12 +84,16 @@ class PlanSpec extends AnyFunSuite {
       s"retention join degraded to a product:\n$p")
   }
 
-  test("q_kmeans broadcasts centroids and reuses the persisted corpus") {
+  test("q_kmeans assignment is row-local: no exchange between corpus scan and argmin") {
     val p = plan("q_kmeans")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"centroids not broadcast onto the corpus scan:\n$p")
     assert(p.contains("InMemoryTableScan"),
       s"corpus re-read from parquet instead of the persisted cache:\n$p")
+    // centroids are plan literals: the assignment needs NO join and NO
+    // window — the only hash exchange left is the k-row cluster report agg
+    assert(!p.contains("Join"), s"assignment re-grew a centroid join:\n$p")
+    assert(!p.contains("Window"), s"assignment re-grew the argmin window:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange (the final cluster agg):\n$p")
   }
 
   test("q_projection reads only the projected columns") {
