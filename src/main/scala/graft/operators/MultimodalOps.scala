@@ -10,28 +10,120 @@ import org.apache.spark.sql.functions._
   * are opaque `binary` columns with typed metadata; decode / feature-
   * extract run as partition-batched functions over the payload bytes.
   *
-  * The testdata has no real media, so the payload is the document's UTF-8
-  * bytes and [[Decoder]] is the STUB boundary — a deterministic fake
-  * standing in for the image/audio codec (absent in this container). The
-  * Spark-side plumbing is real: binary column schema, typed Dataset,
-  * `mapPartitions` batch shape (one decoder instance per partition, the
+  * The decode step is REAL: every document materializes as a genuine
+  * binary PPM (P6) image — 16 pixels wide, the document's UTF-8 bytes as
+  * the RGB raster, zero-padded to whole rows — and [[Ppm.decode]] is a
+  * spec-conformant parser of the public netpbm P6 format (magic,
+  * comment/whitespace handling, decimal dimension fields, single-byte
+  * raster), so frame sampling and resizing operate on decoded pixels, not
+  * on the encoded stream. The DuckDB oracle never parses: it derives the
+  * expected pixel checksums ANALYTICALLY from the text, so an encoder and
+  * decoder that share a mistaken offset cannot cancel each other out.
+  * Only [[Decoder]] (the feature-lane extractor of [[qMmFeatures]])
+  * remains a deterministic stand-in — it models the lossy embedding
+  * models (CLIP-style) this container cannot ship, while the codec
+  * boundary itself is exercised for real.
+  *
+  * Spark-side plumbing: binary column schema, typed Dataset,
+  * `mapPartitions` batch shape (one codec instance per partition, the
   * same contract a Pandas-UDF/`mapInPandas` batch has in PySpark), and a
   * columnar metadata path that never leaves codegen.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Image geometry: every payload renders as a [[MM_W]]-pixel-wide RGB
+    * image, [[ROW_BYTES]] bytes per pixel row, zero-padded to whole rows. */
+  val MM_W = 16
+  val ROW_BYTES: Int = MM_W * 3
+
+  /** Pure-JVM codec for the netpbm PPM "P6" format (public spec:
+    * netpbm.sourceforge.net/doc/ppm.html — binary RGB, maxval ≤ 255 means
+    * one byte per sample). No external codec library: the container ships
+    * none, and an uncompressed public format keeps decode genuinely
+    * implementable while exercising every real codec concern — magic
+    * validation, comments anywhere whitespace may appear, multi-digit
+    * decimal fields, the single post-maxval whitespace byte, exact raster
+    * length. Malformed input fails LOUDLY with the byte offset, never a
+    * silent partial image. */
+  object Ppm {
+    val MAXVAL = 255
+
+    case class Image(width: Int, height: Int, maxval: Int, raster: Array[Byte])
+
+    /** Serialize an RGB raster as P6 with a comment line (comments are
+      * part of the format; emitting one keeps the parser's comment path
+      * exercised by every gate row, not just the unit spec). */
+    def encode(w: Int, h: Int, raster: Array[Byte], comment: String): Array[Byte] = {
+      require(raster.length == w * h * 3,
+        s"raster ${raster.length} != ${w}x${h}x3")
+      require(!comment.contains('\n'), "PPM comment cannot span lines")
+      val header = s"P6\n# $comment\n$w $h\n$MAXVAL\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + raster.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(raster, 0, out, header.length, raster.length)
+      out
+    }
+
+    /** Parse a P6 image. Accepts exactly the public grammar: "P6", then
+      * three whitespace/comment-separated decimal fields (width, height,
+      * maxval ≤ 255), one whitespace byte, then width·height·3 raster
+      * bytes — no more, no less. */
+    def decode(bytes: Array[Byte]): Image = {
+      var pos = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PPM: $msg at byte $pos")
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("bad magic")
+      pos = 2
+      def skipWsAndComments(): Unit = {
+        var going = true
+        while (going && pos < bytes.length) {
+          if (isWs(bytes(pos))) pos += 1
+          else if (bytes(pos) == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          } else going = false
+        }
+      }
+      def readField(name: String): Int = {
+        skipWsAndComments()
+        val start = pos
+        var v = 0
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0')
+          if (v > 0xFFFF) fail(s"$name out of range")
+          pos += 1
+        }
+        if (pos == start) fail(s"expected $name digits")
+        v
+      }
+      val w = readField("width")
+      val h = readField("height")
+      val mv = readField("maxval")
+      if (mv < 1 || mv > MAXVAL) fail(s"maxval $mv unsupported (need 1..$MAXVAL)")
+      if (pos >= bytes.length || !isWs(bytes(pos))) fail("expected single whitespace after maxval")
+      pos += 1
+      val need = w * h * 3
+      if (bytes.length - pos != need)
+        fail(s"raster is ${bytes.length - pos} bytes, header promises $need")
+      Image(w, h, mv, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+    }
+  }
+
   val N_FEATURES = 4
 
   case class MmDoc(doc_id: Long, payload: Array[Byte])
   case class MmFeat(doc_id: Long, n_bytes: Long, f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** STUB — the real media decode (JPEG/WAV/MP4 → features) would live
-    * here; the container ships no codec libraries, so this is a
-    * deterministic fake with the same shape: payload bytes → fixed-width
-    * feature vector. Each feature is the md5-derived 32-bit hash of the
-    * payload digest + lane index, scaled to [0,1) — reproducible in the
-    * DuckDB oracle, exact in doubles (k / 2^32). */
+  /** STAND-IN — the learned feature extractor (CLIP/wav2vec-style
+    * payload → embedding) has no pure-JVM rendering; this deterministic
+    * fake keeps the same shape: payload bytes → fixed-width feature
+    * vector. Each feature is the md5-derived 32-bit hash of the payload
+    * digest + lane index, scaled to [0,1) — reproducible in the DuckDB
+    * oracle, exact in doubles (k / 2^32). The CODEC boundary, by
+    * contrast, is real — see [[Ppm]]. */
   object Decoder {
     def md5hex(b: Array[Byte]): String =
       MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
@@ -43,6 +135,16 @@ object MultimodalOps {
         java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
       }.toArray
     }
+  }
+
+  /** Render a document as a P6 image: UTF-8 bytes as the row-major RGB
+    * raster, zero-padded to [[MM_W]]-pixel rows, with a per-doc comment
+    * so every decode crosses the parser's comment path. */
+  private def ppmOf(doc: MmDoc): Array[Byte] = {
+    val n = doc.payload.length
+    val h = (n + ROW_BYTES - 1) / ROW_BYTES
+    val raster = java.util.Arrays.copyOf(doc.payload, h * ROW_BYTES)
+    Ppm.encode(MM_W, h, raster, s"graft doc ${doc.doc_id}")
   }
 
   /** Typed metadata over the opaque payload — pure column algebra (byte
@@ -58,10 +160,10 @@ object MultimodalOps {
           (col("doc_id") % 3 + 1).cast("int")).as("modality"))
       .orderBy("doc_id")
 
-  /** Decode + feature-extract through the partition-batch path: one
-    * [[Decoder]] per partition over the typed Dataset — the Spark-native
-    * shape of a Pandas-UDF media pipeline. Output is fixed-width feature
-    * lanes (columnar, joinable with the embeddings table downstream). */
+  /** Feature-extract through the partition-batch path: one [[Decoder]]
+    * per partition over the typed Dataset — the Spark-native shape of a
+    * Pandas-UDF media pipeline. Output is fixed-width feature lanes
+    * (columnar, joinable with the embeddings table downstream). */
   val qMmFeatures: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -77,23 +179,49 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** Fake-video frame geometry: FRAME_BYTES per frame, every
-    * FRAME_STRIDE-th frame sampled (the frame-sample step of a video
-    * pipeline). */
-  val FRAME_BYTES = 256
+  case class MmDecoded(doc_id: Long, width: Int, height: Int, maxval: Int,
+    n_raster: Long, checksum: Long, wsum: Long)
+
+  /** Full decode — encode each document as P6, parse it back with the
+    * real parser, and gate the DECODED image: dimensions and maxval from
+    * the header, plus two integer-exact raster checksums (Σ byte and the
+    * position-weighted Σ (i+1)·byte, so a one-byte offset error anywhere
+    * in the parse cannot cancel). The oracle computes both sums from the
+    * text directly — it never sees the PPM container, which is exactly
+    * what makes the gate a parser test. 1:1 row shape, one scan. */
+  val qMmDecode: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.map { doc =>
+          val img = Ppm.decode(ppmOf(doc))
+          var cs = 0L; var ws = 0L; var i = 0
+          while (i < img.raster.length) {
+            val b = (img.raster(i) & 0xff).toLong
+            cs += b; ws += (i + 1) * b; i += 1
+          }
+          MmDecoded(doc.doc_id, img.width, img.height, img.maxval,
+            img.raster.length.toLong, cs, ws)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Every FRAME_STRIDE-th pixel row is sampled as a "frame". */
   val FRAME_STRIDE = 2
 
-  case class MmFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_digest: String)
+  case class MmFrame(doc_id: Long, frame_idx: Long, frame_checksum: Long, frame_wsum: Long)
 
-  /** Frame sampling — the row-EXPANDING multimodal shape (one input row →
-    * many frame rows), complementing [[qMmFeatures]]'s 1:1 decode: the
-    * payload is chunked into FRAME_BYTES frames, every FRAME_STRIDE-th
-    * frame is kept, and each sampled frame leaves as (index, size,
-    * digest). Runs through the same typed mapPartitions batch contract as
-    * the decoder (`flatMap` per doc — a real frame extractor plugs in at
-    * the slice). The oracle slices VARCHAR (DuckDB 1.0 has no blob
-    * substring/md5); byte and char offsets agree because the corpus is
-    * pure ASCII — asserted over every SF dir (octet_length == length). */
+  /** Frame sampling on DECODED pixels — the row-EXPANDING multimodal
+    * shape (one input row → many frame rows): the parsed image's pixel
+    * rows are the frame sequence, every [[FRAME_STRIDE]]-th row is kept,
+    * and each sampled frame leaves as its two integer checksums (plain and
+    * position-weighted within the frame). A real video frame extractor
+    * plugs in at the row slice; the `flatMap`-per-doc partition-batch
+    * contract is already the right one. */
   val qMmFrames: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -101,13 +229,14 @@ object MultimodalOps {
       .as[MmDoc]
       .mapPartitions { docs =>
         docs.flatMap { doc =>
-          val n = doc.payload.length
-          val nFrames = (n + FRAME_BYTES - 1) / FRAME_BYTES
-          (0 until nFrames by FRAME_STRIDE).iterator.map { i =>
-            val from = i * FRAME_BYTES
-            val until = math.min(from + FRAME_BYTES, n)
-            val frame = java.util.Arrays.copyOfRange(doc.payload, from, until)
-            MmFrame(doc.doc_id, i.toLong, (until - from).toLong, Decoder.md5hex(frame))
+          val img = Ppm.decode(ppmOf(doc))
+          (0 until img.height by FRAME_STRIDE).iterator.map { f =>
+            var cs = 0L; var ws = 0L; var j = 0
+            while (j < ROW_BYTES) {
+              val b = (img.raster(f * ROW_BYTES + j) & 0xff).toLong
+              cs += b; ws += (j + 1) * b; j += 1
+            }
+            MmFrame(doc.doc_id, f.toLong, cs, ws)
           }
         }
       }
@@ -115,17 +244,15 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Resize stride: keep every RESIZE_STRIDE-th payload byte. */
-  val RESIZE_STRIDE = 4
+  case class MmResized(doc_id: Long, out_w: Int, out_h: Int, checksum: Long, wsum: Long)
 
-  case class MmResized(doc_id: Long, n_bytes: Long, resized_bytes: Long, resized_digest: String)
-
-  /** Resize — the size-REDUCING multimodal shape (downsample in place of a
-    * real image/audio resampler, which would plug in at the stride loop):
-    * keep every RESIZE_STRIDE-th byte of the payload, emit the new size
-    * and digest. Same typed mapPartitions contract as the decoder; output
-    * is 1:1 so the pass pipelines with the metadata scan. Oracle slices
-    * VARCHAR — byte/char parity by the ASCII corpus (see qMmFrames). */
+  /** 2×2 nearest-neighbor downsample on DECODED pixels — the
+    * size-REDUCING multimodal shape: keep even pixel rows and even
+    * columns of the parsed image (all three channels), emit the resized
+    * dimensions and the two integer checksums over the resized raster in
+    * row-major order. A real resampler (area-average, Lanczos) replaces
+    * the pixel selection; the decode → pixel-space transform → re-emit
+    * pipeline stage is the real thing. 1:1 row shape. */
   val qMmResize: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -133,11 +260,26 @@ object MultimodalOps {
       .as[MmDoc]
       .mapPartitions { docs =>
         docs.map { doc =>
-          val resized = doc.payload.indices.collect {
-            case i if i % RESIZE_STRIDE == 0 => doc.payload(i)
-          }.toArray
-          MmResized(doc.doc_id, doc.payload.length.toLong,
-            resized.length.toLong, Decoder.md5hex(resized))
+          val img = Ppm.decode(ppmOf(doc))
+          val outW = MM_W / 2
+          val outH = (img.height + 1) / 2
+          var cs = 0L; var ws = 0L; var m = 0
+          var r = 0
+          while (r < img.height) {
+            var c = 0
+            while (c < MM_W) {
+              val base = (r * MM_W + c) * 3
+              var k = 0
+              while (k < 3) {
+                val b = (img.raster(base + k) & 0xff).toLong
+                cs += b; ws += (m + 1) * b
+                m += 1; k += 1
+              }
+              c += 2
+            }
+            r += 2
+          }
+          MmResized(doc.doc_id, outW, outH, cs, ws)
         }
       }
       .toDF()
@@ -147,9 +289,17 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
+    "q_mm_decode"   -> qMmDecode,
     "q_mm_frames"   -> qMmFrames,
     "q_mm_resize"   -> qMmResize,
   )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+  // The oracle derives every pixel value analytically from the text (byte
+  // i of the raster is ord(text[i+1]) below the text length, 0 in the
+  // padding) — it never constructs or parses a PPM container. ASCII makes
+  // char positions == byte positions (asserted per SF dir in the fixture
+  // checks), and ord() over ASCII is the byte value.
 
   val oracles: Map[String, String] = Map(
     "q_mm_meta" ->
@@ -167,27 +317,57 @@ object MultimodalOps {
          |  $lanes
          |FROM documents ORDER BY doc_id""".stripMargin
     },
-    "q_mm_resize" ->
-      s"""WITH r AS (
-         |  SELECT doc_id, text,
-         |    array_to_string(
-         |      list_transform(range(1, length(text) + 1, $RESIZE_STRIDE), i -> text[i]),
-         |      '') AS resized
+    "q_mm_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    (length(text) + ${ROW_BYTES - 1}) // $ROW_BYTES AS h
          |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_bytes,
-         |  CAST(length(resized) AS BIGINT) AS resized_bytes,
-         |  md5(resized) AS resized_digest
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, $MM_W AS width, CAST(h AS INT) AS height,
+         |  ${Ppm.MAXVAL} AS maxval,
+         |  CAST(h * $ROW_BYTES AS BIGINT) AS n_raster,
+         |  CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+         |    i -> ord(text[i]))), 0) AS BIGINT) AS checksum,
+         |  CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+         |    i -> i * ord(text[i]))), 0) AS BIGINT) AS wsum
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q_mm_frames" ->
-      s"""WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |idx AS (
-         |  SELECT doc_id, text, n,
-         |    unnest(range(0, (n + ${FRAME_BYTES - 1}) // $FRAME_BYTES, $FRAME_STRIDE)) AS frame_idx
-         |  FROM f)
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    (length(text) + ${ROW_BYTES - 1}) // $ROW_BYTES AS h
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, text, n, unnest(range(0, h, $FRAME_STRIDE)) AS frame_idx
+         |  FROM d)
          |SELECT doc_id, frame_idx,
-         |  CAST(length(substring(text, frame_idx * $FRAME_BYTES + 1, $FRAME_BYTES)) AS BIGINT) AS frame_bytes,
-         |  md5(substring(text, frame_idx * $FRAME_BYTES + 1, $FRAME_BYTES)) AS frame_digest
-         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+         |  CAST(coalesce(list_sum(list_transform(range(1, ${ROW_BYTES + 1}),
+         |    j -> CASE WHEN frame_idx * $ROW_BYTES + j <= n
+         |              THEN ord(text[CAST(frame_idx * $ROW_BYTES + j AS INT)])
+         |              ELSE 0 END)), 0) AS BIGINT) AS frame_checksum,
+         |  CAST(coalesce(list_sum(list_transform(range(1, ${ROW_BYTES + 1}),
+         |    j -> j * CASE WHEN frame_idx * $ROW_BYTES + j <= n
+         |              THEN ord(text[CAST(frame_idx * $ROW_BYTES + j AS INT)])
+         |              ELSE 0 END)), 0) AS BIGINT) AS frame_wsum
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mm_resize" ->
+      // resized raster index m (0-based) maps back to source byte
+      // (((m//3)//8)*2*16 + ((m//3)%8)*2)*3 + m%3 — even row, even col,
+      // channel preserved; weight is m+1 like the Spark loop.
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    (length(text) + ${ROW_BYTES - 1}) // $ROW_BYTES AS h
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n, ((h + 1) // 2) AS out_h,
+         |    list_transform(range(0, ((h + 1) // 2) * ${MM_W / 2} * 3), m ->
+         |      (((m // 3) // ${MM_W / 2}) * 2 * $MM_W + ((m // 3) % ${MM_W / 2}) * 2) * 3
+         |        + (m % 3) + 1) AS src,
+         |    text AS t
+         |  FROM d)
+         |SELECT doc_id, ${MM_W / 2} AS out_w, CAST(out_h AS INT) AS out_h,
+         |  CAST(coalesce(list_sum(list_transform(src,
+         |    i -> CASE WHEN i <= n THEN ord(t[CAST(i AS INT)]) ELSE 0 END)), 0) AS BIGINT) AS checksum,
+         |  CAST(coalesce(list_sum(list_transform(range(1, len(src) + 1),
+         |    m -> m * CASE WHEN src[m] <= n THEN ord(t[CAST(src[m] AS INT)]) ELSE 0 END)), 0) AS BIGINT) AS wsum
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

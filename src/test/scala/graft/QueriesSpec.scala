@@ -23,7 +23,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_jaccard_pairs", "q_bfs_big", "q_sssp_big", "q_pagerank_big",
     "q_gql_filter", "q_gql_neighbors", "q_gql_mutate",
     "q_random_walk", "q_bidir_bfs", "q_geohash",
-    "q_mm_meta", "q_mm_features", "q_mm_frames", "q_mm_resize",
+    "q_mm_meta", "q_mm_features", "q_mm_decode", "q_mm_frames", "q_mm_resize",
     "q_knn_cosine", "q_csv_roundtrip", "q_json_props",
     "q_info_gain", "q_distinct_users", "q_ship_priority", "q_local_volume",
     "q_salted_join", "q_salted_collect", "q_ann_hnsw2", "q_embed_quantize",
