@@ -73,4 +73,97 @@ object CorpusIngest {
       }
       .start()
   }
+
+  /** Streaming corpus CURATION — the streaming twin of the batch
+    * rate-table mix ([[graft.operators.DedupOps.qCorpusMix]]), composed
+    * with the exactly-once dedup above so the whole curation story
+    * (dedup → budget mix) runs incrementally:
+    *
+    *   1. within-batch dedup + anti-join vs the corpus (as [[start]]);
+    *   2. the NOVEL docs' per-source token counts append to `statsDir`
+    *      (n_sources rows per batch — the running totals a long-lived
+    *      ingest accumulates);
+    *   3. the rate table REFRESHES from the aggregated stats every batch
+    *      (totals include the current batch, matching qCorpusMix's
+    *      rates-from-the-data-seen semantics) and broadcasts;
+    *   4. the same decimal(38) cross-multiplied keep test
+    *      ([[graft.operators.DedupOps.mixKeepTest]], same `mix_` hash)
+    *      decides which novel docs join the corpus.
+    *
+    * Exactly-once across re-delivery AND crash-replay: every write lands
+    * in a per-batch-id subdirectory with OVERWRITE (`<dir>/batch=<id>`,
+    * read back through partition discovery), and novelty is judged
+    * against the SEEN ledger of strictly-earlier batches — not against
+    * the kept corpus, which would resurrect mix-DROPPED re-deliveries.
+    * A replayed batch therefore recomputes from identical inputs
+    * (earlier-batch ledger + its own deterministic keep test) and
+    * overwrites its own output dirs byte-for-byte: no loss, no dup, no
+    * stats double-count, regardless of where the previous attempt died.
+    * Early admissions are not revisited as rates drift — the streaming
+    * trade; the mix converges as totals stabilize, and a batch
+    * qCorpusMix pass re-balances exactly when needed (documented, not
+    * hidden). */
+  def startCurated(s: SparkSession, srcDir: String, corpusDir: String,
+                   checkpointDir: String, statsDir: String,
+                   seenDir: String): StreamingQuery = {
+    import graft.operators.DedupOps
+    s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(hconf).exists(p)
+        }
+        val keyed = batch
+          .withColumn("ck", contentKey(col("text")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("ck")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+        // seen ledger of STRICTLY EARLIER batches: a replay of batch bid
+        // must not see its own previous (possibly partial) writes
+        val novel =
+          if (!exists(seenDir)) keyed
+          else keyed.join(
+            spark.read.parquet(seenDir).filter(col("batch") < bid).select("ck"),
+            Seq("ck"), "left_anti")
+        // novel feeds the ledger, the stats, and the keep filter — persist,
+        // or the anti-join re-runs per consumer (no cross-branch CSE)
+        val toks = novel.withColumn("n_toks",
+          size(graft.functions.Fns.tokens(col("text"))).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!toks.isEmpty) {
+            toks.groupBy("source").agg(sum("n_toks").as("toks"))
+              .write.mode("overwrite").parquet(s"$statsDir/batch=$bid")
+            // refreshed rate table: totals over every batch INCLUDING this
+            // one (qCorpusMix's rates-from-the-data-seen semantics)
+            val totals = spark.read.parquet(statsDir)
+              .groupBy("source").agg(sum("toks").as("t_src"))
+            val grand = totals.agg(sum("t_src").as("t_total"),
+              count(lit(1)).as("n_src"))
+            toks
+              .join(broadcast(totals), "source")
+              .crossJoin(broadcast(grand))
+              .filter(DedupOps.mixKeepTest(
+                pmod(graft.functions.Fns.hash32(
+                  concat(lit("mix_"), col("doc_id").cast("string"))),
+                  lit(DedupOps.SAMPLE_SPACE)),
+                col("n_src"), col("t_src"), col("t_total")))
+              .select("ck", "doc_id", "text", "lang", "source", "n_chars", "n_toks")
+              .write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
+            toks.select("ck")
+              .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+          }
+        } finally toks.unpersist()
+      }
+      .start()
+  }
 }

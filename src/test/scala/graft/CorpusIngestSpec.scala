@@ -58,4 +58,80 @@ class CorpusIngestSpec extends AnyFunSuite {
       s"restart must add exactly the one novel doc: ${afterRestart.count()}")
     assert(afterRestart.filter($"doc_id" === 999999L).count() == 1)
   }
+
+  test("curated ingest mixes with a refreshed rate table, exactly once under re-delivery") {
+    import graft.operators.DedupOps
+    import graft.functions.Fns
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate")
+    val (src, corpus, ckpt, stats, seen) =
+      (s"$root/src", s"$root/corpus", s"$root/ckpt", s"$root/stats", s"$root/seen")
+    Files.createDirectories(Paths.get(src))
+
+    def runCurated(): Unit = {
+      val q = CorpusIngest.startCurated(spark, src, corpus, ckpt, stats, seen)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    // independent expectation: the batch keep test over given totals
+    def keepSet(docs: DataFrame, totals: DataFrame): Set[String] = {
+      val grand = totals.agg(sum("t_src").as("t_total"), count(lit(1)).as("n_src"))
+      docs.join(broadcast(totals), "source").crossJoin(broadcast(grand))
+        .filter(DedupOps.mixKeepTest(
+          pmod(graft.functions.Fns.hash32(
+            concat(lit("mix_"), col("doc_id").cast("string"))),
+            lit(DedupOps.SAMPLE_SPACE)),
+          col("n_src"), col("t_src"), col("t_total")))
+        .select("ck").collect().map(_.getString(0)).toSet
+    }
+    def winnersOf(df: DataFrame): DataFrame = df
+      .withColumn("ck", CorpusIngest.contentKey(col("text")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ck")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("n_toks", size(Fns.tokens(col("text"))).cast("long"))
+
+    // delivery 1 + an at-least-once re-delivery of the same file
+    for (name <- Seq("d1.parquet", "d2.parquet"))
+      Files.copy(Paths.get(s"$sfDir/documents.parquet"), Paths.get(s"$src/$name"))
+    runCurated()
+
+    val w1 = winnersOf(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals1 = w1.groupBy("source").agg(sum("n_toks").as("t_src"))
+    val expected1 = keepSet(w1, totals1)
+    val got1 = spark.read.parquet(corpus).select("ck").collect().map(_.getString(0))
+    assert(got1.length == got1.toSet.size, "re-delivery duplicated corpus rows")
+    assert(got1.toSet == expected1,
+      s"curated corpus ${got1.length} rows != expected mix ${expected1.size}")
+    assert(expected1.size < w1.count(), "mix kept everything — keep test vacuous")
+
+    // delivery 3: a NEW source whose docs are judged under the REFRESHED
+    // totals (old sources' totals + the new source's); admitted docs from
+    // round 1 must survive unrevisited
+    val novel = (0 until 40).map { i =>
+      (2000000L + i, s"fresh curation text number $i " + ("lorem " * (i % 7 + 1)).trim,
+        "en", "srcX", 30L + i)
+    }
+    novel.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$root/novelsrc")
+    val part = Files.list(Paths.get(s"$root/novelsrc")).iterator()
+    val partFile = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    Files.copy(partFile, Paths.get(s"$src/d3.parquet"))
+    runCurated()
+
+    val wNew = winnersOf(novel.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val totals2 = w1.unionByName(wNew).groupBy("source").agg(sum("n_toks").as("t_src"))
+    val expectedNew = keepSet(wNew, totals2)
+    val got2 = spark.read.parquet(corpus).select("ck").collect().map(_.getString(0))
+    assert(got2.length == got2.toSet.size)
+    assert(got2.toSet == expected1 ++ expectedNew,
+      s"round 2: got ${got2.length}, want ${expected1.size} carried + ${expectedNew.size} new")
+    w1.unpersist()
+  }
 }
