@@ -419,10 +419,11 @@ class GqlEngine(spark: SparkSession, root: String,
     if (!java.nio.file.Files.exists(r)) 0
     else {
       val st = java.nio.file.Files.walk(r)
+      // dedup on the root-relative path (two groups may both index a
+      // prop named 'v' — same blob NAMES, different generations)
       try st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(".hnswp_"))
-        .map(_.replaceAll("_p\\d+$", ""))
+        .filter(_.getFileName.toString.startsWith(".hnswp_"))
+        .map(p => r.relativize(p).toString.replaceAll("_p\\d+$", ""))
         .toSet.size
       finally st.close()
     }
@@ -471,12 +472,17 @@ class GqlEngine(spark: SparkSession, root: String,
       // correct-dimension queries at the same version
       val genStem = s".hnswp_${knn.prop}_d$dim"
       val gen = s"${genStem}_v${ver}_p"
-      // evict superseded generations (any version but the current one)
+      // evict superseded generations (any version but the current one),
+      // orphaned temp blobs from crashed task attempts (no task of THIS
+      // query has started yet, so every tmp file is debris), and
+      // single-file blobs from the pre-scatter layout
       val stale = Files.list(dir)
       try stale.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith(s"${genStem}_v") && !n.startsWith(gen)
+          (n.startsWith(s"${genStem}_v") && !n.startsWith(gen)) ||
+            n.startsWith(s"tmp$genStem") ||
+            n.startsWith(s".hnsw_${knn.prop}_d")
         }.toSeq.foreach(Files.deleteIfExists(_))
       finally stale.close()
       val want = math.max(knn.k * knnOverFetch, knnMinFetch)
@@ -494,7 +500,10 @@ class GqlEngine(spark: SparkSession, root: String,
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val file = Paths.get(dirStr, s"$gen$pid")
           val idx =
-            if (Files.exists(file)) graft.vector.Hnsw.load(file.toString)
+            // loadCached: the executor keeps its partitions' indexes
+            // resident (JVM-wide LRU), so a repeat query deserializes
+            // nothing — the ANN-serving warm path
+            if (Files.exists(file)) graft.vector.Hnsw.loadCached(file.toString)
             else {
               // insertion order sorted by id → reproducible local graph
               val rows = it.toArray.sortBy(_._1)
@@ -507,6 +516,7 @@ class GqlEngine(spark: SparkSession, root: String,
               val tmp = Files.createTempFile(Paths.get(dirStr), s"tmp$gen$pid", ".tmp")
               h.save(tmp.toString)
               Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING)
+              graft.vector.Hnsw.cachePut(file.toString, h)
               h
             }
           idx.search(pvec, want, ef = math.max(4 * want, 256)).map(_._1).iterator

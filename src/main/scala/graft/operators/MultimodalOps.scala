@@ -93,7 +93,9 @@ object MultimodalOps {
         var v = 0
         while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
           v = v * 10 + (bytes(pos) - '0')
-          if (v > 0xFFFF) fail(s"$name out of range")
+          // no arbitrary dimension cap (a multi-MB payload is a tall
+          // image here) — only guard the accumulator itself
+          if (v > Int.MaxValue / 16) fail(s"$name out of range")
           pos += 1
         }
         if (pos == start) fail(s"expected $name digits")
@@ -102,6 +104,9 @@ object MultimodalOps {
       val w = readField("width")
       val h = readField("height")
       val mv = readField("maxval")
+      // raster must be addressable as one JVM array
+      if (w.toLong * h * 3 > Int.MaxValue - 64)
+        fail(s"raster ${w}x$h exceeds addressable size")
       if (mv < 1 || mv > MAXVAL) fail(s"maxval $mv unsupported (need 1..$MAXVAL)")
       if (pos >= bytes.length || !isWs(bytes(pos))) fail("expected single whitespace after maxval")
       pos += 1

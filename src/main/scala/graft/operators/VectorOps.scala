@@ -417,6 +417,10 @@ object VectorOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cents: cid → centroid, ascending cid, driver-side between rounds.
     def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      // duplicate-heavy data can collapse every vector onto one surviving
+      // centroid — least() needs ≥2 children, so the k=1 round degrades
+      // to that centroid's distance column instead of crashing
+      require(cents.nonEmpty, "k-means lost every centroid")
       // stage the k distances as attribute columns FIRST (PERF.md: never
       // re-evaluate an expensive child inside a fold), then a when-chain
       // argmin: strict < keeps the earlier (smaller) cid on ties —
@@ -430,7 +434,9 @@ object VectorOps {
       // min via least(), then the FIRST equal cid — equality against the
       // min is exact (least returns one of the operands bit-for-bit), and
       // first-match ≡ the old window's (dist, cid) tie-break.
-      val minDist = least(cents.map { case (cid, _) => col(s"d_$cid") }: _*)
+      val minDist =
+        if (cents.size == 1) col(s"d_${cents.head._1}")
+        else least(cents.map { case (cid, _) => col(s"d_$cid") }: _*)
       staged.withColumn("dist", minDist)
         .withColumn("cid",
           cents.tail.foldLeft(when(col(s"d_${cents.head._1}") === col("dist"),

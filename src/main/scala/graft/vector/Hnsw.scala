@@ -148,4 +148,37 @@ object Hnsw {
     try in.readObject().asInstanceOf[Hnsw]
     finally in.close()
   }
+
+  /** Per-JVM LRU of deserialized blobs — the resident-serving shape: an
+    * executor holding its partitions' indexes answers repeat queries
+    * without re-reading disk. Keyed by (path, mtime, size) so a path
+    * whose file was replaced (e.g. a dropped-and-recreated catalog that
+    * restarts its version counter) can never serve a stale index. */
+  private val loadCache =
+    new java.util.LinkedHashMap[String, Hnsw](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Hnsw]): Boolean =
+        size > 64
+    }
+
+  private def cacheKey(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    s"$path@${java.nio.file.Files.getLastModifiedTime(p)}@${java.nio.file.Files.size(p)}"
+  }
+
+  def loadCached(path: String): Hnsw = {
+    val key = cacheKey(path)
+    loadCache.synchronized {
+      val hit = loadCache.get(key)
+      if (hit != null) return hit
+    }
+    val h = load(path)
+    loadCache.synchronized { loadCache.put(key, h) }
+    h
+  }
+
+  /** Register a just-built-and-saved index under its blob path. */
+  def cachePut(path: String, h: Hnsw): Unit = {
+    val key = cacheKey(path)
+    loadCache.synchronized { loadCache.put(key, h) }
+  }
 }
