@@ -40,7 +40,8 @@ object ScaleProbe {
     "q_kmv_overlap",         // bounded-sketch agg + 1x1 algebra (events)
     "q_group_normalize",     // O(groups) stats broadcast (documents)
     "q_bloom_decontaminate", // fixed-size bit-set broadcast probe (documents)
-    "q_random_projection")   // shuffle-free plan-literal folds (embeddings)
+    "q_random_projection",   // shuffle-free plan-literal folds (embeddings)
+    "q_mm_decode")           // per-row PPM parse in mapPartitions (documents)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
