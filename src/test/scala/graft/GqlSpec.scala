@@ -270,6 +270,22 @@ class GqlSpec extends AnyFunSuite {
     assert(topk2() == after, "wrong-dimension probe poisoned the index cache")
   }
 
+  test("index generations count separately per group, even for same-named props") {
+    val e = freshEngine()
+    e.exec("{create: 'vdb', group: [{g1: ['v'], index: ['v']}, {g2: ['v'], index: ['v']}]};")
+    val rows = (0 until 20)
+      .map(i => s"[$i, {v: [${i % 4}.5, ${i / 4}.5]}]").mkString(", ")
+    e.exec(s"{upset: 'g1', vertex: [$rows]};")
+    e.exec(s"{upset: 'g2', vertex: [$rows]};")
+    e.query("{query: 'g1', in: 'vdb', where: {v: {limit: 3, $near: [1.0, 1.0]}}};").collect()
+    assert(e.hnswIndexCount == 1)
+    e.query("{query: 'g2', in: 'vdb', where: {v: {limit: 3, $near: [1.0, 1.0]}}};").collect()
+    // the blobs share a NAME (.hnswp_v_d2_...) but live in different group
+    // dirs — the hook must count per-path, not per-filename
+    assert(e.hnswIndexCount == 2,
+      "same-named generations in different groups collapsed to one")
+  }
+
   test("KNN over-fetch margin is engine-tunable, with brute fallback under k (r6 advice)") {
     val root = java.nio.file.Files.createTempDirectory("gql").toString
     // the tightest legal margin: the index surrenders exactly k candidates,

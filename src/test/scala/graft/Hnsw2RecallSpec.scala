@@ -21,4 +21,24 @@ class Hnsw2RecallSpec extends AnyFunSuite {
     val want = rows(VectorOps.qKnn(spark, dir))
     assert(got == want, s"hnsw2 $got\n != brute $want")
   }
+
+  test("Hnsw.loadCached invalidates when the blob at a path is replaced") {
+    import graft.vector.Hnsw
+    val path = java.nio.file.Files.createTempFile("hnsw-cache", ".blob").toString
+    val a = new Hnsw(2)
+    a.add(1L, Array(0.0, 0.0)); a.add(2L, Array(1.0, 1.0))
+    a.save(path)
+    assert(Hnsw.loadCached(path).size == 2)
+    // replace the file with a DIFFERENT index at the same path (the
+    // dropped-and-recreated-catalog case); nudge mtime in case the
+    // filesystem's timestamp granularity makes both writes identical
+    val b = new Hnsw(2)
+    b.add(7L, Array(0.5, 0.5))
+    b.save(path)
+    java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val reloaded = Hnsw.loadCached(path)
+    assert(reloaded.size == 1 && reloaded.get(7L).isDefined,
+      "cache served the stale index after the blob was replaced")
+  }
 }
