@@ -49,25 +49,60 @@ object DedupOps {
   /** doc_id + distinct K-word shingle set, staged so split/shingling run
     * once per row (see Fns.shinglesOfTokens perf note). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingleSetsOf(Tables.documents(s, d))
+
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), K)).as("sh"))
 
   /** doc_id, shingle set, and the NUM_BANDS LSH band keys (each key is the
-    * comma-joined minhash row of that band). Row-local: shingles are hashed
-    * once into `hv`, then each band key is arithmetic over `hv`. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+    * comma-joined minhash row of that band) over an arbitrary
+    * (doc_id, text) frame — shared by the batch gates and the streaming
+    * fuzzy ingest. Row-local: shingles are hashed once into `hv`, then
+    * each band key is arithmetic over `hv`. */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     def minhash(h: Int): Column =
       array_min(transform(col("hv"), x => (x * lit(A(h)) + lit(B(h))) % lit(P)))
     val bands = (0 until NUM_BANDS).map { b =>
       val rows = (0 until ROWS_PER_BAND).map(r => minhash(b * ROWS_PER_BAND + r))
       concat_ws(",", rows: _*)
     }
-    shingleSets(s, d)
+    shingleSetsOf(docs)
       .select(col("doc_id"), col("sh"),
         transform(col("sh"), g => Fns.hash32(g) % lit(P)).as("hv"))
       .select(col("doc_id"), col("sh"), array(bands: _*).as("bands"))
+  }
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(Tables.documents(s, d))
+
+  /** Verified near-dup pairs BETWEEN two signature frames (each with
+    * columns doc_id, sh, bands): banded bucket equi-join for candidates —
+    * never all-pairs — then exact-Jaccard verify at [[THRESHOLD]].
+    * `requireLess` restricts to doc_a < doc_b (the self-join form); with
+    * it off, every (a, b) bucket collision is a candidate (the
+    * store-vs-batch form, where the id spaces are disjoint). */
+  private[graft] def nearPairs(sigA: DataFrame, sigB: DataFrame,
+      requireLess: Boolean): DataFrame = {
+    def buckets(sig: DataFrame, side: String): DataFrame = sig
+      .select(col("doc_id"), posexplode_outer(col("bands")))
+      .select(col("doc_id").as(s"doc_$side"),
+        col("pos").as(s"band_$side"), col("col").as(s"key_$side"))
+    val cond = col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+      (if (requireLess) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b"))
+    val pairs = buckets(sigA, "a").join(buckets(sigB, "b"), cond)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(sigA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sigB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= THRESHOLD)
+      .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
   }
 
   /** Exact dedup — group by content hash, keep the smallest doc_id.
@@ -90,32 +125,16 @@ object DedupOps {
     // is recomputed — and the corpus rescanned — three times. Persist it:
     // at scale this is the classic cache-the-signatures pattern (memory
     // with disk spill, serialized columnar).
+    // (posexplode_OUTER inside nearPairs, deliberately: with a plain
+    // posexplode Catalyst's InferFiltersFromGenerate injects
+    // `size(bands) > 0` and predicate pushdown re-inlines the whole
+    // minhash expression tree into that Filter below the staging
+    // projections — recomputing every signature per row (measured 20x
+    // slowdown). `bands` is a fixed-length array so outer semantics are
+    // identical.)
     val sig = signatures(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // posexplode_OUTER, deliberately: with a plain posexplode Catalyst's
-    // InferFiltersFromGenerate injects `size(bands) > 0` and predicate
-    // pushdown re-inlines the whole minhash expression tree into that
-    // Filter below the staging projections — recomputing every signature
-    // per row (measured 20x slowdown). `bands` is a fixed-length array so
-    // outer semantics are identical.
-    val buckets = sig
-      .select(col("doc_id"), posexplode_outer(col("bands")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = sig.select(col("doc_id"), col("sh"))
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jac") >= THRESHOLD)
-      .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
+    nearPairs(sig, sig, requireLess = true)
   }
 
   val qMinhashDedup: Q = (s, d) =>

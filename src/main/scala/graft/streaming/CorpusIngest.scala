@@ -74,6 +74,103 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming NEAR-DUP (fuzzy) ingest — the incremental form of the
+    * MinHash-LSH batch dedup ([[graft.operators.DedupOps.qMinhashDedup]]),
+    * closing the dedup story's last gap: exact-key streaming dedup drops
+    * re-deliveries, but a training ingest must also reject documents that
+    * are ~the same text as something already accepted.
+    *
+    * Per micro-batch:
+    *   1. exact dedup (within-batch winner + seen-ledger anti-join, as
+    *      [[startCurated]]);
+    *   2. MinHash signatures for the novel docs (row-local, the batch
+    *      gate's exact arithmetic via
+    *      [[graft.operators.DedupOps.signaturesOf]]);
+    *   3. STORE CHECK: banded bucket join against the accepted store's
+    *      signatures ([[graft.operators.DedupOps.nearPairs]]) — a batch
+    *      doc with a verified (exact-Jaccard ≥ THRESHOLD) near-dup in the
+    *      store is dropped. The join moves band keys, never texts;
+    *   4. WITHIN-BATCH: among store-survivors, a doc is dropped when a
+    *      verified pair links it to a smaller-id batch survivor — the
+    *      greedy pairwise rule. Transitive chains inside ONE batch can
+    *      under-delete (A~B~C with A≁C keeps C); that is the documented
+    *      approximation, converging as the store grows because later
+    *      batches are judged against everything accepted — the exact
+    *      batch operator (qDedupClusters) is the periodic rebalance, the
+    *      same split as the curated mix;
+    *   5. survivors append to the corpus AND their (doc_id, sh, bands)
+    *      rows to the signature store.
+    * All writes land in per-batch-id overwrite dirs; the store read
+    * filters to strictly-earlier batches — replay recomputes an identical
+    * batch (the [[startCurated]] exactly-once protocol). At 100 TB the
+    * store is band-key-bucketed parquet, so the candidate join is
+    * key-local; the shingle-set column is the verify cost and caps at the
+    * document's distinct K-grams (a production store may swap exact
+    * verify for signature-lane agreement to shed it — noted, not hidden). */
+  def startFuzzy(s: SparkSession, srcDir: String, corpusDir: String,
+                 checkpointDir: String, seenDir: String,
+                 sigDir: String): StreamingQuery = {
+    import graft.operators.DedupOps
+    s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(hconf).exists(p)
+        }
+        val keyed = batch
+          .withColumn("ck", contentKey(col("text")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("ck")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+        val novel =
+          if (!exists(seenDir)) keyed
+          else keyed.join(
+            spark.read.parquet(seenDir).filter(col("batch") < bid).select("ck"),
+            Seq("ck"), "left_anti")
+        if (!novel.isEmpty) {
+          val sig = DedupOps.signaturesOf(novel.select(col("doc_id"), col("text")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val storeSurvivors =
+              if (!exists(sigDir)) sig
+              else {
+                val store = spark.read.parquet(sigDir)
+                  .filter(col("batch") < bid)
+                  .select("doc_id", "sh", "bands")
+                sig.join(
+                  DedupOps.nearPairs(store, sig, requireLess = false)
+                    .select(col("doc_b").as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti")
+              }
+            val dropped = DedupOps.nearPairs(storeSurvivors, storeSurvivors,
+              requireLess = true)
+              .select(col("doc_b").as("doc_id")).distinct()
+            val kept = storeSurvivors
+              .join(dropped, Seq("doc_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              novel.join(kept.select("doc_id"), Seq("doc_id"))
+                .write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
+              kept.select("doc_id", "sh", "bands")
+                .write.mode("overwrite").parquet(s"$sigDir/batch=$bid")
+              novel.select("ck")
+                .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+            } finally kept.unpersist()
+          } finally sig.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming corpus CURATION — the streaming twin of the batch
     * rate-table mix ([[graft.operators.DedupOps.qCorpusMix]]), composed
     * with the exactly-once dedup above so the whole curation story

@@ -134,4 +134,57 @@ class CorpusIngestSpec extends AnyFunSuite {
       s"round 2: got ${got2.length}, want ${expected1.size} carried + ${expectedNew.size} new")
     w1.unpersist()
   }
+
+  test("fuzzy ingest drops near-dups against the store and within a batch, exactly once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fuzzy")
+    val (src, corpus, ckpt, seen, sigs) =
+      (s"$root/src", s"$root/corpus", s"$root/ckpt", s"$root/seen", s"$root/sigs")
+    Files.createDirectories(Paths.get(src))
+
+    def runFuzzy(): Unit = {
+      val q = CorpusIngest.startFuzzy(spark, src, corpus, ckpt, seen, sigs)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    // 50 unique tokens per doc; a variant swaps ONE middle token →
+    // 45/51 shared shingles, Jaccard 0.88 ≥ the 0.8 verify threshold
+    def text(prefix: String): String = (0 until 50).map(i => s"$prefix$i").mkString(" ")
+    def variant(prefix: String): String =
+      (0 until 50).map(i => if (i == 25) "swapped" else s"$prefix$i").mkString(" ")
+    def deliver(name: String, docs: Seq[(Long, String)]): Unit = {
+      val dir = s"$root/stage_$name"
+      docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(dir)
+      val part = Files.list(Paths.get(dir)).iterator()
+      val pf = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      Files.copy(pf, Paths.get(s"$src/$name.parquet"))
+    }
+
+    // batch 1: three distinct docs + a within-batch near-variant of doc 3
+    deliver("f1", Seq(1L -> text("a"), 2L -> text("b"), 3L -> text("c"),
+      4L -> variant("c")))
+    runFuzzy()
+    def corpusIds(): Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == Set(1L, 2L, 3L),
+      s"batch 1: within-batch near-dup must drop doc 4, got ${corpusIds()}")
+
+    // batch 2: a near-variant of stored doc 1 (drop), a genuinely new doc
+    // (keep), an exact in-batch copy of it (drop), and a full re-delivery
+    // of batch 1 (all dropped at the seen ledger)
+    deliver("f2", Seq(5L -> variant("a"), 6L -> text("e"), 7L -> text("e")))
+    deliver("f3", Seq(1L -> text("a"), 2L -> text("b"), 3L -> text("c"),
+      4L -> variant("c")))
+    runFuzzy()
+    assert(corpusIds() == Set(1L, 2L, 3L, 6L),
+      s"batch 2: store near-dup 5 and copies must drop, 6 must land: ${corpusIds()}")
+    // signature store carries exactly the accepted docs
+    val sigIds = spark.read.parquet(sigs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 3L, 6L), s"sig store $sigIds")
+  }
 }
