@@ -75,17 +75,39 @@ class Hnsw(val dim: Int, val m: Int = 8, val efConstruction: Int = 64) extends S
     results.toSeq.sortBy(_._1)
   }
 
+  /** Neighbor selection, Malkov & Yashunin 2016 Algorithm 4: scan
+    * candidates closest-first and keep e only while no already-kept
+    * neighbor is closer to e than q is — the diversity rule that
+    * preserves inter-cluster bridges. A naive closest-M clip (what the
+    * reference's HNSW.cpp:330-351 does) keeps only intra-cluster links on
+    * clustered data and can disconnect the graph — measured: an
+    * 11-cluster grid lost a cluster entirely, costing top-k recall that
+    * no ef could recover. Pruned candidates backfill spare capacity
+    * (keepPrunedConnections), ties broken by id for determinism. */
+  private def selectNeighbors(q: Array[Double], cands: Seq[(Double, Long)],
+      cap: Int): Seq[Long] = {
+    val ordered = cands.distinct.sortBy { case (d, id) => (d, id) }
+    val kept = mutable.ArrayBuffer[Long]()
+    for ((dq, e) <- ordered if kept.length < cap) {
+      val ve = vecs(e)
+      if (kept.forall(s => dist(ve, vecs(s)) > dq)) kept += e
+    }
+    if (kept.length < cap)
+      for ((_, e) <- ordered if kept.length < cap && !kept.contains(e))
+        kept += e
+    kept.toSeq
+  }
+
   private def connect(level: Int, a: Long, b: Long): Unit = {
     val key = (level, a)
     val lst = links.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
     if (!lst.contains(b)) {
       lst += b
-      // clip to capacity, keeping the closest (reference HNSW.cpp:330-351)
       val cap = maxNeighbors(level)
       if (lst.length > cap) {
         val va = vecs(a)
-        val sorted = lst.sortBy(n => dist(va, vecs(n)))
-        links(key) = sorted.take(cap)
+        links(key) = mutable.ArrayBuffer(
+          selectNeighbors(va, lst.map(n => (dist(va, vecs(n)), n)).toSeq, cap): _*)
       }
     }
   }
@@ -107,7 +129,7 @@ class Hnsw(val dim: Int, val m: Int = 8, val efConstruction: Int = 64) extends S
     l = math.min(topLevel, lvl)
     while (l >= 0) {
       val found = searchLayer(vec, eps, efConstruction, l)
-      found.take(maxNeighbors(l)).foreach { case (_, nb) =>
+      selectNeighbors(vec, found, maxNeighbors(l)).foreach { nb =>
         connect(l, id, nb)
         connect(l, nb, id)
       }
