@@ -412,39 +412,54 @@ object VectorOps {
     * collected mean is the same double the old crossJoin plan put in the
     * `cv` column (cast happens before collect), so values are
     * bit-identical to the r7 gate. */
+  /** Row-local cell assignment of a (vec_id, v) frame against literal
+    * centroids — the argmin shared by [[qKmeans]]'s training loop and the
+    * streaming vector-store ingest
+    * ([[graft.streaming.VectorIngest]]). Centroids ride as plan literals
+    * (k×dim doubles), distances stage as attribute columns FIRST (PERF.md:
+    * never re-evaluate an expensive child inside a fold), and the argmin
+    * is two linear expressions — min via least(), then the FIRST equal
+    * cid (a naive fold duplicating the accumulator in both when-branches
+    * is an O(2^k) expression tree). Equality against the min is exact
+    * (least returns one of the operands bit-for-bit) and first-match ≡ a
+    * (dist, cid) ordering's tie-break. ZERO exchange. A single surviving
+    * centroid degrades to its distance column — least() needs ≥2
+    * children — instead of crashing. */
+  private[graft] def assignCells(frame: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "cell assignment needs at least one centroid")
+    val staged = frame.select(col("vec_id") +: col("v") +:
+      cents.map { case (cid, cv) =>
+        VectorExprs.dist2(col("v"), array(cv.map(lit): _*)).as(s"d_$cid")
+      }: _*)
+    val minDist =
+      if (cents.size == 1) col(s"d_${cents.head._1}")
+      else least(cents.map { case (cid, _) => col(s"d_$cid") }: _*)
+    staged.withColumn("dist", minDist)
+      .withColumn("cid",
+        cents.tail.foldLeft(when(col(s"d_${cents.head._1}") === col("dist"),
+          lit(cents.head._1.toLong))) { case (acc, (cid, _)) =>
+          acc.when(col(s"d_$cid") === col("dist"), lit(cid.toLong))
+        })
+      .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+  }
+
+  /** Deterministic seed centroids — the first [[KM_K]] vectors by id
+    * ([[qKmeans]]'s init), exposed for ingest setups that need a coarse
+    * quantizer before a training run has produced one. k×dim doubles to
+    * the driver — the scalar-aggregate tier. */
+  private[graft] def seedCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+    vecs(s, d).filter(col("vec_id") < KM_K)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .sortBy(_._1)
+
   val qKmeans: Q = (s, d) => {
     val v = vecs(s, d).select(col("vec_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cents: cid → centroid, ascending cid, driver-side between rounds.
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      // duplicate-heavy data can collapse every vector onto one surviving
-      // centroid — least() needs ≥2 children, so the k=1 round degrades
-      // to that centroid's distance column instead of crashing
-      require(cents.nonEmpty, "k-means lost every centroid")
-      // stage the k distances as attribute columns FIRST (PERF.md: never
-      // re-evaluate an expensive child inside a fold), then a when-chain
-      // argmin: strict < keeps the earlier (smaller) cid on ties —
-      // identical to the old window's (dist, cid) ordering.
-      val staged = v.select(col("vec_id") +: col("v") +:
-        cents.map { case (cid, cv) =>
-          VectorExprs.dist2(col("v"), array(cv.map(lit): _*)).as(s"d_$cid")
-        }: _*)
-      // argmin in two linear expressions (a naive fold duplicating the
-      // accumulator in both when-branches is an O(2^k) expression tree):
-      // min via least(), then the FIRST equal cid — equality against the
-      // min is exact (least returns one of the operands bit-for-bit), and
-      // first-match ≡ the old window's (dist, cid) tie-break.
-      val minDist =
-        if (cents.size == 1) col(s"d_${cents.head._1}")
-        else least(cents.map { case (cid, _) => col(s"d_$cid") }: _*)
-      staged.withColumn("dist", minDist)
-        .withColumn("cid",
-          cents.tail.foldLeft(when(col(s"d_${cents.head._1}") === col("dist"),
-            lit(cents.head._1.toLong))) { case (acc, (cid, _)) =>
-            acc.when(col(s"d_$cid") === col("dist"), lit(cid.toLong))
-          })
-        .select(col("vec_id"), col("v"), col("cid"), col("dist"))
-    }
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      assignCells(v, cents)
     // one (cid, pos)-keyed shuffle; k×dim rows back to the driver.
     def recompute(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned.select(col("cid"), posexplode(col("v")))
@@ -455,10 +470,7 @@ object VectorOps {
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }.toSeq.sortBy(_._1)
-    var cents: Seq[(Int, Seq[Double])] = v.filter(col("vec_id") < KM_K)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .sortBy(_._1)
+    var cents: Seq[(Int, Seq[Double])] = seedCentroids(s, d)
     for (_ <- 1 to KM_ITERS)
       cents = recompute(assign(cents))
     assign(cents)

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Incremental VECTOR-STORE ingest — the streaming end of the
+  * similarity-search story (as [[CorpusIngest]] is for dedup/curation):
+  * embeddings arrive in batches and land in an IVF-cell-partitioned
+  * store, so ANN queries against the store read only the probed cells'
+  * partitions (partition pruning does the IVF scan cut at the FILE level
+  * — the layout [[graft.operators.VectorOps.qAnnIvf]] assumes at 100 TB).
+  *
+  * Per micro-batch:
+  *   1. exactly-once by vec_id: within-batch dropDuplicates + anti-join
+  *      against the seen ledger of strictly-earlier batches;
+  *   2. row-local cell assignment against the broadcast coarse-quantizer
+  *      centroids ([[graft.operators.VectorOps.assignCells]] — the
+  *      identical argmin arithmetic the k-means gate pins, zero
+  *      exchange);
+  *   3. append to `storeDir/batch=<bid>` partitioned by cell, with the
+  *      per-batch-id overwrite protocol of [[CorpusIngest.startCurated]]
+  *      — re-delivery and crash-replay recompute identical batches.
+  * The centroids are FIXED for the ingest's lifetime (the IVF contract:
+  * re-clustering is a batch rebuild, not an incremental drift — cells
+  * must mean the same thing for every stored vector or the pruned scan
+  * lies). */
+object VectorIngest {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def start(s: SparkSession, srcDir: String, storeDir: String,
+            checkpointDir: String, seenDir: String,
+            centroids: Seq[(Int, Seq[Double])]): StreamingQuery = {
+    require(centroids.nonEmpty, "vector ingest needs a coarse quantizer")
+    s.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(hconf).exists(p)
+        }
+        // same-vec_id rows within a delivery are identical payloads;
+        // dropDuplicates is deterministic over them, so replay rebuilds
+        // the same batch
+        val keyed = batch.dropDuplicates("vec_id")
+        val novel =
+          if (!exists(seenDir)) keyed
+          else keyed.join(
+            spark.read.parquet(seenDir).filter(col("batch") < bid)
+              .select("vec_id"),
+            Seq("vec_id"), "left_anti")
+        if (!novel.isEmpty) {
+          val cast = novel.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"), col("label"))
+          graft.operators.VectorOps.assignCells(
+              cast.select(col("vec_id"), col("v")), centroids)
+            .select(col("vec_id"), col("v"), col("cid").as("cell"))
+            .join(cast.select(col("vec_id"), col("label")), "vec_id")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$storeDir/batch=$bid")
+          novel.select("vec_id")
+            .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.VectorOps
+import graft.streaming.VectorIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming vector-store ingest must (a) assign cells with the exact
+  * batch argmin arithmetic, (b) stay exactly-once under re-delivery, and
+  * (c) produce a layout where a cell filter prunes at the FILE level —
+  * the property that makes the store an IVF index and not just a pile of
+  * vectors. */
+class VectorIngestSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("cell-partitioned ingest: batch-exact assignment, exactly once, file-level pruning") {
+    val root = Files.createTempDirectory("graft-vecs")
+    val (src, store, ckpt, seen) =
+      (s"$root/src", s"$root/store", s"$root/ckpt", s"$root/seen")
+    Files.createDirectories(Paths.get(src))
+    val cents = VectorOps.seedCentroids(spark, sfDir)
+
+    def run(): Unit = {
+      val q = VectorIngest.start(spark, src, store, ckpt, seen, cents)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    // delivery + an at-least-once re-delivery of the same file
+    for (name <- Seq("v1.parquet", "v2.parquet"))
+      Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), Paths.get(s"$src/$name"))
+    run()
+
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nVecs = vecs.count()
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == nVecs,
+      s"re-delivery duplicated vectors: ${stored.count()} vs $nVecs")
+
+    // assignment parity with the batch argmin
+    val expected = VectorOps.assignCells(vecs, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition-discovered `cell` comes back as int; normalize to long
+    val got = stored.select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "streamed cell assignment diverged from batch argmin")
+
+    // a cell filter must READ only that cell's files — assert on the
+    // scan's numFiles metric after execution (inputFiles reflects the
+    // whole relation, not pruning)
+    val someCell = expected.values.head
+    val allFiles = spark.read.parquet(store).inputFiles.length
+    val pruned = spark.read.parquet(store).filter(col("cell") === someCell)
+    // collect() drives pruned's OWN queryExecution — count() would build
+    // a fresh plan and leave this one's metrics at zero
+    assert(pruned.collect().length == expected.values.count(_ == someCell))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    val read = scan.metrics("numFiles").value
+    assert(read < allFiles && read >= 1,
+      s"cell filter read $read of $allFiles files — no partition pruning")
+    assert(scan.toString.contains("PartitionFilters"),
+      s"cell predicate not applied as a partition filter:\n$scan")
+
+    // restart with one more re-delivery: nothing changes
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), Paths.get(s"$src/v3.parquet"))
+    run()
+    assert(spark.read.parquet(store).count() == nVecs)
+  }
+}
