@@ -473,15 +473,16 @@ class GqlEngine(spark: SparkSession, root: String,
       val genStem = s".hnswp_${knn.prop}_d$dim"
       val gen = s"${genStem}_v${ver}_p"
       // evict superseded generations (any version but the current one),
-      // orphaned temp blobs from crashed task attempts (no task of THIS
-      // query has started yet, so every tmp file is debris), and
-      // single-file blobs from the pre-scatter layout
+      // orphaned temp blobs of SUPERSEDED versions (a concurrent engine on
+      // the same root may be mid save-then-move for the CURRENT version —
+      // its tmp files are live, not debris), and single-file blobs from
+      // the pre-scatter layout
       val stale = Files.list(dir)
       try stale.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           (n.startsWith(s"${genStem}_v") && !n.startsWith(gen)) ||
-            n.startsWith(s"tmp$genStem") ||
+            (n.startsWith(s"tmp$genStem") && !n.startsWith(s"tmp$gen")) ||
             n.startsWith(s".hnsw_${knn.prop}_d")
         }.toSeq.foreach(Files.deleteIfExists(_))
       finally stale.close()

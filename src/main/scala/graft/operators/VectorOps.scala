@@ -428,7 +428,9 @@ object VectorOps {
   private[graft] def assignCells(frame: DataFrame,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "cell assignment needs at least one centroid")
-    val staged = frame.select(col("vec_id") +: col("v") +:
+    // passthrough of every input column (the ingest carries metadata like
+    // label through the argmin — a projection, never a join-back)
+    val staged = frame.select(col("*") +:
       cents.map { case (cid, cv) =>
         VectorExprs.dist2(col("v"), array(cv.map(lit): _*)).as(s"d_$cid")
       }: _*)
@@ -441,7 +443,7 @@ object VectorOps {
           lit(cents.head._1.toLong))) { case (acc, (cid, _)) =>
           acc.when(col(s"d_$cid") === col("dist"), lit(cid.toLong))
         })
-      .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+      .select(frame.columns.map(col) :+ col("cid") :+ col("dist"): _*)
   }
 
   /** Deterministic seed centroids — the first [[KM_K]] vectors by id

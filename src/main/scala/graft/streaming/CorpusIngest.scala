@@ -89,15 +89,18 @@ object CorpusIngest {
     *   3. STORE CHECK: banded bucket join against the accepted store's
     *      signatures ([[graft.operators.DedupOps.nearPairs]]) — a batch
     *      doc with a verified (exact-Jaccard ≥ THRESHOLD) near-dup in the
-    *      store is dropped. The join moves band keys, never texts;
-    *   4. WITHIN-BATCH: among store-survivors, a doc is dropped when a
-    *      verified pair links it to a smaller-id batch survivor — the
-    *      greedy pairwise rule. Transitive chains inside ONE batch can
-    *      under-delete (A~B~C with A≁C keeps C); that is the documented
-    *      approximation, converging as the store grows because later
-    *      batches are judged against everything accepted — the exact
-    *      batch operator (qDedupClusters) is the periodic rebalance, the
-    *      same split as the curated mix;
+    *      store is dropped, and a batch doc REUSING an already-stored
+    *      doc_id is rejected outright (doc_id is the store's primary key;
+    *      admitting a collision would fan out every downstream join).
+    *      The join moves band keys, never texts;
+    *   4. WITHIN-BATCH: among store-survivors, a doc is dropped when ANY
+    *      verified pair links it to a smaller-id store-survivor —
+    *      whether or not that smaller doc itself survives. Transitive
+    *      chains inside ONE batch therefore OVER-delete (A~B~C with A≁C
+    *      keeps only A): the safe direction for a dedup gate (a chain
+    *      member is near-dup of a near-dup), and the exact batch operator
+    *      (qDedupClusters' cluster-canonical rule) is the periodic
+    *      rebalance — the same split as the curated mix;
     *   5. survivors append to the corpus AND their (doc_id, sh, bands)
     *      rows to the signature store.
     * All writes land in per-batch-id overwrite dirs; the store read
@@ -120,53 +123,63 @@ object CorpusIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        def exists(dir: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(hconf).exists(p)
-        }
         val keyed = batch
           .withColumn("ck", contentKey(col("text")))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("ck")).orderBy(col("doc_id"))))
           .filter(col("rn") === 1).drop("rn")
-        val novel =
-          if (!exists(seenDir)) keyed
-          else keyed.join(
-            spark.read.parquet(seenDir).filter(col("batch") < bid).select("ck"),
-            Seq("ck"), "left_anti")
-        if (!novel.isEmpty) {
-          val sig = DedupOps.signaturesOf(novel.select(col("doc_id"), col("text")))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val storeSurvivors =
-              if (!exists(sigDir)) sig
-              else {
-                val store = spark.read.parquet(sigDir)
-                  .filter(col("batch") < bid)
-                  .select("doc_id", "sh", "bands")
-                sig.join(
-                  DedupOps.nearPairs(store, sig, requireLess = false)
-                    .select(col("doc_b").as("doc_id")).distinct(),
-                  Seq("doc_id"), "left_anti")
-              }
-            val dropped = DedupOps.nearPairs(storeSurvivors, storeSurvivors,
-              requireLess = true)
-              .select(col("doc_b").as("doc_id")).distinct()
-            val kept = storeSurvivors
-              .join(dropped, Seq("doc_id"), "left_anti")
+        val fresh = Ledger.withoutSeen(spark, keyed, seenDir, bid, "ck")
+        // doc_id collision with the store = feed bug; reject BEFORE the
+        // ledger write and the near-dup check, so the store key stays
+        // unique AND the rejected doc's content is not marked seen (a
+        // later delivery under a correct id must still be ingestable)
+        val store =
+          if (!Ledger.exists(spark, sigDir)) None
+          else Some(spark.read.parquet(sigDir)
+            .filter(col("batch") < bid)
+            .select("doc_id", "sh", "bands"))
+        // novel feeds the ledger write, the signatures, and the corpus
+        // write — persist, or the anti-join re-runs per consumer
+        val novel = store.fold(fresh)(st =>
+            fresh.join(st.select("doc_id"), Seq("doc_id"), "left_anti"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!novel.isEmpty) {
+            val sig = DedupOps.signaturesOf(novel.select(col("doc_id"), col("text")))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              novel.join(kept.select("doc_id"), Seq("doc_id"))
-                .write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
-              kept.select("doc_id", "sh", "bands")
-                .write.mode("overwrite").parquet(s"$sigDir/batch=$bid")
-              novel.select("ck")
-                .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
-            } finally kept.unpersist()
-          } finally sig.unpersist()
-        }
+              // storeSurvivors feeds both sides of the within-batch pair
+              // join, both verify joins, and the kept anti-join (5
+              // consumers; no cross-branch CSE)
+              val storeSurvivors = (
+                store match {
+                  case None => sig
+                  case Some(st) => sig.join(
+                    DedupOps.nearPairs(st, sig, requireLess = false)
+                      .select(col("doc_b").as("doc_id")).distinct(),
+                    Seq("doc_id"), "left_anti")
+                }
+              ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val dropped = DedupOps.nearPairs(storeSurvivors, storeSurvivors,
+                  requireLess = true)
+                  .select(col("doc_b").as("doc_id")).distinct()
+                val kept = storeSurvivors
+                  .join(dropped, Seq("doc_id"), "left_anti")
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                try {
+                  novel.join(kept.select("doc_id"), Seq("doc_id"))
+                    .write.mode("overwrite").parquet(s"$corpusDir/batch=$bid")
+                  kept.select("doc_id", "sh", "bands")
+                    .write.mode("overwrite").parquet(s"$sigDir/batch=$bid")
+                  novel.select("ck")
+                    .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+                } finally kept.unpersist()
+              } finally storeSurvivors.unpersist()
+            } finally sig.unpersist()
+          }
+        } finally novel.unpersist()
       }
       .start()
   }
@@ -213,24 +226,13 @@ object CorpusIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        def exists(dir: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(hconf).exists(p)
-        }
         val keyed = batch
           .withColumn("ck", contentKey(col("text")))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("ck")).orderBy(col("doc_id"))))
           .filter(col("rn") === 1).drop("rn")
-        // seen ledger of STRICTLY EARLIER batches: a replay of batch bid
-        // must not see its own previous (possibly partial) writes
-        val novel =
-          if (!exists(seenDir)) keyed
-          else keyed.join(
-            spark.read.parquet(seenDir).filter(col("batch") < bid).select("ck"),
-            Seq("ck"), "left_anti")
+        val novel = Ledger.withoutSeen(spark, keyed, seenDir, bid, "ck")
         // novel feeds the ledger, the stats, and the keep filter — persist,
         // or the anti-join re-runs per consumer (no cross-branch CSE)
         val toks = novel.withColumn("n_toks",

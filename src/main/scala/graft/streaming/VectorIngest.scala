@@ -46,33 +46,29 @@ object VectorIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        def exists(dir: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(hconf).exists(p)
-        }
         // same-vec_id rows within a delivery are identical payloads;
         // dropDuplicates is deterministic over them, so replay rebuilds
         // the same batch
         val keyed = batch.dropDuplicates("vec_id")
-        val novel =
-          if (!exists(seenDir)) keyed
-          else keyed.join(
-            spark.read.parquet(seenDir).filter(col("batch") < bid)
-              .select("vec_id"),
-            Seq("vec_id"), "left_anti")
-        if (!novel.isEmpty) {
-          val cast = novel.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"), col("label"))
-          graft.operators.VectorOps.assignCells(
-              cast.select(col("vec_id"), col("v")), centroids)
-            .select(col("vec_id"), col("v"), col("cid").as("cell"))
-            .join(cast.select(col("vec_id"), col("label")), "vec_id")
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$storeDir/batch=$bid")
-          novel.select("vec_id")
-            .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
-        }
+        // novel feeds isEmpty, the store write, and the ledger write —
+        // persist, or the anti-join re-runs per consumer
+        val novel = Ledger.withoutSeen(spark, keyed, seenDir, bid, "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!novel.isEmpty) {
+            // label rides THROUGH the argmin (assignCells passes input
+            // columns along) — a projection, not a join-back shuffle
+            graft.operators.VectorOps.assignCells(
+                novel.select(col("vec_id"),
+                  col("embedding").cast("array<double>").as("v"), col("label")),
+                centroids)
+              .select(col("vec_id"), col("v"), col("label"), col("cid").as("cell"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$storeDir/batch=$bid")
+            novel.select("vec_id")
+              .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+          }
+        } finally novel.unpersist()
       }
       .start()
   }

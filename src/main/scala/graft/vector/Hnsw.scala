@@ -181,11 +181,22 @@ object Hnsw {
       override def removeEldestEntry(e: java.util.Map.Entry[String, Hnsw]): Boolean =
         size > 64
     }
+  // path → its CURRENT cache key, so a replaced file's superseded entry
+  // is evicted immediately instead of squatting in the LRU until
+  // capacity pressure (each dead entry holds a whole deserialized index)
+  private val pathKey = new java.util.HashMap[String, String]()
 
   private def cacheKey(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     s"$path@${java.nio.file.Files.getLastModifiedTime(p)}@${java.nio.file.Files.size(p)}"
   }
+
+  private def install(path: String, key: String, h: Hnsw): Unit =
+    loadCache.synchronized {
+      val old = pathKey.put(path, key)
+      if (old != null && old != key) loadCache.remove(old)
+      loadCache.put(key, h)
+    }
 
   def loadCached(path: String): Hnsw = {
     val key = cacheKey(path)
@@ -194,13 +205,11 @@ object Hnsw {
       if (hit != null) return hit
     }
     val h = load(path)
-    loadCache.synchronized { loadCache.put(key, h) }
+    install(path, key, h)
     h
   }
 
   /** Register a just-built-and-saved index under its blob path. */
-  def cachePut(path: String, h: Hnsw): Unit = {
-    val key = cacheKey(path)
-    loadCache.synchronized { loadCache.put(key, h) }
-  }
+  def cachePut(path: String, h: Hnsw): Unit =
+    install(path, cacheKey(path), h)
 }

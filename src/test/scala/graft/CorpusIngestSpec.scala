@@ -186,5 +186,29 @@ class CorpusIngestSpec extends AnyFunSuite {
     // signature store carries exactly the accepted docs
     val sigIds = spark.read.parquet(sigs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sigIds == Set(1L, 2L, 3L, 6L), s"sig store $sigIds")
+
+    // batch 3: a transitive chain A~B~C with A≁C (B differs from A at one
+    // token, C from B at another) — the documented within-batch rule
+    // OVER-deletes the chain: only A survives
+    def chainVariant(prefix: String, at: Int): String =
+      (0 until 50).map(i => if (i == at) s"swapped$at" else s"$prefix$i").mkString(" ")
+    def chainVariant2(prefix: String, a1: Int, a2: Int): String =
+      (0 until 50).map(i =>
+        if (i == a1) s"swapped$a1" else if (i == a2) s"swapped$a2" else s"$prefix$i")
+        .mkString(" ")
+    deliver("f4", Seq(10L -> text("g"), 11L -> chainVariant("g", 25),
+      12L -> chainVariant2("g", 25, 40)))
+    runFuzzy()
+    assert(corpusIds() == Set(1L, 2L, 3L, 6L, 10L),
+      s"chain must over-delete to its smallest member: ${corpusIds()}")
+
+    // a doc_id COLLIDING with a stored id but carrying novel text is a
+    // feed bug — rejected before the near-dup check, store key stays unique
+    deliver("f5", Seq(1L -> text("z"), 20L -> text("y")))
+    runFuzzy()
+    assert(corpusIds() == Set(1L, 2L, 3L, 6L, 10L, 20L),
+      s"colliding doc_id 1 must be rejected, 20 must land: ${corpusIds()}")
+    val finalSigs = spark.read.parquet(sigs).select("doc_id").collect().map(_.getLong(0))
+    assert(finalSigs.length == finalSigs.toSet.size, "sig store key no longer unique")
   }
 }
