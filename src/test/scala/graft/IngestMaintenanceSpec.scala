@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.VectorOps
+import graft.streaming.{IngestMaintenance, VectorIngest}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction must change the FILE layout and nothing else: identical
+  * rows, identical cell assignments, fewer files, and an ingest resumed
+  * on the compacted ledger stays exactly-once. */
+class IngestMaintenanceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("compacting store and ledger preserves content and exactly-once resume") {
+    val root = Files.createTempDirectory("graft-compact")
+    val (src, store, ckpt, seen) =
+      (s"$root/src", s"$root/store", s"$root/ckpt", s"$root/seen")
+    Files.createDirectories(Paths.get(src))
+    val cents = VectorOps.seedCentroids(spark, sfDir)
+
+    def run(): Unit = {
+      val q = VectorIngest.start(spark, src, store, ckpt, seen, cents)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    def deliver(name: String, idOffset: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(idOffset))
+        .coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      val pf = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      Files.copy(pf, Paths.get(s"$src/$name.parquet"))
+    }
+    // two batches of disjoint populations → two batch dirs in every layout
+    deliver("v1", 0L)
+    deliver("v2", 1000000L)
+    run()
+
+    def snapshot(): (Long, Map[Long, Long], Int) = {
+      val df = spark.read.parquet(store)
+      (df.count(),
+        df.select(col("vec_id"), col("cell").cast("long")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        spark.read.parquet(store).inputFiles.length)
+    }
+    val (nBefore, cellsBefore, filesBefore) = snapshot()
+    assert(nBefore > 0 && filesBefore > VectorOps.KM_K,
+      s"expected a fragmented store to compact ($filesBefore files)")
+
+    IngestMaintenance.compact(spark, store, secondaryPartitions = Seq("cell"),
+      targetFileRows = 1000000L)
+    IngestMaintenance.compact(spark, seen)
+
+    val (nAfter, cellsAfter, filesAfter) = snapshot()
+    assert(nAfter == nBefore, s"compaction changed row count: $nAfter vs $nBefore")
+    assert(cellsAfter == cellsBefore, "compaction changed cell assignments")
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesAfter vs $filesBefore")
+    // one consolidated batch partition, cell dirs preserved beneath it
+    val batchDirs = Files.list(Paths.get(store)).iterator()
+    val names = Iterator.continually(batchDirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
+    assert(names.length == 1, s"expected one batch dir, got $names")
+
+    // resume on the compacted ledger: a re-delivery adds nothing, new
+    // content still lands
+    deliver("v3", 0L)
+    deliver("v4", 2000000L)
+    run()
+    val finalDf = spark.read.parquet(store)
+    assert(finalDf.count() == nBefore + nBefore / 2,
+      s"exactly-once broke after compaction: ${finalDf.count()}")
+    assert(finalDf.filter(col("vec_id") >= 2000000L).count() == nBefore / 2)
+  }
+}
