@@ -61,7 +61,7 @@ object VectorOps {
   /** Shared cosine kernel — ONE definition for qKnnCosine /
     * qSemanticSearch / qHybridSearch (SQL twin: sqlCos), so a kernel
     * change cannot desynchronize a subset of gates. */
-  private def cosSim(v: Column, pv: Column): Column =
+  private[graft] def cosSim(v: Column, pv: Column): Column =
     VectorExprs.dotp(v, pv) /
       (sqrt(VectorExprs.dotp(v, v)) * sqrt(VectorExprs.dotp(pv, pv)))
 
@@ -426,8 +426,10 @@ object VectorOps {
     * centroid degrades to its distance column — least() needs ≥2
     * children — instead of crashing. */
   private[graft] def assignCells(frame: DataFrame,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      cents: Seq[(Int, Seq[Double])], probes: Int = 1): DataFrame = {
     require(cents.nonEmpty, "cell assignment needs at least one centroid")
+    require(probes == 1 || probes == 2, s"probes must be 1 or 2 (got $probes)")
+    require(probes == 1 || cents.size >= 2, "2-probe needs >= 2 centroids")
     // passthrough of every input column (the ingest carries metadata like
     // label through the argmin — a projection, never a join-back)
     val staged = frame.select(col("*") +:
@@ -437,13 +439,29 @@ object VectorOps {
     val minDist =
       if (cents.size == 1) col(s"d_${cents.head._1}")
       else least(cents.map { case (cid, _) => col(s"d_$cid") }: _*)
-    staged.withColumn("dist", minDist)
+    val base = staged.withColumn("dist", minDist)
       .withColumn("cid",
         cents.tail.foldLeft(when(col(s"d_${cents.head._1}") === col("dist"),
           lit(cents.head._1.toLong))) { case (acc, (cid, _)) =>
           acc.when(col(s"d_$cid") === col("dist"), lit(cid.toLong))
         })
-      .select(frame.columns.map(col) :+ col("cid") :+ col("dist"): _*)
+    // probes == 2: the SECOND-nearest centroid (q_cosine_blocked's
+    // 2-probe blocking, for boundary-straddling near-dup checks) — mask
+    // the chosen cell's distance and repeat the same linear argmin
+    def masked(cid: Int): Column =
+      when(lit(cid.toLong) === col("cid"), lit(Double.MaxValue))
+        .otherwise(col(s"d_$cid"))
+    val out =
+      if (probes == 1) base
+      else base
+        .withColumn("d2nd", least(cents.map { case (c, _) => masked(c) }: _*))
+        .withColumn("cid2",
+          cents.tail.foldLeft(when(masked(cents.head._1) === col("d2nd"),
+            lit(cents.head._1.toLong))) { case (acc, (c, _)) =>
+            acc.when(masked(c) === col("d2nd"), lit(c.toLong))
+          })
+    out.select(frame.columns.map(col) ++ Seq(col("cid")) ++
+      (if (probes == 2) Seq(col("cid2")) else Nil) :+ col("dist"): _*)
   }
 
   /** Deterministic seed centroids — the first [[KM_K]] vectors by id

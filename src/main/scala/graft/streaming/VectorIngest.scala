@@ -33,10 +33,26 @@ object VectorIngest {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** `dedupCosine = Some(t)` additionally REJECTS near-duplicate
+    * embeddings at ingest — the streaming form of
+    * [[graft.operators.VectorOps.qCosineBlocked]]: each novel vector is
+    * checked against the STORED vectors of its two nearest cells
+    * (2-probe, so a boundary-straddling duplicate is still caught), and
+    * within the batch the smaller vec_id wins among pairs sharing a
+    * probe cell. The store read for the check filters to the batch's
+    * ≤ 2·k probe cells, so partition pruning keeps the candidate scan at
+    * probed-cells cost — the ingest literally queries the index it is
+    * building. Rejected vectors ARE recorded in the seen ledger:
+    * rejection is content-based (they are duplicates), unlike the fuzzy
+    * ingest's id-collision rejection. */
   def start(s: SparkSession, srcDir: String, storeDir: String,
             checkpointDir: String, seenDir: String,
-            centroids: Seq[(Int, Seq[Double])]): StreamingQuery = {
+            centroids: Seq[(Int, Seq[Double])],
+            dedupCosine: Option[Double] = None): StreamingQuery = {
     require(centroids.nonEmpty, "vector ingest needs a coarse quantizer")
+    require(dedupCosine.forall(t => t > 0 && t <= 1),
+      s"dedupCosine must be in (0, 1] (got $dedupCosine)")
+    import graft.operators.VectorOps
     s.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", "1")
@@ -58,15 +74,53 @@ object VectorIngest {
           if (!novel.isEmpty) {
             // label rides THROUGH the argmin (assignCells passes input
             // columns along) — a projection, not a join-back shuffle
-            graft.operators.VectorOps.assignCells(
+            val assigned = VectorOps.assignCells(
                 novel.select(col("vec_id"),
                   col("embedding").cast("array<double>").as("v"), col("label")),
-                centroids)
-              .select(col("vec_id"), col("v"), col("label"), col("cid").as("cell"))
-              .write.mode("overwrite").partitionBy("cell")
-              .parquet(s"$storeDir/batch=$bid")
-            novel.select("vec_id")
-              .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+                centroids, probes = if (dedupCosine.isDefined) 2 else 1)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val kept = dedupCosine match {
+                case None => assigned
+                case Some(t) =>
+                  def probed(df: DataFrame): DataFrame = df.select(
+                    col("vec_id"), col("v"),
+                    explode(array(col("cid"), col("cid2"))).as("cell"))
+                  val storeSurvivors =
+                    if (!Ledger.exists(spark, storeDir)) assigned
+                    else {
+                      // ≤ 2·k cell ids to the driver → a static isin
+                      // filter the scan prunes partitions on
+                      val cells = assigned
+                        .select(explode(array(col("cid"), col("cid2"))).as("c"))
+                        .distinct().collect().map(_.getLong(0))
+                      val cand = spark.read.parquet(storeDir)
+                        .filter(col("batch") < bid)
+                        .filter(col("cell").isin(cells: _*))
+                        .select(col("v").as("sv"), col("cell").cast("long").as("cell"))
+                      val rejected = probed(assigned).join(cand, "cell")
+                        .filter(VectorOps.cosSim(col("v"), col("sv")) >= t)
+                        .select("vec_id").distinct()
+                      assigned.join(rejected, Seq("vec_id"), "left_anti")
+                    }
+                  val pa = probed(storeSurvivors)
+                  // fully renamed right side — same-named columns from a
+                  // shared lineage would trip ambiguous-self-join checks
+                  val pb = pa.select(col("vec_id").as("vec_b"),
+                    col("v").as("vb"), col("cell").as("cell_b"))
+                  val dropped = pa.join(pb,
+                      col("cell") === col("cell_b") && col("vec_id") < col("vec_b") &&
+                        VectorOps.cosSim(col("v"), col("vb")) >= t)
+                    .select(col("vec_b").as("vec_id")).distinct()
+                  storeSurvivors.join(dropped, Seq("vec_id"), "left_anti")
+              }
+              kept
+                .select(col("vec_id"), col("v"), col("label"), col("cid").as("cell"))
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(s"$storeDir/batch=$bid")
+              novel.select("vec_id")
+                .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
+            } finally assigned.unpersist()
           }
         } finally novel.unpersist()
       }

@@ -74,4 +74,59 @@ class VectorIngestSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(store).count() == nVecs)
   }
+
+  test("cosine dedup at ingest rejects near-copies against the store and within a batch") {
+    val root = Files.createTempDirectory("graft-vecdedup")
+    val (src, store, ckpt, seen) =
+      (s"$root/src", s"$root/store", s"$root/ckpt", s"$root/seen")
+    Files.createDirectories(Paths.get(src))
+    val cents = VectorOps.seedCentroids(spark, sfDir)
+    val T = 0.9 // max natural pairwise cosine in this corpus is 0.479
+
+    def run(): Unit = {
+      val q = VectorIngest.start(spark, src, store, ckpt, seen, cents,
+        dedupCosine = Some(T))
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    def deliver(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      val pf = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      Files.copy(pf, Paths.get(s"$src/$name.parquet"))
+    }
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    deliver("b1", base)
+    run()
+    val n = base.count()
+    assert(spark.read.parquet(store).count() == n,
+      "naturally distinct corpus must ingest fully at T=0.9")
+
+    // batch 2: near-copies of stored vectors (same direction, scaled —
+    // cosine 1.0) under fresh ids, one genuinely new direction, and a
+    // within-batch near-pair of that new direction
+    val nearCopies = base.limit(5)
+      .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * lit(1.01f)).as("embedding"),
+        col("label"))
+    val dim = base.selectExpr("size(embedding)").head().getInt(0)
+    import spark.implicits._
+    val fresh = Seq(
+      (9000001L, Array.tabulate(dim)(i => if (i % 2 == 0) 5.0f else -5.0f), 0),
+      (9000002L, Array.tabulate(dim)(i => if (i % 2 == 0) 5.05f else -5.05f), 0))
+      .toDF("vec_id", "embedding", "label")
+    deliver("b2", nearCopies.unionByName(fresh))
+    run()
+    val ids = spark.read.parquet(store).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.exists(i => i >= 5000000L && i < 9000000L),
+      s"near-copies of stored vectors must be rejected: ${ids.filter(_ >= 5000000L)}")
+    assert(ids.contains(9000001L), "genuinely new direction must land")
+    assert(!ids.contains(9000002L), "within-batch near-pair: larger id must drop")
+    assert(spark.read.parquet(store).count() == n + 1)
+  }
 }
