@@ -52,6 +52,9 @@ object VectorIngest {
     require(centroids.nonEmpty, "vector ingest needs a coarse quantizer")
     require(dedupCosine.forall(t => t > 0 && t <= 1),
       s"dedupCosine must be in (0, 1] (got $dedupCosine)")
+    // fail at start(), not inside the first micro-batch
+    require(dedupCosine.isEmpty || centroids.size >= 2,
+      "cosine dedup needs >= 2 centroids (2-probe cell blocking)")
     import graft.operators.VectorOps
     s.readStream
       .schema(vecSchema)
@@ -74,11 +77,17 @@ object VectorIngest {
           if (!novel.isEmpty) {
             // label rides THROUGH the argmin (assignCells passes input
             // columns along) — a projection, not a join-back shuffle
-            val assigned = VectorOps.assignCells(
-                novel.select(col("vec_id"),
-                  col("embedding").cast("array<double>").as("v"), col("label")),
-                centroids, probes = if (dedupCosine.isDefined) 2 else 1)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val assignedPlain = VectorOps.assignCells(
+              novel.select(col("vec_id"),
+                col("embedding").cast("array<double>").as("v"), col("label")),
+              centroids, probes = if (dedupCosine.isDefined) 2 else 1)
+            // multi-consumer ONLY on the dedup path (cells collect,
+            // store-check join, within-batch self-join, write); the plain
+            // path writes once — persisting it would be pure overhead
+            val assigned =
+              if (dedupCosine.isDefined)
+                assignedPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              else assignedPlain
             try {
               val kept = dedupCosine match {
                 case None => assigned

@@ -52,8 +52,7 @@ class IngestMaintenanceSpec extends AnyFunSuite {
     assert(nBefore > 0 && filesBefore > VectorOps.KM_K,
       s"expected a fragmented store to compact ($filesBefore files)")
 
-    IngestMaintenance.compact(spark, store, secondaryPartitions = Seq("cell"),
-      targetFileRows = 1000000L)
+    IngestMaintenance.compact(spark, store, targetFileRows = 1000000L)
     IngestMaintenance.compact(spark, seen)
 
     val (nAfter, cellsAfter, filesAfter) = snapshot()
@@ -61,11 +60,18 @@ class IngestMaintenanceSpec extends AnyFunSuite {
     assert(cellsAfter == cellsBefore, "compaction changed cell assignments")
     assert(filesAfter < filesBefore,
       s"compaction did not reduce files: $filesAfter vs $filesBefore")
-    // one consolidated batch partition, cell dirs preserved beneath it
+    // one consolidated batch partition at the never-replayable id -1
+    // (an uncommitted final batch replaying after compaction must not be
+    // able to overwrite the consolidated data), cell dirs inferred and
+    // preserved beneath it
     val batchDirs = Files.list(Paths.get(store)).iterator()
     val names = Iterator.continually(batchDirs).takeWhile(_.hasNext).map(_.next())
       .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq
-    assert(names.length == 1, s"expected one batch dir, got $names")
+    assert(names == Seq("batch=-1"), s"expected only batch=-1, got $names")
+    val cellDirs = Files.list(Paths.get(s"$store/batch=-1")).iterator()
+    val cells = Iterator.continually(cellDirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("cell=")).toSeq
+    assert(cells.nonEmpty, "cell partition level lost in compaction")
 
     // resume on the compacted ledger: a re-delivery adds nothing, new
     // content still lands
