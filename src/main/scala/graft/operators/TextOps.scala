@@ -213,6 +213,37 @@ object TextOps {
       .orderBy("source", "bin")
   }
 
+  /** Context-window geometry for [[qDocChunks]]: windows of [[CHUNK_TOKS]]
+    * tokens advancing by [[CHUNK_STRIDE]] (overlap = 8 tokens) — sized so
+    * the 10-100-token test docs span 1-5 chunks. */
+  val CHUNK_TOKS = 32
+  val CHUNK_STRIDE = 24
+
+  /** Context-window CHUNKING — the splitting step between curation and
+    * tokenization in a training pipeline (q_doc_packing packs short docs
+    * into bins; this is its dual for LONG docs): overlapping
+    * CHUNK_TOKS-token windows at CHUNK_STRIDE, each chunk reported as
+    * (index, token offset, length, content hash) so the gate pins the
+    * window boundaries AND the chunk text itself. Row-expanding and
+    * entirely row-local — one scan, zero shuffle at any corpus size.
+    * posexplode_OUTER per the InferFiltersFromGenerate trap (PERF.md);
+    * the greatest(…, 0) guard keeps a zero-token doc at exactly one
+    * empty chunk on BOTH engines (Spark's int div truncates toward zero
+    * where DuckDB's // floors — at -1 they disagree). */
+  val qDocChunks: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode_outer(
+        expr(s"sequence(0, greatest((size(tk) - 1) div $CHUNK_STRIDE, 0))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("tk"))
+      .withColumn("start_tok", col("chunk_idx") * CHUNK_STRIDE)
+      .withColumn("chunk",
+        expr(s"slice(tk, cast(start_tok + 1 as int), $CHUNK_TOKS)"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        Fns.hash32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Intra-document repetition — the duplicate-3-gram fraction from the
     * Gopher/MassiveText repetition filters: 1 − distinct/total shingles.
     * Entirely row-local (one scan, zero shuffle); integer counts divided
@@ -254,6 +285,7 @@ object TextOps {
     "q_top_terms"    -> qTopTerms,
     "q_pii_scrub"    -> qPiiScrub,
     "q_doc_packing"  -> qDocPacking,
+    "q_doc_chunks"   -> qDocChunks,
     "q_repetition"   -> qRepetition,
     "q_gopher_rules" -> qGopherRules,
     "q_token_count"  -> qTokenCount,
@@ -305,6 +337,22 @@ object TextOps {
          |SELECT source, (cum - 1) // $PACK_CAP AS bin,
          |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS toks
          |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, greatest((len(tk) - 1) // $CHUNK_STRIDE, 0) + 1)) AS chunk_idx
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(chunk_idx * $CHUNK_STRIDE AS BIGINT) AS start_tok,
+         |    tk[CAST(chunk_idx * $CHUNK_STRIDE + 1 AS INT)
+         |       : CAST(chunk_idx * $CHUNK_STRIDE + $CHUNK_TOKS AS INT)] AS chunk
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, start_tok,
+         |  CAST(len(chunk) AS BIGINT) AS n_toks,
+         |  CAST('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8) AS BIGINT) AS chunk_hash
+         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $sqlWsTrim AS t, $sqlTokens AS w FROM documents),
          |sh AS (
