@@ -219,6 +219,24 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Exact sample size for [[qUniformK]]. */
+  val UNIFORM_K = 100
+
+  /** EXACT-K uniform sample — the "give me exactly K documents" op beside
+    * [[qStratifiedSample]]'s rate-based keep test: rank every doc by a
+    * deterministic content-independent hash of its id and keep the K
+    * smallest. Reproducible at any partitioning, and the plan is a
+    * TakeOrderedAndProject over the hash rank — per-partition heaps and a
+    * K-row driver merge, never a global sort, so the selection cost at
+    * 100 TB is one scan. The rank rides along in the output so the gate
+    * pins the ORDER, not just the membership. */
+  val qUniformK: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Fns.hash32(concat(lit("uni_"), col("doc_id").cast("string"))).as("rank_h"))
+      .orderBy(col("rank_h"), col("doc_id"))
+      .limit(UNIFORM_K)
+
   /** Corpus-mix budget: keep ~MIX_NUM/MIX_DEN of the MEAN per-source token
     * total from every source. */
   val MIX_NUM = 6L
@@ -356,6 +374,7 @@ object DedupOps {
     "q_minhash_dedup"     -> qMinhashDedup,
     "q_dedup_clusters"    -> qDedupClusters,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_uniform_k"         -> qUniformK,
     "q_corpus_mix"        -> qCorpusMix,
     "q_jaccard_pairs"     -> qJaccardPairs,
     "q_simhash"           -> qSimhash,
@@ -445,6 +464,10 @@ object DedupOps {
          |  < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
          |         THEN 300 ELSE 700 END
          |ORDER BY doc_id""".stripMargin,
+    "q_uniform_k" ->
+      s"""SELECT doc_id, source,
+         |  ${sqlHash32("'uni_' || CAST(doc_id AS VARCHAR)")} AS rank_h
+         |FROM documents ORDER BY rank_h, doc_id LIMIT $UNIFORM_K""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len(${TextOps.sqlTokens}) AS BIGINT) AS n_toks

@@ -37,7 +37,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal",
     "q_kmv_overlap", "q_label_prop", "q_group_normalize",
     "q_sliding_features", "q_random_projection", "q_bloom_decontaminate",
-    "q_scc_big", "q_doc_chunks")
+    "q_scc_big", "q_doc_chunks", "q_uniform_k")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
