@@ -224,24 +224,36 @@ object TextOps {
     * into bins; this is its dual for LONG docs): overlapping
     * CHUNK_TOKS-token windows at CHUNK_STRIDE, each chunk reported as
     * (index, token offset, length, content hash) so the gate pins the
-    * window boundaries AND the chunk text itself. Row-expanding and
-    * entirely row-local — one scan, zero shuffle at any corpus size.
-    * posexplode_OUTER per the InferFiltersFromGenerate trap (PERF.md);
-    * the greatest(…, 0) guard keeps a zero-token doc at exactly one
-    * empty chunk on BOTH engines (Spark's int div truncates toward zero
-    * where DuckDB's // floors — at -1 they disagree). */
+    * window boundaries AND the chunk text itself. The chunk count is
+    * 1 + ⌈(n − CHUNK)/STRIDE⌉ (floored at 1): generation STOPS once a
+    * window reaches the document end, so no tail chunk is fully
+    * contained in its predecessor (a doc would otherwise train on its
+    * tail twice). Row-expanding and entirely row-local — one scan, zero
+    * shuffle at any corpus size; the per-chunk struct array is built
+    * with transform() over the STAGED token attribute and only the
+    * structs explode, so Generate output is O(chunks·CHUNK_TOKS), never
+    * O(chunks·doc_len) (a megatoken doc must not copy itself into every
+    * chunk row). posexplode_OUTER per the InferFiltersFromGenerate trap
+    * (PERF.md); the greatest(…, 0) guards keep the two engines' division
+    * conventions (Spark div truncates, DuckDB // floors) off negative
+    * operands. */
   val qDocChunks: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), Fns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"), posexplode_outer(
-        expr(s"sequence(0, greatest((size(tk) - 1) div $CHUNK_STRIDE, 0))")))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("tk"))
-      .withColumn("start_tok", col("chunk_idx") * CHUNK_STRIDE)
-      .withColumn("chunk",
-        expr(s"slice(tk, cast(start_tok + 1 as int), $CHUNK_TOKS)"))
-      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-        size(col("chunk")).cast("long").as("n_toks"),
-        Fns.hash32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .select(col("doc_id"), expr(
+        s"""transform(
+           |  sequence(0, greatest((size(tk) - $CHUNK_TOKS + ${CHUNK_STRIDE - 1})
+           |                         div $CHUNK_STRIDE, 0)),
+           |  i -> struct(
+           |    cast(i as bigint) as chunk_idx,
+           |    cast(i * $CHUNK_STRIDE as bigint) as start_tok,
+           |    cast(size(slice(tk, cast(i * $CHUNK_STRIDE + 1 as int), $CHUNK_TOKS)) as bigint) as n_toks,
+           |    concat_ws(' ', slice(tk, cast(i * $CHUNK_STRIDE + 1 as int), $CHUNK_TOKS)) as body))
+           |""".stripMargin).as("chunks"))
+      .select(col("doc_id"), posexplode_outer(col("chunks")))
+      .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
+        col("col.start_tok").as("start_tok"), col("col.n_toks").as("n_toks"),
+        Fns.hash32(col("col.body")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
   /** Intra-document repetition — the duplicate-3-gram fraction from the
@@ -341,7 +353,8 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
          |c AS (
          |  SELECT doc_id, tk,
-         |    unnest(range(0, greatest((len(tk) - 1) // $CHUNK_STRIDE, 0) + 1)) AS chunk_idx
+         |    unnest(range(0, greatest((len(tk) - $CHUNK_TOKS + ${CHUNK_STRIDE - 1})
+         |                               // $CHUNK_STRIDE, 0) + 1)) AS chunk_idx
          |  FROM t),
          |w AS (
          |  SELECT doc_id, chunk_idx,

@@ -13,90 +13,164 @@ import org.apache.spark.sql.functions._
   * are the classic way a streaming corpus store degrades — every reader
   * pays file-listing and per-file footer costs that dwarf the data scan.
   *
-  * [[compact]] rewrites ALL batch partitions of one directory into a
-  * single consolidated `batch=-1` partition. -1 is deliberate: it is
-  * strictly below every real micro-batch id, so the `batch < bid` ledger
-  * filter sees every compacted row, and it can NEVER collide with a
-  * replayed batch — if the ingest died with its last batch written but
-  * uncommitted, the restart replays that id and overwrites that id's
-  * directory; had the consolidated data been parked there, the replay
-  * would wipe the whole store. Secondary partition levels (e.g. the
-  * vector store's `cell=` dirs) are INFERRED from the existing layout and
-  * preserved — the caller cannot accidentally flatten the pruning
-  * structure. Output files are sized at `targetFileRows`, repartitioned
-  * BY the secondary columns so partitionBy cannot fan each task out
-  * across every cell.
+  * [[compactIngest]] is the entry point for a data dir + its seen-ledger
+  * pair: data batches with NO matching ledger partition are left in
+  * place untouched — that state means the ingest died between its data
+  * write and its ledger write, and the restart must be free to replay
+  * and overwrite that batch id; folding it into the consolidated
+  * partition would let the replay land the same rows a second time.
+  * Everything ledgered consolidates into `batch=-1`: strictly below
+  * every real micro-batch id, so the `batch < bid` ledger filter sees
+  * every compacted row, and no replayed id can ever collide with it.
+  * Secondary partition levels (e.g. the vector store's `cell=` dirs) are
+  * inferred across ALL batch dirs (one empty or degenerate batch cannot
+  * flatten the layout) and preserved; rows are repartitioned on
+  * (secondary, bucket) so file sizes track `targetFileRows` without
+  * fanning every task across every cell.
   *
   * Run it with the ingest STOPPED (it is a maintenance pass, not a
   * concurrent operation). The swap is staged — consolidated copy fully
   * written to `<dir>.compact`, live dir aside to `<dir>.old`, copy moved
-  * in, old deleted — and [[compact]] begins by REPAIRING any interrupted
-  * swap it finds (a crash between the moves leaves no live dir; the
+  * in, old deleted — and every entry point begins by REPAIRING an
+  * interrupted swap (a crash between the moves leaves no live dir; the
   * complete staged copy, or failing that the old dir, is restored).
   * Local-filesystem moves; on an object store the swap step becomes the
   * catalog's atomic pointer flip. */
 object IngestMaintenance {
 
+  /** Compact a (data dir, seen-ledger dir) pair consistently: unledgered
+    * data batches stay in place for the restart to replay idempotently. */
+  def compactIngest(s: SparkSession, dataDir: String, seenDir: String,
+                    targetFileRows: Long = 1000000L): Unit = {
+    repairSwap(dataDir)
+    repairSwap(seenDir)
+    val unledgered = batchIds(Paths.get(dataDir)) -- batchIds(Paths.get(seenDir))
+    compact(s, dataDir, targetFileRows, keepInPlace = unledgered)
+    compact(s, seenDir, targetFileRows)
+  }
+
+  /** Compact one per-batch dir. `keepInPlace` batch ids are excluded from
+    * the consolidated partition and carried over unchanged. */
   def compact(s: SparkSession, dir: String,
-              targetFileRows: Long = 1000000L): Unit = {
+              targetFileRows: Long = 1000000L,
+              keepInPlace: Set[Long] = Set.empty): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
+    repairSwap(dir)
     val src = Paths.get(dir)
-    val staging = Paths.get(dir + ".compact")
-    val old = Paths.get(dir + ".old")
-    // repair an interrupted swap: the staged copy is only moved aside
-    // once it is COMPLETE, so if the live dir is missing, staging (best)
-    // or the old dir (fallback) is a full store
-    if (!Files.exists(src)) {
-      if (Files.exists(staging)) {
-        Files.move(staging, src, StandardCopyOption.ATOMIC_MOVE)
-        deleteTree(old)
-      } else if (Files.exists(old)) {
-        Files.move(old, src, StandardCopyOption.ATOMIC_MOVE)
-      } else return
-    }
-    val df = s.read.parquet(dir)
-    require(df.columns.contains("batch"), s"$dir is not a per-batch ingest dir")
+    if (!Files.exists(src)) return
+    val df0 = s.read.parquet(dir)
+    require(df0.columns.contains("batch"), s"$dir is not a per-batch ingest dir")
+    val df =
+      if (keepInPlace.isEmpty) df0
+      else df0.filter(!col("batch").isin(keepInPlace.toSeq: _*))
     val secondary = inferSecondaryPartitions(src)
     val rows = df.count()
+    if (rows == 0) return // nothing ledgered to consolidate
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+    val staging = Paths.get(dir + ".compact")
     deleteTree(staging)
+    // bucket beside the secondary key: repartitioning on cell alone puts
+    // each whole cell in ONE task — a hot cell would emit one giant file
+    // and targetFileRows would be a dead letter. The bucket splits a
+    // cell's rows across ~perCell tasks (skewed cells still get at least
+    // the average-based split).
+    val out = df.drop("batch")
     val repartitioned =
-      if (secondary.isEmpty) df.drop("batch").repartition(nFiles)
-      else df.drop("batch").repartition(nFiles, secondary.map(col): _*)
+      if (secondary.isEmpty) out.repartition(nFiles)
+      else {
+        val cells = math.max(1L, df.select(secondary.map(col): _*).distinct().count())
+        val perCell = math.max(1, math.ceil(nFiles.toDouble / cells).toInt)
+        val dataCols = out.columns.filterNot(secondary.contains).map(col)
+        out.repartition(nFiles,
+          secondary.map(col) :+ pmod(hash(dataCols: _*), lit(perCell)): _*)
+      }
     val writer = repartitioned.write.mode("overwrite")
     (if (secondary.nonEmpty) writer.partitionBy(secondary: _*) else writer)
       .parquet(staging.resolve("batch=-1").toString)
+    // carry excluded (unledgered) batch dirs into the staged copy so the
+    // swap preserves them byte-for-byte
+    for (b <- keepInPlace) {
+      val from = src.resolve(s"batch=$b")
+      if (Files.exists(from)) copyTree(from, staging.resolve(s"batch=$b"))
+    }
     // staged swap: old aside → new in → old gone
+    val old = Paths.get(dir + ".old")
     deleteTree(old)
     Files.move(src, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, src, StandardCopyOption.ATOMIC_MOVE)
     deleteTree(old)
   }
 
-  /** Partition levels BELOW batch=, read off the directory names of the
-    * first batch dir (depth-ordered): `batch=3/cell=5/part-...` infers
-    * Seq("cell"). */
+  /** Restore a complete store if a previous swap died between its moves:
+    * the staged copy is only ever moved aside once COMPLETE, so prefer
+    * it, then the old dir. */
+  private def repairSwap(dir: String): Unit = {
+    val src = Paths.get(dir)
+    if (Files.exists(src)) return
+    val staging = Paths.get(dir + ".compact")
+    val old = Paths.get(dir + ".old")
+    if (Files.exists(staging)) {
+      Files.move(staging, src, StandardCopyOption.ATOMIC_MOVE)
+      deleteTree(old)
+    } else if (Files.exists(old)) {
+      Files.move(old, src, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def batchIds(src: Path): Set[Long] =
+    if (!Files.exists(src)) Set.empty
+    else {
+      val st = Files.list(src)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+        .toSet
+      finally st.close()
+    }
+
+  /** Partition levels BELOW batch=, read off directory names across ALL
+    * batch dirs (an empty or degenerate batch dir cannot flatten the
+    * inferred layout): `batch=3/cell=5/part-...` infers Seq("cell"). */
   private def inferSecondaryPartitions(src: Path): Seq[String] = {
     def partCol(p: Path): Option[String] = {
       val n = p.getFileName.toString
       val i = n.indexOf('=')
       if (Files.isDirectory(p) && i > 0) Some(n.substring(0, i)) else None
     }
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var level: Option[Path] = {
-      val st = Files.list(src)
-      try st.iterator().asScala.find(p => partCol(p).contains("batch"))
-      finally st.close()
-    }
-    while (level.isDefined) {
-      val st = Files.list(level.get)
+    def descend(dir: Path): Seq[String] = {
+      val st = Files.list(dir)
       val next =
         try st.iterator().asScala.flatMap(p => partCol(p).map(_ -> p)).toSeq.headOption
         finally st.close()
-      next.foreach { case (c, _) => out += c }
-      level = next.map(_._2)
+      next match {
+        case Some((c, p)) => c +: descend(p)
+        case None => Nil
+      }
     }
-    out.toSeq
+    val st = Files.list(src)
+    val perBatch =
+      try st.iterator().asScala
+        .filter(p => partCol(p).contains("batch"))
+        .map(descend)
+        .toSeq
+      finally st.close()
+    val nonEmpty = perBatch.filter(_.nonEmpty)
+    require(nonEmpty.map(_.toList).distinct.size <= 1,
+      s"conflicting partition layouts under $src: ${nonEmpty.distinct}")
+    nonEmpty.headOption.getOrElse(Nil)
+  }
+
+  private def copyTree(from: Path, to: Path): Unit = {
+    val st = Files.walk(from)
+    try st.iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else {
+        Files.createDirectories(dest.getParent)
+        Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally st.close()
   }
 
   private def deleteTree(p: Path): Unit =

@@ -123,10 +123,15 @@ object VectorIngest {
                     .select(col("vec_b").as("vec_id")).distinct()
                   storeSurvivors.join(dropped, Seq("vec_id"), "left_anti")
               }
-              kept
+              // an all-rejected batch writes NO store dir (an empty
+              // batch=<bid> with no cell= level would poison partition
+              // discovery and layout inference); the ledger still records
+              // every judged vec_id — replay recomputes the same skip
+              val keptOut = kept
                 .select(col("vec_id"), col("v"), col("label"), col("cid").as("cell"))
-                .write.mode("overwrite").partitionBy("cell")
-                .parquet(s"$storeDir/batch=$bid")
+              if (!keptOut.isEmpty)
+                keptOut.write.mode("overwrite").partitionBy("cell")
+                  .parquet(s"$storeDir/batch=$bid")
               novel.select("vec_id")
                 .write.mode("overwrite").parquet(s"$seenDir/batch=$bid")
             } finally assigned.unpersist()

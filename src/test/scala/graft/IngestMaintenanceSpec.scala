@@ -52,8 +52,7 @@ class IngestMaintenanceSpec extends AnyFunSuite {
     assert(nBefore > 0 && filesBefore > VectorOps.KM_K,
       s"expected a fragmented store to compact ($filesBefore files)")
 
-    IngestMaintenance.compact(spark, store, targetFileRows = 1000000L)
-    IngestMaintenance.compact(spark, seen)
+    IngestMaintenance.compactIngest(spark, store, seen, targetFileRows = 1000000L)
 
     val (nAfter, cellsAfter, filesAfter) = snapshot()
     assert(nAfter == nBefore, s"compaction changed row count: $nAfter vs $nBefore")
@@ -82,5 +81,22 @@ class IngestMaintenanceSpec extends AnyFunSuite {
     assert(finalDf.count() == nBefore + nBefore / 2,
       s"exactly-once broke after compaction: ${finalDf.count()}")
     assert(finalDf.filter(col("vec_id") >= 2000000L).count() == nBefore / 2)
+
+    // crash-state safety: a store batch with NO ledger entry (ingest died
+    // between its data write and its ledger write) must survive
+    // compaction IN PLACE — consolidating it would let the restart's
+    // replay of that id land the same rows twice
+    spark.read.parquet(store).limit(10)
+      .withColumn("vec_id", col("vec_id") + lit(7000000L))
+      .write.partitionBy("cell").parquet(s"$store/batch=999")
+    val totalWithOrphan = spark.read.parquet(store).count()
+    IngestMaintenance.compactIngest(spark, store, seen)
+    val dirs = Files.list(Paths.get(store)).iterator()
+    val after = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet
+    assert(after == Set("batch=-1", "batch=999"),
+      s"unledgered batch must stay in place: $after")
+    assert(spark.read.parquet(store).count() == totalWithOrphan,
+      "compaction changed row count around an unledgered batch")
   }
 }

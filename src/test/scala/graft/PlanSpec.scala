@@ -21,7 +21,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
-    for (q <- Seq("q_topk", "q_knn", "q_knn_cosine", "q_ship_priority")) {
+    for (q <- Seq("q_topk", "q_knn", "q_knn_cosine", "q_ship_priority", "q_uniform_k")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q lost its top-k plan:\n$p")
     }
