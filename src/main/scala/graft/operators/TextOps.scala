@@ -215,7 +215,7 @@ object TextOps {
 
   /** Context-window geometry for [[qDocChunks]]: windows of [[CHUNK_TOKS]]
     * tokens advancing by [[CHUNK_STRIDE]] (overlap = 8 tokens) — sized so
-    * the 10-100-token test docs span 1-5 chunks. */
+    * the 10-100-token test docs span 1-4 chunks. */
   val CHUNK_TOKS = 32
   val CHUNK_STRIDE = 24
 
@@ -247,7 +247,7 @@ object TextOps {
            |  i -> struct(
            |    cast(i as bigint) as chunk_idx,
            |    cast(i * $CHUNK_STRIDE as bigint) as start_tok,
-           |    cast(size(slice(tk, cast(i * $CHUNK_STRIDE + 1 as int), $CHUNK_TOKS)) as bigint) as n_toks,
+           |    cast(least(size(tk) - i * $CHUNK_STRIDE, $CHUNK_TOKS) as bigint) as n_toks,
            |    concat_ws(' ', slice(tk, cast(i * $CHUNK_STRIDE + 1 as int), $CHUNK_TOKS)) as body))
            |""".stripMargin).as("chunks"))
       .select(col("doc_id"), posexplode_outer(col("chunks")))

@@ -38,19 +38,41 @@ import org.apache.spark.sql.functions._
   * catalog's atomic pointer flip. */
 object IngestMaintenance {
 
-  /** Compact a (data dir, seen-ledger dir) pair consistently: unledgered
-    * data batches stay in place for the restart to replay idempotently. */
-  def compactIngest(s: SparkSession, dataDir: String, seenDir: String,
-                    targetFileRows: Long = 1000000L): Unit = {
-    repairSwap(dataDir)
+  /** Compact data dir(s) + their shared seen-ledger consistently:
+    * unledgered data batches stay in place for the restart to replay
+    * idempotently, and the ledger is compacted LAST — this ordering (and
+    * the exclusion logic) is why ledger dirs must never be compacted via
+    * bare [[compact]]: a ledger collapsed to batch=-1 ahead of its data
+    * dir hides the data's ledger entries and strands every batch as
+    * "unledgered" forever. Multi-dir form for the ingests that pair one
+    * ledger with several outputs (the fuzzy ingest's corpus + signature
+    * store). */
+  def compactIngest(s: SparkSession, dataDirs: Seq[String], seenDir: String,
+                    targetFileRows: Long): Unit = {
+    // repair FIRST so batchIds reads restored state (compact() repairs
+    // again; that second pass is a no-op)
+    dataDirs.foreach(repairSwap)
     repairSwap(seenDir)
-    val unledgered = batchIds(Paths.get(dataDir)) -- batchIds(Paths.get(seenDir))
-    compact(s, dataDir, targetFileRows, keepInPlace = unledgered)
+    val ledgered = batchIds(Paths.get(seenDir))
+    for (dataDir <- dataDirs) {
+      // batch=-1 is by construction ledgered data from a previous
+      // compaction (its ledger twin may be mid-compaction) — never
+      // "unledgered"
+      val unledgered = (batchIds(Paths.get(dataDir)) -- ledgered).filter(_ >= 0)
+      compact(s, dataDir, targetFileRows, keepInPlace = unledgered)
+    }
     compact(s, seenDir, targetFileRows)
   }
 
+  def compactIngest(s: SparkSession, dataDir: String, seenDir: String,
+                    targetFileRows: Long = 1000000L): Unit =
+    compactIngest(s, Seq(dataDir), seenDir, targetFileRows)
+
   /** Compact one per-batch dir. `keepInPlace` batch ids are excluded from
-    * the consolidated partition and carried over unchanged. */
+    * the consolidated partition and carried over unchanged. NEVER call
+    * this directly on a seen-ledger dir — use [[compactIngest]], which
+    * orders the data dirs first and keeps the unledgered-batch exclusion
+    * consistent (see its scaladoc for the stranding failure mode). */
   def compact(s: SparkSession, dir: String,
               targetFileRows: Long = 1000000L,
               keepInPlace: Set[Long] = Set.empty): Unit = {
@@ -64,11 +86,15 @@ object IngestMaintenance {
       if (keepInPlace.isEmpty) df0
       else df0.filter(!col("batch").isin(keepInPlace.toSeq: _*))
     val secondary = inferSecondaryPartitions(src)
+    val staging = Paths.get(dir + ".compact")
+    // a crashed earlier run may have left a PARTIAL staging copy — clear
+    // it on every path, including the nothing-to-do return, so a
+    // surviving <dir>.compact is always a complete store (the repairSwap
+    // invariant)
+    deleteTree(staging)
     val rows = df.count()
     if (rows == 0) return // nothing ledgered to consolidate
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-    val staging = Paths.get(dir + ".compact")
-    deleteTree(staging)
     // bucket beside the secondary key: repartitioning on cell alone puts
     // each whole cell in ONE task — a hot cell would emit one giant file
     // and targetFileRows would be a dead letter. The bucket splits a

@@ -123,13 +123,16 @@ object VectorIngest {
                     .select(col("vec_b").as("vec_id")).distinct()
                   storeSurvivors.join(dropped, Seq("vec_id"), "left_anti")
               }
-              // an all-rejected batch writes NO store dir (an empty
+              // an all-rejected dedup batch writes NO store dir (an empty
               // batch=<bid> with no cell= level would poison partition
               // discovery and layout inference); the ledger still records
-              // every judged vec_id — replay recomputes the same skip
+              // every judged vec_id — replay recomputes the same skip.
+              // Only the dedup path can go empty here (the plain path's
+              // kept ≡ novel, already checked), so the plain path skips
+              // the extra action.
               val keptOut = kept
                 .select(col("vec_id"), col("v"), col("label"), col("cid").as("cell"))
-              if (!keptOut.isEmpty)
+              if (dedupCosine.isEmpty || !keptOut.isEmpty)
                 keptOut.write.mode("overwrite").partitionBy("cell")
                   .parquet(s"$storeDir/batch=$bid")
               novel.select("vec_id")
