@@ -284,6 +284,96 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Okapi BM25 parameters (the standard defaults) and retrieval shape:
+    * the query is document [[BM25_QDOC]]'s distinct terms, scored against
+    * every other document, top [[BM25_TOP]] returned. */
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+  val BM25_QDOC = 7L
+  val BM25_TOP = 10
+
+  /** Okapi BM25 retrieval — the canonical sparse-retrieval scorer (the
+    * "keyword leg" real hybrid stacks pair with dense vectors; the Jaccard
+    * leg in q_hybrid_search is the cheap stand-in). IDF is the Lucene
+    * non-negative variant ln(1 + (N − df + ½)/(df + ½)); per-term scores
+    * are summed through decimal(28,18) so the total is order-independent,
+    * and the ranking happens on the ROUNDED score with doc_id tie-break —
+    * both engines rank identical keys.
+    *
+    * Scale shape: the term-frequency table shuffles once keyed by
+    * (doc_id, term); query terms and the per-term df table are broadcast
+    * (query-bounded — a handful of rows); document lengths co-key with
+    * the matched postings on doc_id; corpus-level stats are a 1-row
+    * broadcast. Top-k is TakeOrderedAndProject (per-partition heaps, k-row
+    * driver merge). No corpus-sized shuffle beyond the tf agg every
+    * inverted index needs. */
+  val qBm25: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Fns.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qterms = broadcast(
+      tf.filter(col("doc_id") === BM25_QDOC).select(col("term")))
+    val corpus = tf.filter(col("doc_id") =!= BM25_QDOC)
+    val dl = corpus.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tot_dl"))
+    // postings restricted to the query terms BEFORE df counting — df per
+    // term is identical either way, and the frame stays query-bounded
+    val matched = corpus.join(qterms, Seq("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = broadcast(matched.groupBy("term").agg(count(lit(1)).as("df")))
+    val idf = log(lit(1.0) +
+      (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(BM25_K1) *
+      (lit(1 - BM25_B) + lit(BM25_B) * (col("dl") / col("avgdl")))
+    matched.join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("nd"))
+      .withColumn("sc",
+        (idf * ((col("tf") * (lit(BM25_K1) + lit(1.0))) / denom))
+          .cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_match"),
+        Fns.roundP(sum(col("sc")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BM25_TOP)
+  }
+
+  /** Posting-list cap per term in [[qInvertedIndex]]. */
+  val INV_TOP = 5
+
+  /** Inverted-index build — the materialization BM25/keyword retrieval
+    * serves from: per term, document frequency, total term frequency, and
+    * the first [[INV_TOP]] postings (doc ids ascending, comma-joined so
+    * the gate hashes a scalar). The posting CAP is the point at scale: the
+    * per-term row stays bounded no matter how skewed the term (a full
+    * posting list for a stopword would be a corpus-sized row).
+    *
+    * Scale shape: one explode → two term-keyed aggs (df/tf are
+    * partial-agg'd map-side) + one term-keyed window whose
+    * `row_number ≤ N` filter Spark executes as WindowGroupLimit —
+    * per-partition top-N heaps BEFORE the shuffle, so the skewed tail of
+    * a hot term's postings never moves. Output is vocab-sized, not
+    * corpus-sized. */
+  val qInvertedIndex: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Fns.tokens(lower(col("text")))).as("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf_total"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val postings = toks.select(col("doc_id"), col("term")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= INV_TOP)
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",").as("postings"))
+    stats.join(postings, Seq("term")).orderBy("term")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_surprisal"     -> qSurprisal,
@@ -293,6 +383,8 @@ object CorpusOps {
     "q_pivot_langs"   -> qPivotLangs,
     "q_group_normalize" -> qGroupNormalize,
     "q_bloom_decontaminate" -> qBloomDecontaminate,
+    "q_bm25"          -> qBm25,
+    "q_inverted_index" -> qInvertedIndex,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -408,5 +500,39 @@ object CorpusOps {
          |    ELSE NULL END AS z_chars
          |FROM documents d JOIN m USING (lang)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_bm25" ->
+      // every float literal is ::DOUBLE — bare decimals are DECIMAL in
+      // DuckDB and decimal division truncates (CLAUDE.md trap)
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |q AS (SELECT term FROM tf WHERE doc_id = $BM25_QDOC),
+         |c AS (SELECT * FROM tf WHERE doc_id <> $BM25_QDOC),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM c GROUP BY 1),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         |m AS (SELECT c.doc_id, c.term, c.tf FROM c JOIN q USING (term)),
+         |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+         |sc AS (SELECT m.doc_id,
+         |  CAST(ln(1.0::DOUBLE + (st.nd - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+         |    * ((m.tf * ($BM25_K1::DOUBLE + 1.0::DOUBLE))
+         |       / (m.tf + $BM25_K1::DOUBLE * (${1 - BM25_B}::DOUBLE
+         |            + $BM25_B::DOUBLE * (dl.dl / (CAST(st.tot_dl AS DOUBLE) / st.nd)))))
+         |    AS DECIMAL(28,18)) AS s
+         |  FROM m JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_match,
+         |  ${Fns.roundPSql("CAST(sum(s) AS DOUBLE)", 6)} AS score
+         |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $BM25_TOP""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS term FROM documents),
+         |st AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+         |       FROM t GROUP BY 1),
+         |dd AS (SELECT DISTINCT doc_id, term FROM t),
+         |cap AS (SELECT term, doc_id,
+         |          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |        FROM dd),
+         |pl AS (SELECT term,
+         |         array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings
+         |       FROM cap WHERE rn <= $INV_TOP GROUP BY term)
+         |SELECT st.term, st.df, st.tf_total, pl.postings
+         |FROM st JOIN pl USING (term) ORDER BY st.term""".stripMargin,
   )
 }

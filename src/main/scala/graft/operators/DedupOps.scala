@@ -369,6 +369,78 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Hash-split boundaries (percent of the hash space): < TRAIN_PCT →
+    * train, < VALID_PCT → valid, rest → test. */
+  val TRAIN_PCT = 80L
+  val VALID_PCT = 90L
+
+  /** Deterministic train/valid/test split report — the assignment step
+    * every training run needs: split membership is a pure function of the
+    * doc id (`hash32('spl_'||id) mod 100` against fixed boundaries), so it
+    * is stable across reruns, re-partitions, and incremental corpus
+    * growth (a doc never migrates between splits when new data lands —
+    * the property a random()-based split lacks). Output is the per-source
+    * × split audit table (docs + char volume).
+    *
+    * Scale shape: one scan with a 2-column pushed projection, one
+    * partial+final agg keyed by (source, split) — n_sources×3 rows move.
+    * No shuffle of document rows at any width. */
+  val qHashSplit: Q = (s, d) => {
+    val h = pmod(Fns.hash32(concat(lit("spl_"), col("doc_id").cast("string"))), lit(100L))
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        when(h < TRAIN_PCT, lit("train"))
+          .when(h < VALID_PCT, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+      .orderBy("source", "split")
+  }
+
+  /** Substring-duplication window width (chars) and stride. */
+  val SUB_W = 40
+  val SUB_S = 10
+
+  /** Substring-level duplication profile — the signal behind
+    * suffix-array dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022), rendered distributed: slide a
+    * [[SUB_W]]-char window at stride [[SUB_S]] over every document, find
+    * windows that recur in ≥2 DISTINCT documents, and report per document
+    * how much of it is covered by cross-document duplicated spans
+    * (`n_dup / n_windows`). A pipeline thresholds `dup_frac` to drop or
+    * trim boilerplate-heavy docs.
+    *
+    * Scale shape: window extraction is row-local array algebra; the only
+    * shuffles are keyed by the 40-byte window string (the distributed
+    * stand-in for a suffix array — group-by beats sorting the corpus) —
+    * one agg to find recurring windows, one join back to tag each doc's
+    * windows. The exploded window stage feeds both consumers, so it is
+    * persisted (no cross-branch CSE). The dup-window set is corpus-wide
+    * boilerplate — orders of magnitude smaller than the corpus — and the
+    * join key is the window itself, co-partitioned on both sides. For
+    * W ≫ 40, hash windows to a fixed digest before the shuffle. */
+  val qSubstringDup: Q = (s, d) => {
+    val wins = Tables.documents(s, d)
+      .filter(col("n_chars") >= SUB_W)
+      .select(col("doc_id"), col("text"),
+        floor((col("n_chars") - lit(SUB_W)) / lit(SUB_S)).cast("int").as("nw1"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nw1")),
+          i => col("text").substr(i * SUB_S + 1, lit(SUB_W)))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("w"), lit(1).as("is_dup"))
+    wins.join(dup, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        Fns.roundP(col("n_dup").cast("double") / col("n_windows"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> qDedupExact,
     "q_minhash_dedup"     -> qMinhashDedup,
@@ -378,6 +450,8 @@ object DedupOps {
     "q_corpus_mix"        -> qCorpusMix,
     "q_jaccard_pairs"     -> qJaccardPairs,
     "q_simhash"           -> qSimhash,
+    "q_hash_split"        -> qHashSplit,
+    "q_substring_dup"     -> qSubstringDup,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -514,5 +588,26 @@ object DedupOps {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin
     },
+    "q_hash_split" ->
+      s"""SELECT source,
+         |  CASE WHEN ${sqlHash32("'spl_' || CAST(doc_id AS VARCHAR)")} % 100 < $TRAIN_PCT
+         |         THEN 'train'
+         |       WHEN ${sqlHash32("'spl_' || CAST(doc_id AS VARCHAR)")} % 100 < $VALID_PCT
+         |         THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_substring_dup" ->
+      s"""WITH wins AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, (n_chars - $SUB_W) // $SUB_S + 1),
+         |      i -> substr(text, i * $SUB_S + 1, $SUB_W))) AS w
+         |  FROM documents WHERE n_chars >= $SUB_W),
+         |dup AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(count(*) FILTER (WHERE d.w IS NOT NULL) AS BIGINT) AS n_dup,
+         |  ${Fns.roundPSql("CAST(count(*) FILTER (WHERE d.w IS NOT NULL) AS DOUBLE) / count(*)", 4)} AS dup_frac
+         |FROM wins LEFT JOIN dup d ON wins.w = d.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -543,6 +543,73 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUB]] dims,
+    * [[PQ_K]] codewords per subspace (codes fit one byte each → 8 B per
+    * vector vs 512 B raw). Codebook init is deterministic — the subvectors
+    * of the [[PQ_K]] smallest non-probe ids — the same convention as
+    * [[qKmeans]]'s first-K init. */
+  val PQ_M = 8
+  val PQ_SUB = DIM / PQ_M
+  val PQ_K = 16
+
+  /** Product quantization + ADC search (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * memory-compression half of a production ANN stack (IVF picks cells,
+    * PQ codes rank within them at 64× less memory traffic): each vector is
+    * encoded to [[PQ_M]] codeword ids (per-subspace argmin, tie → lowest
+    * id), and query distance is approximated by summing the probe's
+    * precomputed probe→codeword table at the stored codes (Asymmetric
+    * Distance Computation). The gate pins the CODES (exact integer
+    * argmins), the ADC distance (decimal-summed, order-independent), and
+    * the true distance beside it — approximation error is visible, not
+    * hidden.
+    *
+    * Scale shape: codebook and probe tables are driver-held trained
+    * artifacts (M×K×SUB and M×K doubles — the k-means-centroid tier),
+    * baked into the plan as literals, so encode + ADC is ONE codegen'd
+    * scan with zero joins and zero shuffles; top-k is
+    * TakeOrderedAndProject. At 100 TB the encode is embarrassingly
+    * parallel and the ADC scan reads 8-byte codes, not 512-byte vectors —
+    * exactly why serving stacks PQ-compress. */
+  val qPqAdc: Q = (s, d) => {
+    import s.implicits._
+    val v = vecs(s, d)
+    val cbRows = v.filter(col("vec_id") =!= PROBE_ID).orderBy("vec_id")
+      .limit(PQ_K).select(col("v")).as[Seq[Double]].collect()
+    val cb = Array.tabulate(PQ_M, PQ_K, PQ_SUB)((m, k, j) => cbRows(k)(m * PQ_SUB + j))
+    val pv = v.filter(col("vec_id") === PROBE_ID)
+      .select(col("v")).as[Seq[Double]].head().toArray
+    // probe→codeword lookup table, driver-computed with the same
+    // 0-seeded left-to-right fold as the SQL twin's list_sum
+    val pd = Array.tabulate(PQ_M, PQ_K) { (m, k) =>
+      (0 until PQ_SUB).map { j =>
+        val dlt = pv(m * PQ_SUB + j) - cb(m)(k)(j); dlt * dlt
+      }.foldLeft(0.0)(_ + _)
+    }
+    def distExpr(m: Int, k: Int): Column =
+      (0 until PQ_SUB).map { j =>
+        val dlt = element_at(col("v"), m * PQ_SUB + j + 1) - lit(cb(m)(k)(j)); dlt * dlt
+      }.reduce(_ + _)
+    val staged = v.filter(col("vec_id") =!= PROBE_ID).select(
+      col("vec_id") +: col("v") +: (0 until PQ_M).map(m =>
+        array((0 until PQ_K).map(k => distExpr(m, k)): _*).as(s"d$m")): _*)
+    val withCodes = (0 until PQ_M).foldLeft(staged) { (df, m) =>
+      df.withColumn(s"c$m",
+        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1).cast("int"))
+    }
+    val adc = (0 until PQ_M).map(m =>
+        element_at(typedLit(pd(m).toSeq), col(s"c$m") + 1).cast("decimal(28,18)"))
+      .reduce(_ + _)
+    // the probe rides as a literal too — no join node anywhere in the plan
+    withCodes
+      .select(col("vec_id"),
+        concat_ws("-", (0 until PQ_M).map(m => col(s"c$m").cast("string")): _*).as("code"),
+        Fns.roundP(adc.cast("double"), 6).as("adc_dist2"),
+        Fns.roundP(VectorExprs.dist2(col("v"), typedLit(pv.toSeq)), 6).as("exact_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(TOPK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_random_projection" -> qRandomProjection,
     "q_hybrid_search"  -> qHybridSearch,
@@ -556,6 +623,7 @@ object VectorOps {
     "q_ann_hnsw2"      -> qAnnHnsw2,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_blocked" -> qCosineBlocked,
+    "q_pq_adc"         -> qPqAdc,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -757,6 +825,35 @@ object VectorOps {
          |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_pq_adc" -> {
+      def subDist(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+           |      j -> ($a[s.m*$PQ_SUB + j] - $b[s.m*$PQ_SUB + j]) * ($a[s.m*$PQ_SUB + j] - $b[s.m*$PQ_SUB + j])))""".stripMargin
+      s"""WITH e AS ($sqlVecs),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID),
+         |cbv AS (SELECT vec_id, v FROM e WHERE vec_id <> $PROBE_ID ORDER BY vec_id LIMIT $PQ_K),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv FROM cbv),
+         |sp AS (SELECT m FROM range(0, $PQ_M) r(m)),
+         |dist AS (
+         |  SELECT b.vec_id, s.m, c.cw, ${subDist("b.v", "c.cv")} AS dd
+         |  FROM e b CROSS JOIN sp s CROSS JOIN cb c WHERE b.vec_id <> $PROBE_ID),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, cw) AS rn
+         |       FROM dist),
+         |enc AS (SELECT vec_id, m, cw AS code FROM rk WHERE rn = 1),
+         |pdt AS (
+         |  SELECT s.m, c.cw, ${subDist("p.pv", "c.cv")} AS pdist
+         |  FROM sp s CROSS JOIN cb c CROSS JOIN p),
+         |agg AS (
+         |  SELECT n.vec_id,
+         |    array_to_string(list(CAST(n.code AS VARCHAR) ORDER BY n.m), '-') AS code,
+         |    CAST(sum(CAST(t.pdist AS DECIMAL(28,18))) AS DOUBLE) AS adc
+         |  FROM enc n JOIN pdt t ON t.m = n.m AND t.cw = n.code
+         |  GROUP BY 1)
+         |SELECT a.vec_id, a.code, ${Fns.roundPSql("a.adc", 6)} AS adc_dist2,
+         |  ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS exact_dist2
+         |FROM agg a JOIN e b ON b.vec_id = a.vec_id CROSS JOIN p
+         |ORDER BY adc_dist2, a.vec_id LIMIT $TOPK""".stripMargin
+    },
   )
 
 }

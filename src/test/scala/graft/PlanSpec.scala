@@ -135,6 +135,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_pq_adc is a join-free literal-codebook scan ending in top-k") {
+    val p = plan("q_pq_adc")
+    // codebook + probe tables are plan literals: encode + ADC must be one
+    // scan — any Join node means a table crept back into the hot path
+    assert(!p.contains("Join"), s"PQ scan re-grew a join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"PQ scan should not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+  }
+
+  test("q_inverted_index caps posting lists before the window exchange") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("WindowGroupLimit"),
+      s"posting cap (WindowGroupLimit partial top-N) lost:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_bm25 broadcasts query terms and df onto the postings stream") {
+    val p = plan("q_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"query-term / df joins not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+  }
+
+  test("q_substring_dup shuffles on the window key, never a product") {
+    val p = plan("q_substring_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"exploded window stage re-built per consumer instead of persisted:\n$p")
+  }
+
+  test("q_hash_split is one partial+final agg over a 2-column scan") {
+    val p = plan("q_hash_split")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"split report lost its map-side combine:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"scan reads more than the 3 needed columns:\n$p")
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so

@@ -37,7 +37,9 @@ class QueriesSpec extends AnyFunSuite {
     "q_semantic_search", "q_hybrid_search", "q_bigram_surprisal",
     "q_kmv_overlap", "q_label_prop", "q_group_normalize",
     "q_sliding_features", "q_random_projection", "q_bloom_decontaminate",
-    "q_scc_big", "q_doc_chunks", "q_uniform_k")
+    "q_scc_big", "q_doc_chunks", "q_uniform_k",
+    "q_hash_split", "q_substring_dup", "q_bm25", "q_pq_adc",
+    "q_inverted_index")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -199,6 +201,75 @@ class QueriesSpec extends AnyFunSuite {
       s"mean norm ratio $mean far from 1 - sign matrix degenerate?")
     // a rank-deficient sign matrix would collapse distinct inputs
     assert(rows.map(_.getAs[Double]("p1")).distinct.length > rows.length / 2)
+  }
+
+  test("q_hash_split partitions every document into exactly one split") {
+    val rows = SparkEntry.queries("q_hash_split")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")), s"unknown split in $splits")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(total === nDocs, s"split counts $total != corpus size $nDocs")
+    // hash-split is ~80/10/10: train must dominate even at tiny SF
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("valid", 0L))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
+  }
+
+  test("q_substring_dup fractions are consistent and bounded") {
+    val rows = SparkEntry.queries("q_substring_dup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nd) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"))
+      val frac = r.getAs[Double]("dup_frac")
+      assert(nd >= 0 && nd <= nw, s"doc ${r.getAs[Long]("doc_id")}: n_dup $nd > n_windows $nw")
+      assert(frac >= 0.0 && frac <= 1.0, s"dup_frac $frac out of [0,1]")
+      assert((nd == 0) === (frac == 0.0))
+    }
+  }
+
+  test("q_bm25 ranks by descending score and never returns the query doc") {
+    val rows = SparkEntry.queries("q_bm25")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= operators.CorpusOps.BM25_TOP)
+    assert(!rows.map(_.getAs[Long]("doc_id")).contains(operators.CorpusOps.BM25_QDOC))
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not descending")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_match") >= 1, "a scored doc matched no query term")
+      assert(r.getAs[Double]("score") > 0.0, "BM25 Lucene-IDF scores are positive")
+    }
+  }
+
+  test("q_pq_adc codes are well-formed and ADC distances non-negative") {
+    val rows = SparkEntry.queries("q_pq_adc")(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val codeRe = "^\\d+(-\\d+){7}$".r
+    rows.foreach { r =>
+      val code = r.getAs[String]("code")
+      assert(codeRe.matches(code), s"malformed PQ code $code")
+      code.split("-").foreach { c =>
+        assert(c.toInt >= 0 && c.toInt < operators.VectorOps.PQ_K, s"code $c out of range")
+      }
+      assert(r.getAs[Double]("adc_dist2") >= 0.0)
+      assert(r.getAs[Double]("exact_dist2") >= 0.0)
+    }
+    val adcs = rows.map(_.getAs[Double]("adc_dist2"))
+    assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, "ADC not ascending")
+  }
+
+  test("q_inverted_index postings are capped, ascending, and df-consistent") {
+    val rows = SparkEntry.queries("q_inverted_index")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length <= operators.CorpusOps.INV_TOP, "posting list over cap")
+      assert(ids.sameElements(ids.sorted), "postings not ascending")
+      assert(ids.length == math.min(r.getAs[Long]("df"), operators.CorpusOps.INV_TOP.toLong),
+        s"term ${r.getAs[String]("term")}: postings ${ids.length} vs df ${r.getAs[Long]("df")}")
+      assert(r.getAs[Long]("tf_total") >= r.getAs[Long]("df"))
+    }
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
