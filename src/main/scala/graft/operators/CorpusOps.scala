@@ -374,6 +374,83 @@ object CorpusOps {
     stats.join(postings, Seq("term")).orderBy("term")
   }
 
+  /** Stupid-backoff discount (Brants et al. 2007, "Large Language Models
+    * in Machine Translation" — the score they ran at 2-trillion-token
+    * scale on MapReduce). */
+  val BO_ALPHA = 0.4
+
+  /** Held-out trigram stupid-backoff LM scoring — unlike [[qSurprisal]] /
+    * [[qBigramSurprisal]] (MLE on the full corpus, so every observed
+    * n-gram has count ≥ 1 and backoff can never fire), this TRAINS the
+    * count tables on the hash-split train split and scores the valid
+    * split, so unseen trigrams genuinely back off: S(w₃|w₁w₂) = c₃/c₁₂,
+    * else α·c₂₃/c₂, else α²·c₃ᵘ/N, else an α²·1/N OOV floor (no ln(0)).
+    * The gate pins the per-doc mean NLL AND the integer counts of
+    * positions resolved at each backoff tier, so the path distribution
+    * itself is regression-locked.
+    *
+    * Scale shape: Brants et al.'s own dataflow — n-gram count tables are
+    * keyed aggs (partial+final, map-side combined), and scoring is keyed
+    * LEFT joins of held-out positions against those tables (trigram tables
+    * at real scale dwarf memory, so the joins co-key by n-gram rather than
+    * broadcast; Spark picks broadcast at test SF automatically). Count
+    * sums are decimal-exact; the corpus-total N is a 1-row broadcast. */
+  val qBackoffLm: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), DedupOps.splitOf(col("doc_id")).as("split"),
+        Fns.tokens(lower(col("text"))).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = toks.filter(col("split") === "train")
+    val uni = train.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTot = uni.agg(sum("c1").as("n_tot"))
+    val bi = train.filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = train.filter(size(col("tk")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 2),
+        slice(col("tk"), lit(2), size(col("tk")) - 2),
+        slice(col("tk"), lit(3), size(col("tk")) - 2))).as("t"))
+      .select(col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val pos = toks.filter(col("split") === "valid" && size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 2),
+        slice(col("tk"), lit(2), size(col("tk")) - 2),
+        slice(col("tk"), lit(3), size(col("tk")) - 2))).as("t"))
+      .select(col("doc_id"), col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
+    val score =
+      when(col("c3").isNotNull, col("c3").cast("double") / col("c12"))
+        .when(col("c23").isNotNull,
+          lit(BO_ALPHA) * (col("c23").cast("double") / col("c2u")))
+        .when(col("c3u").isNotNull,
+          lit(BO_ALPHA) * lit(BO_ALPHA) * (col("c3u").cast("double") / col("n_tot")))
+        .otherwise(lit(BO_ALPHA) * lit(BO_ALPHA) * (lit(1.0) / col("n_tot")))
+    pos
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("cb").as("c12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("cb").as("c23")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c2u")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c3u")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("is_tri", col("c3").isNotNull)
+      .withColumn("is_bi", col("c3").isNull && col("c23").isNotNull)
+      .withColumn("nll", negate(log(score)).cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("is_tri"), 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("is_bi"), 1L).otherwise(0L)).as("n_bi"),
+        Fns.roundP(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll3"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_surprisal"     -> qSurprisal,
@@ -385,6 +462,7 @@ object CorpusOps {
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_bm25"          -> qBm25,
     "q_inverted_index" -> qInvertedIndex,
+    "q_backoff_lm"    -> qBackoffLm,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -534,5 +612,43 @@ object CorpusOps {
          |       FROM cap WHERE rn <= $INV_TOP GROUP BY term)
          |SELECT st.term, st.df, st.tf_total, pl.postings
          |FROM st JOIN pl USING (term) ORDER BY st.term""".stripMargin,
+    "q_backoff_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,
+         |              $sqlTokensLower AS tk FROM documents),
+         |tr AS (SELECT tk FROM tk WHERE split = 'train'),
+         |uni AS (SELECT w, count(*) AS c1
+         |        FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tot FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM (
+         |    SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |    FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
+         |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM (
+         |    SELECT unnest(tk[1:len(tk)-2]) AS w1, unnest(tk[2:len(tk)-1]) AS w2,
+         |           unnest(tk[3:len(tk)]) AS w3
+         |    FROM tr WHERE len(tk) >= 3) GROUP BY 1, 2, 3),
+         |pos AS (SELECT doc_id, unnest(tk[1:len(tk)-2]) AS w1,
+         |          unnest(tk[2:len(tk)-1]) AS w2, unnest(tk[3:len(tk)]) AS w3
+         |        FROM tk WHERE split = 'valid' AND len(tk) >= 3),
+         |sc AS (SELECT p.doc_id,
+         |  t.c3 IS NOT NULL AS is_tri,
+         |  (t.c3 IS NULL AND b23.cb IS NOT NULL) AS is_bi,
+         |  CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / b12.cb
+         |       WHEN b23.cb IS NOT NULL
+         |         THEN $BO_ALPHA::DOUBLE * (CAST(b23.cb AS DOUBLE) / u2.c1)
+         |       WHEN u3.c1 IS NOT NULL
+         |         THEN $BO_ALPHA::DOUBLE * $BO_ALPHA::DOUBLE * (CAST(u3.c1 AS DOUBLE) / nt.n_tot)
+         |       ELSE $BO_ALPHA::DOUBLE * $BO_ALPHA::DOUBLE * (1.0::DOUBLE / nt.n_tot) END AS s
+         |  FROM pos p
+         |  LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+         |  LEFT JOIN bi b12 ON b12.w1 = p.w1 AND b12.w2 = p.w2
+         |  LEFT JOIN bi b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3
+         |  LEFT JOIN uni u2 ON u2.w = p.w2
+         |  LEFT JOIN uni u3 ON u3.w = p.w3
+         |  CROSS JOIN nt)
+         |SELECT doc_id, count(*) AS n_pos,
+         |  CAST(count(*) FILTER (WHERE is_tri) AS BIGINT) AS n_tri,
+         |  CAST(count(*) FILTER (WHERE is_bi) AS BIGINT) AS n_bi,
+         |  ${Fns.roundPSql("CAST(sum(CAST(-ln(s) AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_nll3
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -385,13 +385,27 @@ object DedupOps {
     * Scale shape: one scan with a 2-column pushed projection, one
     * partial+final agg keyed by (source, split) — n_sources×3 rows move.
     * No shuffle of document rows at any width. */
+  /** Split assignment as a column — shared by [[qHashSplit]] and the
+    * held-out LM evaluation (CorpusOps.qBackoffLm trains on 'train',
+    * scores 'valid'). */
+  private[graft] def splitOf(docId: Column): Column = {
+    val h = pmod(Fns.hash32(concat(lit("spl_"), docId.cast("string"))), lit(100L))
+    when(h < TRAIN_PCT, lit("train"))
+      .when(h < VALID_PCT, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** DuckDB twin of [[splitOf]] over a doc_id expression. */
+  private[operators] def sqlSplitOf(docId: String): String =
+    s"""CASE WHEN CAST('0x' || substr(md5('spl_' || CAST($docId AS VARCHAR)), 1, 8) AS BIGINT) % 100 < $TRAIN_PCT
+       |       THEN 'train'
+       |     WHEN CAST('0x' || substr(md5('spl_' || CAST($docId AS VARCHAR)), 1, 8) AS BIGINT) % 100 < $VALID_PCT
+       |       THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
   val qHashSplit: Q = (s, d) => {
-    val h = pmod(Fns.hash32(concat(lit("spl_"), col("doc_id").cast("string"))), lit(100L))
     Tables.documents(s, d)
-      .select(col("source"), col("n_chars"),
-        when(h < TRAIN_PCT, lit("train"))
-          .when(h < VALID_PCT, lit("valid"))
-          .otherwise(lit("test")).as("split"))
+      .select(col("source"), col("n_chars"), splitOf(col("doc_id")).as("split"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
       .orderBy("source", "split")
@@ -589,12 +603,7 @@ object DedupOps {
          |FROM hs ORDER BY doc_id""".stripMargin
     },
     "q_hash_split" ->
-      s"""SELECT source,
-         |  CASE WHEN ${sqlHash32("'spl_' || CAST(doc_id AS VARCHAR)")} % 100 < $TRAIN_PCT
-         |         THEN 'train'
-         |       WHEN ${sqlHash32("'spl_' || CAST(doc_id AS VARCHAR)")} % 100 < $VALID_PCT
-         |         THEN 'valid'
-         |       ELSE 'test' END AS split,
+      s"""SELECT source, ${sqlSplitOf("doc_id")} AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_substring_dup" ->

@@ -571,7 +571,14 @@ object VectorOps {
     * TakeOrderedAndProject. At 100 TB the encode is embarrassingly
     * parallel and the ADC scan reads 8-byte codes, not 512-byte vectors —
     * exactly why serving stacks PQ-compress. */
-  val qPqAdc: Q = (s, d) => {
+  /** The PQ "trained artifacts", collected once on the driver (M×K×SUB +
+    * M×K doubles — the k-means-centroid tier): per-subspace codebooks from
+    * the [[PQ_K]] smallest non-probe ids, the probe vector, and the
+    * probe→codeword ADC lookup table (computed with the same 0-seeded
+    * left-to-right fold as the SQL twin's list_sum, so driver arithmetic
+    * is bit-identical to both engines' in-plan arithmetic). */
+  private def pqArtifacts(s: SparkSession, d: String)
+      : (Array[Array[Array[Double]]], Array[Double], Array[Array[Double]]) = {
     import s.implicits._
     val v = vecs(s, d)
     val cbRows = v.filter(col("vec_id") =!= PROBE_ID).orderBy("vec_id")
@@ -579,34 +586,93 @@ object VectorOps {
     val cb = Array.tabulate(PQ_M, PQ_K, PQ_SUB)((m, k, j) => cbRows(k)(m * PQ_SUB + j))
     val pv = v.filter(col("vec_id") === PROBE_ID)
       .select(col("v")).as[Seq[Double]].head().toArray
-    // probe→codeword lookup table, driver-computed with the same
-    // 0-seeded left-to-right fold as the SQL twin's list_sum
     val pd = Array.tabulate(PQ_M, PQ_K) { (m, k) =>
       (0 until PQ_SUB).map { j =>
         val dlt = pv(m * PQ_SUB + j) - cb(m)(k)(j); dlt * dlt
       }.foldLeft(0.0)(_ + _)
     }
+    (cb, pv, pd)
+  }
+
+  /** Stage PQ codes c0..c{M−1} onto a frame bearing (vec_id, v, …): per
+    * subspace, the 16 codeword distances as a literal-folded array column,
+    * then argmin via array_position (tie → lowest codeword id). Pure
+    * row-local column algebra — no join, no shuffle. */
+  private def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
     def distExpr(m: Int, k: Int): Column =
       (0 until PQ_SUB).map { j =>
         val dlt = element_at(col("v"), m * PQ_SUB + j + 1) - lit(cb(m)(k)(j)); dlt * dlt
       }.reduce(_ + _)
-    val staged = v.filter(col("vec_id") =!= PROBE_ID).select(
-      col("vec_id") +: col("v") +: (0 until PQ_M).map(m =>
+    val staged = df.select(
+      df.columns.map(col).toSeq ++ (0 until PQ_M).map(m =>
         array((0 until PQ_K).map(k => distExpr(m, k)): _*).as(s"d$m")): _*)
-    val withCodes = (0 until PQ_M).foldLeft(staged) { (df, m) =>
-      df.withColumn(s"c$m",
+    (0 until PQ_M).foldLeft(staged) { (acc, m) =>
+      acc.withColumn(s"c$m",
         (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1).cast("int"))
     }
-    val adc = (0 until PQ_M).map(m =>
+  }
+
+  /** ADC distance from staged codes: Σ_m lookup of the probe table at
+    * c_m, decimal-summed (order-independent). */
+  private def pqAdcCol(pd: Array[Array[Double]]): Column =
+    (0 until PQ_M).map(m =>
         element_at(typedLit(pd(m).toSeq), col(s"c$m") + 1).cast("decimal(28,18)"))
       .reduce(_ + _)
+
+  val qPqAdc: Q = (s, d) => {
+    val (cb, pv, pd) = pqArtifacts(s, d)
     // the probe rides as a literal too — no join node anywhere in the plan
-    withCodes
+    pqEncode(vecs(s, d).filter(col("vec_id") =!= PROBE_ID), cb)
       .select(col("vec_id"),
         concat_ws("-", (0 until PQ_M).map(m => col(s"c$m").cast("string")): _*).as("code"),
-        Fns.roundP(adc.cast("double"), 6).as("adc_dist2"),
+        Fns.roundP(pqAdcCol(pd).cast("double"), 6).as("adc_dist2"),
         Fns.roundP(VectorExprs.dist2(col("v"), typedLit(pv.toSeq)), 6).as("exact_dist2"))
       .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(TOPK)
+  }
+
+  /** Candidate over-fetch multiplier for [[qAnnIvfPq]]'s ADC stage. */
+  val IVFPQ_OVER = 5
+
+  /** IVF-ADC search (Jégou et al. 2011 §IV) — the composed serving shape
+    * production ANN engines run: IVF picks the [[NPROBE]] nearest cells
+    * (decimal-exact centroid math, same as [[qAnnIvf]]), PQ codes rank the
+    * candidates inside those cells by ADC at 64× less memory traffic, and
+    * only the best [[TOPK]]×[[IVFPQ_OVER]] ids are exact-re-ranked against
+    * the raw vectors. The gate compares the final top-k to brute-force
+    * truth via the oracle's identical pipeline.
+    *
+    * Scale shape: cell filter = broadcast semi-join (NPROBE rows) that
+    * PRUNES the scan; ADC stage reads codes only (literal codebook, zero
+    * shuffle, TakeOrderedAndProject keeps k×over ids); re-rank = k×over-id
+    * broadcast back onto the vector store. The corpus moves through ONE
+    * pruned codegen scan; raw vectors are touched only for k×over rows. */
+  val qAnnIvfPq: Q = (s, d) => {
+    val (cb, _, pd) = pqArtifacts(s, d)
+    val v = vecs(s, d)
+    val cent = v.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+    val probeDims = v.filter(col("vec_id") === PROBE_ID)
+      .select(posexplode(col("v")))
+      .select(col("pos"), col("col").as("px"))
+    val nearCells = cent.join(broadcast(probeDims), "pos")
+      .groupBy(col("label"))
+      .agg(sum(((col("c") - col("px")) * (col("c") - col("px"))).cast("decimal(28,14)"))
+        .cast("double").as("cd"))
+      .orderBy(col("cd"), col("label"))
+      .limit(NPROBE)
+      .select(col("label"))
+    val cands = pqEncode(
+        v.join(broadcast(nearCells), "label").filter(col("vec_id") =!= PROBE_ID), cb)
+      .select(col("vec_id"), Fns.roundP(pqAdcCol(pd).cast("double"), 6).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(TOPK * IVFPQ_OVER)
+      .select(col("vec_id"))
+    v.join(broadcast(cands), "vec_id")
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"), Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
       .limit(TOPK)
   }
 
@@ -624,6 +690,7 @@ object VectorOps {
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_blocked" -> qCosineBlocked,
     "q_pq_adc"         -> qPqAdc,
+    "q_ann_ivfpq"      -> qAnnIvfPq,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -853,6 +920,47 @@ object VectorOps {
          |  ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS exact_dist2
          |FROM agg a JOIN e b ON b.vec_id = a.vec_id CROSS JOIN p
          |ORDER BY adc_dist2, a.vec_id LIMIT $TOPK""".stripMargin
+    },
+    "q_ann_ivfpq" -> {
+      def subDist(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+           |      j -> ($a[s.m*$PQ_SUB + j] - $b[s.m*$PQ_SUB + j]) * ($a[s.m*$PQ_SUB + j] - $b[s.m*$PQ_SUB + j])))""".stripMargin
+      s"""WITH e AS ($sqlVecs),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID),
+         |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM long GROUP BY label, pos),
+         |pdm AS (SELECT i-1 AS pos, v[i] AS px FROM e, unnest(range(1, len(v)+1)) AS t(i) WHERE vec_id = $PROBE_ID),
+         |cells AS (
+         |  SELECT cent.label,
+         |    CAST(sum(CAST((c - px) * (c - px) AS DECIMAL(28,14))) AS DOUBLE) AS cd
+         |  FROM cent JOIN pdm ON cent.pos = pdm.pos
+         |  GROUP BY cent.label ORDER BY cd, label LIMIT $NPROBE),
+         |cbv AS (SELECT vec_id, v FROM e WHERE vec_id <> $PROBE_ID ORDER BY vec_id LIMIT $PQ_K),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv FROM cbv),
+         |sp AS (SELECT m FROM range(0, $PQ_M) r(m)),
+         |cand AS (SELECT b.vec_id, b.v FROM e b JOIN cells ON b.label = cells.label
+         |         WHERE b.vec_id <> $PROBE_ID),
+         |dist AS (
+         |  SELECT b.vec_id, s.m, c.cw, ${subDist("b.v", "c.cv")} AS dd
+         |  FROM cand b CROSS JOIN sp s CROSS JOIN cb c),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, cw) AS rn
+         |       FROM dist),
+         |enc AS (SELECT vec_id, m, cw AS code FROM rk WHERE rn = 1),
+         |pdt AS (
+         |  SELECT s.m, c.cw, ${subDist("p.pv", "c.cv")} AS pdist
+         |  FROM sp s CROSS JOIN cb c CROSS JOIN p),
+         |adc AS (
+         |  SELECT n.vec_id,
+         |    ${Fns.roundPSql("CAST(sum(CAST(t.pdist AS DECIMAL(28,18))) AS DOUBLE)", 6)} AS adc
+         |  FROM enc n JOIN pdt t ON t.m = n.m AND t.cw = n.code
+         |  GROUP BY 1),
+         |top AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT ${TOPK * IVFPQ_OVER})
+         |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
+         |FROM e b JOIN top USING (vec_id) CROSS JOIN p
+         |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin
     },
   )
 

@@ -39,7 +39,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_sliding_features", "q_random_projection", "q_bloom_decontaminate",
     "q_scc_big", "q_doc_chunks", "q_uniform_k",
     "q_hash_split", "q_substring_dup", "q_bm25", "q_pq_adc",
-    "q_inverted_index")
+    "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -270,6 +270,31 @@ class QueriesSpec extends AnyFunSuite {
         s"term ${r.getAs[String]("term")}: postings ${ids.length} vs df ${r.getAs[Long]("df")}")
       assert(r.getAs[Long]("tf_total") >= r.getAs[Long]("df"))
     }
+  }
+
+  test("q_backoff_lm scores only valid-split docs with consistent tier counts") {
+    val rows = SparkEntry.queries("q_backoff_lm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nt, nb) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_tri"), r.getAs[Long]("n_bi"))
+      assert(nt + nb <= np, "tier counts exceed positions")
+      assert(r.getAs[Double]("mean_nll3") > 0.0, "held-out NLL must be positive")
+    }
+    // every scored doc hashes into the valid split
+    import org.apache.spark.sql.functions.col
+    val scored = rows.map(_.getAs[Long]("doc_id")).toSet
+    val valid = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), operators.DedupOps.splitOf(col("doc_id")).as("s"))
+      .collect().filter(_.getAs[String]("s") == "valid").map(_.getAs[Long]("doc_id")).toSet
+    assert(scored.subsetOf(valid), s"non-valid docs scored: ${scored -- valid}")
+  }
+
+  test("q_ann_ivfpq returns ascending exact distances from the probed cells") {
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val ds = rows.map(_.getAs[Double]("dist2"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "distances not ascending")
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(operators.VectorOps.PROBE_ID))
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
