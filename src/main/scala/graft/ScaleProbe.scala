@@ -41,7 +41,15 @@ object ScaleProbe {
     "q_group_normalize",     // O(groups) stats broadcast (documents)
     "q_bloom_decontaminate", // fixed-size bit-set broadcast probe (documents)
     "q_random_projection",   // shuffle-free plan-literal folds (embeddings)
-    "q_mm_decode")           // per-row PPM parse in mapPartitions (documents)
+    "q_mm_decode",           // per-row PPM parse in mapPartitions (documents)
+    "q_hash_split",          // 3-column scan + partial/final agg (documents)
+    "q_bm25",                // tf agg + broadcast query/df joins + top-k (documents)
+    "q_inverted_index",      // term-keyed aggs + WindowGroupLimit cap (documents)
+    "q_substring_dup",       // window-keyed agg + join-back (documents; dup SET
+                             // saturates under replication but row flow is linear)
+    "q_backoff_lm",          // n-gram count tables + keyed left joins (documents)
+    "q_pq_adc",              // literal-codebook codegen scan + top-k (embeddings)
+    "q_ann_ivfpq")           // cell prune + ADC + exact re-rank (embeddings)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -451,6 +451,43 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Number of growth tiers for [[qVocabGrowth]]. */
+  val VG_TIERS = 10
+
+  /** Heaps-law vocabulary growth curve — how fast the corpus vocabulary
+    * grows as data accumulates, the curve a tokenizer-budget or
+    * vocab-size decision is read from. "Growth order" is a deterministic
+    * hash decile of the doc id (stable under repartition and corpus
+    * append, same property as the hash split), so tier t = the corpus
+    * after ingesting deciles 0..t. For each token only its FIRST tier
+    * matters: vocab(t) = #tokens with min-decile ≤ t — one token-keyed
+    * min-agg, no per-tier rescan.
+    *
+    * Scale shape: one explode → (a) a 10-row decile agg for positions,
+    * (b) a token-keyed (vocab-bounded, map-side combined) min-agg then a
+    * 10-row count — the cumulative windows run over 10 rows on the
+    * driver-sized tail. A naive per-tier COUNT(DISTINCT) would rescan
+    * the corpus [[VG_TIERS]] times; this shape reads it once. */
+  val qVocabGrowth: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(pmod(Fns.hash32(concat(lit("vg_"), col("doc_id").cast("string"))),
+          lit(VG_TIERS.toLong)).as("tier"),
+        explode(Fns.tokens(lower(col("text")))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pos = toks.groupBy("tier").agg(count(lit(1)).as("np"))
+    val vocab = toks.groupBy("w").agg(min("tier").as("tier"))
+      .groupBy("tier").agg(count(lit(1)).as("nv"))
+    val tiers = s.range(VG_TIERS).select(col("id").as("tier"))
+    val w = Window.orderBy("tier").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiers
+      .join(pos, Seq("tier"), "left")
+      .join(vocab, Seq("tier"), "left")
+      .select(col("tier"),
+        sum(coalesce(col("np"), lit(0L))).over(w).as("cum_positions"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy("tier")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_surprisal"     -> qSurprisal,
@@ -463,6 +500,7 @@ object CorpusOps {
     "q_bm25"          -> qBm25,
     "q_inverted_index" -> qInvertedIndex,
     "q_backoff_lm"    -> qBackoffLm,
+    "q_vocab_growth"  -> qVocabGrowth,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -650,5 +688,25 @@ object CorpusOps {
          |  CAST(count(*) FILTER (WHERE is_bi) AS BIGINT) AS n_bi,
          |  ${Fns.roundPSql("CAST(sum(CAST(-ln(s) AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_nll3
          |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH t AS (SELECT
+         |    CAST('0x' || substr(md5('vg_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      % $VG_TIERS AS tier,
+         |    unnest($sqlTokensLower) AS w
+         |  FROM documents),
+         |pos AS (SELECT tier, count(*) AS np FROM t GROUP BY 1),
+         |ft AS (SELECT w, CAST(min(tier) AS BIGINT) AS tier FROM t GROUP BY 1),
+         |vt AS (SELECT tier, count(*) AS nv FROM ft GROUP BY 1),
+         |tiers AS (SELECT range AS tier FROM range(0, $VG_TIERS))
+         |SELECT tiers.tier,
+         |  CAST(sum(COALESCE(pos.np, 0)) OVER
+         |    (ORDER BY tiers.tier ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_positions,
+         |  CAST(sum(COALESCE(vt.nv, 0)) OVER
+         |    (ORDER BY tiers.tier ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_vocab
+         |FROM tiers LEFT JOIN pos ON pos.tier = tiers.tier
+         |LEFT JOIN vt ON vt.tier = tiers.tier
+         |ORDER BY tiers.tier""".stripMargin,
   )
 }

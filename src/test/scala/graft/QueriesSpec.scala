@@ -39,7 +39,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_sliding_features", "q_random_projection", "q_bloom_decontaminate",
     "q_scc_big", "q_doc_chunks", "q_uniform_k",
     "q_hash_split", "q_substring_dup", "q_bm25", "q_pq_adc",
-    "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq")
+    "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq", "q_vocab_growth")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -295,6 +295,18 @@ class QueriesSpec extends AnyFunSuite {
     val ds = rows.map(_.getAs[Double]("dist2"))
     assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "distances not ascending")
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(operators.VectorOps.PROBE_ID))
+  }
+
+  test("q_vocab_growth curves are monotone and vocab never exceeds positions") {
+    val rows = SparkEntry.queries("q_vocab_growth")(spark, sfDir).collect()
+    assert(rows.length === operators.CorpusOps.VG_TIERS)
+    val ps = rows.map(_.getAs[Long]("cum_positions"))
+    val vs = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "positions not monotone")
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, "vocab not monotone")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_positions")) }
+    assert(vs.last > 0, "empty final vocabulary")
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
