@@ -49,7 +49,11 @@ object ScaleProbe {
                              // saturates under replication but row flow is linear)
     "q_backoff_lm",          // n-gram count tables + keyed left joins (documents)
     "q_pq_adc",              // literal-codebook codegen scan + top-k (embeddings)
-    "q_ann_ivfpq")           // cell prune + ADC + exact re-rank (embeddings)
+    "q_ann_ivfpq",           // cell prune + ADC + exact re-rank (embeddings)
+    "q_pmi_collocations",    // vocab-bounded count aggs + k-row top-k (documents)
+    "q_dsir_weights",        // B-bounded feature tables, broadcast probe (documents)
+    "q_ppl_buckets",         // distinct-score window + O(langs) broadcast (documents)
+    "q_fuzzy_decontaminate") // banded bench-vs-probe join, no cartesian (documents)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

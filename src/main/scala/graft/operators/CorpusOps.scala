@@ -26,8 +26,10 @@ object CorpusOps {
     * which overlap is informative here. */
   val DECON_K = 3
 
-  /** Every doc_id ≡ 0 (mod this) plays the "benchmark" split. */
-  val BENCH_MOD = 41L
+  /** Every doc_id ≡ 0 (mod this) plays the "benchmark" split. (`final`:
+    * constant-folded, so DedupOps's fuzzy-decontamination oracle can
+    * reference it with no object-init cycle.) */
+  final val BENCH_MOD = 41L
 
   /** Key terms kept per document by [[qTfidfTerms]]. */
   val TFIDF_TOP = 3
@@ -92,7 +94,12 @@ object CorpusOps {
     * vocabulary size, so at scale it broadcasts (Zipf skew on the exploded
     * side is then irrelevant — no shuffle of the big side at all).
     */
-  val qSurprisal: Q = (s, d) => {
+  val qSurprisal: Q = (s, d) => surprisalScored(s, d).orderBy("doc_id")
+
+  /** Per-doc unigram mean NLL (doc_id, n_tokens, mean_nll) — the body of
+    * [[qSurprisal]], shared with [[qPplBuckets]] which re-consumes the
+    * same score as its perplexity proxy. */
+  private def surprisalScored(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(Fns.tokens(lower(col("text")))).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,7 +114,6 @@ object CorpusOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         Fns.roundP(sum(nll).cast("double") / count(lit(1)), 6).as("mean_nll"))
-      .orderBy("doc_id")
   }
 
   /** Bigram-LM surprisal — the conditional companion to [[qSurprisal]]:
@@ -488,6 +494,159 @@ object CorpusOps {
       .orderBy("tier")
   }
 
+  /** Minimum bigram count for [[qPmiCollocations]] (the standard noise
+    * floor — PMI of a count-1 pair is dominated by sampling error). */
+  val PMI_MIN_C = 5
+  /** Collocations returned by [[qPmiCollocations]]. */
+  val PMI_TOP = 20
+
+  /** PMI collocation mining — the classic corpus-linguistics ranking
+    * (Church & Hanks 1990) of adjacent word pairs that co-occur far more
+    * than chance: PMI(w₁,w₂) = ln p(w₁w₂) − ln p(w₁) − ln p(w₂), with
+    * joint probability over bigram positions and marginals over token
+    * positions. Computed entirely in the log domain (ln c + 2·ln Nᵤ −
+    * ln N_b − ln c₁ − ln c₂, identical operand order on both engines) so
+    * no count product can overflow int64 at any corpus size. Pairs below
+    * [[PMI_MIN_C]] are dropped; ranking is on the ROUNDED score with
+    * (w₁, w₂) tie-break, so both engines rank identical keys.
+    *
+    * Scale shape: unigram and bigram count tables are vocab- and
+    * vocab²-bounded keyed aggs (partial+final, map-side combined); the
+    * marginal joins key on single tokens against the vocab-bounded count
+    * table (broadcast at scale); the two corpus totals are 1-row
+    * broadcasts. Top-k executes as TakeOrderedAndProject — per-partition
+    * heaps, a [[PMI_TOP]]-row driver merge. The corpus is scanned once;
+    * nothing document-sized ever shuffles. */
+  val qPmiCollocations: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(Fns.tokens(lower(col("text"))).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // unigram + bigram branches
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // totals + two marginal joins
+    val nu = uni.agg(sum("c").as("nu"))
+    val big = tk.filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // total + scored branches
+    val nb = big.agg(sum("cb").as("nb"))
+    val pmi = log(col("cb").cast("double")) + log(col("nu").cast("double")) +
+      log(col("nu").cast("double")) - log(col("nb").cast("double")) -
+      log(col("c1").cast("double")) - log(col("c2").cast("double"))
+    big.filter(col("cb") >= PMI_MIN_C)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("cb"), Fns.roundP(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PMI_TOP)
+  }
+
+  /** Hashed-feature buckets for [[qDsirWeights]]. */
+  val DSIR_B = 1024L
+
+  /** DSIR importance weights — "Data Selection for Language Models via
+    * Importance Resampling" (Xie et al., NeurIPS 2023): score each raw
+    * document by how much more likely its hashed-bigram features are
+    * under a small TARGET corpus than under the raw pool, log w(doc) =
+    * Σ_positions [ln p_t(f) − ln p_r(f)] with add-one smoothing over the
+    * [[DSIR_B]] feature buckets. Target = the hash-split 'valid' split
+    * (standing in for the small quality domain DSIR resamples toward);
+    * raw = the 'train' split being selected from. `keep` is the
+    * threshold-free sign test (doc looks more target- than raw-like);
+    * per-position terms are decimal-summed so the log-weight is
+    * aggregation-order-independent.
+    *
+    * Scale shape: BOTH feature tables are hard-bounded at [[DSIR_B]]
+    * rows regardless of corpus size — that is the point of hashed
+    * features — so the per-position feature join is a broadcast of a
+    * fixed-size log-ratio table onto a row-local stream, followed by the
+    * one doc-keyed agg every per-doc score needs. The raw side streams;
+    * nothing grows with the corpus except the single scan. */
+  val qDsirWeights: Q = (s, d) => {
+    def featsOf(docs: DataFrame): DataFrame = docs
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("doc_id"),
+        (Fns.hash32(concat(lit("dsir_"), col("bg.0"), lit(" "), col("bg.1")))
+          % lit(DSIR_B)).as("f"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), DedupOps.splitOf(col("doc_id")).as("split"),
+        Fns.tokens(lower(col("text"))).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = featsOf(toks.filter(col("split") === "train"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // count table + scored stream
+    val ct = featsOf(toks.filter(col("split") === "valid"))
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val cr = raw.groupBy("f").agg(count(lit(1)).as("cr"))
+    // full outer: a bucket seen on either side carries its smoothed ratio;
+    // unseen-on-both buckets contribute the constant ratio of the floors,
+    // folded in via the coalesce defaults at probe time
+    val totals = ct.agg(sum("ct").as("nt"))
+      .crossJoin(cr.agg(sum("cr").as("nr")))
+    val lt = (log(col("ct").cast("double") + lit(1.0)) -
+        log(col("nt").cast("double") + lit(DSIR_B.toDouble))) -
+      (log(col("cr").cast("double") + lit(1.0)) -
+        log(col("nr").cast("double") + lit(DSIR_B.toDouble)))
+    val ratios = ct.join(cr, Seq("f"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("cr", coalesce(col("cr"), lit(0L)))
+      .select(col("f"), lt.cast("decimal(28,18)").as("lt"))
+    raw.join(broadcast(ratios), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        Fns.roundP(sum(col("lt")).cast("double"), 6).as("logw"))
+      .withColumn("keep", col("logw") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** CCNet perplexity bucketing (Wenzek et al., LREC 2020) — split each
+    * language's documents into head/middle/tail by LM score tertiles, the
+    * curation step CCNet runs before choosing which thirds to keep. The
+    * score is the corpus-unigram mean NLL ([[qSurprisal]]'s exact rounded
+    * output — the cheap proxy standing in for CCNet's KenLM). Boundaries
+    * are EXACT tertiles computed from the (lang, score) COUNT table:
+    * cumulative counts over distinct rounded scores, b₁ = min score with
+    * 3·cum ≥ n, b₂ = min score with 3·cum ≥ 2n (integer arithmetic, no
+    * division), then each doc buckets by comparing its score to its
+    * language's two boundaries. Ties share a bucket, so `head` can exceed
+    * n/3 exactly when scores tie across the cut — deterministic on both
+    * engines, no row_number dependence on partition order.
+    *
+    * Scale shape: CCNet's own deployment split — train boundaries once,
+    * apply as a stream filter. The only window runs over DISTINCT
+    * (lang, rounded-score) rows (bounded far below doc count), boundaries
+    * collapse to O(langs) rows broadcast back onto the doc stream, and
+    * the per-doc pass never shuffles. A naive per-doc ntile window would
+    * shuffle the whole corpus into 5 language partitions — the skewed
+    * whole-corpus sort this shape exists to avoid. */
+  val qPplBuckets: Q = (s, d) => {
+    val scored = surprisalScored(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("mean_nll"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // boundary + bucket branches
+    val byVal = scored.groupBy("lang", "mean_nll").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("lang").orderBy("mean_nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = byVal.withColumn("cum", sum("cnt").over(wcum))
+      .join(scored.groupBy("lang").agg(count(lit(1)).as("n")), Seq("lang"))
+      .groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("n"), col("mean_nll"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("mean_nll"))).as("b2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_nll"),
+        when(col("mean_nll") <= col("b1"), lit("head"))
+          .when(col("mean_nll") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_surprisal"     -> qSurprisal,
@@ -501,6 +660,9 @@ object CorpusOps {
     "q_inverted_index" -> qInvertedIndex,
     "q_backoff_lm"    -> qBackoffLm,
     "q_vocab_growth"  -> qVocabGrowth,
+    "q_pmi_collocations" -> qPmiCollocations,
+    "q_dsir_weights"  -> qDsirWeights,
+    "q_ppl_buckets"   -> qPplBuckets,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -708,5 +870,77 @@ object CorpusOps {
          |FROM tiers LEFT JOIN pos ON pos.tier = tiers.tier
          |LEFT JOIN vt ON vt.tier = tiers.tier
          |ORDER BY tiers.tier""".stripMargin,
+    "q_pmi_collocations" ->
+      s"""WITH tk AS (SELECT $sqlTokensLower AS tk FROM documents),
+         |u AS (SELECT w, count(*) AS c
+         |      FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY 1),
+         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM u),
+         |b AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |      FROM tk WHERE len(tk) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb)
+         |SELECT cb.w1, cb.w2, cb.cb,
+         |  ${Fns.roundPSql(
+             "ln(CAST(cb.cb AS DOUBLE)) + ln(CAST(nu AS DOUBLE)) + ln(CAST(nu AS DOUBLE))" +
+             " - ln(CAST(nb AS DOUBLE)) - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE))", 6)} AS pmi
+         |FROM cb JOIN u u1 ON u1.w = cb.w1 JOIN u u2 ON u2.w = cb.w2
+         |CROSS JOIN nb CROSS JOIN nu
+         |WHERE cb.cb >= $PMI_MIN_C
+         |ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT $PMI_TOP""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,
+         |            $sqlTokensLower AS tk FROM documents),
+         |rawf AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('dsir_' || w1 || ' ' || w2), 1, 8) AS BIGINT)
+         |      % $DSIR_B AS f
+         |  FROM (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |        FROM tk WHERE split = 'train' AND len(tk) >= 2)),
+         |tgtf AS (SELECT
+         |    CAST('0x' || substr(md5('dsir_' || w1 || ' ' || w2), 1, 8) AS BIGINT)
+         |      % $DSIR_B AS f
+         |  FROM (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |        FROM tk WHERE split = 'valid' AND len(tk) >= 2)),
+         |ct AS (SELECT f, count(*) AS ct FROM tgtf GROUP BY 1),
+         |cr AS (SELECT f, count(*) AS cr FROM rawf GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
+         |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
+         |ratios AS (SELECT COALESCE(ct.f, cr.f) AS f,
+         |    CAST((ln(CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+         |          - ln(CAST(nt AS DOUBLE) + ${DSIR_B.toDouble}))
+         |       - (ln(CAST(COALESCE(cr.cr, 0) AS DOUBLE) + 1.0)
+         |          - ln(CAST(nr AS DOUBLE) + ${DSIR_B.toDouble}))
+         |      AS DECIMAL(28,18)) AS lt
+         |  FROM ct FULL OUTER JOIN cr ON ct.f = cr.f CROSS JOIN tot)
+         |SELECT doc_id, n_feats, logw, (logw > 0) AS keep FROM (
+         |  SELECT doc_id, count(*) AS n_feats,
+         |    ${Fns.roundPSql("CAST(sum(lt) AS DOUBLE)", 6)} AS logw
+         |  FROM rawf JOIN ratios USING (f) GROUP BY 1)
+         |ORDER BY doc_id""".stripMargin,
+    "q_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+         |sc AS (SELECT doc_id,
+         |  CAST(ln(CAST(tot AS DOUBLE)) - ln(CAST(c AS DOUBLE)) AS DECIMAL(28,18)) AS s
+         |  FROM t JOIN c USING (w) CROSS JOIN tot),
+         |scored AS (SELECT doc_id,
+         |  ${Fns.roundPSql("CAST(sum(s) AS DOUBLE) / count(*)", 6)} AS mean_nll
+         |  FROM sc GROUP BY 1),
+         |sl AS (SELECT s.doc_id, d.lang, s.mean_nll
+         |       FROM scored s JOIN documents d USING (doc_id)),
+         |bv AS (SELECT lang, mean_nll, count(*) AS cnt FROM sl GROUP BY 1, 2),
+         |cum AS (SELECT lang, mean_nll, sum(cnt) OVER (PARTITION BY lang
+         |    ORDER BY mean_nll ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM bv),
+         |n AS (SELECT lang, count(*) AS n FROM sl GROUP BY 1),
+         |bounds AS (SELECT cum.lang,
+         |    min(CASE WHEN cum * 3 >= n THEN mean_nll END) AS b1,
+         |    min(CASE WHEN cum * 3 >= n * 2 THEN mean_nll END) AS b2
+         |  FROM cum JOIN n USING (lang) GROUP BY 1)
+         |SELECT sl.doc_id, sl.lang, sl.mean_nll,
+         |  CASE WHEN mean_nll <= b1 THEN 'head'
+         |       WHEN mean_nll <= b2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sl JOIN bounds USING (lang) ORDER BY sl.doc_id""".stripMargin,
   )
 }

@@ -85,7 +85,7 @@ object DedupOps {
     * it off, every (a, b) bucket collision is a candidate (the
     * store-vs-batch form, where the id spaces are disjoint). */
   private[graft] def nearPairs(sigA: DataFrame, sigB: DataFrame,
-      requireLess: Boolean): DataFrame = {
+      requireLess: Boolean, threshold: Double = THRESHOLD): DataFrame = {
     def buckets(sig: DataFrame, side: String): DataFrame = sig
       .select(col("doc_id"), posexplode_outer(col("bands")))
       .select(col("doc_id").as(s"doc_$side"),
@@ -101,7 +101,7 @@ object DedupOps {
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jac") >= THRESHOLD)
+      .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
   }
 
@@ -139,6 +139,55 @@ object DedupOps {
 
   val qMinhashDedup: Q = (s, d) =>
     minhashVerifiedPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** Doc-level fuzzy-decontamination threshold — deliberately below the
+    * near-dup [[THRESHOLD]]: a training doc only 50%-similar to a
+    * benchmark doc is already contamination (GPT-3 appendix C / The Pile
+    * use fuzzy 13-gram overlap for exactly this reason; the exact-gram
+    * gates miss paraphrased leakage). */
+  val FUZZY_T = 0.5
+
+  /** Bench-split modulus for [[qFuzzyDecontaminate]] — deliberately NOT
+    * CorpusOps.BENCH_MOD: the synthetic corpus's near-dup pairs never
+    * straddle the %41 split, which would leave the flag path of this
+    * gate permanently un-exercised. %7 puts 9 verified pairs across the
+    * bench/probe boundary at sf0.01, so the gate pins real hits.
+    * (`final`: constant-folded for the oracle string.) */
+  final val FUZZY_MOD = 7L
+
+  /** Fuzzy decontamination — MinHash-LSH near-dup matching BETWEEN the
+    * benchmark split and the training pool (the doc-level companion to
+    * CorpusOps.qDecontaminate's exact n-gram collision): every training
+    * doc whose verified Jaccard against ANY bench doc reaches [[FUZZY_T]]
+    * is flagged, with the match count and best score pinned. Candidates
+    * come from the same banded bucket join as the dedup gates — band keys
+    * collide, texts never move — and the banding is tuned for 0.8, so at
+    * 0.5 recall is the standard S-curve tradeoff; both engines share the
+    * candidate generation, so the gate pins the DEPLOYED behavior, not an
+    * idealized all-pairs one (which would be a corpus×bench cartesian).
+    *
+    * Scale shape: identical to the dedup pipeline — row-local signatures
+    * (persisted once, feeding bench/probe/verify branches), a bucket
+    * equi-join whose bench side is a fixed-size eval suite, exact verify
+    * on colliding candidates only, then one doc-keyed agg and a join
+    * back to the probe stream. Nothing scales with corpus × bench. */
+  val qFuzzyDecontaminate: Q = (s, d) => {
+    val sig = signatures(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = sig.filter(col("doc_id") % FUZZY_MOD === 0)
+    val probe = sig.filter(col("doc_id") % FUZZY_MOD =!= 0)
+    val hits = nearPairs(bench, probe, requireLess = false, threshold = FUZZY_T)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_match"), max(col("jaccard")).as("max_jac"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % FUZZY_MOD =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .select(col("doc_id"), col("n_match"),
+        coalesce(col("max_jac"), lit(0.0)).as("max_jac"),
+        (col("n_match") >= 1).as("fuzzy_contaminated"))
+      .orderBy("doc_id")
+  }
 
   /** Near-dup CLUSTER ASSIGNMENT — the stage an actual dedup pipeline
     * ships: verified near-dup pairs ([[minhashVerifiedPairs]]) are edges of
@@ -458,6 +507,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact"       -> qDedupExact,
     "q_minhash_dedup"     -> qMinhashDedup,
+    "q_fuzzy_decontaminate" -> qFuzzyDecontaminate,
     "q_dedup_clusters"    -> qDedupClusters,
     "q_stratified_sample" -> qStratifiedSample,
     "q_uniform_k"         -> qUniformK,
@@ -489,9 +539,10 @@ object DedupOps {
   private def sqlMinhash(h: Int): String =
     s"list_min(list_transform(hv, x -> (x * ${A(h)} + ${B(h)}) % $P))"
 
-  /** CTE chain ending in `verified(doc_a, doc_b, jac)` — the minhash-LSH
-    * candidate+verify pipeline shared by the pair and cluster oracles. */
-  private val sqlVerifiedCtes: String = {
+  /** CTE chain ending in `bands(doc_id, band, key)` — signatures + LSH
+    * band keys, shared by the self-join (dedup) and bench-vs-probe
+    * (fuzzy decontamination) oracles. */
+  private val sqlBandCtes: String = {
     val bandKeys = (0 until NUM_BANDS).map { b =>
       val rows = (0 until ROWS_PER_BAND)
         .map(r => s"CAST(m${b * ROWS_PER_BAND + r} AS VARCHAR)")
@@ -507,7 +558,13 @@ object DedupOps {
        |bands AS (
        |  SELECT doc_id, b.band,
        |    CASE ${bandKeys.zipWithIndex.map { case (k, i) => s"WHEN b.band = $i THEN $k" }.mkString(" ")} END AS key
-       |  FROM mh CROSS JOIN (SELECT unnest([${(0 until NUM_BANDS).mkString(",")}]) AS band) b),
+       |  FROM mh CROSS JOIN (SELECT unnest([${(0 until NUM_BANDS).mkString(",")}]) AS band) b)""".stripMargin
+  }
+
+  /** CTE chain ending in `verified(doc_a, doc_b, jac)` — the minhash-LSH
+    * candidate+verify pipeline shared by the pair and cluster oracles. */
+  private val sqlVerifiedCtes: String =
+    s"""$sqlBandCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -518,7 +575,6 @@ object DedupOps {
        |  FROM pairs p
        |  JOIN sh sa ON sa.doc_id = p.doc_a
        |  JOIN sh sb ON sb.doc_id = p.doc_b)""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -528,6 +584,30 @@ object DedupOps {
       s"""WITH $sqlVerifiedCtes
          |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
          |FROM verified WHERE jac >= $THRESHOLD ORDER BY doc_a, doc_b""".stripMargin,
+    "q_fuzzy_decontaminate" ->
+      s"""WITH $sqlBandCtes,
+         |fpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id % $FUZZY_MOD = 0
+         |    AND b.doc_id % $FUZZY_MOD <> 0),
+         |fver AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+         |  FROM fpairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b),
+         |hits AS (
+         |  SELECT doc_b AS doc_id, count(*) AS n_match,
+         |    max(${Fns.roundPSql("jac", 4)}) AS max_jac
+         |  FROM fver WHERE jac >= $FUZZY_T GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(h.n_match, 0) AS n_match,
+         |  COALESCE(h.max_jac, 0.0) AS max_jac,
+         |  (COALESCE(h.n_match, 0) >= 1) AS fuzzy_contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % $FUZZY_MOD <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     // connected components over the verified pairs: `reach` floods every
     // label through the undirected edge set (UNION dedups the state space
     // to vertices × labels of one component), min(lbl) is the component id

@@ -39,7 +39,9 @@ class QueriesSpec extends AnyFunSuite {
     "q_sliding_features", "q_random_projection", "q_bloom_decontaminate",
     "q_scc_big", "q_doc_chunks", "q_uniform_k",
     "q_hash_split", "q_substring_dup", "q_bm25", "q_pq_adc",
-    "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq", "q_vocab_growth")
+    "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq", "q_vocab_growth",
+    "q_pmi_collocations", "q_dsir_weights", "q_ppl_buckets",
+    "q_fuzzy_decontaminate")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -307,6 +309,50 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_positions")) }
     assert(vs.last > 0, "empty final vocabulary")
+  }
+
+  test("q_pmi_collocations ranks above the count floor, descending") {
+    val rows = SparkEntry.queries("q_pmi_collocations")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= operators.CorpusOps.PMI_TOP)
+    assert(rows.forall(_.getAs[Long]("cb") >= operators.CorpusOps.PMI_MIN_C))
+    val ps = rows.map(_.getAs[Double]("pmi"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, "pmi not descending")
+  }
+
+  test("q_dsir_weights keep is the sign test and both classes appear") {
+    val rows = SparkEntry.queries("q_dsir_weights")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_feats") >= 1)
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("logw") > 0),
+        s"keep disagrees with logw sign for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("q_ppl_buckets boundaries are ordered: head <= middle <= tail per lang") {
+    val rows = SparkEntry.queries("q_ppl_buckets")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      def nlls(b: String) =
+        rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Double]("mean_nll"))
+      val (h, m, t) = (nlls("head"), nlls("middle"), nlls("tail"))
+      assert(h.nonEmpty, s"$lang has an empty head bucket")
+      if (m.nonEmpty) assert(h.max <= m.min, s"$lang: head max > middle min")
+      if (m.nonEmpty && t.nonEmpty) assert(m.max <= t.min, s"$lang: middle max > tail min")
+    }
+  }
+
+  test("q_fuzzy_decontaminate flags iff a verified bench match exists") {
+    val rows = SparkEntry.queries("q_fuzzy_decontaminate")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_match")
+      assert(r.getAs[Boolean]("fuzzy_contaminated") === (n >= 1))
+      if (n >= 1)
+        assert(r.getAs[Double]("max_jac") >= operators.DedupOps.FUZZY_T)
+      else assert(r.getAs[Double]("max_jac") === 0.0)
+      assert(r.getAs[Long]("doc_id") % operators.DedupOps.FUZZY_MOD != 0L)
+    }
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {

