@@ -224,9 +224,50 @@ object CorpusOps {
     * bench suite's distinct grams, this one is CONSTANT-size. The exact
     * companion branch exists to pin the error and goes away in
     * production. */
-  val qBloomDecontaminate: Q = (s, d) => {
-    def positions(g: Column) = array((0 until BLOOM_SEEDS).map(i =>
+  /** The [[BLOOM_SEEDS]] bit positions of a gram — shared by the batch
+    * gate and the streaming decontaminated ingest (identical hashing, so
+    * the stream drops exactly what the batch gate would flag). */
+  private[graft] def bloomPositions(g: Column): Column =
+    array((0 until BLOOM_SEEDS).map(i =>
       Fns.hash32(concat(g, lit(s"_b$i"))) % BLOOM_M): _*)
+
+  /** Distinct [[DECON_K]]-gram set of a text column (the gramStage
+    * projection over an arbitrary frame). */
+  private[graft] def gramsOf(text: Column): Column = {
+    val toks = Fns.tokens(text)
+    array_distinct(Fns.shinglesOfTokens(toks, text, DECON_K))
+  }
+
+  /** Fold a benchmark frame's gram bit positions into an O(M) bitmask —
+    * [[BLOOM_M]]/64 longs, built ONCE on the driver (the collect is
+    * bounded at M rows BY CONSTRUCTION, never by bench-suite size: this
+    * is the Bloom filter's whole point). The deployed form carries this
+    * mask in the plan as a literal. */
+  private[graft] def bloomMaskOf(bench: DataFrame): Array[Long] = {
+    val mask = new Array[Long]((BLOOM_M / 64).toInt)
+    bench.select(explode(gramsOf(col("text"))).as("gr"))
+      .select(explode(bloomPositions(col("gr"))).as("pos")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        mask((p / 64).toInt) |= (1L << (p % 64).toInt)
+      }
+    mask
+  }
+
+  /** True iff ANY gram of `gs` has ALL its seed positions set in `mask`
+    * (the Bloom membership test as pure column algebra over two literal
+    * arrays — constant-time per probe, zero joins). */
+  private[graft] def bloomHit(gs: Column, mask: Array[Long]): Column = {
+    val m = lit(mask)
+    val pow2 = lit((0 until 64).map(i => 1L << i).toArray)
+    def bitSet(p: Column): Column =
+      (element_at(m, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1))) =!= 0L
+    exists(gs, g => forall(bloomPositions(g), bitSet))
+  }
+
+  val qBloomDecontaminate: Q = (s, d) => {
+    def positions(g: Column) = bloomPositions(g)
     val grams = gramStage(s, d)
     // persisted: the bits and exact branches both consume the bench
     // explode->distinct (no cross-branch CSE)

@@ -184,6 +184,56 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming DECONTAMINATED ingest — the deployed form of
+    * [[graft.operators.CorpusOps.qBloomDecontaminate]]: the benchmark
+    * suite is folded ONCE at stream start into the fixed-size Bloom
+    * bitmask (O(M) longs — bounded by construction, not by bench-suite
+    * size), and every arriving document whose gram set hits the filter is
+    * dropped BEFORE it can enter the training corpus. Composes with the
+    * exactly-once dedup of [[start]]: within-batch key dedup, anti-join
+    * vs the corpus, then the Bloom gate.
+    *
+    * The membership test is pure column algebra over two plan-literal
+    * arrays (the mask and a 64-entry power table) — constant work per
+    * gram, zero joins, zero shuffle added to the ingest path. One-sided
+    * like the batch twin: contaminated docs can NEVER slip through (no
+    * false negatives); a false positive costs one clean doc, the right
+    * failure direction for decontamination. Identical hashing to the
+    * batch gate, so the stream drops exactly the docs the gate flags
+    * (spec-asserted). */
+  def startDecontaminated(s: SparkSession, srcDir: String, corpusDir: String,
+                          checkpointDir: String, benchDir: String): StreamingQuery = {
+    import graft.operators.CorpusOps
+    val mask = CorpusOps.bloomMaskOf(s.read.parquet(benchDir))
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keyed = batch
+          .withColumn("ck", contentKey(col("text")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("ck")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .filter(!CorpusOps.bloomHit(CorpusOps.gramsOf(col("text")), mask))
+        val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (!fs.exists(corpusPath)) keyed
+          else {
+            val seen = spark.read.parquet(corpusDir).select("ck")
+            keyed.join(seen, Seq("ck"), "left_anti")
+          }
+        novel.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+  }
+
   /** Streaming corpus CURATION — the streaming twin of the batch
     * rate-table mix ([[graft.operators.DedupOps.qCorpusMix]]), composed
     * with the exactly-once dedup above so the whole curation story

@@ -59,6 +59,56 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(afterRestart.filter($"doc_id" === 999999L).count() == 1)
   }
 
+  test("decontaminated ingest drops bench-gram collisions, exactly once under re-delivery") {
+    import graft.operators.CorpusOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-decon")
+    val (src, corpus, ckpt, bench) =
+      (s"$root/src", s"$root/corpus", s"$root/ckpt", s"$root/bench")
+    Files.createDirectories(Paths.get(src))
+
+    Seq((1L, "alpha beta gamma delta", "en", "bench", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(bench)
+    val srcDocs = Seq(
+      (10L, "intro words beta gamma delta more words", "en", "s0", 39L), // shares a 3-gram
+      (11L, "one two three four five six", "en", "s0", 27L),             // clean
+      (12L, "one two three four five six", "en", "s0", 27L))             // dup of 11
+    val srcDf = srcDocs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stage = s"$root/stage"
+    srcDf.coalesce(1).write.parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator()
+    val partFile = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    Files.copy(partFile, Paths.get(s"$src/d1.parquet"))
+
+    def runDecon(): Unit = {
+      val q = CorpusIngest.startDecontaminated(spark, src, corpus, ckpt, bench)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    runDecon()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 1, "only the one distinct clean text may land")
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(11L))
+
+    // the stream must drop EXACTLY the docs the batch-side Bloom test
+    // flags (identical hashing) — and the contaminated doc is a genuine
+    // exact hit, not just a Bloom false positive
+    val mask = CorpusOps.bloomMaskOf(spark.read.parquet(bench))
+    val flagged = srcDf
+      .filter(CorpusOps.bloomHit(CorpusOps.gramsOf(col("text")), mask))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(10L), s"batch twin flags $flagged")
+
+    // re-delivery: same file again — nothing changes
+    Files.copy(partFile, Paths.get(s"$src/d2.parquet"))
+    runDecon()
+    assert(spark.read.parquet(corpus).count() == 1)
+  }
+
   test("curated ingest mixes with a refreshed rate table, exactly once under re-delivery") {
     import graft.operators.DedupOps
     import graft.functions.Fns
