@@ -53,7 +53,8 @@ object ScaleProbe {
     "q_pmi_collocations",    // vocab-bounded count aggs + k-row top-k (documents)
     "q_dsir_weights",        // B-bounded feature tables, broadcast probe (documents)
     "q_ppl_buckets",         // distinct-score window + O(langs) broadcast (documents)
-    "q_fuzzy_decontaminate") // banded bench-vs-probe join, no cartesian (documents)
+    "q_temperature_sample")  // rate-table broadcast + hash keep test (documents)
+    // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -345,6 +345,55 @@ object DedupOps {
     h.cast("decimal(38,0)") * nSrc * tSrc * lit(MIX_DEN) <
       tTotal.cast("decimal(38,0)") * lit(MIX_NUM) * lit(SAMPLE_SPACE)
 
+  /** Temperature-sampling exponent is FIXED at α = 1/2: IEEE-754 sqrt is
+    * correctly rounded on both engines where a general pow() is not, so
+    * the rate table is bit-reproducible cross-engine. Published range is
+    * α ∈ [0.2, 0.7] (T5/mC4 use 0.3–0.5); 0.5 sits inside it. */
+  val TEMP_BETA_NUM = 1L
+  val TEMP_BETA_DEN = 2L
+
+  /** Temperature-based source sampling — the multilingual-mix upsampling
+    * rule of T5/mC4 (Raffel et al. 2020 §3.4.3) and XLM-R: sample source
+    * s with probability ∝ (t_s/T)^α instead of its natural share, so
+    * low-resource sources are boosted and head sources damped. With a
+    * token budget of β·T (β = [[TEMP_BETA_NUM]]/[[TEMP_BETA_DEN]]), the
+    * per-source keep rate is r_s = min(1, β·T·q_s/t_s) where
+    * q_s = √t_s / Σ√t. The only order-sensitive float step — the Σ√t
+    * sum — is decimal-summed, sqrt is correctly rounded by IEEE on both
+    * engines, and the keep test compares the doc hash against
+    * floor(r_s·SPACE) — an integer — so the gate is exact end-to-end.
+    *
+    * Scale shape: identical to [[qCorpusMix]] — one corpus scan for
+    * per-source token totals (n_sources rows), a 1-row Σ√t broadcast, the
+    * rate table broadcast back onto the doc stream, deterministic hash
+    * keep test per row, one final keyed agg. Nothing scales beyond the
+    * scan; re-running on a grown corpus re-derives rates from the data. */
+  val qTemperatureSample: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    val perSrc = toks.groupBy("source").agg(sum("n_toks").as("t_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perSrc.agg(sum("t_src").as("t_total"),
+      sum(sqrt(col("t_src").cast("double")).cast("decimal(28,12)"))
+        .cast("double").as("sq_sum"))
+    val rate = least(lit(1.0), Fns.roundP(
+      (lit(TEMP_BETA_NUM.toDouble) / lit(TEMP_BETA_DEN.toDouble)) *
+        col("t_total").cast("double") *
+        (sqrt(col("t_src").cast("double")) / col("sq_sum")) /
+        col("t_src").cast("double"), 9))
+    toks
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("rate", rate)
+      .filter(pmod(Fns.hash32(concat(lit("tmp_"), col("doc_id").cast("string"))),
+          lit(SAMPLE_SPACE)) < floor(col("rate") * SAMPLE_SPACE))
+      .groupBy("source")
+      .agg(max("t_src").as("t_src"), max("rate").as("rate"),
+        count(lit(1)).as("n_kept"), sum("n_toks").as("toks_kept"))
+      .orderBy("source")
+  }
+
   /** Exact-Jaccard threshold for the inverted-index path — the rational
     * 4/5, so the prefix/positional pruning bounds below are EXACT integer
     * arithmetic (no float rounding can diverge between engines). */
@@ -512,6 +561,7 @@ object DedupOps {
     "q_stratified_sample" -> qStratifiedSample,
     "q_uniform_k"         -> qUniformK,
     "q_corpus_mix"        -> qCorpusMix,
+    "q_temperature_sample" -> qTemperatureSample,
     "q_jaccard_pairs"     -> qJaccardPairs,
     "q_simhash"           -> qSimhash,
     "q_hash_split"        -> qHashSplit,
@@ -648,6 +698,25 @@ object DedupOps {
          |WHERE CAST(${sqlHash32("'mix_' || CAST(doc_id AS VARCHAR)")} % $SAMPLE_SPACE
          |      AS DECIMAL(38,0)) * tot.n_src * ps.t_src * $MIX_DEN
          |  < CAST(tot.t_total AS DECIMAL(38,0)) * $MIX_NUM * $SAMPLE_SPACE
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_temperature_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len(${TextOps.sqlTokens}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_src FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t_src) AS BIGINT) AS t_total,
+         |  CAST(sum(CAST(sqrt(CAST(t_src AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sq_sum
+         |  FROM ps),
+         |rt AS (SELECT ps.source, ps.t_src,
+         |  least(CAST(1 AS DOUBLE), ${Fns.roundPSql(
+             s"(CAST($TEMP_BETA_NUM AS DOUBLE) / $TEMP_BETA_DEN) * CAST(t_total AS DOUBLE)" +
+             " * (sqrt(CAST(t_src AS DOUBLE)) / sq_sum) / CAST(t_src AS DOUBLE)", 9)}) AS rate
+         |  FROM ps, tot)
+         |SELECT t.source, max(rt.t_src) AS t_src, max(rt.rate) AS rate,
+         |  count(*) AS n_kept, CAST(sum(t.n_toks) AS BIGINT) AS toks_kept
+         |FROM t JOIN rt USING (source)
+         |WHERE ${sqlHash32("'tmp_' || CAST(doc_id AS VARCHAR)")} % $SAMPLE_SPACE
+         |  < CAST(floor(rt.rate * $SAMPLE_SPACE) AS BIGINT)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $sqlShingles,

@@ -68,6 +68,27 @@ object SourceOps {
       .orderBy("source")
   }
 
+  /** ORC round-trip for the documents corpus — the OTHER columnar
+    * interchange format large pipelines exchange (Hive/Trino lineage),
+    * exercising a second native DataSource V1/V2 path end-to-end with the
+    * same content-equality discipline as [[qJsonlRoundtrip]]: write ORC,
+    * read back with the EXPLICIT schema, aggregate with a text hash so
+    * any serialization loss (encoding, nulls, column order) flips the
+    * gate against the parquet-reading oracle. Grouped by lang (the jsonl
+    * twin groups by source) so the two round-trips pin different
+    * result shapes. */
+  val qOrcRoundtrip: Q = (s, d) => {
+    val tmp = scratch
+    Tables.documents(s, d).write.mode("overwrite").orc(s"$tmp/docs_orc")
+    s.read.schema(docJsonlSchema).orc(s"$tmp/docs_orc")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        Fns.hash32(min(col("text"))).as("min_text_h"))
+      .orderBy("lang")
+  }
+
   /** Typed extraction from the JSON props string column. */
   val qJsonProps: Q = (s, d) =>
     Tables.events(s, d)
@@ -82,6 +103,7 @@ object SourceOps {
   val queries: Map[String, Q] = Map(
     "q_csv_roundtrip"   -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_orc_roundtrip"   -> qOrcRoundtrip,
     "q_json_props"      -> qJsonProps,
   )
 
@@ -91,6 +113,12 @@ object SourceOps {
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc,
+        |  CAST('0x' || substr(md5(min(text)), 1, 8) AS BIGINT) AS min_text_h
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc,
         |  CAST('0x' || substr(md5(min(text)), 1, 8) AS BIGINT) AS min_text_h

@@ -41,7 +41,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_hash_split", "q_substring_dup", "q_bm25", "q_pq_adc",
     "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq", "q_vocab_growth",
     "q_pmi_collocations", "q_dsir_weights", "q_ppl_buckets",
-    "q_fuzzy_decontaminate")
+    "q_fuzzy_decontaminate", "q_temperature_sample", "q_orc_roundtrip")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -353,6 +353,20 @@ class QueriesSpec extends AnyFunSuite {
       else assert(r.getAs[Double]("max_jac") === 0.0)
       assert(r.getAs[Long]("doc_id") % operators.DedupOps.FUZZY_MOD != 0L)
     }
+  }
+
+  test("q_temperature_sample up-weights low-resource sources, rates in (0,1]") {
+    val rows = SparkEntry.queries("q_temperature_sample")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0, s"rate $rate out of range")
+    }
+    // temperature property: a strictly smaller source never gets a
+    // strictly smaller keep rate
+    for (a <- rows; b <- rows if a.getAs[Long]("t_src") < b.getAs[Long]("t_src"))
+      assert(a.getAs[Double]("rate") >= b.getAs[Double]("rate"),
+        s"${a.getAs[String]("source")} smaller than ${b.getAs[String]("source")} but lower rate")
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
