@@ -240,12 +240,46 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Triangle counting + global closure at data scale — the motif gate
+    * (E3's kin) on the co-purchase graph: the edge set is already
+    * ORDERED (dst > src by construction), so a triangle is a < b < c
+    * with all three edges present and each triangle is counted exactly
+    * once — the node-iterator-with-ordering dataflow of distributed
+    * triangle counting (Suri & Vassilvitskii, WWW 2011: ordering is what
+    * bounds the wedge explosion; ours orders by custkey rather than
+    * degree, fine at this skew and documented). Output pins the directed
+    * 2-path (wedge) count, the triangle count, and the closure rate
+    * 3-cliques/wedges — the global clustering signal of THIS ordered
+    * representation.
+    *
+    * Scale shape: wedges = one edge⋈edge hash join keyed on the middle
+    * vertex b; closure = one (a, c) keyed join of wedges against edges;
+    * both shuffle keys are node ids that scale with the data. The wedge
+    * frame is persisted (count + closure branches — no cross-branch
+    * CSE). At real scale the ordering becomes degree-based to cap the
+    * hottest b; the join structure is unchanged. */
+  val qClusteringBig: Q = (s, d) => {
+    val e = persisted(coEdges(s, d).select("src", "dst"))
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .select("a", "c")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val closed = wedges.join(e.select(col("src").as("a"), col("dst").as("c")),
+      Seq("a", "c"))
+    wedges.agg(count(lit(1)).as("n_wedges"))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_wedges"), col("n_triangles"),
+        Fns.roundP(col("n_triangles").cast("double") / col("n_wedges"), 6)
+          .as("closure_rate"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
     "q_pagerank_big" -> qPagerankBig,
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
+    "q_clustering_big" -> qClusteringBig,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -356,5 +390,18 @@ object BigGraphOps {
          |SELECT node, ${Fns.roundPSql("rank", 8)} AS pagerank
          |FROM r$PR_ITERS ORDER BY node""".stripMargin
     },
+    "q_clustering_big" ->
+      s"""WITH $sqlEdges,
+         |wedges AS (
+         |  SELECT e1.src AS a, e2.dst AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM wedges w JOIN edges e ON e.src = w.a AND e.dst = w.c),
+         |wc AS (SELECT count(*) AS n_wedges FROM wedges)
+         |SELECT wc.n_wedges, tri.n_triangles,
+         |  ${Fns.roundPSql("CAST(tri.n_triangles AS DOUBLE) / wc.n_wedges", 6)}
+         |    AS closure_rate
+         |FROM wc, tri""".stripMargin,
   )
 }

@@ -41,7 +41,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_hash_split", "q_substring_dup", "q_bm25", "q_pq_adc",
     "q_inverted_index", "q_backoff_lm", "q_ann_ivfpq", "q_vocab_growth",
     "q_pmi_collocations", "q_dsir_weights", "q_ppl_buckets",
-    "q_fuzzy_decontaminate", "q_temperature_sample", "q_orc_roundtrip")
+    "q_fuzzy_decontaminate", "q_temperature_sample", "q_orc_roundtrip",
+    "q_clustering_big")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -353,6 +354,15 @@ class QueriesSpec extends AnyFunSuite {
       else assert(r.getAs[Double]("max_jac") === 0.0)
       assert(r.getAs[Long]("doc_id") % operators.DedupOps.FUZZY_MOD != 0L)
     }
+  }
+
+  test("q_clustering_big triangle count is bounded by the wedge count") {
+    val r = SparkEntry.queries("q_clustering_big")(spark, sfDir).head()
+    val (w, t) = (r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    assert(w > 0, "ordered co-purchase graph must contain 2-paths")
+    assert(t <= w, "every triangle closes a wedge")
+    assert(r.getAs[Double]("closure_rate") ===
+      math.floor(t.toDouble / w * 1e6 + 0.5) / 1e6)
   }
 
   test("q_temperature_sample up-weights low-resource sources, rates in (0,1]") {
