@@ -30,7 +30,8 @@ object SparkEntry {
     operators.MultimodalOps.queries ++
     operators.SourceOps.queries ++
     operators.SkewOps.queries ++
-    operators.CorpusOps.queries
+    operators.CorpusOps.queries ++
+    operators.ModelOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -49,5 +50,6 @@ object SparkEntry {
     operators.MultimodalOps.oracles ++
     operators.SourceOps.oracles ++
     operators.SkewOps.oracles ++
-    operators.CorpusOps.oracles
+    operators.CorpusOps.oracles ++
+    operators.ModelOps.oracles
 }

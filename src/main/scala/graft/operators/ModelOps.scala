@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Model-driven corpus operators — the "train a cheap model ON the corpus,
+  * then score the corpus WITH it" family every large-scale data pipeline
+  * ships (fasttext-style language/quality filters, MOSS-style overlap
+  * detection). Reference kin: the classify/score surface GQLite reserves
+  * under its inference stubs (SURVEY.md §2.3) — implemented here for real,
+  * Spark-first.
+  *
+  * Scale posture: training aggregations are token-keyed (vocab-bounded →
+  * broadcastable model tables); scoring is one broadcast join over the
+  * exploded corpus plus one doc-keyed agg. Nothing shuffles the corpus on
+  * a non-doc key.
+  */
+object ModelOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Winnowing k-gram width (token shingles) and window size — Schleimer,
+    * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" (SIGMOD 2003). Any shared run of [[WIN_W]] + [[WIN_K]]
+    * − 1 tokens is guaranteed to share at least one selected fingerprint. */
+  val WIN_K = 3
+  val WIN_W = 4
+
+  /** Posting-list cap: fingerprints appearing in more than this many
+    * documents are corpus-idiomatic (boilerplate), carry no near-dup
+    * signal, and would quadratically blow up the pair join — dropped
+    * before pairing (the standard stop-fingerprint guard; at sf0.01 the
+    * max observed df is 7, so the cap is pure scale insurance). */
+  val WIN_MAXDF = 50
+
+  /** Pairs sharing fewer than this many fingerprints are noise on a
+    * ~30-word-vocabulary corpus (measured: 3,374 pairs ≥1 vs 24 pairs ≥5
+    * with a clean gap to the near-dup cluster at 13–37). */
+  val WIN_MINSHARED = 5
+
+  // --------------------------------------------------------------------
+  // Multinomial Naive Bayes language classifier
+  // --------------------------------------------------------------------
+
+  /** Train-and-score multinomial Naive Bayes over the documents table:
+    * class = `lang`, features = lower-cased whitespace tokens, Laplace
+    * add-one smoothing, log-space scoring; output is the resubstitution
+    * confusion matrix (true lang × predicted lang × doc count) — the
+    * compact, deterministic artifact a filter-training job reports.
+    *
+    * Exactness: every log term is cast to decimal(28,18) BEFORE any
+    * arithmetic (the qSurprisal pattern); the corpus is tf-compressed and
+    * each term is multiplied by tf as decimal(28,18) × decimal(9,0) —
+    * exact at precision 38 on both engines (tf < 10⁹ is guaranteed by the
+    * 2 GiB string ceiling long before the cast could overflow) — so
+    * aggregation order cannot perturb a score. The argmax tie-breaks on
+    * candidate label ascending.
+    *
+    * Plan: the corpus collapses to (doc, token, tf) in ONE (doc, token)-
+    * keyed shuffle (map-side partial agg); token/class model tables are
+    * aggs of THAT frame bounded by |vocab|×|classes| → the score join
+    * BROADCASTS the model; the per-(doc, class) sum is the only other
+    * doc-keyed shuffle, and the argmax window rides the 5-rows-per-doc
+    * frame, not the token stream. Docs with zero tokens have no score
+    * rows and are excluded identically on both engines.
+    */
+  val qNbLang: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // Stage the token array, THEN explode the attribute (the
+    // InferFiltersFromGenerate trap — PERF.md); collapse to tf counts
+    // immediately. 2 consumers (model side, scoring side) → persist.
+    val tf = docs
+      .select(col("doc_id"), col("lang"), Fns.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cw = tf.groupBy(col("lang").as("cand"), col("w"))
+      .agg(sum(col("tf")).as("c"))
+    val tl = cw.groupBy("cand").agg(sum(col("c")).as("tl"))
+    val vocabN = cw.agg(countDistinct(col("w")).as("v"))
+    val cands = CorpusOps.LANGS.toDF("cand")
+    // Full (token × class) grid so unseen pairs get the smoothed floor.
+    val term = cw.select("w").distinct()
+      .crossJoin(broadcast(cands))
+      .join(cw, Seq("w", "cand"), "left")
+      .join(tl, Seq("cand"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("w"), col("cand"),
+        (log((coalesce(col("c"), lit(0L)) + 1).cast("double")) -
+          log((col("tl") + col("v")).cast("double")))
+          .cast("decimal(28,18)").as("s"))
+    val nAll = docs.agg(count(lit(1)).as("n"))
+    val pri = docs.groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(nAll))
+      .select(col("cand"),
+        (log(col("nl").cast("double")).cast("decimal(28,18)") -
+          log(col("n").cast("double")).cast("decimal(28,18)")).as("lp"))
+    val sc = tf.select("doc_id", "w", "tf")
+      .join(broadcast(term), Seq("w"))
+      .groupBy("doc_id", "cand")
+      .agg(sum(col("s") * col("tf").cast("decimal(9,0)")).as("s"))
+    val fin = sc.join(broadcast(pri), Seq("cand"))
+      .select(col("doc_id"), col("cand"), (col("s") + col("lp")).as("score"))
+    val am = fin
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand").as("pred"))
+    am.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  // --------------------------------------------------------------------
+  // Winnowing fingerprint overlap (MOSS)
+  // --------------------------------------------------------------------
+
+  /** Winnowing document-overlap detection: hash every [[WIN_K]]-token
+    * shingle ([[Fns.hash32]]), slide a [[WIN_W]]-wide window over the hash
+    * sequence, keep each window's minimum as a selected fingerprint
+    * (distinct per document), drop stop-fingerprints (df > [[WIN_MAXDF]]),
+    * and report document pairs sharing ≥ [[WIN_MINSHARED]] fingerprints
+    * with their overlap coefficient. Guarantees any shared token run of
+    * length ≥ WIN_W + WIN_K − 1 yields a shared fingerprint, at ~2/(W+1)
+    * of the full-shingle posting volume — the plagiarism/near-dup detector
+    * that scales where q_jaccard_pairs' exact prefix filter is the
+    * verifier. (Schleimer et al., SIGMOD 2003; qFingerprint is the 1-hash
+    * degenerate form.)
+    *
+    * Plan: hashing AND window-min selection are row-local array algebra
+    * (see [[winnowSel]]) — the corpus never shuffles; only selected
+    * fingerprints (8 B each, ~2/(W+1) of the shingle count) move, into an
+    * fp-keyed df-cap agg and an fp-keyed postings self-join whose lists
+    * are df-capped, so no hot fingerprint can go quadratic. Docs shorter
+    * than the window select their single whole-doc minimum.
+    */
+  /** Selection stage of [[qWinnow]]: (doc_id, text) → distinct selected
+    * (doc_id, fp) fingerprints, ENTIRELY row-local: the window minima are
+    * an O(n·W) `transform`+`slice`+`array_min` fold over the staged hash
+    * array (W = 4, so the constant is small), deduplicated with
+    * `array_distinct` before the explode — no doc-keyed shuffle, no
+    * corpus-wide DISTINCT. A doc shorter than the window contributes its
+    * single whole-array minimum. Exposed for the guarantee spec. */
+  private[graft] def winnowSel(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Fns.shinglesOfTokens(col("toks"), col("text"), WIN_K).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), g => Fns.hash32(g)).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) >= WIN_W,
+          array_distinct(transform(
+            sequence(lit(1), size(col("hs")) - (WIN_W - 1)),
+            i => array_min(slice(col("hs"), i, lit(WIN_W))))))
+          .otherwise(array(array_min(col("hs")))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("nfp"),
+        posexplode_outer(col("fps")))
+      .select(col("doc_id"), col("nfp"), col("col").as("fp"))
+
+  val qWinnow: Q = (s, d) => {
+    // 2 consumers (df-cap agg, pair join) → persist.
+    val sel = winnowSel(Tables.documents(s, d).select("doc_id", "text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfq = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+    val keep = sel.join(dfq.filter(col("df") <= WIN_MAXDF), Seq("fp"))
+      .select("doc_id", "nfp", "fp")
+    // n_a/n_b ride the postings rows, so no per-doc count join is needed.
+    keep.select(col("doc_id").as("doc_a"), col("nfp").as("n_a"), col("fp"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("nfp").as("n_b"), col("fp")),
+        Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WIN_MINSHARED)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        Fns.roundP(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4).as("overlap"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_nb_lang" -> qNbLang,
+    "q_winnow"  -> qWinnow,
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val sqlToksLower = TextOps.sqlTokensLower
+  private val sqlToks = TextOps.sqlTokens
+  private val sqlWsTrim = TextOps.sqlWsTrim
+
+  private def sqlHash32(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  private val sqlCandList =
+    CorpusOps.LANGS.map(l => s"'$l'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_nb_lang" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
+         |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |cw AS (SELECT lang AS cand, w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+         |tl AS (SELECT cand, CAST(sum(c) AS BIGINT) AS tl FROM cw GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM cw),
+         |cands AS (SELECT unnest($sqlCandList) AS cand),
+         |grid AS (SELECT w, cand FROM (SELECT DISTINCT w FROM cw) CROSS JOIN cands),
+         |term AS (SELECT g.w, g.cand,
+         |  CAST(ln(CAST(COALESCE(cw.c, 0) + 1 AS DOUBLE))
+         |     - ln(CAST(tl.tl + v.v AS DOUBLE)) AS DECIMAL(28,18)) AS s
+         |  FROM grid g LEFT JOIN cw ON g.w = cw.w AND g.cand = cw.cand
+         |  JOIN tl ON g.cand = tl.cand CROSS JOIN v),
+         |pri AS (SELECT lang AS cand, CAST(ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,18))
+         |    - (SELECT CAST(ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,18)) FROM documents) AS lp
+         |  FROM documents GROUP BY lang),
+         |sc AS (SELECT tf.doc_id, term.cand, sum(term.s * CAST(tf.tf AS DECIMAL(9,0))) AS s
+         |  FROM tf JOIN term ON tf.w = term.w GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.cand, sc.s + pri.lp AS score
+         |  FROM sc JOIN pri ON sc.cand = pri.cand),
+         |am AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, cand) AS rk FROM fin)
+         |SELECT d.lang, am.cand AS pred, count(*) AS n
+         |FROM am JOIN documents d USING (doc_id) WHERE am.rk = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS w, $sqlWsTrim AS t FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(w) >= $WIN_K
+         |    THEN list_transform(range(1, len(w) - ${WIN_K - 2}),
+         |           i -> array_to_string(w[i:i+${WIN_K - 1}], ' '))
+         |    ELSE [t] END AS sh FROM tk),
+         |hs AS (SELECT doc_id, list_transform(sh, g -> ${sqlHash32("g")}) AS hs FROM sh),
+         |fps AS (SELECT doc_id, CASE WHEN len(hs) >= $WIN_W
+         |    THEN list_distinct(list_transform(range(1, len(hs) - ${WIN_W - 2}),
+         |           i -> list_min(hs[i:i+${WIN_W - 1}])))
+         |    ELSE [list_min(hs)] END AS fps FROM hs),
+         |sel AS (SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM fps),
+         |dfq AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
+         |keep AS (SELECT sel.doc_id, sel.nfp, sel.fp FROM sel JOIN dfq USING (fp)
+         |         WHERE dfq.df <= $WIN_MAXDF),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.nfp AS n_a, b.nfp AS n_b, count(*) AS n_shared
+         |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $WIN_MINSHARED)
+         |SELECT doc_a, doc_b, n_shared, n_a, n_b,
+         |  ${Fns.roundPSql("CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)", 4)} AS overlap
+         |FROM pairs ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.security.MessageDigest
+
+import graft.operators.{CorpusOps, ModelOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ModelOps against independent driver-side mirrors: the Naive Bayes
+  * confusion matrix is recomputed from scratch with the same decimal(28,18)
+  * term semantics, and the winnowing pipeline is recomputed per the SIGMOD
+  * 2003 definition — both must match the distributed plans exactly. */
+class ModelOpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def hash32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  private def toks(text: String): Seq[String] = {
+    val t = text.replaceAll("^\\s+|\\s+$", "")
+    if (t.isEmpty) Seq.empty else t.split("\\s+").toSeq
+  }
+
+  /** ln(x) rounded to decimal(28,18) HALF_UP — Spark's double→decimal cast. */
+  private def dec18(x: Double): JBigDecimal =
+    new JBigDecimal(x).setScale(18, RoundingMode.HALF_UP)
+
+  test("q_nb_lang matches a from-scratch decimal-exact Naive Bayes") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokd = docs.map { case (id, l, t) => (id, l, toks(t.toLowerCase)) }
+    val cw = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, l, ws) <- tokd; w <- ws) cw((l, w)) = cw.getOrElse((l, w), 0L) + 1
+    val tl = cw.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocab = tokd.flatMap(_._3).distinct
+    val v = vocab.size
+    val nAll = docs.length
+    val nl = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val term: Map[(String, String), JBigDecimal] =
+      (for (w <- vocab; c <- CorpusOps.LANGS) yield {
+        val cnt = cw.getOrElse((c, w), 0L)
+        (w, c) -> dec18(math.log((cnt + 1).toDouble) - math.log((tl(c) + v).toDouble))
+      }).toMap
+    val pri: Map[String, JBigDecimal] = CorpusOps.LANGS.map { c =>
+      c -> dec18(math.log(nl(c).toDouble)).subtract(dec18(math.log(nAll.toDouble)))
+    }.toMap
+    val confusion = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, l, ws) <- tokd if ws.nonEmpty) {
+      val pred = CorpusOps.LANGS.map { c =>
+        val s = ws.foldLeft(JBigDecimal.ZERO)((a, w) => a.add(term((w, c))))
+        (s.add(pri(c)), c)
+      }.reduceLeft { (x, y) => // max score; ties keep the earlier (smaller) cand
+        if (y._1.compareTo(x._1) > 0) y else x
+      }._2
+      confusion((l, pred)) = confusion.getOrElse((l, pred), 0L) + 1
+    }
+    val got = ModelOps.qNbLang(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == confusion.toMap, s"confusion mismatch: $got vs $confusion")
+    assert(got.values.sum == tokd.count(_._3.nonEmpty))
+  }
+
+  test("q_winnow matches a from-scratch winnowing mirror") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def selOf(text: String): Set[Long] = {
+      val ws = toks(text)
+      val sh =
+        if (ws.length >= ModelOps.WIN_K)
+          ws.sliding(ModelOps.WIN_K).map(_.mkString(" ")).toSeq
+        else Seq(text.replaceAll("^\\s+|\\s+$", ""))
+      val hs = sh.map(hash32)
+      val n = hs.length
+      val starts = if (n < ModelOps.WIN_W) Seq(0) else 0 to (n - ModelOps.WIN_W)
+      starts.map(i => hs.slice(i, i + ModelOps.WIN_W).min).toSet
+    }
+    val sel = docs.map { case (id, t) => id -> selOf(t) }.toMap
+    val dfc = sel.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val keep = sel.view.mapValues(_.filter(dfc(_) <= ModelOps.WIN_MAXDF)).toMap
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = (keep(a) intersect keep(b)).size
+      if shared >= ModelOps.WIN_MINSHARED
+    } yield (a, b, shared.toLong, sel(a).size.toLong, sel(b).size.toLong)).toSet
+    val got = ModelOps.qWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected, s"winnow pairs mismatch: $got vs $expected")
+  }
+
+  test("winnowing guarantee: a shared run of WIN_W + WIN_K - 1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // 6 shared tokens (= 4 windows of 3-shingles → ≥1 common selected min)
+    val run = "alpha beta gamma delta epsilon zeta"
+    val a = s"one two three $run seven eight nine ten eleven twelve"
+    val b = s"red green blue $run purple orange pink brown cyan teal"
+    val sel = ModelOps.winnowSel(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val fa = sel.collect { case (1L, fp) => fp }.toSet
+    val fb = sel.collect { case (2L, fp) => fp }.toSet
+    assert((fa intersect fb).nonEmpty,
+      s"no shared fingerprint despite shared ${ModelOps.WIN_W + ModelOps.WIN_K - 1}-token run")
+  }
+}
