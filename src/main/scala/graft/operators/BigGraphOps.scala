@@ -273,6 +273,65 @@ object BigGraphOps {
           .as("closure_rate"))
   }
 
+  /** k-core threshold and peeling-round bound. k = 10 bites at every SF
+    * that has a 10-core (sf0.01: 1298 of 1500 vertices survive across 7
+    * peel rounds; sf0.1: 14306 of 14999 across 9; the sf0.001 graph has
+    * no 10-core and correctly empties — measured). KCORE_ROUNDS = 12 is
+    * the unroll bound BOTH engines compute exactly: the Spark loop may
+    * break early only at a fixpoint, where further rounds are identity,
+    * so its result always equals the oracle's exactly-12-round unroll
+    * even if a data regen needed more peeling. */
+  val KCORE_K = 10
+  val KCORE_ROUNDS = 12
+
+  /** E11's kin at data scale — k-core decomposition (Seidman 1983) of the
+    * undirected co-purchase graph by synchronous peeling: repeatedly drop
+    * every vertex whose degree among surviving vertices is < k; what
+    * remains is the maximal subgraph of minimum degree ≥ k (the standard
+    * density filter before community detection / influence analysis).
+    * Output = surviving vertices with their within-core degree.
+    *
+    * Scale shape: each round is two hash joins of the edge set against
+    * the (shrinking) survivor set plus one node-keyed count — all keyed
+    * on vertex ids that scale with the data, no driver-side graph. The
+    * survivor set is localCheckpoint'ed per round (it is referenced
+    * twice per round — both join sides — the PERF.md iterative-loop
+    * rule); the early-break test rides the count the loop needs anyway.
+    * This synchronous-peel dataflow is how distributed k-core runs at
+    * real scale (each round is a Pregel superstep); the O(rounds) bound
+    * is the graph's degeneracy ordering depth, not its size. */
+  val qKcoreBig: Q = (s, d) => kcore(s, d, KCORE_K)
+
+  /** Peel loop of [[qKcoreBig]], k exposed for the spec (which exercises
+    * a k whose core is non-empty at the 148-vertex spec scale). */
+  private[graft] def kcore(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = coEdges(s, d)
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    var alive = und.select(col("a").as("node")).distinct().localCheckpoint()
+    var nAlive = alive.count()
+    var done = nAlive == 0L
+    for (_ <- 1 to KCORE_ROUNDS if !done) {
+      alive = und
+        .join(alive.select(col("node").as("a")), Seq("a"))
+        .join(alive.select(col("node").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("a").as("node"))
+        .localCheckpoint()
+      val n = alive.count()
+      done = n == nAlive // fixpoint: every further round is identity
+      nAlive = n
+    }
+    und
+      .join(alive.select(col("node").as("a")), Seq("a"))
+      .join(alive.select(col("node").as("b")), Seq("b"))
+      .groupBy(col("a")).agg(count(lit(1)).as("deg_core"))
+      .select(col("a").as("node"), col("deg_core"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
@@ -280,6 +339,7 @@ object BigGraphOps {
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
     "q_clustering_big" -> qClusteringBig,
+    "q_kcore_big"    -> qKcoreBig,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -389,6 +449,30 @@ object BigGraphOps {
          |$iters
          |SELECT node, ${Fns.roundPSql("rank", 8)} AS pagerank
          |FROM r$PR_ITERS ORDER BY node""".stripMargin
+    },
+    // exactly KCORE_ROUNDS unrolled peel rounds — see qKcoreBig's
+    // early-break-is-identity argument for why this always matches.
+    // MATERIALIZED is load-bearing: each round references the previous
+    // survivor set twice, so DuckDB's default CTE inlining would expand
+    // the tree 2^ROUNDS-fold (measured: "too many open files" at 12
+    // rounds); materialization makes the unroll linear.
+    "q_kcore_big" -> {
+      val rounds = (1 to KCORE_ROUNDS).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT u.a AS node FROM und u
+           |  JOIN a${i - 1} x ON u.a = x.node JOIN a${i - 1} y ON u.b = y.node
+           |  GROUP BY 1 HAVING count(*) >= $KCORE_K)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEdges,
+         |und AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+         |a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+         |$rounds
+         |SELECT u.a AS node, CAST(count(*) AS BIGINT) AS deg_core
+         |FROM und u
+         |JOIN a$KCORE_ROUNDS x ON u.a = x.node JOIN a$KCORE_ROUNDS y ON u.b = y.node
+         |GROUP BY 1 ORDER BY node""".stripMargin
     },
     "q_clustering_big" ->
       s"""WITH $sqlEdges,

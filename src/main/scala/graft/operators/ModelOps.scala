@@ -184,9 +184,91 @@ object ModelOps {
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------------------------------------
+  // BPE merge learning (tokenizer training)
+  // --------------------------------------------------------------------
+
+  /** Number of byte-pair merges to learn. */
+  val BPE_MERGES = 8
+
+  /** End-of-word marker symbol (Sennrich, Haddow & Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016 — the
+    * word-boundary convention that makes merges position-aware). */
+  val BPE_EOW = "</w>"
+
+  /** Learn the first [[BPE_MERGES]] byte-pair-encoding merges over the
+    * corpus and emit the merge table (step, lhs, rhs, pair_count) — the
+    * model artifact a tokenizer-training job ships. Pair statistics are
+    * weighted by word frequency; the winning pair per round is the argmax
+    * by (count desc, lhs asc, rhs asc) — all-integer arithmetic, so
+    * cross-engine parity needs no float care. The merge step itself is the
+    * canonical greedy left-to-right single scan (a merged token never
+    * immediately re-merges), expressed as an `aggregate()` fold per word.
+    *
+    * Plan/scale: the ONLY corpus-scale stage is the word-frequency
+    * aggregation — one (token)-keyed shuffle with map-side combine; every
+    * production BPE trainer reduces to word counts first for exactly this
+    * reason (the merge loop's cost must not depend on corpus size). The
+    * merge loop then runs on the vocab-bounded (word, symbols, freq)
+    * frame: per round one pair-explode + agg (vocab-bounded), a 1-row
+    * argmax collect (the learned merge IS the result), and a row-local
+    * fold rewrite, localCheckpoint'ed so the per-round plan stays flat
+    * (PERF.md iterative-loop rule). At 100 TB the vocab table is millions
+    * of rows — still executor-trivial; nothing in the loop touches the
+    * corpus again. */
+  val qBpeMerges: Q = (s, d) => {
+    import s.implicits._
+    val wf = Tables.documents(s, d)
+      .select(Fns.tokens(lower(col("text"))).as("tk"))
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var vocab = wf
+      .select(col("w"), col("f"),
+        concat(
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))),
+          array(lit(BPE_EOW))).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BPE_MERGES) {
+      // Stage the pair array as a column, THEN explode (PERF.md HOF /
+      // InferFiltersFromGenerate rules); words collapsed to one symbol
+      // contribute no pairs.
+      val pairs = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"),
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(
+              element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r"))).as("prs"))
+        .select(col("f"), explode(col("prs")).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+      // 1-row argmax collect — the learned merge is the output artifact
+      // (the BigGraphOps.startNode scalar precedent).
+      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      require(top.nonEmpty, s"BPE merge round $step found no pairs")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((step, l, r, c))
+      vocab = vocab
+        .withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))))
+        .localCheckpoint()
+    }
+    merges.result()
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy("step")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_nb_lang" -> qNbLang,
-    "q_winnow"  -> qWinnow,
+    "q_nb_lang"     -> qNbLang,
+    "q_winnow"      -> qWinnow,
+    "q_bpe_merges"  -> qBpeMerges,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -201,7 +283,42 @@ object ModelOps {
   private val sqlCandList =
     CorpusOps.LANGS.map(l => s"'$l'").mkString("[", ", ", "]")
 
+  /** One unrolled BPE round: pair counts → argmax → fold-rewrite. The
+    * fold is DuckDB's `list_reduce` with a space-joined string
+    * accumulator (tokens never contain spaces, so "last token = l" is the
+    * exact suffix test `right(acc, len(l)+1) = ' ' || l`); its greedy
+    * left-to-right semantics — a freshly merged token never immediately
+    * re-merges — are identical to the Spark `aggregate()` fold. Validated
+    * against an independent from-scratch BPE in ModelOpsSpec. */
+  private def bpeRoundSql(i: Int): String =
+    s"""p$i AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(f) AS BIGINT) AS c FROM (
+       |    SELECT f, unnest(list_transform(range(1, len(syms)),
+       |      j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+       |    FROM v${i - 1}) GROUP BY 1, 2),
+       |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+       |v$i AS (SELECT w, f, string_split(list_reduce(syms, (acc, x) ->
+       |      CASE WHEN (acc = b.l OR right(acc, len(b.l)+1) = ' ' || b.l) AND x = b.r
+       |        THEN CASE WHEN acc = b.l THEN b.l || b.r
+       |             ELSE left(acc, len(acc) - len(b.l)) || b.l || b.r END
+       |        ELSE acc || ' ' || x END), ' ') AS syms
+       |  FROM v${i - 1}, b$i b)""".stripMargin
+
+  private val bpeSql: String = {
+    val rounds = (1 to BPE_MERGES).map(bpeRoundSql).mkString(",\n")
+    val unions = (1 to BPE_MERGES)
+      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT unnest($sqlToksLower) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM tk GROUP BY 1),
+       |v0 AS (SELECT w, f,
+       |  list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '$BPE_EOW') AS syms
+       |  FROM wf),
+       |$rounds
+       |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeSql,
     "q_nb_lang" ->
       s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
          |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),

@@ -96,6 +96,38 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got == expected, s"winnow pairs mismatch: $got vs $expected")
   }
 
+  test("q_bpe_merges matches a from-scratch canonical greedy BPE") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- docs; w <- toks(t.toLowerCase)) wf(w) = wf.getOrElse(w, 0L) + 1
+    val vocab = scala.collection.mutable.Map[String, Vector[String]](
+      wf.keys.map(w => w -> (w.map(_.toString).toVector :+ ModelOps.BPE_EOW)).toSeq: _*)
+    val expected = (1 to ModelOps.BPE_MERGES).map { step =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + wf(w)
+      }
+      val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      // canonical greedy single scan: merged tokens are skipped
+      for ((w, syms) <- vocab) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        vocab(w) = out.result()
+      }
+      (step, l, r, c)
+    }
+    val got = ModelOps.qBpeMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"merge table mismatch: $got vs $expected")
+  }
+
   test("winnowing guarantee: a shared run of WIN_W + WIN_K - 1 tokens shares a fingerprint") {
     import spark.implicits._
     // 6 shared tokens (= 4 windows of 3-shingles → ≥1 common selected min)
