@@ -215,6 +215,27 @@ object DedupOps {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = minLabelComponents(edges)
+    val out = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+    edges.unpersist() // labels are checkpointed; the output plan no longer reads edges
+    out
+  }
+
+  /** Min-label propagation to connected components, shared by
+    * [[qDedupClusters]] and VectorOps.qSemanticDedup: `edges` must already
+    * hold BOTH directions of each undirected pair (and be persisted by the
+    * caller — it is re-joined every superstep). Returns (doc_id, cluster)
+    * for every vertex touched by an edge, cluster = min vertex id in the
+    * component. One hash-shuffle per superstep with map-side min combine,
+    * `localCheckpoint` truncating lineage per round; components are
+    * near-dup clusters with tiny diameter, so the loop converges in a few
+    * supersteps — a 50-round cap guards pathological chains, and
+    * non-convergence throws rather than ship a split component. */
+  private[operators] def minLabelComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
@@ -241,13 +262,7 @@ object DedupOps {
     if (changed > 0)
       throw new IllegalStateException(
         s"cluster propagation did not converge in $MAX_SUPERSTEPS supersteps")
-    val out = Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
-      .withColumn("keep", col("cluster_id") === col("doc_id"))
-      .orderBy("doc_id")
-    edges.unpersist() // labels are checkpointed; the output plan no longer reads edges
-    out
+    labels
   }
 
   /** Deterministic stratified sampling — the "mix corpora at per-source

@@ -676,7 +676,44 @@ object VectorOps {
       .limit(TOPK)
   }
 
+  /** Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): embedding-space near-duplicates above [[COS_T]] are grouped
+    * into clusters and one canonical representative survives per cluster.
+    * Pair generation is EXACTLY [[qCosineBlocked]]'s IVF-cell-blocked
+    * join (the paper's within-cluster-only comparison — never all-pairs);
+    * transitive closure then runs over the pair graph so A~B~C collapses
+    * to ONE survivor even when A!~C (the same under-deletion argument as
+    * [[DedupOps.qDedupClusters]], whose min-label superstep loop this
+    * reuses verbatim). Keeper = min vec_id per component — deterministic;
+    * the paper keeps the point farthest from the cluster centroid, a
+    * one-line swap that would put a float tie at the gate boundary for no
+    * semantic gain at parity scale.
+    *
+    * Scale shape: everything corpus-sized is inherited from the blocked
+    * pair join (per-cell quadratics, no cartesian — PlanSpec pins it);
+    * the component loop runs ONLY over vertices that appear in some pair
+    * (O(dups)), one keyed shuffle per superstep. The final left join
+    * fills singletons in one pass over the vector store. */
+  val qSemanticDedup: Q = (s, d) => {
+    val pairs = qCosineBlocked(s, d).select("id_a", "id_b")
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    val labels = DedupOps.minLabelComponents(edges)
+    val out = vecs(s, d).select(col("vec_id"))
+      .join(labels, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+      .orderBy("vec_id")
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_semantic_dedup" -> qSemanticDedup,
     "q_random_projection" -> qRandomProjection,
     "q_hybrid_search"  -> qHybridSearch,
     "q_semantic_search" -> qSemanticSearch,
@@ -697,6 +734,31 @@ object VectorOps {
 
   private val sqlVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+
+  /** Shared CTE chain of the IVF-cell-blocked cosine pair join: `e` (the
+    * vector table), label centroids, NASSIGN-cell assignments, and `n`
+    * (cell, vec_id, v, nrm) — the join-ready normalized side. Used by the
+    * q_cosine_blocked and q_semantic_dedup oracles. */
+  private lazy val sqlCosBlockCtes =
+    s"""e AS ($sqlVecs),
+       |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
+       |cent AS (
+       |  SELECT label, pos,
+       |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |  FROM long GROUP BY label, pos),
+       |carr AS (SELECT label AS cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+       |cd AS (
+       |  SELECT e.vec_id, carr.cell, ${sqlDist2("e.v", "carr.cv")} AS d
+       |  FROM e, carr),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM cd)
+       |  WHERE rn <= $NASSIGN),
+       |n AS (
+       |  SELECT a.cell, e.vec_id, e.v, sqrt(${sqlDot("e.v", "e.v")}) AS nrm
+       |  FROM e JOIN asg a ON e.vec_id = a.vec_id)""".stripMargin
 
   private def sqlDist2(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
@@ -868,30 +930,32 @@ object VectorOps {
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin
     },
     "q_cosine_blocked" ->
-      s"""WITH e AS ($sqlVecs),
-         |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
-         |cent AS (
-         |  SELECT label, pos,
-         |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-         |  FROM long GROUP BY label, pos),
-         |carr AS (SELECT label AS cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
-         |cd AS (
-         |  SELECT e.vec_id, carr.cell, ${sqlDist2("e.v", "carr.cv")} AS d
-         |  FROM e, carr),
-         |asg AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM cd)
-         |  WHERE rn <= $NASSIGN),
-         |n AS (
-         |  SELECT a.cell, e.vec_id, e.v, sqrt(${sqlDot("e.v", "e.v")}) AS nrm
-         |  FROM e JOIN asg a ON e.vec_id = a.vec_id)
+      s"""WITH $sqlCosBlockCtes
          |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
          |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
          |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup: the blocked pair CTEs verbatim, then the q_dedup_clusters
+    // recursive component flood over the pair graph
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE $sqlCosBlockCtes,
+         |vp AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |       UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS lbl FROM ed
+         |  UNION
+         |  SELECT e2.dst AS doc_id, r.lbl AS lbl
+         |  FROM reach r JOIN ed e2 ON e2.src = r.doc_id),
+         |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT e.vec_id, coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(cc.cluster_id, e.vec_id) = e.vec_id AS keep
+         |FROM e LEFT JOIN cc ON e.vec_id = cc.doc_id
+         |ORDER BY e.vec_id""".stripMargin,
     "q_pq_adc" -> {
       def subDist(a: String, b: String) =
         s"""list_sum(list_transform(range(1, ${PQ_SUB + 1}),

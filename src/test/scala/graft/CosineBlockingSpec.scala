@@ -31,6 +31,34 @@ class CosineBlockingSpec extends AnyFunSuite {
       s"blocked recall too low: ${blocked.size}/${brute.size}")
   }
 
+  test("q_semantic_dedup equals union-find over the blocked pairs") {
+    val edges = pairs(VectorOps.qCosineBlocked(spark, dir)).keys.toSeq
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = VectorOps.qSemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, cid, keep) =>
+      assert(cid == find(id), s"vec $id: cluster $cid vs union-find ${find(id)}")
+      assert(keep == (cid == id))
+    }
+    // deduplication really happens at spec scale: some vec must not be kept
+    assert(got.exists(!_._3), "no duplicates found — pair stage broke")
+    // exactly one keeper per cluster
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.count(_._3) == 1, s"cluster $cid has ${ms.count(_._3)} keepers")
+    }
+  }
+
   test("LSH-bucketed ANN recalls exact neighbors and never invents distances") {
     val exact = VectorOps.qKnn(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
