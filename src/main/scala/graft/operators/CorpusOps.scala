@@ -85,6 +85,63 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation funnel — the composed "what survives each
+    * filter" report a training-data pipeline publishes with every corpus
+    * release. Five cumulative stages, each the conjunction of the prior
+    * with one gated filter's own predicate (all reused verbatim, not
+    * re-derived):
+    *   1. total            — every document
+    *   2. quality          — TextOps.qGopherRules `keep`
+    *   3. exact_dedup      — the document is its content-hash group's
+    *                         min-id representative (DedupOps.qDedupExact)
+    *   4. decontaminated   — in the training split AND zero bench n-gram
+    *                         hits (qDecontaminate); bench docs drop here
+    *   5. semantic_dedup   — VectorOps.qSemanticDedup `keep` (documents
+    *                         without an embedding pass through)
+    *
+    * Plan/scale: four doc-keyed left joins of the stage flags (every one
+    * an id-keyed hash join of corpus-scale frames — the funnel adds no
+    * new shuffle shape beyond its constituents), then ONE global
+    * conditional-count aggregate whose 1-row result explodes into the
+    * 5-row report. Stage counts are exact longs. */
+  val qCurationFunnel: Q = (s, d) => {
+    val g = graft.operators.TextOps.qGopherRules(s, d)
+      .select(col("doc_id"), col("keep").as("gopher_ok"))
+    val ex = DedupOps.qDedupExact(s, d)
+      .select(col("keep_id").as("doc_id"), lit(true).as("exact_rep"))
+    val dc = qDecontaminate(s, d)
+      .select(col("doc_id"), (!col("contaminated")).as("decon_ok"))
+    val sd = VectorOps.qSemanticDedup(s, d)
+      .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep"))
+    val flags = Tables.documents(s, d).select(col("doc_id"))
+      .join(g, Seq("doc_id"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .join(sd, Seq("doc_id"), "left")
+      .select(col("gopher_ok"),
+        coalesce(col("exact_rep"), lit(false)).as("exact_rep"),
+        coalesce(col("decon_ok"), lit(false)).as("decon_ok"),
+        coalesce(col("sem_keep"), lit(true)).as("sem_keep"))
+    def cnt(c: Column) = sum(when(c, lit(1L)).otherwise(lit(0L)))
+    val c2 = col("gopher_ok")
+    val c3 = c2 && col("exact_rep")
+    val c4 = c3 && col("decon_ok")
+    val c5 = c4 && col("sem_keep")
+    flags.agg(
+        count(lit(1)).as("n1"), cnt(c2).as("n2"), cnt(c3).as("n3"),
+        cnt(c4).as("n4"), cnt(c5).as("n5"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("total").as("stage_name"), col("n1").as("n_docs")),
+        struct(lit(2).as("stage"), lit("quality").as("stage_name"), col("n2").as("n_docs")),
+        struct(lit(3).as("stage"), lit("exact_dedup").as("stage_name"), col("n3").as("n_docs")),
+        struct(lit(4).as("stage"), lit("decontaminated").as("stage_name"), col("n4").as("n_docs")),
+        struct(lit(5).as("stage"), lit("semantic_dedup").as("stage_name"), col("n5").as("n_docs"))
+      )).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_docs").as("n_docs"))
+      .orderBy("stage")
+  }
+
   /** Unigram-LM surprisal — score each document by its mean negative log
     * probability under the corpus's own unigram distribution (the cheap
     * perplexity proxy quality filters rank by). Terms are decimal-summed
@@ -690,6 +747,7 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
+    "q_curation_funnel" -> qCurationFunnel,
     "q_surprisal"     -> qSurprisal,
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_tfidf_terms"   -> qTfidfTerms,
@@ -726,6 +784,59 @@ object CorpusOps {
          |  ${Fns.roundPSql("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams", 4)} AS overlap_frac,
          |  (COALESCE(h.n_hit, 0) >= 1) AS contaminated
          |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // stage predicates copied verbatim from the q_gopher_rules /
+    // q_dedup_exact / q_decontaminate / q_semantic_dedup oracles — the
+    // funnel must count exactly what the constituent gates report
+    "q_curation_funnel" ->
+      s"""WITH RECURSIVE ${VectorOps.sqlSemDedupCtes},
+         |gb AS (
+         |  SELECT doc_id,
+         |    CAST(len($sqlTokens) AS DOUBLE) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nns,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS nsym,
+         |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS nstop,
+         |    CAST(length(text) AS DOUBLE) AS nc
+         |  FROM documents),
+         |gf AS (SELECT doc_id,
+         |  ((nw >= 50 AND nw <= 100000) AND (nns / nw >= 3.0 AND nns / nw <= 10.0)
+         |    AND (nsym / nc < 0.1) AND (nstop >= 2)) AS gopher_ok FROM gb),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       GROUP BY md5(lower(trim(text)))),
+         |dtoks AS (SELECT doc_id, ${graft.operators.TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
+         |dgm AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= $DECON_K
+         |    THEN list_transform(range(1, len(w) - ${DECON_K - 2}),
+         |           i -> array_to_string(w[i:i+${DECON_K - 1}], ' '))
+         |    ELSE [t] END) AS gs FROM dtoks),
+         |dbg AS (SELECT DISTINCT unnest(gs) AS gr FROM dgm WHERE doc_id % $BENCH_MOD = 0),
+         |ddg AS (SELECT doc_id, unnest(gs) AS gr FROM dgm WHERE doc_id % $BENCH_MOD <> 0),
+         |dhits AS (SELECT ddg.doc_id, count(*) AS n_hit FROM ddg JOIN dbg USING (gr) GROUP BY 1),
+         |dfl AS (SELECT g2.doc_id, (COALESCE(h.n_hit, 0) = 0) AS decon_ok
+         |        FROM (SELECT doc_id FROM dgm WHERE doc_id % $BENCH_MOD <> 0) g2
+         |        LEFT JOIN dhits h USING (doc_id)),
+         |sf AS (SELECT e.vec_id AS doc_id,
+         |         coalesce(cc.cluster_id, e.vec_id) = e.vec_id AS sem_keep
+         |       FROM e LEFT JOIN cc ON e.vec_id = cc.doc_id),
+         |fl AS (SELECT d.doc_id, gf.gopher_ok,
+         |         (ex.doc_id IS NOT NULL) AS exact_rep,
+         |         COALESCE(dfl.decon_ok, FALSE) AS decon_ok,
+         |         COALESCE(sf.sem_keep, TRUE) AS sem_keep
+         |       FROM documents d JOIN gf USING (doc_id)
+         |       LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |       LEFT JOIN dfl ON d.doc_id = dfl.doc_id
+         |       LEFT JOIN sf ON d.doc_id = sf.doc_id),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+         |  CAST(count(*) FILTER (WHERE gopher_ok) AS BIGINT) AS n2,
+         |  CAST(count(*) FILTER (WHERE gopher_ok AND exact_rep) AS BIGINT) AS n3,
+         |  CAST(count(*) FILTER (WHERE gopher_ok AND exact_rep AND decon_ok) AS BIGINT) AS n4,
+         |  CAST(count(*) FILTER (WHERE gopher_ok AND exact_rep AND decon_ok AND sem_keep) AS BIGINT) AS n5
+         |  FROM fl)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'total' AS stage_name, n1 AS n_docs FROM cn
+         |  UNION ALL SELECT 2, 'quality', n2 FROM cn
+         |  UNION ALL SELECT 3, 'exact_dedup', n3 FROM cn
+         |  UNION ALL SELECT 4, 'decontaminated', n4 FROM cn
+         |  UNION ALL SELECT 5, 'semantic_dedup', n5 FROM cn)
+         |ORDER BY stage""".stripMargin,
     "q_surprisal" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS w FROM documents),
          |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),

@@ -218,6 +218,15 @@ object ModelOps {
     * corpus again. */
   val qBpeMerges: Q = (s, d) => {
     import s.implicits._
+    bpeLearn(s, d)._1
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy("step")
+  }
+
+  /** Learn loop shared by [[qBpeMerges]] and [[qBpeTokenize]]: returns the
+    * merge table rows and the post-merge vocab frame (w, f, syms). */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val wf = Tables.documents(s, d)
       .select(Fns.tokens(lower(col("text"))).as("tk"))
       .select(explode(col("tk")).as("w"))
@@ -260,15 +269,47 @@ object ModelOps {
                 .otherwise(concat(acc, array(x)))))
         .localCheckpoint()
     }
-    merges.result()
-      .toDF("step", "lhs", "rhs", "pair_count")
-      .orderBy("step")
+    (merges.result(), vocab)
+  }
+
+  /** Apply the learned [[BPE_MERGES]] merges to the corpus and report the
+    * per-language tokenization profile: word count, subword count, mean
+    * subwords per word, and distinct subword types — the
+    * compression/fertility readout a tokenizer-training run is judged by.
+    *
+    * Plan/scale: tokenized text never materializes — the corpus reduces
+    * to (lang, word) counts in one shuffle (map-side combine; |vocab| ×
+    * |langs| bounded output), the post-merge vocab (word → symbol list)
+    * joins in as a BROADCAST (vocab-bounded by construction), and the
+    * per-lang profile is a second bounded agg. The subword-type count
+    * explodes the vocab-bounded frame only, never the corpus. */
+  val qBpeTokenize: Q = (s, d) => {
+    val vocab = bpeLearn(s, d)._2.select(col("w"), col("syms"))
+    val lw = Tables.documents(s, d)
+      .select(col("lang"), Fns.tokens(lower(col("text"))).as("tk"))
+      .select(col("lang"), explode(col("tk")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+      .join(broadcast(vocab), Seq("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // profile + type-count branches
+    val prof = lw.groupBy("lang").agg(
+      sum(col("f")).as("n_words"),
+      sum(col("f") * size(col("syms"))).as("n_subwords"))
+    val types = lw
+      .select(col("lang"), explode(col("syms")).as("sw"))
+      .groupBy("lang").agg(countDistinct(col("sw")).as("n_types"))
+    prof.join(types, Seq("lang"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        Fns.roundP(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("avg_subwords"),
+        col("n_types"))
+      .orderBy("lang")
   }
 
   val queries: Map[String, Q] = Map(
-    "q_nb_lang"     -> qNbLang,
-    "q_winnow"      -> qWinnow,
-    "q_bpe_merges"  -> qBpeMerges,
+    "q_nb_lang"      -> qNbLang,
+    "q_winnow"       -> qWinnow,
+    "q_bpe_merges"   -> qBpeMerges,
+    "q_bpe_tokenize" -> qBpeTokenize,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -303,22 +344,42 @@ object ModelOps {
        |        ELSE acc || ' ' || x END), ' ') AS syms
        |  FROM v${i - 1}, b$i b)""".stripMargin
 
-  private val bpeSql: String = {
+  private val bpeCtes: String = {
     val rounds = (1 to BPE_MERGES).map(bpeRoundSql).mkString(",\n")
-    val unions = (1 to BPE_MERGES)
-      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH tk AS (SELECT unnest($sqlToksLower) AS w FROM documents),
+    s"""tk AS (SELECT unnest($sqlToksLower) AS w FROM documents),
        |wf AS (SELECT w, count(*) AS f FROM tk GROUP BY 1),
        |v0 AS (SELECT w, f,
        |  list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '$BPE_EOW') AS syms
        |  FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeSql: String = {
+    val unions = (1 to BPE_MERGES)
+      .map(i => s"SELECT $i AS step, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
        |SELECT * FROM ($unions) ORDER BY step""".stripMargin
   }
 
+  private val bpeTokenizeSql: String =
+    s"""WITH $bpeCtes,
+       |tkl AS (SELECT lang, unnest($sqlToksLower) AS w FROM documents),
+       |lw AS (SELECT lang, w, count(*) AS f FROM tkl GROUP BY 1, 2),
+       |j AS (SELECT lw.lang, lw.f, len(v.syms) AS ns, v.syms
+       |      FROM lw JOIN v$BPE_MERGES v ON lw.w = v.w),
+       |prof AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_words,
+       |    CAST(sum(f * ns) AS BIGINT) AS n_subwords FROM j GROUP BY 1),
+       |types AS (SELECT lang, count(DISTINCT sw) AS n_types FROM (
+       |    SELECT lang, unnest(syms) AS sw FROM j) GROUP BY 1)
+       |SELECT p.lang, p.n_words, p.n_subwords,
+       |  ${Fns.roundPSql("CAST(p.n_subwords AS DOUBLE) / p.n_words", 6)} AS avg_subwords,
+       |  t.n_types
+       |FROM prof p JOIN types t USING (lang) ORDER BY p.lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_nb_lang" ->
       s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
          |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),

@@ -739,7 +739,7 @@ object VectorOps {
     * vector table), label centroids, NASSIGN-cell assignments, and `n`
     * (cell, vec_id, v, nrm) — the join-ready normalized side. Used by the
     * q_cosine_blocked and q_semantic_dedup oracles. */
-  private lazy val sqlCosBlockCtes =
+  private[operators] lazy val sqlCosBlockCtes =
     s"""e AS ($sqlVecs),
        |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
        |cent AS (
@@ -759,6 +759,25 @@ object VectorOps {
        |n AS (
        |  SELECT a.cell, e.vec_id, e.v, sqrt(${sqlDot("e.v", "e.v")}) AS nrm
        |  FROM e JOIN asg a ON e.vec_id = a.vec_id)""".stripMargin
+
+  /** [[sqlCosBlockCtes]] extended with the recursive component flood:
+    * `cc` maps every vec_id in a near-dup pair to its cluster id (min
+    * member). Requires WITH RECURSIVE. Shared by the q_semantic_dedup and
+    * CorpusOps curation-funnel oracles. */
+  private[operators] lazy val sqlSemDedupCtes =
+    s"""$sqlCosBlockCtes,
+       |vp AS (
+       |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T),
+       |ed AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |       UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS lbl FROM ed
+       |  UNION
+       |  SELECT e2.dst AS doc_id, r.lbl AS lbl
+       |  FROM reach r JOIN ed e2 ON e2.src = r.doc_id),
+       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
 
   private def sqlDist2(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
@@ -939,19 +958,7 @@ object VectorOps {
     // SemDeDup: the blocked pair CTEs verbatim, then the q_dedup_clusters
     // recursive component flood over the pair graph
     "q_semantic_dedup" ->
-      s"""WITH RECURSIVE $sqlCosBlockCtes,
-         |vp AS (
-         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T),
-         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM vp
-         |       UNION ALL SELECT doc_b, doc_a FROM vp),
-         |reach AS (
-         |  SELECT src AS doc_id, src AS lbl FROM ed
-         |  UNION
-         |  SELECT e2.dst AS doc_id, r.lbl AS lbl
-         |  FROM reach r JOIN ed e2 ON e2.src = r.doc_id),
-         |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+      s"""WITH RECURSIVE $sqlSemDedupCtes
          |SELECT e.vec_id, coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
          |  coalesce(cc.cluster_id, e.vec_id) = e.vec_id AS keep
          |FROM e LEFT JOIN cc ON e.vec_id = cc.doc_id

@@ -128,6 +128,47 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got == expected, s"merge table mismatch: $got vs $expected")
   }
 
+  test("q_bpe_tokenize matches per-lang stats from the canonical final vocab") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // canonical BPE to the final vocab (same mirror as the merges test)
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t) <- docs; w <- toks(t.toLowerCase)) wf(w) = wf.getOrElse(w, 0L) + 1
+    val vocab = scala.collection.mutable.Map[String, Vector[String]](
+      wf.keys.map(w => w -> (w.map(_.toString).toVector :+ ModelOps.BPE_EOW)).toSeq: _*)
+    for (_ <- 1 to ModelOps.BPE_MERGES) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1)); pc(k) = pc.getOrElse(k, 0L) + wf(w)
+      }
+      val ((l, r), _) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      for ((w, syms) <- vocab) {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        vocab(w) = out.result()
+      }
+    }
+    val byLang = docs.flatMap { case (lg, t) => toks(t.toLowerCase).map(lg -> _) }
+      .groupBy(_._1)
+    val expected = byLang.map { case (lg, ws) =>
+      val words = ws.map(_._2)
+      val nSub = words.map(w => vocab(w).length.toLong).sum
+      val types = words.distinct.flatMap(vocab(_)).distinct.size.toLong
+      // Fns.roundP semantics: floor(x*1e6 + 0.5)/1e6 in double arithmetic
+      lg -> (words.length.toLong, nSub,
+        math.floor(nSub.toDouble / words.length * 1e6 + 0.5) / 1e6, types)
+    }
+    val got = ModelOps.qBpeTokenize(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == expected, s"tokenize profile mismatch: $got vs $expected")
+  }
+
   test("winnowing guarantee: a shared run of WIN_W + WIN_K - 1 tokens shares a fingerprint") {
     import spark.implicits._
     // 6 shared tokens (= 4 windows of 3-shingles → ≥1 common selected min)
