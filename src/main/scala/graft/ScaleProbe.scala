@@ -53,8 +53,18 @@ object ScaleProbe {
     "q_pmi_collocations",    // vocab-bounded count aggs + k-row top-k (documents)
     "q_dsir_weights",        // B-bounded feature tables, broadcast probe (documents)
     "q_ppl_buckets",         // distinct-score window + O(langs) broadcast (documents)
-    "q_temperature_sample")  // rate-table broadcast + hash keep test (documents)
+    "q_temperature_sample",  // rate-table broadcast + hash keep test (documents)
+    "q_kcore_big",           // synchronous peel: 2 node-keyed joins + count/round (orders)
+    "q_winnow",              // row-local fp selection + df-capped postings join
+                             // (documents; replicated texts push shared fps past the
+                             // df cap — the boilerplate guard absorbs dup manufacture)
+    "q_nb_lang",             // (doc,token,tf) collapse + vocab×classes broadcast (documents)
+    "q_bpe_merges")          // corpus word-freq agg + vocab-bounded merge loop (documents)
     // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
+    // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
+    // vectors — every cross-copy pair is a true cos=1 near-dup, so replication
+    // manufactures Θ(mult²) REAL pairs (the minhash argument, in vector space);
+    // their scaling story is the per-cell blocked-join bound (PERF.md)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -73,9 +83,10 @@ object ScaleProbe {
 
     // cache key includes the SOURCE dir: a probe against a different SF
     // must rebuild, not silently reuse another input's replicas
+    // v2: orders replicates with shifted custkeys (k-core probe) — new dirs
     val srcTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val results = mults.map { m =>
-      val dir = s"/tmp/graft_scale_${srcTag}_$m"
+      val dir = s"/tmp/graft_scale_v2_${srcTag}_$m"
       if (!Files.exists(Paths.get(dir, "_built"))) build(spark, sfDir, m, dir)
       // warm every table through the noop sink (parquet footers + codegen)
       Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -126,7 +137,15 @@ object ScaleProbe {
     copies(s.read.parquet(s"$src/embeddings.parquet"),
       (d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    // orders: shifted custkeys land in the SAME (week, priority) cohorts, so
+    // the co-purchase chains get mult× longer — edge count grows linearly
+    // while per-node degree stays ≈ 2×cohort-memberships (the right "bigger
+    // day of traffic" shape for the k-core peel)
+    copies(s.read.parquet(s"$src/orders.parquet"),
+      (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+                 .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => s.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
     Files.createFile(Paths.get(dir, "_built"))

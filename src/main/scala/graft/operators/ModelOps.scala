@@ -68,16 +68,33 @@ object ModelOps {
     * rows and are excluded identically on both engines.
     */
   val qNbLang: Q = (s, d) => {
-    import s.implicits._
     val docs = Tables.documents(s, d)
     // Stage the token array, THEN explode the attribute (the
     // InferFiltersFromGenerate trap — PERF.md); collapse to tf counts
     // immediately. 2 consumers (model side, scoring side) → persist.
-    val tf = docs
+    val tf = nbTokenTf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val (term, pri) = nbModelFromTf(s, tf, docs)
+    val am = nbPredict(tf.select("doc_id", "w", "tf"), term, pri)
+    am.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** (doc_id, lang, w, tf) token-frequency collapse of a document frame —
+    * one (doc, token)-keyed shuffle with map-side combine. */
+  private[graft] def nbTokenTf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), Fns.tokens(lower(col("text"))).as("tk"))
       .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
       .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Train the NB score tables from a token-frequency frame: `term` =
+    * (w, cand, s) smoothed log-likelihood terms over the full token ×
+    * class grid, `pri` = (cand, lp) log priors. Both vocab×classes-
+    * bounded → broadcast-joinable at any corpus size. */
+  private[graft] def nbModelFromTf(s: SparkSession, tf: DataFrame,
+                                   docs: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
     val cw = tf.groupBy(col("lang").as("cand"), col("w"))
       .agg(sum(col("tf")).as("c"))
     val tl = cw.groupBy("cand").agg(sum(col("c")).as("tl"))
@@ -100,20 +117,28 @@ object ModelOps {
       .select(col("cand"),
         (log(col("nl").cast("double")).cast("decimal(28,18)") -
           log(col("n").cast("double")).cast("decimal(28,18)")).as("lp"))
-    val sc = tf.select("doc_id", "w", "tf")
+    (term, pri)
+  }
+
+  /** Score a (doc_id, w, tf) frame against trained (term, pri) tables →
+    * (doc_id, pred). Tokens outside the training vocabulary contribute
+    * nothing (standard NB OOV handling); docs with NO in-vocabulary
+    * tokens produce no row. One broadcast join + one doc-keyed agg; the
+    * argmax window rides the classes-per-doc frame, not the token
+    * stream. */
+  private[graft] def nbPredict(tokTf: DataFrame, term: DataFrame,
+                               pri: DataFrame): DataFrame = {
+    val sc = tokTf
       .join(broadcast(term), Seq("w"))
       .groupBy("doc_id", "cand")
       .agg(sum(col("s") * col("tf").cast("decimal(9,0)")).as("s"))
     val fin = sc.join(broadcast(pri), Seq("cand"))
       .select(col("doc_id"), col("cand"), (col("s") + col("lp")).as("score"))
-    val am = fin
+    fin
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("cand").as("pred"))
-    am.join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "pred")
   }
 
   // --------------------------------------------------------------------

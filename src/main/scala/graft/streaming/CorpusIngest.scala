@@ -184,6 +184,69 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming CLASSIFIED ingest — the deployed form of
+    * [[graft.operators.ModelOps.qNbLang]]: the multinomial Naive Bayes
+    * language model trains ONCE at stream start from the batch training
+    * corpus (`trainDir`), its vocab×classes-bounded score tables are
+    * persisted and COUNTED so every micro-batch reuses materialized
+    * partitions instead of re-running the training plan, and each
+    * arriving document is scored with the gate's own exact
+    * decimal(28,18) arithmetic ([[graft.operators.ModelOps.nbPredict]] —
+    * shared code, not a re-implementation) and written out PARTITIONED
+    * BY predicted language — the classify-and-route stage of a corpus
+    * pipeline. Documents with no in-vocabulary token route to 'und'.
+    *
+    * Per batch this adds one broadcast join + one doc-keyed agg to the
+    * ingest path — no new shuffle shape at any corpus size. Exactly-once
+    * composes with [[start]]'s rule: within-batch key dedup + anti-join
+    * against the ledger of already-written keys (read through the
+    * partitioned layout). */
+  def startClassified(s: SparkSession, srcDir: String, corpusDir: String,
+                      checkpointDir: String, trainDir: String): StreamingQuery = {
+    import graft.operators.ModelOps
+    val trainDocs = s.read.parquet(trainDir)
+    val trainTf = ModelOps.nbTokenTf(trainDocs)
+    val (termQ, priQ) = ModelOps.nbModelFromTf(s, trainTf, trainDocs)
+    val term = termQ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pri = priQ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    term.count(); pri.count() // materialize once, before the first batch
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keyed = batch
+          .withColumn("ck", contentKey(col("text")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("ck")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+        val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (!fs.exists(corpusPath)) keyed
+          else {
+            val seen = spark.read.parquet(corpusDir).select("ck")
+            keyed.join(seen, Seq("ck"), "left_anti")
+          }
+        val tokTf = novel
+          .select(col("doc_id"),
+            graft.functions.Fns.tokens(lower(col("text"))).as("tk"))
+          .select(col("doc_id"), explode(col("tk")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val preds = ModelOps.nbPredict(tokTf, term, pri)
+        novel
+          .join(preds, Seq("doc_id"), "left")
+          .withColumn("pred", coalesce(col("pred"), lit("und")))
+          .write.mode("append").partitionBy("pred").parquet(corpusDir)
+      }
+      .start()
+  }
+
   /** Streaming DECONTAMINATED ingest — the deployed form of
     * [[graft.operators.CorpusOps.qBloomDecontaminate]]: the benchmark
     * suite is folded ONCE at stream start into the fixed-size Bloom

@@ -59,6 +59,40 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(afterRestart.filter($"doc_id" === 999999L).count() == 1)
   }
 
+  test("classified ingest routes by the batch model's exact predictions, exactly once") {
+    val root = Files.createTempDirectory("graft-ingest-cls")
+    val (src, corpus, ckpt) = (s"$root/src", s"$root/corpus", s"$root/ckpt")
+    Files.createDirectories(Paths.get(src))
+    // re-delivered twice: exactly-once must hold with the routed layout
+    for (name <- Seq("d1.parquet", "d2.parquet"))
+      Files.copy(Paths.get(s"$sfDir/documents.parquet"), Paths.get(s"$src/$name"))
+    val q = CorpusIngest.startClassified(spark, src, corpus, ckpt,
+      s"$sfDir/documents.parquet")
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+
+    val docs = Tables.documents(spark, sfDir)
+    val distinctTexts = docs
+      .selectExpr("md5(lower(trim(text))) AS ck").distinct().count()
+    val out = spark.read.parquet(corpus)
+    assert(out.count() == distinctTexts, "one routed row per distinct text")
+
+    // the routed predictions must equal the batch gate's own scoring
+    // machinery (shared code → shared values), computed here for exactly
+    // the deduped winners the ingest kept
+    import graft.operators.ModelOps
+    val tf = ModelOps.nbTokenTf(docs)
+    val (term, pri) = ModelOps.nbModelFromTf(spark, tf, docs)
+    val expect = ModelOps.nbPredict(tf.select("doc_id", "w", "tf"), term, pri)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = out.select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, p) =>
+      assert(p == expect.getOrElse(id, "und"), s"doc $id routed to $p")
+    }
+    // routing is real: more than one language partition materialized
+    assert(out.select("pred").distinct().count() > 1)
+  }
+
   test("decontaminated ingest drops bench-gram collisions, exactly once under re-delivery") {
     import graft.operators.CorpusOps
     import org.apache.spark.sql.functions._
