@@ -174,6 +174,42 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads more than the 3 needed columns:\n$p")
   }
 
+  test("q_nb_lang broadcasts the model tables onto the token stream") {
+    val p = plan("q_nb_lang")
+    // term (w, cand, s) and pri (cand, lp) are vocab×classes-bounded:
+    // the scoring side must never shuffle the token stream against them
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_winnow joins df-capped postings on the fingerprint key") {
+    val p = plan("q_winnow")
+    // selection is row-local: the persisted fingerprint stage is reused
+    // by the df-cap agg and both pair-join sides
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bpe_merges scans the corpus exactly once (vocab-bounded loop)") {
+    // the word-frequency agg is the only corpus-scale stage; every merge
+    // round runs on the checkpointed vocab frame — documents.parquet must
+    // appear in the final plan zero times (checkpoint) and the pair agg
+    // must be partial+final
+    val p = plan("q_bpe_merges")
+    assert(!p.contains("documents.parquet"),
+      s"merge output should derive from checkpointed vocab, not rescan:\n$p")
+  }
+
+  test("q_kcore_big peels node-keyed off the persisted edge set, no product") {
+    // the only Window allowed is coEdges' lead() chain construction; the
+    // peel itself must be joins + agg off the persisted undirected edges
+    val p = plan("q_kcore_big")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), s"edge set not persisted:\n$p")
+    // the final deg agg must be partial+final keyed on the node id
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so
