@@ -127,6 +127,76 @@ object IngestMaintenance {
     deleteTree(old)
   }
 
+  /** Right-to-be-forgotten deletion for a per-batch ingest dir: remove
+    * every row whose `idCol` value is in `ids`, rewriting ONLY the batch
+    * partitions that actually contain a victim — at 100 TB an erasure
+    * request touches a handful of partitions, never the store. Secondary
+    * partition levels (cell= …) are preserved. Returns deleted row count.
+    *
+    * The seen-ledger is deliberately NOT touched: the erased content's
+    * key stays ledgered, so a later re-delivery of the same bytes cannot
+    * silently resurrect erased data — the correct failure direction for
+    * an erasure obligation (re-adding erased content must be an explicit
+    * new decision, not a replay artifact).
+    *
+    * Crash safety: survivors stage OUTSIDE the store (`<dir>.delstage`,
+    * so partition discovery can never see a half-written twin), each
+    * affected partition swaps via move-aside (`<dir>.delold`), and every
+    * run begins by restoring any batch dir stranded aside by a crash
+    * between moves. Deletion is idempotent — a rerun with the same ids
+    * re-deletes whatever the interrupted run left. */
+  def deleteDocs(s: SparkSession, dataDir: String, idCol: String,
+                 ids: Seq[Long]): Long = {
+    repairSwap(dataDir)
+    val src = Paths.get(dataDir)
+    if (!Files.exists(src) || ids.isEmpty) return 0L
+    val stage = Paths.get(dataDir + ".delstage")
+    val aside = Paths.get(dataDir + ".delold")
+    // restore partitions stranded between the two moves of a crashed run:
+    // the aside copy is the complete pre-delete original — prefer it and
+    // let this run re-delete from identical inputs
+    if (Files.exists(aside)) {
+      val st = Files.list(aside)
+      try st.iterator().asScala.filter(p => Files.isDirectory(p)).foreach { p =>
+        val live = src.resolve(p.getFileName.toString)
+        if (!Files.exists(live))
+          Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
+      } finally st.close()
+    }
+    deleteTree(aside)
+    deleteTree(stage)
+    val df = s.read.parquet(dataDir)
+    require(df.columns.contains("batch"), s"$dataDir is not a per-batch ingest dir")
+    val victims = col(idCol).isin(ids: _*)
+    // the id predicate pushes into the parquet scan — this is a pruned
+    // read, not a store read
+    val affected = df.filter(victims)
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val secondary = inferSecondaryPartitions(src)
+    var deleted = 0L
+    for (b <- affected.sorted) {
+      val bdir = src.resolve(s"batch=$b")
+      val part = s.read.parquet(bdir.toString)
+      val surv = part.filter(!victims)
+      val (nAll, nSurv) = (part.count(), surv.count())
+      deleted += nAll - nSurv
+      val staged = stage.resolve(s"batch=$b")
+      if (nSurv > 0) {
+        val writer = surv.write.mode("overwrite")
+        (if (secondary.nonEmpty) writer.partitionBy(secondary: _*) else writer)
+          .parquet(staged.toString)
+      }
+      Files.createDirectories(aside)
+      Files.move(bdir, aside.resolve(s"batch=$b"), StandardCopyOption.ATOMIC_MOVE)
+      if (nSurv > 0)
+        Files.move(staged, bdir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteTree(aside)
+    deleteTree(stage)
+    deleted
+  }
+
   /** Restore a complete store if a previous swap died between its moves:
     * the staged copy is only ever moved aside once COMPLETE, so prefer
     * it, then the old dir. */

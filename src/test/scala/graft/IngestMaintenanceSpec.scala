@@ -99,4 +99,61 @@ class IngestMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == totalWithOrphan,
       "compaction changed row count around an unledgered batch")
   }
+
+  test("deleteDocs erases exactly the victims, rewrites only affected partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-delete")
+    val store = s"$root/store"
+    // three batch partitions with a secondary cell= level, disjoint ids
+    for (b <- 0 to 2)
+      (0 until 100).map(i => (b * 1000L + i, s"text-$b-$i", i % 4))
+        .toDF("doc_id", "text", "cell")
+        .write.partitionBy("cell").parquet(s"$store/batch=$b")
+
+    def rows() = spark.read.parquet(store)
+      .select(col("doc_id"), col("text"), col("cell").cast("int"),
+        col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val before = rows()
+    val untouched = Files.getLastModifiedTime(
+      Paths.get(s"$store/batch=2")).toMillis
+
+    // victims live only in batches 0 and 1
+    val victims = Seq(7L, 42L, 1003L)
+    val n = IngestMaintenance.deleteDocs(spark, store, "doc_id", victims)
+    assert(n == 3, s"deleted $n rows")
+    val after = rows()
+    assert(after == before.filterNot(r => victims.contains(r._1)),
+      "survivors must be byte-identical to the originals minus victims")
+    // the unaffected partition was not rewritten
+    assert(Files.getLastModifiedTime(Paths.get(s"$store/batch=2")).toMillis
+      == untouched, "unaffected batch partition was rewritten")
+    // cell layout preserved in the rewritten partitions
+    val cellDirs = Files.list(Paths.get(s"$store/batch=0")).iterator()
+    val cells = Iterator.continually(cellDirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("cell=")).toSet
+    assert(cells == Set("cell=0", "cell=1", "cell=2", "cell=3"))
+
+    // idempotent rerun: nothing more to delete, content unchanged
+    assert(IngestMaintenance.deleteDocs(spark, store, "doc_id", victims) == 0L)
+    assert(rows() == after)
+
+    // a whole-partition erasure removes the batch dir entirely
+    val all0 = (0 until 100).map(i => 0L * 1000 + i)
+    assert(IngestMaintenance.deleteDocs(spark, store, "doc_id", all0) == 98L)
+    assert(!Files.exists(Paths.get(s"$store/batch=0")))
+    assert(rows().forall(_._4 != 0L))
+
+    // crash repair: simulate a run that died between the two moves —
+    // live partition gone, original stranded aside — the next run must
+    // restore it and re-delete from identical inputs
+    val asideRoot = Paths.get(store + ".delold")
+    Files.createDirectories(asideRoot)
+    Files.move(Paths.get(s"$store/batch=1"), asideRoot.resolve("batch=1"))
+    val n2 = IngestMaintenance.deleteDocs(spark, store, "doc_id", Seq(1005L))
+    assert(n2 == 1, s"post-repair delete removed $n2 rows")
+    assert(!Files.exists(asideRoot))
+    assert(rows().count(_._4 == 1L) == 98) // 100 minus 1003 (earlier) and 1005
+  }
 }
