@@ -332,6 +332,57 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Pivot count / hop bound for [[qHarmonicBig]]. */
+  val CENT_PIVOTS = 4
+  val CENT_HOPS = 6
+
+  /** E11's kin at data scale — pivot-sampled harmonic centrality
+    * (Boldi & Vigna, "Axioms for centrality", 2014; the sampled form is
+    * how centrality runs at scale — HyperBall samples sources instead of
+    * all-pairs BFS). From [[CENT_PIVOTS]] deterministic pivots (smallest
+    * node ids), one multi-source BFS keyed (pivot, node) over the
+    * undirected co-purchase graph, bounded at [[CENT_HOPS]]; harmonic(v)
+    * = Σ_p 1/d(p,v) over pivots that reach v, each 1/d cast to
+    * decimal(18,12) before summing so the ≤CENT_PIVOTS-term sum is exact
+    * on both engines regardless of aggregation order.
+    *
+    * Scale shape: the BFS state is pivots×nodes (pivots is a constant),
+    * one (pivot, node)-keyed hash join + anti-join dedupe per superstep
+    * — [[qBfsBig]]'s dataflow with a pivot key rode along; only the new
+    * frontier is localCheckpoint'ed per round. The pivot list is a
+    * CENT_PIVOTS-row collect (the startNode scalar precedent). */
+  val qHarmonicBig: Q = (s, d) => {
+    val e = coEdges(s, d)
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    val pivots = und.select(col("a").as("node")).distinct()
+      .orderBy("node").limit(CENT_PIVOTS)
+      .collect().map(_.getLong(0)).toSeq
+    require(pivots.nonEmpty, "co-purchase graph has no nodes")
+    import s.implicits._
+    var frontier = pivots.toDF("pivot")
+      .select(col("pivot"), col("pivot").as("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var reached = frontier
+    for (h <- 1 to CENT_HOPS) {
+      frontier = frontier
+        .join(und, col("node") === col("a"))
+        .select(col("pivot"), col("b").as("node"), lit(h).as("hop"))
+        .join(reached.select("pivot", "node"), Seq("pivot", "node"), "left_anti")
+        .distinct()
+        .localCheckpoint()
+      reached = reached.unionByName(frontier)
+    }
+    reached.filter(col("hop") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        Fns.roundP(
+          sum((lit(1.0) / col("hop")).cast("decimal(18,12)")).cast("double"), 6)
+          .as("harmonic"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
@@ -340,6 +391,7 @@ object BigGraphOps {
     "q_scc_big"      -> qSccBig,
     "q_clustering_big" -> qClusteringBig,
     "q_kcore_big"    -> qKcoreBig,
+    "q_harmonic_big" -> qHarmonicBig,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -474,6 +526,24 @@ object BigGraphOps {
          |JOIN a$KCORE_ROUNDS x ON u.a = x.node JOIN a$KCORE_ROUNDS y ON u.b = y.node
          |GROUP BY 1 ORDER BY node""".stripMargin
     },
+    "q_harmonic_big" ->
+      s"""WITH RECURSIVE $sqlEdges,
+         |und AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+         |pv AS MATERIALIZED (
+         |  SELECT node FROM (SELECT DISTINCT a AS node FROM und)
+         |  ORDER BY node LIMIT $CENT_PIVOTS),
+         |walk(pvt, node, hop) AS (
+         |  SELECT node, node, 0 FROM pv
+         |  UNION
+         |  SELECT w.pvt, u.b, w.hop + 1
+         |  FROM walk w JOIN und u ON u.a = w.node
+         |  WHERE w.hop < $CENT_HOPS),
+         |dd AS (SELECT pvt, node, min(hop) AS d FROM walk GROUP BY 1, 2)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+         |  ${Fns.roundPSql("CAST(sum(CAST(1.0::DOUBLE / d AS DECIMAL(18,12))) AS DOUBLE)", 6)} AS harmonic
+         |FROM dd WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin,
     "q_clustering_big" ->
       s"""WITH $sqlEdges,
          |wedges AS (

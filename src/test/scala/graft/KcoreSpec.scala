@@ -62,4 +62,34 @@ class KcoreSpec extends AnyFunSuite {
     val k5 = mirror(5)._1.keySet
     assert(k5.subsetOf(k4))
   }
+
+  test("q_harmonic_big matches a from-scratch multi-source BFS mirror") {
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pivots = adj.keySet.toSeq.sorted.take(BigGraphOps.CENT_PIVOTS)
+    // exact BFS per pivot, bounded at CENT_HOPS
+    def dists(p: Long): Map[Long, Int] = {
+      var d = Map(p -> 0)
+      var frontier = Set(p)
+      for (h <- 1 to BigGraphOps.CENT_HOPS) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- d.keySet
+        d ++= frontier.map(_ -> h)
+      }
+      d
+    }
+    val per = pivots.map(dists)
+    val nodes = per.flatMap(_.keys).toSet
+    val expected = nodes.flatMap { v =>
+      val ds = per.flatMap(_.get(v)).filter(_ > 0)
+      if (ds.isEmpty) None
+      else {
+        val h = ds.map(d => BigDecimal(1.0 / d)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        Some((v, ds.size.toLong, math.floor(h * 1e6 + 0.5) / 1e6))
+      }
+    }
+    val got = SparkEntry.queries("q_harmonic_big")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == expected, s"harmonic mismatch: sample got ${got.take(3)}")
+  }
 }

@@ -43,7 +43,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_pmi_collocations", "q_dsir_weights", "q_ppl_buckets",
     "q_fuzzy_decontaminate", "q_temperature_sample", "q_orc_roundtrip",
     "q_clustering_big", "q_nb_lang", "q_winnow", "q_bpe_merges",
-    "q_semantic_dedup", "q_bpe_tokenize", "q_curation_funnel")
+    "q_semantic_dedup", "q_bpe_tokenize", "q_curation_funnel",
+    "q_harmonic_big")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
