@@ -293,7 +293,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document character-entropy quality signal — the compressibility
+    * proxy quality filters threshold on (low-entropy text is boilerplate
+    * or repetition; the zlib-ratio filter's analytic twin, exactly
+    * computable on both engines where a codec is not). H = Σ (c/n)·ln(n/c)
+    * over the per-doc character histogram; each term is a double cast to
+    * decimal(28,18) BEFORE summing, so the ≤|alphabet|-term sum is exact
+    * and aggregation-order-free.
+    *
+    * ENTIRELY row-local: the histogram is `transform` over the distinct
+    * chars of the staged char array (O(distinct × len) per row, distinct
+    * ≤ 128 on an ASCII corpus) and the sum is an `aggregate` fold — one
+    * scan, zero shuffle at any corpus size. */
+  val qCharEntropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1))).as("cs"))
+      .withColumn("n", size(col("cs")))
+      .withColumn("terms",
+        transform(array_distinct(col("cs")), c => {
+          val cnt = size(filter(col("cs"), x => x === c)).cast("double")
+          ((cnt / col("n")) * log(col("n") / cnt)).cast("decimal(28,18)")
+        }))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars2"),
+        Fns.roundP(
+          aggregate(col("terms"), lit(0).cast("decimal(38,18)"),
+            (a, x) => a + x).cast("double"), 6).as("h_char"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_char_entropy" -> qCharEntropy,
     "q_top_terms"    -> qTopTerms,
     "q_pii_scrub"    -> qPiiScrub,
     "q_doc_packing"  -> qDocPacking,
@@ -378,6 +409,17 @@ object TextOps {
          |SELECT doc_id,
          |  ${Fns.roundPSql("1.0::DOUBLE - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)", 4)} AS dup_gram_frac
          |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_char_entropy" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n,
+         |  list_transform(range(1, length(text)+1), i -> text[i:i]) AS cs
+         |  FROM documents WHERE length(text) > 0),
+         |terms AS (SELECT doc_id, n, unnest(list_transform(list_distinct(cs),
+         |   c -> CAST((CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+         |        * ln(CAST(n AS DOUBLE) / len(list_filter(cs, x -> x = c))) AS DECIMAL(28,18)))) AS term
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars2,
+         |  ${Fns.roundPSql("CAST(sum(term) AS DOUBLE)", 6)} AS h_char
+         |FROM terms GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH b AS (
          |  SELECT doc_id,
