@@ -37,19 +37,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // Warm the JVM/codegen/string kernels and EVERY input table.
+    // Warm the JVM/codegen/string kernels and EVERY input table. Each
+    // table warms inside its own try/catch: a broken loader must degrade
+    // that table's queries to `errors` entries in the artifact, not kill
+    // the run before bench.json exists (rounds 8–9 had NO bench signal
+    // because a Tables.events schema assumption threw right here).
     noop(spark.range(1000).selectExpr("sum(id)").toDF())
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
-      noop(spark.read.parquet(s"$sfDir/$t.parquet"))
+      try noop(spark.read.parquet(s"$sfDir/$t.parquet"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed for $t: ${e.getMessage}") }
     }
-    noop(Tables.events(spark, sfDir)) // nanos→micros path included
+    try noop(Tables.events(spark, sfDir)) // schema-adaptive ts normalization
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed for events: ${e.getMessage}") }
     noop(spark.range(500)
       .selectExpr("md5(concat('w', id)) AS h", "split(concat('a b c d e f ', id), ' ') AS t")
       .selectExpr("conv(substring(h, 1, 8), 16, 10) AS x", "size(t) AS n",

@@ -59,7 +59,8 @@ object ScaleProbe {
                              // (documents; replicated texts push shared fps past the
                              // df cap — the boilerplate guard absorbs dup manufacture)
     "q_nb_lang",             // (doc,token,tf) collapse + vocab×classes broadcast (documents)
-    "q_bpe_merges")          // corpus word-freq agg + vocab-bounded merge loop (documents)
+    "q_bpe_merges",          // corpus word-freq agg + vocab-bounded merge loop (documents)
+    "q_scc_big")             // GraphX Pregel coloring SCC, SCC_ITERS-bounded (orders)
     // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
     // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
     // vectors — every cross-copy pair is a true cos=1 near-dup, so replication
@@ -74,6 +75,7 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -53,6 +53,7 @@ object SkewProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // AQE's skew mitigation would partially rescue the unsalted run;
       // disable it so the probe isolates what SALTING buys (PERF.md notes
       // AQE skew-join as the complementary runtime net)

@@ -20,16 +20,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via
-    * the legacy conf (runtime-settable) and convert to a micros timestamp
-    * with integral division — `ts / 1000` through doubles would lose
-    * precision above 2^53 ns (~1970+104 days), so `div` it is.
+  /** `events.parquet`'s `ts` physical type has shifted across testdata
+    * generations — TIMESTAMP(NANOS) originally, TIMESTAMP(MICROS) since the
+    * round-8 regeneration — so the loader adapts to whatever is on disk
+    * instead of assuming either:
+    *
+    *  - NANOS: Spark rejects it by default (PARQUET_TYPE_ILLEGAL); the
+    *    legacy conf reads it as a raw nanos LONG, converted here with
+    *    integral division (`ts / 1000` through doubles would lose precision
+    *    above 2^53 ns ≈ 1970+104 days).
+    *  - MICROS without tz: Spark infers TIMESTAMP_NTZ; cast to the session
+    *    TIMESTAMP. Every entry point pins `spark.sql.session.timeZone=UTC`,
+    *    so the cast re-interprets the same micros value as the identical
+    *    UTC instant the nanos path produced (asserted by TemporalSpec's
+    *    dual-schema fixture).
+    *  - MICROS adjusted-to-UTC: already the session TIMESTAMP, pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ: naive micros == UTC instants (session tz is UTC)
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

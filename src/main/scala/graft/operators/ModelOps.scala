@@ -249,51 +249,60 @@ object ModelOps {
   }
 
   /** Learn loop shared by [[qBpeMerges]] and [[qBpeTokenize]]: returns the
-    * merge table rows and the post-merge vocab frame (w, f, syms). */
+    * merge table rows and the post-merge vocab frame (w, f, syms).
+    *
+    * The corpus-scale stage — word-frequency aggregation — is the ONLY
+    * distributed job: one (token)-keyed shuffle with map-side combine.
+    * The vocab-bounded (word, freq) table is then collected ONCE and the
+    * greedy merges fold on the driver — the same single-node posture as
+    * every production BPE trainer (sentencepiece, HF tokenizers), which
+    * reduce to word counts first precisely so the merge loop's cost is
+    * corpus-size-independent. This replaced a per-round distributed
+    * pair-agg + 1-row collect (8 job round-trips for 8 merges; measured
+    * in PERF.md). At production MERGES=30k+ the driver fold is the only
+    * viable shape anyway — 30k Spark jobs would be hours of scheduling
+    * overhead on a millions-of-rows frame. */
   private def bpeLearn(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val wf = Tables.documents(s, d)
+    import s.implicits._
+    val wf: Array[(String, Long)] = Tables.documents(s, d)
       .select(Fns.tokens(lower(col("text"))).as("tk"))
       .select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-    var vocab = wf
-      .select(col("w"), col("f"),
-        concat(
-          transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))),
-          array(lit(BPE_EOW))).as("syms"))
-      .localCheckpoint()
+      .as[(String, Long)]
+      .collect()
+    // (word, freq, symbol list) — chars + end-of-word marker
+    val words: Array[(String, Long, Array[String])] =
+      wf.map { case (w, f) => (w, f, w.map(_.toString).toArray :+ BPE_EOW) }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to BPE_MERGES) {
-      // Stage the pair array as a column, THEN explode (PERF.md HOF /
-      // InferFiltersFromGenerate rules); words collapsed to one symbol
-      // contribute no pairs.
-      val pairs = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"),
-          transform(sequence(lit(1), size(col("syms")) - 1),
-            i => struct(
-              element_at(col("syms"), i).as("l"),
-              element_at(col("syms"), i + 1).as("r"))).as("prs"))
-        .select(col("f"), explode(col("prs")).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("f")).as("c"))
-      // 1-row argmax collect — the learned merge is the output artifact
-      // (the BigGraphOps.startNode scalar precedent).
-      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      require(top.nonEmpty, s"BPE merge round $step found no pairs")
-      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty, s"BPE merge round $step found no pairs")
+      // argmax with the distributed loop's exact tie-break: count desc,
+      // then (l, r) ascending — binary string order (corpus is ASCII).
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
       merges += ((step, l, r, c))
-      vocab = vocab
-        .withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x)))))
-        .localCheckpoint()
+      // greedy left-to-right single-scan rewrite (a merged token never
+      // immediately re-merges) — same fold the aggregate() version ran
+      words.indices.foreach { wi =>
+        val (w, f, syms) = words(wi)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (buf.nonEmpty && buf.last == l && x == r) buf(buf.length - 1) = l + r
+          else buf += x
+        }
+        words(wi) = (w, f, buf.toArray)
+      }
     }
+    val vocab = words.toSeq.toDF("w", "f", "syms")
     (merges.result(), vocab)
   }
 

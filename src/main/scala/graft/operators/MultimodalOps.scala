@@ -3,6 +3,7 @@ package graft.operators
 import java.security.MessageDigest
 
 import graft.Tables
+import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,10 +20,11 @@ import org.apache.spark.sql.functions._
   * on the encoded stream. The DuckDB oracle never parses: it derives the
   * expected pixel checksums ANALYTICALLY from the text, so an encoder and
   * decoder that share a mistaken offset cannot cancel each other out.
-  * Only [[Decoder]] (the feature-lane extractor of [[qMmFeatures]])
-  * remains a deterministic stand-in — it models the lossy embedding
-  * models (CLIP-style) this container cannot ship, while the codec
-  * boundary itself is exercised for real.
+  * The feature lanes of [[qMmFeatures]] are likewise computed from the
+  * DECODED raster (per-channel and overall pixel means — the normalize
+  * stage every learned-embedding pipeline runs first); a learned model
+  * (CLIP-style) would replace the statistic at the same mapPartitions
+  * boundary with the same fixed-width output contract.
   *
   * Spark-side plumbing: binary column schema, typed Dataset,
   * `mapPartitions` batch shape (one codec instance per partition, the
@@ -122,24 +124,11 @@ object MultimodalOps {
   case class MmDoc(doc_id: Long, payload: Array[Byte])
   case class MmFeat(doc_id: Long, n_bytes: Long, f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** STAND-IN — the learned feature extractor (CLIP/wav2vec-style
-    * payload → embedding) has no pure-JVM rendering; this deterministic
-    * fake keeps the same shape: payload bytes → fixed-width feature
-    * vector. Each feature is the md5-derived 32-bit hash of the payload
-    * digest + lane index, scaled to [0,1) — reproducible in the DuckDB
-    * oracle, exact in doubles (k / 2^32). The CODEC boundary, by
-    * contrast, is real — see [[Ppm]]. */
+  /** md5 hex digest — shared deterministic-hash utility (feature jitter
+    * in specs, content digests). */
   object Decoder {
     def md5hex(b: Array[Byte]): String =
       MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
-
-    def decode(payload: Array[Byte]): Array[Double] = {
-      val digest = md5hex(payload)
-      (0 until N_FEATURES).map { i =>
-        val h = md5hex(s"$digest:$i".getBytes("UTF-8")).substring(0, 8)
-        java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
-      }.toArray
-    }
   }
 
   /** Render a document as a P6 image: UTF-8 bytes as the row-major RGB
@@ -165,10 +154,16 @@ object MultimodalOps {
           (col("doc_id") % 3 + 1).cast("int")).as("modality"))
       .orderBy("doc_id")
 
-  /** Feature-extract through the partition-batch path: one [[Decoder]]
+  /** Feature-extract through the partition-batch path: one codec instance
     * per partition over the typed Dataset — the Spark-native shape of a
-    * Pandas-UDF media pipeline. Output is fixed-width feature lanes
-    * (columnar, joinable with the embeddings table downstream). */
+    * Pandas-UDF media pipeline. The lanes are REAL image statistics of the
+    * decoded pixels (not the encoded stream): per-channel means f0/f1/f2
+    * and the overall byte mean f3 — the channel-normalization pass every
+    * learned-embedding pipeline computes first. Integer channel sums over
+    * the parsed raster divided by exact pixel counts, so both engines
+    * produce the identical binary64 value before the shared rounding.
+    * Output is fixed-width feature lanes (columnar, joinable with the
+    * embeddings table downstream). */
   val qMmFeatures: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -176,11 +171,24 @@ object MultimodalOps {
       .as[MmDoc]
       .mapPartitions { docs =>
         docs.map { doc =>
-          val f = Decoder.decode(doc.payload)
-          MmFeat(doc.doc_id, doc.payload.length.toLong, f(0), f(1), f(2), f(3))
+          val img = Ppm.decode(ppmOf(doc))
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < img.raster.length) {
+            sums(i % 3) += (img.raster(i) & 0xff).toLong
+            i += 1
+          }
+          val px = img.raster.length / 3 // = height × MM_W, 0 only for empty docs
+          def mean(s: Long, n: Long): Double = if (n == 0) 0.0 else s.toDouble / n
+          MmFeat(doc.doc_id, doc.payload.length.toLong,
+            mean(sums(0), px), mean(sums(1), px), mean(sums(2), px),
+            mean(sums(0) + sums(1) + sums(2), img.raster.length.toLong))
         }
       }
       .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        Fns.roundP(col("f0"), 6).as("f0"), Fns.roundP(col("f1"), 6).as("f1"),
+        Fns.roundP(col("f2"), 6).as("f2"), Fns.roundP(col("f3"), 6).as("f3"))
       .orderBy("doc_id")
   }
 
@@ -314,13 +322,29 @@ object MultimodalOps {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_features" -> {
-      val lanes = (0 until N_FEATURES).map { i =>
-        s"CAST('0x' || substr(md5(md5(text) || ':$i'), 1, 8) AS BIGINT) / 4294967296.0 AS f$i"
-      }.mkString(",\n  ")
-      s"""SELECT doc_id,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  $lanes
-         |FROM documents ORDER BY doc_id""".stripMargin
+      // channel c sum = Σ ord(text[i]) over 1-based i with (i-1)%3 = c;
+      // padding bytes are 0 so summing the text alone is the raster sum.
+      def chanSum(c: Int) =
+        s"""coalesce(list_sum(list_transform(range(1, n + 1),
+           |    i -> CASE WHEN (i - 1) % 3 = $c THEN ord(text[i]) ELSE 0 END)), 0)""".stripMargin
+      def mean(num: String, den: String) =
+        Fns.roundPSql(s"CASE WHEN $den = 0 THEN 0.0 ELSE CAST($num AS DOUBLE) / $den END", 6)
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    (length(text) + ${ROW_BYTES - 1}) // $ROW_BYTES AS h
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n, h * $MM_W AS px, h * $ROW_BYTES AS nr,
+         |    ${chanSum(0)} AS s0,
+         |    ${chanSum(1)} AS s1,
+         |    ${chanSum(2)} AS s2
+         |  FROM d)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+         |  ${mean("s0", "px")} AS f0,
+         |  ${mean("s1", "px")} AS f1,
+         |  ${mean("s2", "px")} AS f2,
+         |  ${mean("s0 + s1 + s2", "nr")} AS f3
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "q_mm_decode" ->
       s"""WITH d AS (

@@ -320,7 +320,9 @@ object TextOps {
       .select(col("doc_id"), col("n").cast("long").as("n_chars2"),
         Fns.roundP(
           aggregate(col("terms"), lit(0).cast("decimal(38,18)"),
-            (a, x) => a + x).cast("double"), 6).as("h_char"))
+            // decimal(38,18) + decimal(28,18) widens to decimal(38,17);
+            // cast back so the merge type matches the accumulator type
+            (a, x) => (a + x).cast("decimal(38,18)")).cast("double"), 6).as("h_char"))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(

@@ -18,15 +18,31 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of events.parquet with `ts` as raw nanos (read pre-conversion;
-    * the legacy nanos conf makes the parquet column a long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming read of an events parquet directory with `ts` normalized to
+    * the session TIMESTAMP regardless of the on-disk physical type — the
+    * same nanos-long vs micros-timestamp branch as [[graft.Tables.events]]
+    * (the testdata's `ts` type has shifted across generations). The file
+    * streaming source requires an explicit schema, so the on-disk type is
+    * probed with a batch footer read of the directory first. */
+  def rawEvents(s: SparkSession, dir: String,
+                options: Map[String, String] = Map.empty): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val df = s.readStream.schema(schema).options(options).parquet(dir)
+    tsType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ: naive micros == UTC instants (session tz is UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -40,12 +56,9 @@ object EventStream {
     * against the batch oracle (EventOps.qSessionize). */
   def sessionCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 30 * 60L * 1000000L
-    s.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    rawEvents(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -73,15 +86,9 @@ object EventStream {
     * The batch twin is a `groupBy(event_id).agg(first)` exact dedup; a
     * duplicate arriving after its key aged out of state would also be
     * watermark-late, so output semantics stay "one row per event_id". */
-  def dedupedEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    dedupedEventsOf(
-      s.readStream
-        .schema(rawSchema)
-        .option("maxFilesPerTrigger", "1") // deliver file-at-a-time (tests re-delivery across micro-batches)
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-  }
+  def dedupedEvents(s: SparkSession, dir: String): DataFrame =
+    // deliver file-at-a-time (tests re-delivery across micro-batches)
+    dedupedEventsOf(rawEvents(s, dir, Map("maxFilesPerTrigger" -> "1")))
 
   /** Source-agnostic core of [[dedupedEvents]] — takes any streaming frame
     * with (event_id, user_id, event_type, value, ts timestamp) so the soak
@@ -101,11 +108,7 @@ object EventStream {
     * once the click-side watermark passes p_ts + 24 h. Without the time
     * bound this would be the unbounded-state stream-join trap. */
   def clickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = rawEvents(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -121,14 +124,8 @@ object EventStream {
 
   /** Streaming tumbling-window counts/sums per event type, 10-minute
     * watermark. Identical output columns to EventOps.qWindowAgg. */
-  def windowedCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    windowedCountsOf(
-      s.readStream
-        .schema(rawSchema)
-        .parquet(s"$dir")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-  }
+  def windowedCounts(s: SparkSession, dir: String): DataFrame =
+    windowedCountsOf(rawEvents(s, dir))
 
   /** Source-agnostic core of [[windowedCounts]]: any streaming frame with
     * (ts timestamp, event_type, value). The 10-minute watermark is what
@@ -214,13 +211,6 @@ object EventStream {
 
   /** Streaming wrapper of [[cmsCountersCore]]: event-time watermark bounds
     * the per-window counter state exactly like the windowed aggregation. */
-  def cmsCounters(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cmsCountersCore(
-      s.readStream
-        .schema(rawSchema)
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes"))
-  }
+  def cmsCounters(s: SparkSession, dir: String): DataFrame =
+    cmsCountersCore(rawEvents(s, dir).withWatermark("ts", "10 minutes"))
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Fixture-based evidence for E12 (entropy / information gain, reference
+  * src/base/math/Entropy.cpp:11-77) that does NOT depend on the driver's
+  * `/root/testdata` — the round-8 testdata regeneration silently removed
+  * all events-table gate rows for two rounds, so the §2 row needs spec
+  * evidence that survives any future regeneration.
+  *
+  * The fixture is small enough that the expected values are exact by hand:
+  *
+  *  - event_type counts a:4 b:2 c:2 over 8 events → p = (1/2, 1/4, 1/4)
+  *    → H = ½·1 + ¼·2 + ¼·2 = 1.5 bits.
+  *  - label hi = (value ≥ 50): a splits 2/2 (H=1 bit), b all-hi (H=0),
+  *    c all-lo (H=0); marginal label is 4/4 (H=1 bit)
+  *    → IG = 1 − (½·1 + ¼·0 + ¼·0) = 0.5 bits.
+  */
+class EventOpsFixtureSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val dir: String = {
+    val base = java.nio.file.Files.createTempDirectory("graft-e12").toString
+    val rows = Seq(
+      // (event_id, t_us, user_id, event_type, value)
+      (1L, 1000000L, 1L, "a", 90.0), (2L, 2000000L, 1L, "a", 80.0),
+      (3L, 3000000L, 2L, "a", 10.0), (4L, 4000000L, 2L, "a", 20.0),
+      (5L, 5000000L, 3L, "b", 70.0), (6L, 6000000L, 3L, "b", 60.0),
+      (7L, 7000000L, 4L, "c", 30.0), (8L, 8000000L, 4L, "c", 40.0))
+    import spark.implicits._
+    rows.toDF("event_id", "t_us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .write.parquet(base + "/events.parquet")
+    base
+  }
+
+  test("E12 entropy: H(event_type) on the hand-computed fixture is exactly 1.5 bits") {
+    val got = operators.EventOps.qEntropy(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(0) == 1.5)
+  }
+
+  test("E12 info gain: IG(event_type → value≥50) on the fixture is exactly 0.5 bits") {
+    val got = operators.EventOps.qInfoGain(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(0) == 0.5)
+  }
+}

@@ -18,6 +18,37 @@ class TemporalSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
 
+  test("Tables.events adapts to every on-disk ts layout (nanos-long, micros NTZ, micros LTZ)") {
+    // The driver's testdata regeneration flipped events.ts from parquet
+    // TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds 7 and 8, which
+    // silently killed every events query for two rounds. This fixture pins
+    // the schema-adaptive loader against all three layouts the branch
+    // handles: a raw nanos LONG (what the legacy nanosAsLong conf yields
+    // for NANOS files), a TIMESTAMP_NTZ micros column (current testdata),
+    // and an adjusted-to-UTC TIMESTAMP micros column.
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    val tUs = 1700000000123456L // an exact-micros instant
+    val base = java.nio.file.Files.createTempDirectory("graft-evts")
+    def write(dir: java.nio.file.Path, tsCol: org.apache.spark.sql.Column): String = {
+      spark.range(1)
+        .select(lit(1L).as("event_id"), tsCol.as("ts"), lit(7L).as("user_id"),
+          lit("click").as("event_type"), lit(1.5).as("value"), lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      dir.toString
+    }
+    val dirs = Seq(
+      write(base.resolve("nanos"), lit(tUs * 1000L)),
+      write(base.resolve("ntz"), timestamp_micros(lit(tUs)).cast("timestamp_ntz")),
+      write(base.resolve("ltz"), timestamp_micros(lit(tUs))))
+    dirs.foreach { d =>
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$d: ts must normalize to the session TIMESTAMP")
+      val got = df.select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+      assert(got.sameElements(Array(tUs)), s"$d: expected instant $tUs, got ${got.toSeq}")
+    }
+  }
+
   test("as-of join matches a brute-force per-row scan") {
     val purchases = ev.filter(_._3 == "purchase")
     val got = TemporalOps.qAsofJoin(spark, sfDir).collect()
