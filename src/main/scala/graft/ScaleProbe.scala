@@ -71,6 +71,10 @@ object ScaleProbe {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mults = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                 else Seq(1, 4, 8)
+    // optional third arg: comma-separated probe subset (dev iteration on
+    // one family without re-timing all 38)
+    val probes = if (args.length > 2) PROBES.filter(args(2).split(",").toSet)
+                 else PROBES
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,7 +99,7 @@ object ScaleProbe {
           "lineitem", "documents", "embeddings")
         .foreach(t => noop(spark.read.parquet(s"$dir/$t.parquet")))
       noop(Tables.events(spark, dir))
-      val times = PROBES.map { name =>
+      val times = probes.map { name =>
         def once(): Double = {
           val t0 = System.nanoTime()
           noop(SparkEntry.queries(name)(spark, dir))
@@ -109,7 +113,7 @@ object ScaleProbe {
       m -> times.toMap
     }.toMap
 
-    val json = PROBES.map { q =>
+    val json = probes.map { q =>
       val per = mults.map(m => s""""${m}": ${f"${results(m)(q)}%.3f"}""").mkString(",")
       s""""$q":{$per}"""
     }.mkString(",")
@@ -118,9 +122,10 @@ object ScaleProbe {
   }
 
   /** Write mult disjoint key-shifted copies of the scaled tables (and one
-    * copy of the rest) under dir. Events keep their raw long-nanos ts so
-    * Tables.events' nanos path is exercised identically at every multiple.
-    */
+    * copy of the rest) under dir. Events keep whatever ts physical type
+    * the source stores (nanos-long under the legacy conf, or micros
+    * timestamp) so Tables.events' schema-adaptive branch is exercised
+    * identically at every multiple. */
   def build(s: SparkSession, src: String, mult: Int, dir: String): Unit = {
     def copies(df: DataFrame, shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(i => shift(df, i)).reduce(_ unionAll _)
