@@ -57,4 +57,23 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ppm.encode(2, 2, new Array[Byte](6), "short"))
     intercept[IllegalArgumentException](Ppm.encode(1, 1, new Array[Byte](3), "bad\ncomment"))
   }
+
+  test("q_mm_features lanes are the decoded raster's channel means (hand-computed fixture)") {
+    // text "abc" → one 16-pixel row: bytes [97,98,99, 0×45]. Channel sums
+    // 97/98/99 over 16 pixels; overall mean 294/48. Exact in binary64.
+    import SparkTestBase._
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmfeat").toString
+    spark.range(1)
+      .select(lit(7L).as("doc_id"), lit("abc").as("text"), lit("en").as("lang"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.MultimodalOps.qMmFeatures(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 7L && row.getLong(1) == 3L)
+    assert(row.getDouble(2) == 97.0 / 16)                 // f0 = 6.0625
+    assert(row.getDouble(3) == 98.0 / 16)                 // f1 = 6.125
+    assert(row.getDouble(4) == 99.0 / 16)                 // f2 = 6.1875
+    assert(row.getDouble(5) == 6.125)                     // f3 = 294/48
+  }
 }

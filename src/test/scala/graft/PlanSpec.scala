@@ -210,6 +210,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q_char_entropy is a single-scan row-local fold: no join, only the sort exchange") {
+    // the sorted-run fold must stay entirely inside the scan's stage — a
+    // refactor that reintroduces a per-char groupBy (corpus-keyed shuffle)
+    // or a join would show up as extra exchanges here
+    val p = plan("q_char_entropy")
+    assert(!p.toLowerCase.contains("join"), s"entropy must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the final orderBy exchange is allowed:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one documents scan only:\n$p")
+  }
+
+  test("q_mm_features decodes in one mapPartitions pass over a single scan") {
+    val p = plan("q_mm_features")
+    assert(!p.toLowerCase.contains("join"), s"feature lanes must not join:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one documents scan only:\n$p")
+    assert(p.contains("MapPartitions"), s"typed decode boundary missing:\n$p")
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so
