@@ -47,6 +47,33 @@ object Tables {
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** Documents with the id/count columns normalized to LONG. The casts are
+    * conditional — when the on-disk schema already matches (today's layout)
+    * the frame is returned untouched, so filter pushdown on doc_id is
+    * unaffected; a regeneration that narrows the ints (the events-ts
+    * lesson, generalized) degrades to a widening cast instead of breaking
+    * 40 gates at analysis time. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "documents")
+    import org.apache.spark.sql.types.LongType
+    Seq("doc_id", "n_chars").foldLeft(df) { (acc, c) =>
+      if (acc.schema(c).dataType == LongType) acc
+      else acc.withColumn(c, col(c).cast(LongType))
+    }
+  }
+
+  /** Embeddings with the vector normalized to array&lt;float&gt; and vec_id
+    * to LONG — same conditional-normalization posture as [[documents]]
+    * (a float↔double flip in a regenerated embeddings.parquet would
+    * otherwise kill every typed Dataset[(Long, Array[Float])] operator). */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val df = apply(s, d, "embeddings")
+    val withVec = df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+    if (withVec.schema("vec_id").dataType == LongType) withVec
+    else withVec.withColumn("vec_id", col("vec_id").cast(LongType))
+  }
 }

@@ -49,6 +49,33 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.documents/embeddings normalize drifted int widths and vector element types") {
+    // the generalized events-ts lesson: a regeneration that narrows ints
+    // or flips float/double must degrade to a widening cast, not break
+    // every gate at analysis time
+    import org.apache.spark.sql.functions.{array, col, lit}
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-drift")
+    spark.range(1)
+      .select(lit(5).cast("int").as("doc_id"), lit("hi").as("text"),
+        lit("en").as("lang"), lit("web").as("source"), lit(2).cast("int").as("n_chars"))
+      .write.parquet(s"$base/documents.parquet")
+    spark.range(1)
+      .select(lit(3).cast("int").as("vec_id"),
+        array(lit(1.5), lit(2.5)).as("embedding"), lit(0).as("label"))
+      .write.parquet(s"$base/embeddings.parquet")
+    val docs = Tables.documents(spark, base.toString)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    assert(docs.select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(Array((5L, 2L))))
+    val emb = Tables.embeddings(spark, base.toString)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      emb.schema("embedding").dataType == ArrayType(FloatType, false))
+    assert(emb.select("embedding").collect()(0).getSeq[Float](0) == Seq(1.5f, 2.5f))
+  }
+
   test("as-of join matches a brute-force per-row scan") {
     val purchases = ev.filter(_._3 == "purchase")
     val got = TemporalOps.qAsofJoin(spark, sfDir).collect()
