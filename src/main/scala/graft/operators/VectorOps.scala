@@ -474,7 +474,11 @@ object VectorOps {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
       .sortBy(_._1)
 
-  val qKmeans: Q = (s, d) => {
+  /** The trained final assignment (vec_id, v, cid, dist) behind
+    * [[qKmeans]], factored out so composed consumers (q_topic_terms) run
+    * the IDENTICAL Lloyd iterations. Centroids live on the driver between
+    * rounds (k×dim values); each round is one (cid, pos)-keyed shuffle. */
+  private[graft] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cents: cid → centroid, ascending cid, driver-side between rounds.
@@ -494,10 +498,59 @@ object VectorOps {
     for (_ <- 1 to KM_ITERS)
       cents = recompute(assign(cents))
     assign(cents)
+  }
+
+  val qKmeans: Q = (s, d) =>
+    kmeansAssign(s, d)
       .groupBy(col("cid").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         Fns.roundP(sum(col("dist").cast("decimal(28,12)")).cast("double"), 4).as("inertia"))
       .orderBy("cluster")
+
+  /** Terms kept per topic by [[qTopicTerms]]. */
+  val TT_TOP = 5
+
+  /** Topic labeling by class-based TF-IDF (c-TF-IDF — Grootendorst,
+    * "BERTopic: Neural topic modeling with a class-based TF-IDF
+    * procedure", 2022 §3.3): documents are clustered in embedding space
+    * by the SAME Lloyd iterations as [[qKmeans]], each cluster's member
+    * texts count as one class document, and a term scores
+    * tf_{t,c} · ln(1 + A / f_t) with A = mean tokens per class and
+    * f_t = the term's corpus frequency. Output = each topic's top
+    * [[TT_TOP]] terms — the human-readable label a curation report
+    * attaches to embedding clusters.
+    *
+    * Scale shape: the corpus collapses to (cluster, term, tf) in ONE
+    * token-keyed agg (map-side combine absorbs stopword skew); f_t and
+    * the 1-row totals are vocab-bounded/broadcast joins onto that agg,
+    * never onto raw tokens; per-cluster ranking runs as WindowGroupLimit
+    * (partial top-k before the shuffle). Counts are integers, the single
+    * ln() runs on an identical double on both engines, and ranking uses
+    * the ROUNDED score with a term tie-break, so the gate is
+    * aggregation-order-independent. Reference kin: none (net-new
+    * pipeline op; nearest is E12's entropy ranking posture). */
+  val qTopicTerms: Q = (s, d) => {
+    val asg = kmeansAssign(s, d)
+      .select(col("vec_id").as("doc_id"), col("cid").as("cluster"))
+    val ctf = Tables.documents(s, d)
+      .join(asg, "doc_id")
+      .select(col("cluster"), explode(Fns.tokens(lower(col("text")))).as("term"))
+      .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ft = ctf.groupBy("term").agg(sum(col("tf")).as("ft"))
+    val tot = ctf.agg(sum(col("tf")).as("tot_tok"),
+      countDistinct(col("cluster")).as("ncl"))
+    val score = Fns.roundP(
+      col("tf") * log(lit(1.0) +
+        (col("tot_tok").cast("double") / col("ncl")) / col("ft")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("ctfidf").desc, col("term"))
+    ctf.join(ft, Seq("term")).crossJoin(broadcast(tot))
+      .select(col("cluster"), col("term"), col("tf"), score.as("ctfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TT_TOP)
+      .select("cluster", "term", "tf", "ctfidf")
+      .orderBy(col("cluster"), col("ctfidf").desc, col("term"))
   }
 
   /** Output dimensionality of [[qRandomProjection]]. */
@@ -718,6 +771,7 @@ object VectorOps {
     "q_hybrid_search"  -> qHybridSearch,
     "q_semantic_search" -> qSemanticSearch,
     "q_kmeans"         -> qKmeans,
+    "q_topic_terms"    -> qTopicTerms,
     "q_knn"            -> qKnn,
     "q_knn_cosine"     -> qKnnCosine,
     "q_near"           -> qNear,
@@ -791,7 +845,7 @@ object VectorOps {
 
   /** Unrolled Lloyd's-iteration CTE chain for the q_kmeans oracle:
     * e, c0, (a1, c1) … (aN, cN), final assignment aF against cN. */
-  private def sqlKmeans: String = {
+  private def sqlKmeansCtes: String = {
     def assignCte(name: String, centSrc: String) =
       s"""$name AS (
          |  SELECT vec_id, v, cid, dist FROM (
@@ -812,15 +866,17 @@ object VectorOps {
     val iters = (1 to KM_ITERS).flatMap { k =>
       Seq(assignCte(s"a$k", if (k == 1) "c0" else s"c${k - 1}"), centCte(s"c$k", s"a$k"))
     }
-    val ctes = (Seq(
+    (Seq(
       s"e AS ($sqlVecs)",
       s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KM_K)") ++
       iters :+ assignCte("af", s"c$KM_ITERS")).mkString(",\n")
-    s"""WITH $ctes
+  }
+
+  private def sqlKmeans: String =
+    s"""WITH $sqlKmeansCtes
        |SELECT cid AS cluster, count(*) AS n_vecs,
        |  ${Fns.roundPSql("CAST(sum(CAST(dist AS DECIMAL(28,12))) AS DOUBLE)", 4)} AS inertia
        |FROM af GROUP BY 1 ORDER BY cluster""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q_hybrid_search" ->
@@ -853,6 +909,22 @@ object VectorOps {
          |FROM documents d JOIN nn ON d.doc_id = nn.vec_id
          |ORDER BY nn.cos_sim DESC, d.doc_id""".stripMargin,
     "q_kmeans" -> sqlKmeans,
+    "q_topic_terms" ->
+      s"""WITH $sqlKmeansCtes,
+         |asg AS (SELECT vec_id AS doc_id, cid AS cluster FROM af),
+         |toks AS (SELECT a.cluster, unnest(${TextOps.sqlTokensLower}) AS term
+         |  FROM documents d JOIN asg a ON d.doc_id = a.doc_id),
+         |ctf AS (SELECT cluster, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |ft AS (SELECT term, sum(tf) AS ft FROM ctf GROUP BY 1),
+         |tot AS (SELECT sum(tf) AS tot_tok, count(DISTINCT cluster) AS ncl FROM ctf),
+         |sc AS (SELECT c.cluster, c.term, c.tf,
+         |    ${Fns.roundPSql(
+               "c.tf * ln(1.0::DOUBLE + (CAST(t.tot_tok AS DOUBLE) / t.ncl) / f.ft)", 6)} AS ctfidf
+         |  FROM ctf c JOIN ft f ON f.term = c.term, tot t),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY ctfidf DESC, term) AS rn FROM sc)
+         |SELECT cluster, term, tf, ctfidf FROM rk WHERE rn <= $TT_TOP
+         |ORDER BY cluster, ctfidf DESC, term""".stripMargin,
     "q_knn" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
