@@ -316,6 +316,52 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Hard-negative mining for contrastive training — the ANN-negatives
+    * stage of dense-retriever training (DPR, Karpukhin et al. 2020 §3.2;
+    * ANCE, Xiong et al. 2021): for every anchor vector, the most cosine-
+    * similar candidate bearing a DIFFERENT label inside the anchor's
+    * [[NASSIGN]] probe cells — close enough in embedding space to confuse
+    * the model, labeled differently so it trains as a negative.
+    *
+    * Scale shape: candidate generation is the SAME IVF cell blocking as
+    * [[qCosineBlocked]] (pairs only within shared cells — never
+    * all-pairs), norms staged once per row, one codegen'd dot per
+    * candidate; the per-anchor argmax is a WindowGroupLimit over the
+    * blocked pairs ranked on the ROUNDED cosine with a candidate-id
+    * tie-break, so each anchor's winner is deterministic under any
+    * partition order. Anchors whose probe cells hold no different-label
+    * candidate are absent on both engines. Reference kin: none (net-new
+    * training-data op; builds on E9's blocking). */
+  val qHardNegatives: Q = (s, d) => {
+    val v = vecs(s, d)
+    val best = v.crossJoin(broadcast(centroidArrays(v)))
+      .withColumn("cd", VectorExprs.dist2(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("cd"), col("cell")))).as("cs"))
+      .select(col("vec_id"), explode(slice(col("cs"), 1, NASSIGN)).as("a"))
+      .select(col("vec_id"), col("a.cell").as("cell"))
+    val n = v.join(best, "vec_id")
+      .select(col("cell"), col("vec_id"), col("label"), col("v"),
+        sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"))
+      .persist() // consumed by both join sides — no cross-branch CSE
+    val a = n.select(col("cell"), col("vec_id").as("anchor"),
+      col("label").as("la"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("cell"), col("vec_id").as("negative"),
+      col("label").as("neg_label"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("anchor") =!= col("negative") && col("la") =!= col("neg_label"))
+      .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("anchor"), col("negative"), col("neg_label"),
+        Fns.roundP(col("cos"), 6).as("cos_sim"))
+      .distinct() // a pair sharing both probe cells appears twice
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(col("cos_sim").desc, col("negative"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("anchor", "negative", "neg_label", "cos_sim")
+      .orderBy("anchor")
+  }
+
   /** Embedding-cosine near-dup pairs — the brute-force all-pairs baseline
     * (norms staged once per row; one codegen'd dot per pair). Quadratic by
     * construction — NOT gated; spec-level ground truth for
@@ -780,6 +826,7 @@ object VectorOps {
     "q_ann_hnsw2"      -> qAnnHnsw2,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_blocked" -> qCosineBlocked,
+    "q_hard_negatives" -> qHardNegatives,
     "q_pq_adc"         -> qPqAdc,
     "q_ann_ivfpq"      -> qAnnIvfPq,
   )
@@ -1020,6 +1067,20 @@ object VectorOps {
          |WHERE c.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin
     },
+    "q_hard_negatives" ->
+      s"""WITH $sqlCosBlockCtes,
+         |hp AS (
+         |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS negative,
+         |    eb.label AS neg_label,
+         |    ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
+         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ea.label <> eb.label),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY anchor ORDER BY cos_sim DESC, negative) AS rn FROM hp)
+         |SELECT anchor, negative, neg_label, cos_sim FROM rk WHERE rn = 1
+         |ORDER BY anchor""".stripMargin,
     "q_cosine_blocked" ->
       s"""WITH $sqlCosBlockCtes
          |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
