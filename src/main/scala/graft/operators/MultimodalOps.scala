@@ -299,12 +299,152 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** PCM sample rate of the synthesized audio lane. 8 kHz makes the
+    * per-sample duration exactly 125 µs, so durations are integer-exact
+    * on both engines. */
+  val WAV_RATE = 8000
+
+  /** Sample mapping: text byte b → signed 16-bit sample (b − 96)·256.
+    * 96 sits between punctuation/space (< 96 → negative) and lowercase
+    * letters (> 96 → positive), so real text yields real zero crossings
+    * at word boundaries instead of a degenerate all-negative signal. */
+  val WAV_BIAS = 96
+
+  /** Pure-JVM codec for the RIFF/WAVE PCM container (public spec:
+    * the Microsoft/IBM WAVE format — RIFF chunk grammar with
+    * little-endian sizes, a 16-byte PCM `fmt ` chunk, and an even-byte
+    * chunk-padding rule). The encoder emits a JUNK chunk between `fmt `
+    * and `data` (the standard alignment-filler convention), deliberately
+    * odd-sized, so EVERY gate row crosses the parser's chunk-skip and
+    * pad-byte paths — the two places real-world WAV readers break.
+    * Malformed input fails LOUDLY with the byte offset. */
+  object Wav {
+    case class Audio(rate: Int, samples: Array[Short])
+
+    private def u16(b: java.nio.ByteBuffer, v: Int): Unit = b.putShort(v.toShort)
+    private def u32(b: java.nio.ByteBuffer, v: Int): Unit = b.putInt(v)
+
+    /** Serialize mono PCM16 as RIFF/WAVE: `fmt ` + odd-sized JUNK (with
+      * its pad byte) + `data`. */
+    def encode(samples: Array[Short], rate: Int, junk: String): Array[Byte] = {
+      val junkBytes = junk.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val junkSize = if (junkBytes.length % 2 == 1) junkBytes.length else junkBytes.length + 1
+      val junkPadded = junkSize + 1 // odd declared size ⇒ one pad byte on disk
+      val dataSize = samples.length * 2
+      val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); u32(buf, riffSize); buf.put("WAVE".getBytes)
+      buf.put("fmt ".getBytes); u32(buf, 16)
+      u16(buf, 1); u16(buf, 1); u32(buf, rate) // PCM, mono
+      u32(buf, rate * 2); u16(buf, 2); u16(buf, 16) // byteRate, block, bits
+      buf.put("JUNK".getBytes); u32(buf, junkSize)
+      buf.put(java.util.Arrays.copyOf(junkBytes, junkSize)); buf.put(0.toByte)
+      buf.put("data".getBytes); u32(buf, dataSize)
+      samples.foreach(s => buf.putShort(s))
+      buf.array()
+    }
+
+    /** Parse a WAVE file: walk the chunk list (honoring the even-byte
+      * padding rule), require a PCM/mono/16-bit `fmt ` before `data`,
+      * and materialize the little-endian samples. Exactly the public
+      * grammar — unknown chunks are skipped, structural violations
+      * throw with the offending byte offset. */
+    def decode(bytes: Array[Byte]): Audio = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"WAV: $msg at byte ${buf.position()}")
+      def tag(): String = {
+        if (buf.remaining() < 4) fail("truncated tag")
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag() != "RIFF") fail("missing RIFF magic")
+      val riffSize = buf.getInt
+      if (riffSize != bytes.length - 8) fail(s"RIFF size $riffSize != ${bytes.length - 8}")
+      if (tag() != "WAVE") fail("missing WAVE form type")
+      var rate = -1
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8) {
+        val id = tag()
+        val size = buf.getInt
+        if (size < 0 || size > buf.remaining()) fail(s"chunk $id size $size overruns")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail(s"fmt chunk too small ($size)")
+            val start = buf.position()
+            val fmt = buf.getShort; val ch = buf.getShort
+            rate = buf.getInt; buf.getInt; buf.getShort
+            val bits = buf.getShort
+            if (fmt != 1) fail(s"not PCM (format $fmt)")
+            if (ch != 1) fail(s"not mono ($ch channels)")
+            if (bits != 16) fail(s"not 16-bit ($bits)")
+            buf.position(start + size)
+          case "data" =>
+            if (rate < 0) fail("data chunk before fmt")
+            if (size % 2 != 0) fail(s"odd PCM16 data size $size")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+          case _ => buf.position(buf.position() + size) // unknown: skip
+        }
+        if (size % 2 == 1) {
+          if (buf.remaining() < 1) fail("missing chunk pad byte")
+          buf.get() // even-byte padding rule
+        }
+      }
+      if (samples == null) fail("no data chunk")
+      Audio(rate, samples)
+    }
+  }
+
+  case class MmAudio(doc_id: Long, n_samples: Long, duration_us: Long,
+    peak: Long, zero_cross: Long, energy: Long)
+
+  /** Audio lane — the third modality, end-to-end through a REAL container:
+    * each document renders as mono PCM16 WAV (sample i = (byte i −
+    * [[WAV_BIAS]])·256 at [[WAV_RATE]] Hz), [[Wav.decode]] walks the RIFF
+    * chunk grammar back (crossing the JUNK-skip + odd-size-padding paths
+    * on every row), and the gate pins integer-exact signal features of
+    * the DECODED samples: count, exact µs duration, peak |s|, zero
+    * crossings (the word-boundary rhythm of the text), and Σ s² energy.
+    * The oracle derives all five ANALYTICALLY from the text — it never
+    * builds or parses a container, so a shared encoder/decoder offset
+    * bug cannot cancel out. Same typed mapPartitions batch contract as
+    * the image lanes; 1:1 row shape, one scan, zero shuffles. */
+  val qMmAudio: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.map { doc =>
+          val pcm = doc.payload.map(b => (((b & 0xff) - WAV_BIAS) * 256).toShort)
+          val a = Wav.decode(Wav.encode(pcm, WAV_RATE, s"graft doc ${doc.doc_id}"))
+          var peak = 0L; var zc = 0L; var en = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val x = a.samples(i).toLong
+            if (math.abs(x) > peak) peak = math.abs(x)
+            en += x * x
+            if (i > 0 && (a.samples(i - 1) >= 0) != (x >= 0)) zc += 1
+            i += 1
+          }
+          MmAudio(doc.doc_id, a.samples.length.toLong,
+            a.samples.length.toLong * 1000000L / a.rate, peak, zc, en)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
     "q_mm_decode"   -> qMmDecode,
     "q_mm_frames"   -> qMmFrames,
     "q_mm_resize"   -> qMmResize,
+    "q_mm_audio"    -> qMmAudio,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -315,6 +455,22 @@ object MultimodalOps {
   // checks), and ord() over ASCII is the byte value.
 
   val oracles: Map[String, String] = Map(
+    // audio lane: samples, duration, peak, zero crossings, energy derived
+    // analytically from the text bytes — no WAV container on this side
+    "q_mm_audio" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> (ord(text[i]) - $WAV_BIAS) * 256) AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(s) AS BIGINT) AS n_samples,
+         |  CAST(len(s) AS BIGINT) * ${1000000 / WAV_RATE} AS duration_us,
+         |  CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS peak,
+         |  CAST(len(list_filter(range(1, len(s)),
+         |    i -> (s[i] >= 0) <> (s[i+1] >= 0))) AS BIGINT) AS zero_cross,
+         |  CAST(coalesce(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

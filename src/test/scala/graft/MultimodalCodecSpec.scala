@@ -76,4 +76,53 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 99.0 / 16)                 // f2 = 6.1875
     assert(row.getDouble(5) == 6.125)                     // f3 = 294/48
   }
+
+  test("WAV round-trip: encode then decode returns rate and samples exactly") {
+    import graft.operators.MultimodalOps.Wav
+    val pcm = Array[Short](256, -16384, 512, 0, Short.MinValue, Short.MaxValue)
+    val a = Wav.decode(Wav.encode(pcm, 8000, "rt"))
+    assert(a.rate == 8000 && a.samples.toSeq == pcm.toSeq)
+  }
+
+  test("WAV parser skips unknown chunks and honors the odd-size pad rule") {
+    import graft.operators.MultimodalOps.Wav
+    // the canonical encoder always emits an odd-sized JUNK chunk, so every
+    // round-trip crosses both paths; this pins them explicitly at size 1
+    val a = Wav.decode(Wav.encode(Array[Short](100), 8000, ""))
+    assert(a.samples.toSeq == Seq(100.toShort))
+  }
+
+  test("WAV parser rejects malformed containers loudly") {
+    import graft.operators.MultimodalOps.Wav
+    val good = Wav.encode(Array[Short](1, 2, 3), 8000, "x")
+    intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes ++ good.drop(4)))
+    intercept[IllegalArgumentException](Wav.decode(good.dropRight(1))) // bad RIFF size
+    intercept[IllegalArgumentException](Wav.decode(good.take(12)))     // no chunks at all
+    // data before fmt: swap by re-encoding a container with fmt renamed
+    val nofmt = good.clone()
+    val fmtAt = good.indexOfSlice("fmt ".getBytes)
+    nofmt(fmtAt) = 'X'.toByte
+    intercept[IllegalArgumentException](Wav.decode(nofmt))
+  }
+
+  test("q_mm_audio features are exact on a hand-computed fixture") {
+    // "a b": bytes 97,32,98 -> samples 256,-16384,512 at bias 96
+    // peak 16384; crossings 2; energy 256^2+16384^2+512^2 = 268763136
+    import SparkTestBase._
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmaudio").toString
+    spark.range(1)
+      .select(lit(7L).as("doc_id"), lit("a b").as("text"), lit("en").as("lang"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.MultimodalOps.qMmAudio(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 7L)
+    assert(row.getLong(1) == 3L)          // n_samples
+    assert(row.getLong(2) == 375L)        // duration_us at 8 kHz
+    assert(row.getLong(3) == 16384L)      // peak
+    assert(row.getLong(4) == 2L)          // zero crossings around the space
+    assert(row.getLong(5) == 268763136L)  // energy
+  }
 }
+
