@@ -350,7 +350,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fill-in-the-middle objective construction (Bavarian et al.,
+    * "Efficient Training of Language Models to Fill in the Middle", 2022
+    * — the FIM transform code-model pipelines apply to ~50% of
+    * documents): a deterministic coin (hash of doc_id, rate 1/2) picks
+    * whether a doc is rearranged; two hash-derived cut points split it
+    * into prefix/middle/suffix; the emitted sample is the PSM reordering
+    * `<PRE>prefix<SUF>suffix<MID>middle`. The gate pins the decision,
+    * the three exact segment lengths, and the md5 of the transformed
+    * sample — so both the cut geometry and the reassembled bytes are
+    * value-checked. Pure row-local column algebra (hashes, substrings,
+    * one digest): zero shuffles beyond the output sort at any corpus
+    * size, and deterministic under any partitioning — the q_hash_split
+    * posture applied to objective construction. Reference kin: none
+    * (net-new training-data op). */
+  val qFimSplit: Q = (s, d) => {
+    def h(tag: String) =
+      Fns.hash32(concat(lit(tag), col("doc_id").cast("string")))
+    val cut = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        (pmod(h("fim0_"), lit(2)) === 0).as("apply_fim"),
+        pmod(h("fim1_"), length(col("text")) + 1).as("a"),
+        pmod(h("fim2_"), length(col("text")) + 1).as("b"))
+      .withColumn("lo", least(col("a"), col("b")))
+      .withColumn("hi", greatest(col("a"), col("b")))
+    cut.select(col("doc_id"), col("apply_fim"),
+        when(col("apply_fim"), col("lo")).otherwise(col("len"))
+          .cast("long").as("p_len"),
+        when(col("apply_fim"), col("hi") - col("lo")).otherwise(lit(0))
+          .cast("long").as("m_len"),
+        when(col("apply_fim"), col("len") - col("hi")).otherwise(lit(0))
+          .cast("long").as("s_len"),
+        md5(when(col("apply_fim"),
+            concat(lit("<PRE>"), col("text").substr(lit(1), col("lo")),
+              lit("<SUF>"), col("text").substr(col("hi") + 1, col("len") - col("hi")),
+              lit("<MID>"), col("text").substr(col("lo") + 1, col("hi") - col("lo"))))
+          .otherwise(col("text"))).as("psm_digest"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fim_split"    -> qFimSplit,
     "q_char_entropy" -> qCharEntropy,
     "q_top_terms"    -> qTopTerms,
     "q_pii_scrub"    -> qPiiScrub,
@@ -383,6 +423,28 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    "q_fim_split" -> {
+      def h(tag: String) =
+        s"CAST('0x' || substr(md5('$tag' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+      s"""WITH c AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    ${h("fim0_")} % 2 = 0 AS apply_fim,
+         |    least(${h("fim1_")} % (length(text) + 1),
+         |          ${h("fim2_")} % (length(text) + 1)) AS lo,
+         |    greatest(${h("fim1_")} % (length(text) + 1),
+         |             ${h("fim2_")} % (length(text) + 1)) AS hi
+         |  FROM documents)
+         |SELECT doc_id, apply_fim,
+         |  CAST(CASE WHEN apply_fim THEN lo ELSE len END AS BIGINT) AS p_len,
+         |  CAST(CASE WHEN apply_fim THEN hi - lo ELSE 0 END AS BIGINT) AS m_len,
+         |  CAST(CASE WHEN apply_fim THEN len - hi ELSE 0 END AS BIGINT) AS s_len,
+         |  md5(CASE WHEN apply_fim
+         |    THEN '<PRE>' || substr(text, 1, lo) || '<SUF>' ||
+         |         substr(text, hi + 1, len - hi) || '<MID>' ||
+         |         substr(text, lo + 1, hi - lo)
+         |    ELSE text END) AS psm_digest
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q_top_terms" ->
       s"""WITH toks AS (SELECT $sqlTokensLower AS w FROM documents),
          |t AS (SELECT unnest(w) AS term FROM toks)
