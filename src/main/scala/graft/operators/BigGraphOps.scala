@@ -164,11 +164,18 @@ object BigGraphOps {
     * LabelPropagation.run has the same per-superstep shape). Labels are
     * localCheckpoint'ed per round: the window+agg chain would otherwise
     * deepen the plan linearly with rounds. */
-  val qLabelProp: Q = (s, d) => {
+  /** The weighted undirected view shared by label propagation and
+    * modularity — both directions of every co-purchase edge. */
+  private def undWeighted(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d)
-    val und = persisted(
-      e.select(col("src").as("a"), col("dst").as("b"), col("w"))
-        .unionByName(e.select(col("dst").as("a"), col("src").as("b"), col("w"))))
+    e.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b"), col("w")))
+  }
+
+  /** The (node, community) assignment behind [[qLabelProp]], factored out
+    * so [[qModularity]] scores the IDENTICAL rounds. */
+  private def labelPropLabels(s: SparkSession, d: String): DataFrame = {
+    val und = persisted(undWeighted(s, d))
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -181,7 +188,45 @@ object BigGraphOps {
         .select(col("a").as("node"), col("lbl"))
         .localCheckpoint()
     }
-    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  val qLabelProp: Q = (s, d) => labelPropLabels(s, d).orderBy("node")
+
+  /** E11 companion — per-community modularity contributions (Newman &
+    * Girvan 2004, weighted form): Q = Σ_c [in_c/2m − (tot_c/2m)²], gated
+    * per community so a single community's drift is visible, with the
+    * exact integer in-weight/total-degree beside the rounded term. The
+    * communities are the IDENTICAL [[qLabelProp]] rounds (shared code) —
+    * this is the "was that clustering any good" report a pipeline runs
+    * after community detection.
+    *
+    * Scale shape: degrees and the 2m scalar are one agg each; the
+    * in-community weight joins the edge list against the O(V) label table
+    * twice, both node-keyed hash joins; everything after is O(communities).
+    * Integer weight sums throughout — the two divisions are the only
+    * doubles, computed in the same literal order on both engines. */
+  val qModularity: Q = (s, d) => {
+    val und = persisted(undWeighted(s, d))
+    val comm = persisted(labelPropLabels(s, d))
+    val deg = und.groupBy(col("a").as("node")).agg(sum(col("w")).as("deg"))
+    val m2 = und.agg(sum(col("w")).as("m2")) // = 2m: both directions summed
+    val inw = und
+      .join(comm.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(comm.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(sum(col("w")).as("in_w"))
+    val tot = comm.join(deg, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("tot_w"))
+    tot.join(inw, Seq("community"), "left").crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"), col("tot_w"),
+        Fns.roundP(
+          coalesce(col("in_w"), lit(0L)).cast("double") / col("m2") -
+            (col("tot_w").cast("double") / col("m2")) *
+            (col("tot_w").cast("double") / col("m2")), 6).as("contrib"))
+      .orderBy("community")
   }
 
   /** Outer-iteration bound for GraphX SCC — the graph resolves in 2-3
@@ -463,12 +508,38 @@ object BigGraphOps {
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
     "q_wcc_big"      -> qWccBig,
+    "q_modularity"   -> qModularity,
     "q_clustering_big" -> qClusteringBig,
     "q_kcore_big"    -> qKcoreBig,
     "q_harmonic_big" -> qHarmonicBig,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Shared CTE chain of the label-propagation oracle (edges, weighted
+    * undirected view, l0 seeds, the LP_ITERS vote/argmax rounds) — ends at
+    * l$LP_ITERS. Reused by the q_modularity oracle so both engines score
+    * the same communities. */
+  private def sqlLabelPropCtes: String = {
+    val rounds = (1 to LP_ITERS).map { i =>
+      s"""votes$i AS (
+         |  SELECT u.a AS node, l.lbl, sum(u.w) AS wt
+         |  FROM und u JOIN l${i - 1} l ON l.node = u.b GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl ASC) AS rn
+         |    FROM votes$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlEdges,
+       |und AS (
+       |  SELECT src AS a, dst AS b, 1 + (src + dst) % 3 AS w FROM edges
+       |  UNION ALL
+       |  SELECT dst AS a, src AS b, 1 + (src + dst) % 3 AS w FROM edges),
+       |lnodes AS (SELECT DISTINCT a AS node FROM und),
+       |l0 AS (SELECT node, node AS lbl FROM lnodes),
+       |$rounds""".stripMargin
+  }
 
   private val sqlEdges =
     """memb AS (
@@ -506,27 +577,31 @@ object BigGraphOps {
          |  FROM walk w JOIN wedges e ON e.src = w.node
          |  WHERE w.depth < $SSSP_ROUNDS)
          |SELECT node, min(cost) AS cost FROM walk GROUP BY node ORDER BY node""".stripMargin,
-    "q_label_prop" -> {
-      val rounds = (1 to LP_ITERS).map { i =>
-        s"""votes$i AS (
-           |  SELECT u.a AS node, l.lbl, sum(u.w) AS wt
-           |  FROM und u JOIN l${i - 1} l ON l.node = u.b GROUP BY 1, 2),
-           |l$i AS (
-           |  SELECT node, lbl FROM (
-           |    SELECT node, lbl,
-           |      row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl ASC) AS rn
-           |    FROM votes$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $sqlEdges,
-         |und AS (
-         |  SELECT src AS a, dst AS b, 1 + (src + dst) % 3 AS w FROM edges
-         |  UNION ALL
-         |  SELECT dst AS a, src AS b, 1 + (src + dst) % 3 AS w FROM edges),
-         |lnodes AS (SELECT DISTINCT a AS node FROM und),
-         |l0 AS (SELECT node, node AS lbl FROM lnodes),
-         |$rounds
-         |SELECT node, lbl AS community FROM l$LP_ITERS ORDER BY node""".stripMargin
-    },
+    "q_label_prop" ->
+      s"""WITH $sqlLabelPropCtes
+         |SELECT node, lbl AS community FROM l$LP_ITERS ORDER BY node""".stripMargin,
+    "q_modularity" ->
+      s"""WITH $sqlLabelPropCtes,
+         |comm AS (SELECT node, lbl AS community FROM l$LP_ITERS),
+         |deg AS (SELECT a AS node, sum(w) AS deg FROM und GROUP BY 1),
+         |m2t AS (SELECT sum(w) AS m2 FROM und),
+         |inw AS (
+         |  SELECT ca.community, sum(u.w) AS in_w
+         |  FROM und u
+         |  JOIN comm ca ON ca.node = u.a
+         |  JOIN comm cb ON cb.node = u.b
+         |  WHERE ca.community = cb.community GROUP BY 1),
+         |tot AS (
+         |  SELECT c.community, count(*) AS n_nodes, sum(d.deg) AS tot_w
+         |  FROM comm c JOIN deg d ON d.node = c.node GROUP BY 1)
+         |SELECT t.community, t.n_nodes,
+         |  CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w,
+         |  CAST(t.tot_w AS BIGINT) AS tot_w,
+         |  ${Fns.roundPSql(
+             "CAST(coalesce(i.in_w, 0) AS DOUBLE) / m.m2 - " +
+               "(CAST(t.tot_w AS DOUBLE) / m.m2) * (CAST(t.tot_w AS DOUBLE) / m.m2)", 6)} AS contrib
+         |FROM tot t LEFT JOIN inw i ON i.community = t.community, m2t m
+         |ORDER BY t.community""".stripMargin,
     // ground truth, not an algorithm mirror: full reachability closure,
     // mutual pairs, min-id per node — any correct SCC algorithm matches
     "q_scc_big" ->

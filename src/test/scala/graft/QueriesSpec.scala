@@ -45,7 +45,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_clustering_big", "q_nb_lang", "q_winnow", "q_bpe_merges",
     "q_semantic_dedup", "q_bpe_tokenize", "q_curation_funnel",
     "q_harmonic_big", "q_char_entropy", "q_wcc_big", "q_topic_terms",
-    "q_hard_negatives", "q_mm_audio", "q_fim_split")
+    "q_hard_negatives", "q_mm_audio", "q_fim_split", "q_modularity")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
