@@ -501,7 +501,54 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Candidate cap for [[qLinkPredict]] — the report size, not a work
+    * bound (ranking runs as TakeOrderedAndProject: per-partition top-K,
+    * K-row driver merge). */
+  val LP_TOPK = 50
+
+  /** Link prediction by common-neighbor scoring on the undirected
+    * co-purchase graph — the Liben-Nowell & Kleinberg (CIKM 2003) task:
+    * rank non-adjacent pairs (a, c) by evidence from shared neighbors.
+    * Score = the Resource-Allocation index Σ_b 1/deg(b) over common
+    * neighbors b (Zhou, Lü & Zhang, EPJ B 2009), alongside the raw
+    * common-neighbor count. RA is chosen over Adamic-Adar's 1/ln deg
+    * deliberately: 1/deg is ONE IEEE division (exact-rounded identically
+    * on every engine), so the decimal(18,12)-summed score is cross-engine
+    * exact, where ln(deg) is a libm call whose last ULP is not pinned by
+    * IEEE 754 — AA would gate on library coincidence, RA gates on
+    * arithmetic. (Same index family; RA ≥ AA empirically in the paper.)
+    *
+    * Scale shape: candidate pairs come from the wedge join (edge⋈edge
+    * keyed on the middle vertex — [[qClusteringBig]]'s bounded dataflow,
+    * never node×node); the degree join REUSES the wedge join's mid-keyed
+    * partitioning (no extra shuffle — pinned by PlanSpec); existing edges
+    * leave via a left_anti on the pair key; ranking is top-K with a K-row
+    * driver merge. At real scale the same plan runs with degree-capped
+    * wedges to bound the hottest mid — structure unchanged. */
+  val qLinkPredict: Q = (s, d) => {
+    val e = coEdges(s, d).select("src", "dst")
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    val deg = und.groupBy(col("a").as("mid")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("a"), col("b").as("mid"))
+      .join(und.select(col("a").as("mid"), col("b").as("c")), Seq("mid"))
+      .filter(col("a") < col("c"))
+    val cand = wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_anti")
+    cand.join(deg, Seq("mid"))
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("common_neighbors"),
+        Fns.roundP(
+          sum((lit(1.0) / col("deg").cast("double")).cast("decimal(18,12)"))
+            .cast("double"), 6)
+          .as("ra_score"))
+      .orderBy(desc("ra_score"), col("a"), col("c"))
+      .limit(LP_TOPK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_link_predict" -> qLinkPredict,
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
     "q_pagerank_big" -> qPagerankBig,
@@ -556,6 +603,30 @@ object BigGraphOps {
       |start AS (SELECT min(src) AS s FROM edges)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // RA link prediction: wedge-joined candidates, existing edges removed,
+    // 1/deg weights decimal-summed (IEEE-exact division on both engines)
+    "q_link_predict" ->
+      s"""WITH $sqlEdges,
+         |und AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+         |deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+         |wedges AS (
+         |  SELECT u1.a AS a, u1.b AS mid, u2.b AS c
+         |  FROM und u1 JOIN und u2 ON u1.b = u2.a
+         |  WHERE u1.a < u2.b),
+         |cand AS (
+         |  SELECT w.a, w.mid, w.c FROM wedges w
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.c))
+         |SELECT cand.a, cand.c,
+         |  CAST(count(*) AS BIGINT) AS common_neighbors,
+         |  ${Fns.roundPSql(
+              "CAST(sum(CAST(1.0::DOUBLE / deg AS DECIMAL(18,12))) AS DOUBLE)", 6)} AS ra_score
+         |FROM cand JOIN deg ON deg.node = cand.mid
+         |GROUP BY cand.a, cand.c
+         |ORDER BY ra_score DESC, cand.a, cand.c
+         |LIMIT $LP_TOPK""".stripMargin,
     // UNION (not UNION ALL) in the recursive terms: the chain DAG has
     // exponentially many paths, but the deduped (node, hop)/(node, cost,
     // depth) state space is linear in V × depth.

@@ -438,6 +438,54 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Samples per analysis frame for [[qAudioFeatures]] — the short-time
+    * window size. Non-overlapping (hop == frame) keeps every sample in
+    * exactly one frame, so frame sums partition the whole-signal sums
+    * [[qMmAudio]] pins (cross-checked by the spec). */
+  val AF_FRAME = 64
+
+  case class MmAudioFrame(doc_id: Long, frame_id: Int, n: Int,
+    energy: Long, peak: Long, zero_cross: Long)
+
+  /** Short-time framing over the decoded PCM — the windowing stage every
+    * audio featurizer (MFCC, learned encoder) runs first. Each decoded
+    * signal splits into non-overlapping [[AF_FRAME]]-sample frames (the
+    * tail frame keeps its true length), and the gate pins integer-exact
+    * per-frame features: Σ s² energy, peak |s|, and WITHIN-frame zero
+    * crossings (sign changes between adjacent samples of the same frame —
+    * no cross-frame pair, so frames are independently recomputable, the
+    * property that lets a 100 TB run re-featurize one shard). Row shape
+    * is 1:⌈n/FRAME⌉ flatMap inside the same typed mapPartitions scan as
+    * the other lanes — framing adds no shuffle at any corpus size. The
+    * oracle slices the analytically-derived sample list per frame and
+    * never sees a WAV container. */
+  val qAudioFeatures: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.flatMap { doc =>
+          val pcm = doc.payload.map(b => (((b & 0xff) - WAV_BIAS) * 256).toShort)
+          val a = Wav.decode(Wav.encode(pcm, WAV_RATE, s"graft doc ${doc.doc_id}"))
+          a.samples.grouped(AF_FRAME).zipWithIndex.map { case (fr, fi) =>
+            var peak = 0L; var zc = 0L; var en = 0L
+            var i = 0
+            while (i < fr.length) {
+              val x = fr(i).toLong
+              if (math.abs(x) > peak) peak = math.abs(x)
+              en += x * x
+              if (i > 0 && (fr(i - 1) >= 0) != (x >= 0)) zc += 1
+              i += 1
+            }
+            MmAudioFrame(doc.doc_id, fi, fr.length, en, peak, zc)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
@@ -445,6 +493,7 @@ object MultimodalOps {
     "q_mm_frames"   -> qMmFrames,
     "q_mm_resize"   -> qMmResize,
     "q_mm_audio"    -> qMmAudio,
+    "q_audio_features" -> qAudioFeatures,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -471,6 +520,30 @@ object MultimodalOps {
          |    i -> (s[i] >= 0) <> (s[i+1] >= 0))) AS BIGINT) AS zero_cross,
          |  CAST(coalesce(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy
          |FROM b ORDER BY doc_id""".stripMargin,
+    // short-time frames: slice the analytic sample list into 64-sample
+    // runs; within-frame zero crossings only (adjacent pairs of the slice)
+    "q_audio_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> (ord(text[i]) - $WAV_BIAS) * 256) AS s
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(fi AS INT) AS frame_id,
+         |    s[fi * $AF_FRAME + 1 : fi * $AF_FRAME + $AF_FRAME] AS fr
+         |  FROM (
+         |    -- DuckDB 1.0: table-function range() takes no lateral column
+         |    -- args; the LIST-function range() does, unnested per row
+         |    SELECT doc_id, s,
+         |      unnest(range((len(s) + ${AF_FRAME - 1}) // $AF_FRAME)) AS fi
+         |    FROM b))
+         |SELECT doc_id, frame_id,
+         |  CAST(len(fr) AS INT) AS n,
+         |  CAST(coalesce(list_sum(list_transform(fr, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy,
+         |  CAST(coalesce(list_max(list_transform(fr, x -> abs(x))), 0) AS BIGINT) AS peak,
+         |  CAST(len(list_filter(range(1, len(fr)),
+         |    i -> (fr[i] >= 0) <> (fr[i+1] >= 0))) AS BIGINT) AS zero_cross
+         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
