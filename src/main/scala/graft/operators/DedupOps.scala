@@ -568,7 +568,62 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Exact per-group sample size for [[qGroupK]]. */
+  val GROUP_K = 20
+
+  /** Stratified EXACT-K sampling — [[qUniformK]]'s per-source form, the
+    * "balanced subset" op a curation run uses to cap every source at K
+    * docs (domain balancing without rate tables). Selection rank is the
+    * same deterministic doc_id hash, so membership is reproducible at any
+    * partitioning and stable as OTHER sources grow (a doc's rank never
+    * depends on rows outside its source).
+    *
+    * Scale shape: the rank window is per-source top-K, which Spark plans
+    * as WindowGroupLimit (pinned by PlanSpec) — each partition keeps ≤K
+    * rows per group BEFORE the (source)-keyed exchange, so the shuffle
+    * carries ≤ sources×K×partitions rows, never the corpus. */
+  val qGroupK: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy(col("rank_h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        Fns.hash32(concat(lit("grp_"), col("doc_id").cast("string"))).as("rank_h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GROUP_K)
+      .select(col("doc_id"), col("source"), col("lang"), col("rank_h"))
+      .orderBy("source", "rank_h", "doc_id")
+  }
+
+  /** Prefix words per doc for [[qPrefixDup]]. Two words is deliberate for
+    * the synthetic corpus's ~40-word vocabulary (collision mass exists at
+    * every SF); a web corpus would key on ~the first 100 characters —
+    * same plan, longer key. */
+  val PREFIX_WORDS = 2
+
+  /** Boilerplate-prefix clustering — the "documents sharing an identical
+    * opening" signal web pipelines use to catch templated boilerplate
+    * (C4 strips repeated lines; RefinedWeb dedupes shared spans). Docs
+    * are keyed by the md5 hash of their first [[PREFIX_WORDS]] words;
+    * clusters of ≥2 docs are reported with their size and canonical
+    * keeper (min doc_id — the qDedupExact rule).
+    *
+    * Scale shape: the prefix key is row-local column algebra (no
+    * tokenize-explode — a fixed-size slice of the split array), one
+    * key-hashed partial+final agg; only cluster keys move, never texts.
+    * Group count is bounded by vocabulary^PREFIX_WORDS, so the agg state
+    * is small at any corpus size. */
+  val qPrefixDup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(slice(split(col("text"), " "), 1, PREFIX_WORDS), " "))
+          .as("prefix_key"))
+      .groupBy("prefix_key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_key")
+
   val queries: Map[String, Q] = Map(
+    "q_group_k"           -> qGroupK,
+    "q_prefix_dup"        -> qPrefixDup,
     "q_dedup_exact"       -> qDedupExact,
     "q_minhash_dedup"     -> qMinhashDedup,
     "q_fuzzy_decontaminate" -> qFuzzyDecontaminate,
@@ -697,6 +752,27 @@ object DedupOps {
          |  < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
          |         THEN 300 ELSE 700 END
          |ORDER BY doc_id""".stripMargin,
+    "q_group_k" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, lang,
+         |    ${sqlHash32("'grp_' || CAST(doc_id AS VARCHAR)")} AS rank_h
+         |  FROM documents),
+         |w AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY rank_h, doc_id) AS rn
+         |  FROM r)
+         |SELECT doc_id, source, lang, rank_h FROM w
+         |WHERE rn <= $GROUP_K ORDER BY source, rank_h, doc_id""".stripMargin,
+    "q_prefix_dup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(string_split(text, ' ')[1 : $PREFIX_WORDS], ' '))
+         |      AS prefix_key
+         |  FROM documents)
+         |SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM p GROUP BY prefix_key HAVING count(*) >= 2
+         |ORDER BY prefix_key""".stripMargin,
     "q_uniform_k" ->
       s"""SELECT doc_id, source,
          |  ${sqlHash32("'uni_' || CAST(doc_id AS VARCHAR)")} AS rank_h

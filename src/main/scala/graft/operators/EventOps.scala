@@ -280,7 +280,41 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Truncated-EWMA horizon: terms beyond the [[EWMA_W]] newest events
+    * carry weight < 2^-12 ≈ 2.4e-4 and are dropped — the standard
+    * truncated form of the smoother. */
+  val EWMA_W = 12
+
+  /** Per-user EWMA of `value` (Roberts 1959, the EWMA control-chart
+    * smoother; the feature-freshness signal online feature stores serve).
+    * α = 1/2 deliberately: each weight is 2^-k, so `value / 2^k` is an
+    * EXACT IEEE operation (scaling by a power of two never rounds), and
+    * the decimal(28,18)-cast terms sum identically on both engines in
+    * any aggregation order — the smoother gates on arithmetic, not libm.
+    * Newest-first rank comes from one row_number over (user, ts desc,
+    * event_id desc) — event_id breaks ts ties so the weighting is
+    * deterministic under any partitioning.
+    *
+    * Scale shape: ONE user-keyed shuffle; the groupBy reuses the window's
+    * hash(user_id) partitioning (no second exchange — pinned by
+    * PlanSpec), state per user is a running sum, and the horizon bounds
+    * per-row work at W terms regardless of history length. */
+  val qEwma: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("k", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Fns.roundP(
+          sum(when(col("k") <= EWMA_W,
+            (col("value") / pow(lit(2.0), col("k"))).cast("decimal(28,18)")))
+            .cast("double"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ewma"       -> qEwma,
     "q_anomaly"    -> qAnomaly,
     "q_sliding_features" -> qSlidingFeatures,
     "q_regression" -> qRegression,
@@ -302,6 +336,19 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // EWMA: value / 2^k is exact IEEE scaling; decimal-cast terms sum
+    // order-independently (ties on ts broken by event_id on both sides)
+    "q_ewma" ->
+      s"""WITH r AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS k
+         |  FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  ${Fns.roundPSql(
+            s"CAST(sum(CASE WHEN k <= $EWMA_W THEN " +
+              "CAST(value / pow(2.0, k) AS DECIMAL(28,18)) END) AS DOUBLE)", 6)} AS ewma
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -389,7 +389,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Word-block size for [[qSpanCorrupt]] — each block of SC_BLOCK words
+    * masks exactly one span, so spans can never overlap and every
+    * block's geometry is decidable row-locally. */
+  val SC_BLOCK = 10
+
+  /** Span-corruption objective construction (Raffel et al., JMLR 2020 —
+    * the T5 denoising transform): deterministic hash-chosen token spans
+    * are replaced by numbered sentinels in the input, and the target is
+    * the sentinel-prefixed masked spans in order. Geometry: words
+    * partition into [[SC_BLOCK]]-word blocks; block k masks one span of
+    * 1–3 words (hash-derived length, clamped to the tail block) at a
+    * hash-derived offset — non-overlapping by construction, ~10–30%
+    * corruption, every decision a pure function of (doc_id, k) so the
+    * construction is reproducible under any partitioning or corpus
+    * growth (q_hash_split's posture). The gate pins word/span/masked
+    * counts and md5 digests of the exact input and target strings, so
+    * sentinel placement and span extraction are value-checked byte-for-
+    * byte. Row-local column algebra over staged array columns (the
+    * PERF.md HOF rule); zero shuffles beyond the output sort. Reference
+    * kin: none (net-new training-data op; sibling of q_fim_split). */
+  val qSpanCorrupt: Q = (s, d) => {
+    def h(tag: String, k: Column) =
+      Fns.hash32(concat(lit(tag), col("doc_s"), lit("_"), k.cast("string")))
+    def sent(k: Column) = concat(lit("<X"), k.cast("string"), lit(">"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").cast("string").as("doc_s"),
+        split(col("text"), " ").as("words"))
+      .withColumn("nw", size(col("words")))
+      .withColumn("ks",
+        sequence(lit(0), expr(s"(nw + ${SC_BLOCK - 1}) div $SC_BLOCK - 1")))
+      .withColumn("blocks", transform(col("ks"), k => {
+        val m = least(col("nw") - k * SC_BLOCK, lit(SC_BLOCK))
+        val l = least(lit(1) + pmod(h("sc0_", k), lit(3)).cast("int"), m)
+        val st = pmod(h("sc1_", k), (m - l + 1).cast("long")).cast("int")
+        struct(k.as("k"), m.as("m"), l.as("l"), st.as("s"))
+      }))
+      .withColumn("in_toks", flatten(transform(col("blocks"), b =>
+        concat(
+          slice(col("words"), b.getField("k") * SC_BLOCK + 1, b.getField("s")),
+          array(sent(b.getField("k"))),
+          slice(col("words"),
+            b.getField("k") * SC_BLOCK + b.getField("s") + b.getField("l") + 1,
+            b.getField("m") - b.getField("s") - b.getField("l"))))))
+      .withColumn("tgt_toks", flatten(transform(col("blocks"), b =>
+        concat(array(sent(b.getField("k"))),
+          slice(col("words"),
+            b.getField("k") * SC_BLOCK + b.getField("s") + 1,
+            b.getField("l"))))))
+      .select(col("doc_id"),
+        col("nw").cast("long").as("n_words"),
+        size(col("blocks")).cast("long").as("n_spans"),
+        expr("CAST(aggregate(blocks, CAST(0 AS BIGINT), (a, x) -> a + x.l) AS BIGINT)")
+          .as("n_masked"),
+        md5(array_join(col("in_toks"), " ")).as("input_digest"),
+        md5(array_join(col("tgt_toks"), " ")).as("target_digest"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_span_corrupt" -> qSpanCorrupt,
     "q_fim_split"    -> qFimSplit,
     "q_char_entropy" -> qCharEntropy,
     "q_top_terms"    -> qTopTerms,
@@ -423,6 +482,45 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    // span corruption: same block geometry derived per (doc, k); string_agg
+    // of non-empty per-block pieces == Spark's flatten+join (every piece
+    // contains its sentinel, so the separators line up token-for-token)
+    "q_span_corrupt" -> {
+      def h(tag: String) =
+        s"CAST('0x' || substr(md5('$tag' || doc_s || '_' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT)"
+      val B = SC_BLOCK
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS doc_s,
+         |    string_split(text, ' ') AS words,
+         |    len(string_split(text, ' ')) AS nw
+         |  FROM documents),
+         |b0 AS (
+         |  SELECT doc_id, doc_s, words, nw,
+         |    unnest(range((nw + ${B - 1}) // $B)) AS k
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, doc_s, words, nw, k,
+         |    least(nw - k * $B, $B) AS m,
+         |    least(1 + ${h("sc0_")} % 3, least(nw - k * $B, $B)) AS l
+         |  FROM b0),
+         |p2 AS (
+         |  SELECT *, ${h("sc1_")} % (m - l + 1) AS s FROM p),
+         |pc AS (
+         |  SELECT doc_id, nw, k, l,
+         |    words[CAST(k * $B + 1 AS INT) : CAST(k * $B + s AS INT)]
+         |      || ['<X' || k || '>']
+         |      || words[CAST(k * $B + s + l + 1 AS INT) : CAST(k * $B + m AS INT)] AS arr,
+         |    ['<X' || k || '>']
+         |      || words[CAST(k * $B + s + 1 AS INT) : CAST(k * $B + s + l AS INT)] AS tgt
+         |  FROM p2)
+         |SELECT doc_id,
+         |  CAST(max(nw) AS BIGINT) AS n_words,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(l) AS BIGINT) AS n_masked,
+         |  md5(string_agg(array_to_string(arr, ' '), ' ' ORDER BY k)) AS input_digest,
+         |  md5(string_agg(array_to_string(tgt, ' '), ' ' ORDER BY k)) AS target_digest
+         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_fim_split" -> {
       def h(tag: String) =
         s"CAST('0x' || substr(md5('$tag' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"

@@ -228,6 +228,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"typed decode boundary missing:\n$p")
   }
 
+  test("q_audio_features frames inside one mapPartitions scan, no shuffle but the sort") {
+    val p = plan("q_audio_features")
+    assert(!p.toLowerCase.contains("join"), s"framing must not join:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one documents scan only:\n$p")
+    assert(p.contains("MapPartitions"), s"typed decode boundary missing:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the final orderBy exchange is allowed:\n$p")
+  }
+
+  test("q_link_predict ranks top-K without a global sort and never goes quadratic") {
+    val p = plan("q_link_predict")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-K lost its K-row merge:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"undirected edge set not persisted:\n$p")
+  }
+
+  test("q_ewma groupBy reuses the window's user-keyed exchange") {
+    // window partitionBy(user) then groupBy(user): ONE hash exchange on
+    // user_id plus the final orderBy range exchange — a second user
+    // shuffle means the reuse regressed
+    val p = plan("q_ewma")
+    assert(!p.toLowerCase.contains("join"), s"ewma must not join:\n$p")
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).length <= 2,
+      s"groupBy lost the window's partitioning:\n$p")
+  }
+
+  test("q_group_k plans per-group top-K as WindowGroupLimit") {
+    val p = plan("q_group_k")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source rank lost its partial top-K:\n$p")
+  }
+
+  test("q_span_corrupt is a row-local scan (hash geometry, no shuffle but the sort)") {
+    val p = plan("q_span_corrupt")
+    // match join OPERATORS, not the string-function array_join in the projection
+    assert(!"(?i)(HashJoin|MergeJoin|NestedLoop|CartesianProduct)".r
+      .findFirstIn(p).isDefined, s"span corruption must not join:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one documents scan only:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the final orderBy exchange is allowed:\n$p")
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so

@@ -45,7 +45,9 @@ class QueriesSpec extends AnyFunSuite {
     "q_clustering_big", "q_nb_lang", "q_winnow", "q_bpe_merges",
     "q_semantic_dedup", "q_bpe_tokenize", "q_curation_funnel",
     "q_harmonic_big", "q_char_entropy", "q_wcc_big", "q_topic_terms",
-    "q_hard_negatives", "q_mm_audio", "q_fim_split", "q_modularity")
+    "q_hard_negatives", "q_mm_audio", "q_fim_split", "q_modularity",
+    "q_audio_features", "q_link_predict", "q_span_corrupt", "q_ewma",
+    "q_group_k", "q_prefix_dup")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -380,6 +382,46 @@ class QueriesSpec extends AnyFunSuite {
     for (a <- rows; b <- rows if a.getAs[Long]("t_src") < b.getAs[Long]("t_src"))
       assert(a.getAs[Double]("rate") >= b.getAs[Double]("rate"),
         s"${a.getAs[String]("source")} smaller than ${b.getAs[String]("source")} but lower rate")
+  }
+
+  test("q_audio_features frames partition the q_mm_audio whole-signal sums") {
+    // non-overlapping frames: per-doc Σ frame energy == whole-signal energy,
+    // Σ frame lengths == n_samples, max frame peak == whole peak; within-
+    // frame zero crossings can only LOSE the cross-frame pairs
+    val frames = SparkEntry.queries("q_audio_features")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val whole = SparkEntry.queries("q_mm_audio")(spark, sfDir).collect()
+    assert(whole.nonEmpty && frames.nonEmpty)
+    whole.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fs = frames.getOrElse(id, Array.empty)
+      if (r.getAs[Long]("n_samples") == 0L) assert(fs.isEmpty)
+      else {
+        assert(fs.map(_.getAs[Int]("n").toLong).sum == r.getAs[Long]("n_samples"))
+        assert(fs.map(_.getAs[Long]("energy")).sum == r.getAs[Long]("energy"))
+        assert(fs.map(_.getAs[Long]("peak")).max == r.getAs[Long]("peak"))
+        val zcFrames = fs.map(_.getAs[Long]("zero_cross")).sum
+        val zcWhole = r.getAs[Long]("zero_cross")
+        assert(zcFrames <= zcWhole && zcWhole - zcFrames < fs.length,
+          s"doc $id: frame zc $zcFrames vs whole $zcWhole with ${fs.length} frames")
+      }
+    }
+  }
+
+  test("q_link_predict pairs are ordered, non-adjacent, and genuinely wedged") {
+    val rows = SparkEntry.queries("q_link_predict")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = operators.BigGraphOps.coEdges(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("a"), r.getAs[Long]("c"))
+      assert(a < c, s"pair ($a,$c) not ordered")
+      assert(!e.contains((a, c)) && !e.contains((c, a)),
+        s"predicted pair ($a,$c) is already an edge")
+      assert(r.getAs[Long]("common_neighbors") >= 1)
+      assert(r.getAs[Double]("ra_score") > 0.0)
+    }
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
