@@ -60,7 +60,11 @@ object ScaleProbe {
                              // df cap — the boilerplate guard absorbs dup manufacture)
     "q_nb_lang",             // (doc,token,tf) collapse + vocab×classes broadcast (documents)
     "q_bpe_merges",          // corpus word-freq agg + vocab-bounded merge loop (documents)
-    "q_scc_big")             // GraphX Pregel coloring SCC, SCC_ITERS-bounded (orders)
+    "q_scc_big",             // GraphX Pregel coloring SCC, SCC_ITERS-bounded (orders)
+    "q_link_predict",        // wedge join keyed on middle vertex + top-K (orders)
+    "q_span_corrupt",        // row-local hash geometry, zero-shuffle (documents)
+    "q_ewma",                // one user-keyed window+agg, W-bounded terms (events)
+    "q_audio_features")      // per-row WAV decode + framing flatMap (documents)
     // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
     // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
     // vectors — every cross-copy pair is a true cos=1 near-dup, so replication

@@ -299,10 +299,15 @@ object EventOps {
     * hash(user_id) partitioning (no second exchange — pinned by
     * PlanSpec), state per user is a running sum, and the horizon bounds
     * per-row work at W terms regardless of history length. */
-  val qEwma: Q = (s, d) => {
+  val qEwma: Q = (s, d) => ewmaCore(Tables.events(s, d))
+
+  /** Table-agnostic core of [[qEwma]] — shared with the streaming twin's
+    * parity spec so batch and stream run the same definition over the
+    * same fixture frame. */
+  def ewmaCore(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
+    events
       .withColumn("k", row_number().over(w))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),

@@ -213,4 +213,58 @@ object EventStream {
     * the per-window counter state exactly like the windowed aggregation. */
   def cmsCounters(s: SparkSession, dir: String): DataFrame =
     cmsCountersCore(rawEvents(s, dir).withWatermark("ts", "10 minutes"))
+
+  case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming per-user truncated EWMA — the deployed (feature-store
+    * freshness) form of [[graft.operators.EventOps.qEwma]]. `GroupState`
+    * carries the newest [[graft.operators.EventOps.EWMA_W]] (ts, event_id,
+    * value) triples plus a running event count; each batch merges its
+    * arrivals and re-emits the user's current smoothed value with the
+    * batch gate's EXACT arithmetic (value/2^k is IEEE-exact scaling; terms
+    * quantized to 18 decimals via the double's decimal rendering — the
+    * same semantics as Spark's double→decimal(28,18) cast — then summed,
+    * so stream and batch agree to the last rounded digit).
+    *
+    * The keep-newest-W merge is order-correct across any batch split: the
+    * state always holds the top-W of everything seen (a discarded event is
+    * older than all kept, so no later arrival can make it top-W again),
+    * which is why the final emission equals the batch query no matter how
+    * the stream was micro-batched (spec-asserted). State is W triples +
+    * one long per user — bounded by construction. Assumes exactly-once
+    * input; compose with [[dedupedEventsOf]] upstream when the transport
+    * can re-deliver (same contract as the batch table). */
+  def ewmaUpdatesOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val W = graft.operators.EventOps.EWMA_W
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, List[(Long, Long, Double)])]) =>
+          val (n0, kept0) = state.getOption.getOrElse((0L, List.empty[(Long, Long, Double)]))
+          val incoming = it.map(t => (t._2, t._3, t._4)).toList
+          val merged = (incoming ++ kept0)
+            .sortBy { case (ts, id, _) => (-ts, -id) }
+            .take(W)
+          val n = n0 + incoming.length
+          state.update((n, merged))
+          val sum = merged.zipWithIndex
+            .map { case ((_, _, v), i) =>
+              // v / 2^(k) is exact; valueOf goes through Double.toString —
+              // the same digits Spark's cast to decimal(28,18) rounds
+              java.math.BigDecimal.valueOf(v / math.pow(2.0, i + 1))
+                .setScale(18, java.math.RoundingMode.HALF_UP)
+            }
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          // the batch gate's roundP: floor(x·10^6 + 0.5)/10^6
+          Iterator(EwmaUpdate(uid, n,
+            math.floor(sum.doubleValue * 1e6 + 0.5) / 1e6))
+      }
+      .toDF()
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Structured Streaming window aggregation must agree with the batch
@@ -126,6 +127,53 @@ class StreamingSpec extends AnyFunSuite {
     val expect = b2.count(v => math.abs(v._2 - mean) > 3.0 * std).toLong
     assert(expect === 2L, s"test fixture should have exactly 2 outliers, got $expect")
     assert(rows(1) === (("click", 50L, 4L, expect)))
+  }
+
+  test("streaming EWMA final state equals the batch query on any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // (event_id, ts_us, user_id, value): user 1 has > EWMA_W events so the
+    // truncation path is exercised; user 2 straddles batches OUT OF ORDER
+    // (older event arrives in a later batch) to prove the top-W merge is
+    // arrival-order independent; a ts tie on user 2 exercises the
+    // event_id tiebreak
+    val ev: Seq[(Long, Long, Long, Double)] =
+      (1L to 15L).map(i => (i, 1000000L * i, 1L, 10.0 + i)) ++
+      Seq((100L, 7000000L, 2L, 5.5), (101L, 3000000L, 2L, 7.25),
+          (102L, 7000000L, 2L, 9.0))
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts_us", "user_id", "value")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("value"))
+    val q = EventStream.ewmaUpdatesOf(stream)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev.take(6))          // batch 1
+      q.processAllAvailable()
+      mem.addData(ev.slice(6, 16))     // batch 2 (includes user 2's late 101)
+      q.processAllAvailable()
+      mem.addData(ev.drop(16))         // batch 3
+      q.processAllAvailable()
+    } finally q.stop()
+    // newest emission per user (largest n_events) == the stream's final view
+    val streamed = spark.table("ewma_stream").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) }
+    val batchDf = ev.toDF("event_id", "ts_us", "user_id", "value")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("value"))
+    val batch = operators.EventOps.ewmaCore(batchDf).collect()
+    assert(batch.length === 2)
+    batch.foreach { b =>
+      val st = streamed(b.getLong(0))
+      assert(st.getLong(1) === b.getAs[Long]("n_events"),
+        s"user ${b.getLong(0)} event count")
+      assert(st.getDouble(2) === b.getAs[Double]("ewma"),
+        s"user ${b.getLong(0)} ewma stream/batch mismatch")
+    }
   }
 
   test("streaming CMS counters equal the batch sketch build") {
