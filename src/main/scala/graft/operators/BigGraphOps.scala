@@ -145,6 +145,56 @@ object BigGraphOps {
     rank.select(col("node"), Fns.roundP(col("rank"), 8).as("pagerank")).orderBy("node")
   }
 
+  /** Personalized PageRank restart mass (the standard 0.15, all of it
+    * returned to the seed instead of spread uniformly). */
+  val PPR_ALPHA = 0.15
+
+  /** Personalized PageRank from the deterministic start vertex (Haveliwala,
+    * WWW 2002 — topic-sensitive PageRank; the "related items" relevance
+    * query a recommender serves). Same power iteration as
+    * [[qPagerankBig]] with two seed changes: the walk starts with all
+    * mass on the seed, and the [[PPR_ALPHA]] restart mass returns to the
+    * seed rather than to every node — so rank localizes around the seed
+    * and the output is the seed's neighborhood ranked by visit
+    * probability. Only nodes with positive mass are emitted: at
+    * PR_ITERS rounds that is the seed's ≤PR_ITERS-hop out-neighborhood,
+    * the locality that makes PPR the scale-correct relevance query (the
+    * full-graph rank vector never materializes for a single seed beyond
+    * the frames the iteration already builds).
+    *
+    * Parity discipline is [[qPagerankBig]]'s: per-edge contributions are
+    * IEEE divisions on identical doubles, sums pass through
+    * decimal(28,18) so aggregation order cannot perturb them, and the
+    * gate pins roundP-8 values. Scale shape: identical to PageRank —
+    * node-keyed join + agg per round, localCheckpoint'ed. */
+  val qPpr: Q = (s, d) => {
+    val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
+    val nodes = persisted(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    val seed = startNode(edges)
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.select(col("node"),
+      when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = rank.join(edges, col("node") === col("src"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(28,18)")).cast("double").as("in_sum"))
+      rank = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(PPR_ALPHA)).otherwise(lit(0.0)) +
+            lit(1.0 - PPR_ALPHA) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    rank.filter(col("rank") > 0.0)
+      .select(col("node"), Fns.roundP(col("rank"), 8).as("ppr"))
+      .orderBy("node")
+  }
+
   /** Synchronous label-propagation rounds. 3 rounds on this graph yields
     * a real community structure (372 communities / 1500 nodes at sf0.01)
     * without converging to one giant component. */
@@ -552,6 +602,7 @@ object BigGraphOps {
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
     "q_pagerank_big" -> qPagerankBig,
+    "q_ppr"          -> qPpr,
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
     "q_wcc_big"      -> qWccBig,
@@ -744,6 +795,36 @@ object BigGraphOps {
          |$iters
          |SELECT node, ${Fns.roundPSql("rank", 8)} AS pagerank
          |FROM r$PR_ITERS ORDER BY node""".stripMargin
+    },
+    // personalized PageRank: qPagerankBig's unroll with seeded start and
+    // seed-only restart; only positive-mass nodes (the seed's <=PR_ITERS-
+    // hop out-neighborhood) are emitted
+    "q_ppr" -> {
+      val iters = (1 to PR_ITERS).map { i =>
+        s"""p$i AS (
+           |  SELECT n.node,
+           |    CASE WHEN n.node = (SELECT s FROM start)
+           |      THEN $PPR_ALPHA::DOUBLE ELSE 0.0::DOUBLE END
+           |      + ${1.0 - PPR_ALPHA}::DOUBLE * coalesce(cb.in_sum, 0.0::DOUBLE) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst,
+           |      CAST(sum(CAST(r.rank / dg.deg AS DECIMAL(28,18))) AS DOUBLE) AS in_sum
+           |    FROM p${i - 1} r
+           |    JOIN edges e ON r.node = e.src
+           |    JOIN deg dg ON e.src = dg.src
+           |    GROUP BY e.dst) cb ON n.node = cb.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEdges,
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |p0 AS (
+         |  SELECT node,
+         |    CASE WHEN node = (SELECT s FROM start)
+         |      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank
+         |  FROM nodes),
+         |$iters
+         |SELECT node, ${Fns.roundPSql("rank", 8)} AS ppr
+         |FROM p$PR_ITERS WHERE rank > 0.0 ORDER BY node""".stripMargin
     },
     // exactly KCORE_ROUNDS unrolled peel rounds — see qKcoreBig's
     // early-break-is-identity argument for why this always matches.
