@@ -811,7 +811,42 @@ object VectorOps {
     out
   }
 
+  /** Probe-set modulus for [[qKnnJoin]] — vec_id % KJ_MOD == 0 selects
+    * ~N/KJ_MOD deterministic query vectors. */
+  val KJ_MOD = 149L
+
+  /** Exact k-NN JOIN — every query vector in a deterministic probe set
+    * gets its TOPK nearest corpus vectors (the batch form of ANN serving:
+    * embedding-table refresh, recommender candidate generation, hard-
+    * negative mining all run this shape). The probe set broadcasts onto
+    * ONE corpus scan (BroadcastNestedLoop over ~N/KJ_MOD probe rows —
+    * never a partitioned product), distances are the codegen'd dist2
+    * kernel, and per-query top-k is a row_number window that Spark
+    * executes as WindowGroupLimit: each partition keeps ≤k rows per query
+    * BEFORE the (query_id)-keyed exchange, so the shuffle carries
+    * ≤ queries×k×partitions rows, never the queries×corpus product.
+    * Ranks ride on the ROUNDED distance with vec_id tiebreak, so the
+    * rank column itself is cross-engine deterministic. At 100 TB with a
+    * probe set too large to broadcast, the same query composes with the
+    * IVF cell route (q_ann_ivf) — cell-keyed equi-join instead of
+    * broadcast; structure otherwise unchanged. */
+  val qKnnJoin: Q = (s, d) => {
+    val v = vecs(s, d)
+    val probes = broadcast(v.filter(pmod(col("vec_id"), lit(KJ_MOD)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("pv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
+    v.crossJoin(probes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TOPK)
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_knn_join"       -> qKnnJoin,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_random_projection" -> qRandomProjection,
     "q_hybrid_search"  -> qHybridSearch,
@@ -972,6 +1007,19 @@ object VectorOps {
          |    PARTITION BY cluster ORDER BY ctfidf DESC, term) AS rn FROM sc)
          |SELECT cluster, term, tf, ctfidf FROM rk WHERE rn <= $TT_TOP
          |ORDER BY cluster, ctfidf DESC, term""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH e AS ($sqlVecs),
+         |p AS (SELECT vec_id AS query_id, v AS pv FROM e WHERE vec_id % $KJ_MOD = 0),
+         |dists AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    ${Fns.roundPSql(sqlDist2("e.v", "p.pv"), 6)} AS dist2
+         |  FROM e, p WHERE e.vec_id <> p.query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist2, vec_id) AS rn
+         |  FROM dists)
+         |SELECT query_id, vec_id, dist2, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
     "q_knn" ->
       s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID)
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2

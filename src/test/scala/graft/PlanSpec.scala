@@ -270,6 +270,15 @@ class PlanSpec extends AnyFunSuite {
       s"only the final orderBy exchange is allowed:\n$p")
   }
 
+  test("q_knn_join broadcasts probes and caps per-query rows before the exchange") {
+    val p = plan("q_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe set must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k lost its partial limit:\n$p")
+  }
+
   test("q_kmv_overlap reduces shards to bounded sketches before the 1x1 algebra") {
     val p = plan("q_kmv_overlap")
     // the udaf aggregates partial -> final (ObjectHashAggregate pair), so
