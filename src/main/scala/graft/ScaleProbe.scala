@@ -64,7 +64,8 @@ object ScaleProbe {
     "q_link_predict",        // wedge join keyed on middle vertex + top-K (orders)
     "q_span_corrupt",        // row-local hash geometry, zero-shuffle (documents)
     "q_ewma",                // one user-keyed window+agg, W-bounded terms (events)
-    "q_audio_features")      // per-row WAV decode + framing flatMap (documents)
+    "q_audio_features",      // per-row WAV decode + framing flatMap (documents)
+    "q_knn_join")            // broadcast probes + WindowGroupLimit top-k (embeddings)
     // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
     // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
     // vectors — every cross-copy pair is a true cos=1 near-dup, so replication

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.Tables
 import graft.functions.Fns
 import graft.sources.Sources
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,7 +100,56 @@ object SourceOps {
         max(col("p.k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Bits per dimension for the [[zValue]] interleave, AFTER min/max
+    * normalization. Normalization is load-bearing, not cosmetic: with raw
+    * values the dimensions had uneven bit widths (users ~6 bits, hours
+    * ~10), so every high-order z bit came from the hour dimension alone
+    * and a z-range split degenerated to a plain time sort — measured by
+    * ZorderLayoutSpec's pruning probe before the fix (z scan fraction ==
+    * time-order's 0.59). Equal-width scaling is what production z-order
+    * implementations do (rank/quantile bucketing per dimension). */
+  val Z_BITS = 8
+
+  /** Morton/Z-curve value: bit-interleave the low [[Z_BITS]] of two
+    * non-negative longs (a in even positions, b in odd). Pure integer
+    * algebra — 2×Z_BITS shift/mask terms summed over disjoint bits, all
+    * inside whole-stage codegen, identically computable in ANSI SQL. */
+  def zValue(a: Column, b: Column): Column =
+    (0 until Z_BITS).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order layout keys for the events table — the multi-dimensional
+    * data-layout op a 100 TB lake runs so that BOTH `user_id` predicates
+    * AND time-range predicates prune at the FILE level from one layout
+    * (a single-column sort serves one dimension and scatters the other;
+    * the z-curve keeps file min/max boxes tight in both). The gate pins
+    * the interleaved key itself per event — row-local integer algebra,
+    * zero shuffles beyond the output sort; the actual write path
+    * (repartitionByRange on zv + per-file bounding-box shrink vs a
+    * time-ordered layout) is proven by ZorderLayoutSpec, which the gate's
+    * key parity makes cross-engine-trustworthy. */
+  val qZorder: Q = (s, d) => {
+    val hi = (1 << Z_BITS) - 1
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id").as("u"),
+        floor((unix_timestamp(col("ts")) - lit(1704067200L)) / 3600L)
+          .cast("long").as("h"))
+    val bounds = base.agg(min("u").as("ulo"), max("u").as("uhi"),
+      min("h").as("hlo"), max("h").as("hhi"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("un",
+        expr(s"((u - ulo) * $hi) div greatest(uhi - ulo, 1)"))
+      .withColumn("hn",
+        expr(s"((h - hlo) * $hi) div greatest(hhi - hlo, 1)"))
+      .select(col("event_id"), col("u"), col("h"),
+        zValue(col("un"), col("hn")).as("zv"))
+      .orderBy("zv", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zorder"         -> qZorder,
     "q_csv_roundtrip"   -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_orc_roundtrip"   -> qOrcRoundtrip,
@@ -108,6 +157,27 @@ object SourceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // z-value: the same 2*Z_BITS shift/mask terms over disjoint bits
+    "q_zorder" -> {
+      val hi = (1 << Z_BITS) - 1
+      val zTerms = (0 until Z_BITS).map { i =>
+        s"(((un >> $i) & 1) << ${2 * i}) + (((hn >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_id, user_id AS u,
+         |    (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - 1704067200)
+         |      // 3600 AS h
+         |  FROM events),
+         |r AS (SELECT min(u) AS ulo, max(u) AS uhi,
+         |             min(h) AS hlo, max(h) AS hhi FROM b),
+         |sct AS (
+         |  SELECT event_id, u, h,
+         |    ((u - ulo) * $hi) // greatest(uhi - ulo, 1) AS un,
+         |    ((h - hlo) * $hi) // greatest(hhi - hlo, 1) AS hn
+         |  FROM b, r)
+         |SELECT event_id, u, h, CAST($zTerms AS BIGINT) AS zv
+         |FROM sct ORDER BY zv, event_id""".stripMargin
+    },
     "q_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
