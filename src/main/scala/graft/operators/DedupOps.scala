@@ -621,7 +621,40 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
       .orderBy("prefix_key")
 
+  /** Edit-distance threshold for [[qEntityMatch]]. */
+  val ER_MAXDIST = 2
+
+  /** Blocked fuzzy entity matching — record linkage (Newcombe 1959 /
+    * Fellegi-Sunter): candidate pairs come ONLY from within a blocking
+    * key (here the customer's nation), then an edit-distance verify
+    * keeps pairs whose names differ by ≤ [[ER_MAXDIST]] edits. The
+    * output is the linkage edge list (block, a, b, dist) — the input
+    * the transitive-cluster assignment of qDedupClusters consumes.
+    *
+    * Scale shape: the self-join is keyed on the block, so pair volume is
+    * Σ block² — never corpus² — and the verify runs inside the join's
+    * codegen stage. A production run bounds the hottest block with
+    * multiple redundant blocking keys (phonetic + prefix + length, the
+    * minhash-banding posture applied to records); the join structure is
+    * unchanged. Levenshtein evaluates identically in Spark and DuckDB
+    * (both classic DP), so the gate is integer-exact. */
+  val qEntityMatch: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey").as("blk"), col("c_custkey"), col("c_name"))
+    val a = c.select(col("blk"), col("c_custkey").as("cust_a"),
+      col("c_name").as("name_a"))
+    val b = c.select(col("blk"), col("c_custkey").as("cust_b"),
+      col("c_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("cust_a") < col("cust_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= ER_MAXDIST)
+      .select(col("blk"), col("cust_a"), col("cust_b"), col("dist"))
+      .orderBy("blk", "cust_a", "cust_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_entity_match"      -> qEntityMatch,
     "q_group_k"           -> qGroupK,
     "q_prefix_dup"        -> qPrefixDup,
     "q_dedup_exact"       -> qDedupExact,
@@ -752,6 +785,14 @@ object DedupOps {
          |  < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
          |         THEN 300 ELSE 700 END
          |ORDER BY doc_id""".stripMargin,
+    "q_entity_match" ->
+      s"""WITH c AS (
+         |  SELECT c_nationkey AS blk, c_custkey, c_name FROM customer)
+         |SELECT a.blk, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.c_name, b.c_name) <= $ER_MAXDIST
+         |ORDER BY a.blk, cust_a, cust_b""".stripMargin,
     "q_group_k" ->
       s"""WITH r AS (
          |  SELECT doc_id, source, lang,

@@ -47,7 +47,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_harmonic_big", "q_char_entropy", "q_wcc_big", "q_topic_terms",
     "q_hard_negatives", "q_mm_audio", "q_fim_split", "q_modularity",
     "q_audio_features", "q_link_predict", "q_span_corrupt", "q_ewma",
-    "q_group_k", "q_prefix_dup", "q_ppr", "q_knn_join", "q_zorder")
+    "q_group_k", "q_prefix_dup", "q_ppr", "q_knn_join", "q_zorder",
+    "q_entity_match")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
