@@ -318,7 +318,26 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** ANSI window-function surface over the per-user event stream — the
+    * lag/lead/rank/cume_dist family every sequential feature pipeline
+    * leans on (previous-event deltas, position-in-history features).
+    * One user-keyed shuffle + in-partition sort serves ALL the window
+    * functions (same frame spec ⇒ one Window operator); ties broken by
+    * event_id so every column is deterministic under any partitioning.
+    * cume_dist is an exact n/N IEEE division on both engines. */
+  val qUserLag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        row_number().over(w).as("pos"),
+        Fns.roundP(cume_dist().over(w), 6).as("cume"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_user_lag"   -> qUserLag,
     "q_ewma"       -> qEwma,
     "q_anomaly"    -> qAnomaly,
     "q_sliding_features" -> qSlidingFeatures,
@@ -341,6 +360,15 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_user_lag" ->
+      s"""SELECT event_id, user_id, value,
+         |  lag(value, 1) OVER w AS prev_value,
+         |  lead(value, 1) OVER w AS next_value,
+         |  CAST(row_number() OVER w AS INT) AS pos,
+         |  ${Fns.roundPSql("cume_dist() OVER w", 6)} AS cume
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin,
     // EWMA: value / 2^k is exact IEEE scaling; decimal-cast terms sum
     // order-independently (ties on ts broken by event_id on both sides)
     "q_ewma" ->

@@ -73,9 +73,19 @@ object IngestMaintenance {
     * this directly on a seen-ledger dir — use [[compactIngest]], which
     * orders the data dirs first and keeps the unledgered-batch exclusion
     * consistent (see its scaladoc for the stranding failure mode). */
+  /** Optional multi-dimensional layout pass for [[compact]] — the
+    * OPTIMIZE-ZORDER-BY maintenance shape: consolidated rows are
+    * range-partitioned and sorted on the Morton interleave of exactly
+    * two numeric columns (min/max-normalized to equal bit widths, the
+    * [[graft.operators.SourceOps.qZorder]] discipline — normalization is
+    * what keeps the wider dimension from owning every high z bit), so
+    * file min/max stats prune predicates on EITHER column. Bounds come
+    * from one 1-row aggregate; the z key is pure integer algebra inside
+    * the write's codegen stage. */
   def compact(s: SparkSession, dir: String,
               targetFileRows: Long = 1000000L,
-              keepInPlace: Set[Long] = Set.empty): Unit = {
+              keepInPlace: Set[Long] = Set.empty,
+              zorderBy: Seq[String] = Nil): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
     repairSwap(dir)
     val src = Paths.get(dir)
@@ -102,7 +112,30 @@ object IngestMaintenance {
     // the average-based split).
     val out = df.drop("batch")
     val repartitioned =
-      if (secondary.isEmpty) out.repartition(nFiles)
+      if (zorderBy.nonEmpty) {
+        require(zorderBy.length == 2,
+          s"z-order takes exactly two columns, got $zorderBy")
+        val Seq(c1, c2) = zorderBy
+        val b = df.agg(
+          min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+          min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+        require(!b.isNullAt(0) && !b.isNullAt(2),
+          s"z-order columns $zorderBy must be non-null numeric")
+        val (alo, ahi, blo, bhi) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val hiMask = (1 << graft.operators.SourceOps.Z_BITS) - 1
+        val un = expr(
+          s"((CAST($c1 AS BIGINT) - ${alo}L) * $hiMask) div ${math.max(ahi - alo, 1)}L")
+        val hn = expr(
+          s"((CAST($c2 AS BIGINT) - ${blo}L) * $hiMask) div ${math.max(bhi - blo, 1)}L")
+        val keys = secondary.map(col) :+
+          graft.operators.SourceOps.zValue(un, hn).as("__zv")
+        // range partitioning (not round-robin) is what makes file min/max
+        // boxes contiguous in z — sortWithinPartitions alone would sort
+        // inside randomly-assigned files and prune nothing
+        out.repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      } else if (secondary.isEmpty) out.repartition(nFiles)
       else {
         val cells = math.max(1L, df.select(secondary.map(col): _*).distinct().count())
         val perCell = math.max(1, math.ceil(nFiles.toDouble / cells).toInt)

@@ -100,6 +100,54 @@ class IngestMaintenanceSpec extends AnyFunSuite {
       "compaction changed row count around an unledgered batch")
   }
 
+  test("compact with zorderBy preserves content and tightens both file-stat dimensions") {
+    import spark.implicits._
+    def mkStore(): String = {
+      val root = Files.createTempDirectory("graft-zcompact")
+      val store = s"$root/store"
+      // two ledgered batches of (u, h, payload): u and h independent, so a
+      // time/batch layout scatters u
+      for (b <- 0 to 1) {
+        (0 until 2000).map { i =>
+          val id = b * 2000 + i
+          (id.toLong, (id * 7919 % 97).toLong, (id % 731).toLong, s"row$id")
+        }.toDF("row_id", "u", "h", "payload")
+          .coalesce(1).write.parquet(s"$store/batch=$b")
+      }
+      store
+    }
+    def boxes(store: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(store).groupBy(input_file_name())
+        .agg(min("u"), max("u"), min("h"), max("h"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def content(store: String): Set[(Long, Long, Long, String)] =
+      spark.read.parquet(store).select("row_id", "u", "h", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    val plain = mkStore(); val zed = mkStore()
+    val before = content(plain)
+    IngestMaintenance.compact(spark, plain, targetFileRows = 250L)
+    IngestMaintenance.compact(spark, zed, targetFileRows = 250L,
+      zorderBy = Seq("u", "h"))
+    assert(content(plain) === before, "plain compaction changed content")
+    assert(content(zed) === before, "z-order compaction changed content")
+
+    def meanSpan(bs: Array[(Long, Long, Long, Long)], dim: Int): Double = {
+      val spans = bs.map { case (ulo, uhi, hlo, hhi) =>
+        if (dim == 0) (uhi - ulo).toDouble else (hhi - hlo).toDouble }
+      spans.sum / spans.length
+    }
+    val (bp, bz) = (boxes(plain), boxes(zed))
+    assert(bz.length > 4, s"z-order compaction produced too few files (${bz.length})")
+    // plain compaction round-robins rows, so every file spans ~the full
+    // range of BOTH dims; the z layout must be materially tighter on both
+    assert(meanSpan(bz, 0) < meanSpan(bp, 0) * 0.7,
+      s"u spans: z ${meanSpan(bz, 0)} vs plain ${meanSpan(bp, 0)}")
+    assert(meanSpan(bz, 1) < meanSpan(bp, 1) * 0.7,
+      s"h spans: z ${meanSpan(bz, 1)} vs plain ${meanSpan(bp, 1)}")
+  }
+
   test("deleteDocs erases exactly the victims, rewrites only affected partitions") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-delete")
