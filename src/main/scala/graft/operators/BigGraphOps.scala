@@ -195,6 +195,54 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Walks per node / steps per walk for [[qWalkCorpus]]. */
+  val WC_WALKS = 2
+  val WC_STEPS = 4
+
+  /** Random-walk corpus generation (Perozzi et al., KDD 2014 — DeepWalk;
+    * node2vec is the same dataflow with biased picks): every node starts
+    * [[WC_WALKS]] walks of [[WC_STEPS]] steps over the undirected
+    * co-purchase graph, and the OUTPUT — (start, walk, position, node)
+    * rows — is the sequence corpus a skip-gram embedding trains on, the
+    * graph→text bridge of a training-data pipeline. Each transition
+    * picks neighbor rank hash32(start:walk:step) % degree from the
+    * id-ordered adjacency index, so the corpus is a pure function of the
+    * graph — reproducible under any partitioning, no RNG state.
+    *
+    * Scale shape: walks are ROWS, not driver state — each step is one
+    * hash join of the walk frontier against the persisted rank-indexed
+    * adjacency (node-keyed, scales with the data), WC_STEPS bounded.
+    * This is how DeepWalk runs at billions of edges; the corpus size is
+    * nodes×walks×(steps+1) rows, linear in the graph. */
+  val qWalkCorpus: Q = (s, d) => {
+    val e = coEdges(s, d).select("src", "dst")
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    val wNb = Window.partitionBy("a").orderBy("b")
+    val adj = persisted(
+      und.withColumn("rn", row_number().over(wNb))
+        .join(und.groupBy("a").agg(count(lit(1)).as("deg")), "a"))
+    var frontier = und.select(col("a").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(WC_WALKS - 1))).as("wk"))
+      .select(col("start"), col("wk"), col("start").as("node"))
+    var corpus = frontier.select(col("start"), col("wk"),
+      lit(0).as("step"), col("node"))
+    for (t <- 1 to WC_STEPS) {
+      val pick =
+        pmod(Fns.hash32(concat_ws(":", col("start"), col("wk"), lit(t))),
+          col("deg")) + 1
+      frontier = frontier.join(adj, col("node") === col("a"))
+        .filter(col("rn") === pick)
+        .select(col("start"), col("wk"), col("b").as("node"))
+        .localCheckpoint()
+      corpus = corpus.unionByName(
+        frontier.select(col("start"), col("wk"), lit(t).as("step"), col("node")))
+    }
+    corpus.orderBy("start", "wk", "step")
+  }
+
   /** Synchronous label-propagation rounds. 3 rounds on this graph yields
     * a real community structure (372 communities / 1500 nodes at sf0.01)
     * without converging to one giant component. */
@@ -609,6 +657,7 @@ object BigGraphOps {
     "q_sssp_big"     -> qSsspBig,
     "q_pagerank_big" -> qPagerankBig,
     "q_ppr"          -> qPpr,
+    "q_walk_corpus"  -> qWalkCorpus,
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
     "q_wcc_big"      -> qWccBig,
@@ -801,6 +850,36 @@ object BigGraphOps {
          |$iters
          |SELECT node, ${Fns.roundPSql("rank", 8)} AS pagerank
          |FROM r$PR_ITERS ORDER BY node""".stripMargin
+    },
+    // walk corpus: id-ordered adjacency index + hash-picked transitions,
+    // WC_STEPS unrolled step CTEs, all-steps union
+    "q_walk_corpus" -> {
+      def pick(t: Int) =
+        s"1 + CAST('0x' || substr(md5(start || ':' || wk || ':' || $t), 1, 8) AS BIGINT) % adj.deg"
+      val steps = (1 to WC_STEPS).map { t =>
+        s"""s$t AS (
+           |  SELECT s.start, s.wk, adj.b AS node
+           |  FROM s${t - 1} s JOIN adj ON adj.a = s.node
+           |    AND adj.rn = ${pick(t)})""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to WC_STEPS).map { t =>
+        s"SELECT start, wk, CAST($t AS INT) AS step, node FROM s$t"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $sqlEdges,
+         |und AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+         |adj AS (
+         |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+         |    count(*) OVER (PARTITION BY a) AS deg
+         |  FROM und),
+         |s0 AS (
+         |  SELECT t.a AS start, CAST(r.wk AS INT) AS wk, t.a AS node
+         |  FROM (SELECT DISTINCT a FROM und) t, range(0, $WC_WALKS) r(wk)),
+         |$steps
+         |SELECT start, wk, CAST(0 AS INT) AS step, node FROM s0
+         |UNION ALL $unions
+         |ORDER BY start, wk, step""".stripMargin
     },
     // personalized PageRank: qPagerankBig's unroll with seeded start and
     // seed-only restart; only positive-mass nodes (the seed's <=PR_ITERS-

@@ -48,7 +48,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_hard_negatives", "q_mm_audio", "q_fim_split", "q_modularity",
     "q_audio_features", "q_link_predict", "q_span_corrupt", "q_ewma",
     "q_group_k", "q_prefix_dup", "q_ppr", "q_knn_join", "q_zorder",
-    "q_entity_match", "q_user_lag")
+    "q_entity_match", "q_user_lag", "q_walk_corpus")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -422,6 +422,26 @@ class QueriesSpec extends AnyFunSuite {
         s"predicted pair ($a,$c) is already an edge")
       assert(r.getAs[Long]("common_neighbors") >= 1)
       assert(r.getAs[Double]("ra_score") > 0.0)
+    }
+  }
+
+  test("q_walk_corpus emits complete walks whose every step follows a real edge") {
+    val rows = SparkEntry.queries("q_walk_corpus")(spark, sfDir).collect()
+    val und = operators.BigGraphOps.coEdges(spark, sfDir)
+      .select("src", "dst").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val byWalk = rows.groupBy(r => (r.getAs[Long]("start"), r.getAs[Int]("wk")))
+    assert(byWalk.nonEmpty)
+    byWalk.foreach { case ((start, _), ws) =>
+      val seq = ws.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("node"))
+      assert(seq.length === operators.BigGraphOps.WC_STEPS + 1,
+        s"walk from $start truncated: ${seq.mkString("->")}")
+      assert(seq.head === start)
+      seq.sliding(2).foreach {
+        case Array(x, y) => assert(und((x, y)), s"step ($x,$y) is not an edge")
+        case _ =>
+      }
     }
   }
 
