@@ -214,7 +214,11 @@ object BigGraphOps {
     * adjacency (node-keyed, scales with the data), WC_STEPS bounded.
     * This is how DeepWalk runs at billions of edges; the corpus size is
     * nodes×walks×(steps+1) rows, linear in the graph. */
-  val qWalkCorpus: Q = (s, d) => {
+  val qWalkCorpus: Q = (s, d) => walkCorpusCore(s, d).orderBy("start", "wk", "step")
+
+  /** Unsorted walk corpus shared by [[qWalkCorpus]] and
+    * [[qSkipgramPairs]]. */
+  private def walkCorpusCore(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d).select("src", "dst")
     val und = persisted(
       e.select(col("src").as("a"), col("dst").as("b"))
@@ -240,7 +244,33 @@ object BigGraphOps {
       corpus = corpus.unionByName(
         frontier.select(col("start"), col("wk"), lit(t).as("step"), col("node")))
     }
-    corpus.orderBy("start", "wk", "step")
+    corpus
+  }
+
+  /** Skip-gram context window for [[qSkipgramPairs]]. */
+  val SG_WINDOW = 2
+
+  /** Skip-gram training-pair extraction over the walk corpus (Mikolov et
+    * al. 2013 applied to DeepWalk sequences): every (center, context)
+    * node pair within ±[[SG_WINDOW]] positions of the same walk, counted
+    * — the positive-pair table a word2vec/node2vec trainer consumes.
+    * The self-join is keyed on the walk id (start, wk), so each walk
+    * joins only against its own ≤(STEPS+1) rows — pair volume is
+    * walks × L × 2W, linear in the corpus, never corpus². One
+    * (center, context) agg with map-side combine follows. */
+  val qSkipgramPairs: Q = (s, d) => {
+    val core = walkCorpusCore(s, d)
+      .persist(StorageLevel.MEMORY_AND_DISK) // both join sides, no cross-branch CSE
+    val a = core.select(col("start"), col("wk"),
+      col("step").as("sa"), col("node").as("center"))
+    val b = core.select(col("start"), col("wk"),
+      col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("start", "wk"))
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= SG_WINDOW)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("center", "context")
   }
 
   /** Synchronous label-propagation rounds. 3 rounds on this graph yields
@@ -658,6 +688,7 @@ object BigGraphOps {
     "q_pagerank_big" -> qPagerankBig,
     "q_ppr"          -> qPpr,
     "q_walk_corpus"  -> qWalkCorpus,
+    "q_skipgram_pairs" -> qSkipgramPairs,
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
     "q_wcc_big"      -> qWccBig,
@@ -692,6 +723,39 @@ object BigGraphOps {
        |lnodes AS (SELECT DISTINCT a AS node FROM und),
        |l0 AS (SELECT node, node AS lbl FROM lnodes),
        |$rounds""".stripMargin
+  }
+
+  /** Shared CTE chain of the walk-corpus oracle — edges, undirected view,
+    * id-ordered adjacency, the WC_STEPS unrolled hash-picked steps, and
+    * `corpus` (start, wk, step, node). Used by q_walk_corpus and
+    * q_skipgram_pairs so both engines walk the same sequences. */
+  private def sqlWalkCtes: String = {
+    def pick(t: Int) =
+      s"1 + CAST('0x' || substr(md5(start || ':' || wk || ':' || $t), 1, 8) AS BIGINT) % adj.deg"
+    val steps = (1 to WC_STEPS).map { t =>
+      s"""s$t AS (
+         |  SELECT s.start, s.wk, adj.b AS node
+         |  FROM s${t - 1} s JOIN adj ON adj.a = s.node
+         |    AND adj.rn = ${pick(t)})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to WC_STEPS).map { t =>
+      s"SELECT start, wk, CAST($t AS INT) AS step, node FROM s$t"
+    }.mkString("\nUNION ALL ")
+    s"""$sqlEdges,
+       |und AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+       |adj AS (
+       |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+       |    count(*) OVER (PARTITION BY a) AS deg
+       |  FROM und),
+       |s0 AS (
+       |  SELECT t.a AS start, CAST(r.wk AS INT) AS wk, t.a AS node
+       |  FROM (SELECT DISTINCT a FROM und) t, range(0, $WC_WALKS) r(wk)),
+       |$steps,
+       |corpus AS (
+       |  SELECT start, wk, CAST(0 AS INT) AS step, node FROM s0
+       |  UNION ALL $unions)""".stripMargin
   }
 
   private val sqlEdges =
@@ -852,35 +916,20 @@ object BigGraphOps {
          |FROM r$PR_ITERS ORDER BY node""".stripMargin
     },
     // walk corpus: id-ordered adjacency index + hash-picked transitions,
-    // WC_STEPS unrolled step CTEs, all-steps union
-    "q_walk_corpus" -> {
-      def pick(t: Int) =
-        s"1 + CAST('0x' || substr(md5(start || ':' || wk || ':' || $t), 1, 8) AS BIGINT) % adj.deg"
-      val steps = (1 to WC_STEPS).map { t =>
-        s"""s$t AS (
-           |  SELECT s.start, s.wk, adj.b AS node
-           |  FROM s${t - 1} s JOIN adj ON adj.a = s.node
-           |    AND adj.rn = ${pick(t)})""".stripMargin
-      }.mkString(",\n")
-      val unions = (1 to WC_STEPS).map { t =>
-        s"SELECT start, wk, CAST($t AS INT) AS step, node FROM s$t"
-      }.mkString("\nUNION ALL ")
-      s"""WITH $sqlEdges,
-         |und AS (
-         |  SELECT src AS a, dst AS b FROM edges
-         |  UNION ALL SELECT dst AS a, src AS b FROM edges),
-         |adj AS (
-         |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
-         |    count(*) OVER (PARTITION BY a) AS deg
-         |  FROM und),
-         |s0 AS (
-         |  SELECT t.a AS start, CAST(r.wk AS INT) AS wk, t.a AS node
-         |  FROM (SELECT DISTINCT a FROM und) t, range(0, $WC_WALKS) r(wk)),
-         |$steps
-         |SELECT start, wk, CAST(0 AS INT) AS step, node FROM s0
-         |UNION ALL $unions
-         |ORDER BY start, wk, step""".stripMargin
-    },
+    // WC_STEPS unrolled step CTEs, all-steps union (shared with skipgram)
+    "q_walk_corpus" ->
+      s"""WITH $sqlWalkCtes
+         |SELECT start, wk, step, node FROM corpus
+         |ORDER BY start, wk, step""".stripMargin,
+    // skip-gram pairs: walk-id-keyed self-join of the same corpus CTE
+    "q_skipgram_pairs" ->
+      s"""WITH $sqlWalkCtes
+         |SELECT a.node AS center, b.node AS context,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM corpus a JOIN corpus b
+         |  ON a.start = b.start AND a.wk = b.wk AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= $SG_WINDOW
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // personalized PageRank: qPagerankBig's unroll with seeded start and
     // seed-only restart; only positive-mass nodes (the seed's <=PR_ITERS-
     // hop out-neighborhood) are emitted
