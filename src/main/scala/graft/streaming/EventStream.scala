@@ -122,6 +122,33 @@ object EventStream {
       .select(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickPurchaseJoin]] with
+    * the unmatched side emitted: a click with NO purchase in its 24 h
+    * lookback surfaces as (click_id, null) once the purchase-side
+    * watermark has passed the end of its join window, which is the only
+    * moment a streaming engine can PROVE the absence (the outer-join
+    * semantics Structured Streaming gates on the watermark + time bound;
+    * without them the null rows could never be emitted). Same bounded
+    * state as the inner form — a buffered row ages out when the opposite
+    * watermark passes its window. The batch twin is a plain left join
+    * with the identical time bound (spec-asserted equal once the stream
+    * is drained past the watermark). */
+  def clickPurchaseLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = rawEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts - INTERVAL 24 HOURS AND p_ts <= c_ts"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming tumbling-window counts/sums per event type, 10-minute
     * watermark. Identical output columns to EventOps.qWindowAgg. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame =

@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.EventStream
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, max, timestamp_micros, unix_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Structured Streaming window aggregation must agree with the batch
@@ -127,6 +127,47 @@ class StreamingSpec extends AnyFunSuite {
     val expect = b2.count(v => math.abs(v._2 - mean) > 3.0 * std).toLong
     assert(expect === 2L, s"test fixture should have exactly 2 outliers, got $expect")
     assert(rows(1) === (("click", 50L, 4L, expect)))
+  }
+
+  test("stream-stream LEFT OUTER interval join emits unmatched clicks after watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-loj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.clickPurchaseLeftJoin(spark, dir.toString)
+      .writeStream.format("memory").queryName("cploj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // outer-join nulls can only flush once a LATER batch advances both
+      // watermarks past the buffered clicks' windows — deliver a far-
+      // future sentinel (click + purchase, excluded from the comparison)
+      import spark.implicits._
+      val sentinelTs = Tables.events(spark, sfDir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0) + 7L * 86400000000L
+      Seq((9000001L, sentinelTs, 999999L, "click", 0.0, "{}"),
+          (9000002L, sentinelTs, 999998L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cploj").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 < 9000000L).sorted
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as t_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val batch = ev.iterator.filter(_._3 == "click").flatMap { c =>
+      val ms = purchases.filter(p =>
+        p._2 == c._2 && p._4 <= c._4 && p._4 >= c._4 - 86400000000L)
+      if (ms.isEmpty) Iterator((c._1, -1L)) else ms.iterator.map(p => (c._1, p._1))
+    }.toArray.sorted
+    assert(batch.exists(_._2 == -1L), "fixture surprise: every click matched")
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} rows, batch ${batch.length}")
   }
 
   test("streaming EWMA final state equals the batch query on any batch split") {
