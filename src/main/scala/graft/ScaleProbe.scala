@@ -65,7 +65,12 @@ object ScaleProbe {
     "q_span_corrupt",        // row-local hash geometry, zero-shuffle (documents)
     "q_ewma",                // one user-keyed window+agg, W-bounded terms (events)
     "q_audio_features",      // per-row WAV decode + framing flatMap (documents)
-    "q_knn_join")            // broadcast probes + WindowGroupLimit top-k (embeddings)
+    "q_knn_join",            // broadcast probes + WindowGroupLimit top-k (embeddings)
+    "q_walk_corpus",         // per-step node-keyed joins vs indexed adjacency (orders)
+    "q_skipgram_pairs")      // walk-id-keyed self-join + pair agg (orders)
+    // q_entity_match: like q_knn_join, quadratic BY CONSTRUCTION under
+    // replication (shifted custkeys land in the same nation blocks, so
+    // Σblock² grows ×mult²) — its scaling story is the blocking bound
     // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
     // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
     // vectors — every cross-copy pair is a true cos=1 near-dup, so replication
