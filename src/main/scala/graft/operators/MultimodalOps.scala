@@ -486,7 +486,64 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Frames per clip for [[qMmVideo]]. */
+  val VID_FRAMES = 4
+
+  case class MmVideoFrame(doc_id: Long, frame: Int, checksum: Long, motion: Long)
+
+  /** Video lane — the third modality of q_mm_meta's triad, end-to-end:
+    * each document renders as a CLIP of [[VID_FRAMES]] equal-geometry PPM
+    * frames (chunk f of the text bytes, zero-padded to the shared raster
+    * length — video frames share dimensions), every frame goes through a
+    * REAL [[Ppm]] encode+decode pass, and the gate pins per-frame
+    * integer-exact features: the raster checksum and the MOTION signal
+    * Σ|byte_f(i) − byte_{f−1}(i)| against the previous decoded frame
+    * (frame 0 diffs against black, so its motion equals its checksum —
+    * the scene-cut convention). Inter-frame deltas are the temporal
+    * feature a video pipeline extracts first (shot detection, motion
+    * thresholds for frame sampling). One typed mapPartitions scan,
+    * 1:VID_FRAMES row shape, zero shuffles; the oracle derives every
+    * byte analytically and never sees a container. */
+  val qMmVideo: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.flatMap { doc =>
+          val len = doc.payload.length
+          val chunk = (len + VID_FRAMES - 1) / VID_FRAMES
+          val rlen = ((chunk + ROW_BYTES - 1) / ROW_BYTES) * ROW_BYTES
+          var prev = new Array[Byte](rlen) // frame -1 = black
+          (0 until VID_FRAMES).iterator.map { f =>
+            if (rlen == 0) MmVideoFrame(doc.doc_id, f, 0L, 0L)
+            else {
+            val raw = new Array[Byte](rlen)
+            var i = 0
+            while (i < chunk && f * chunk + i < len) {
+              raw(i) = doc.payload(f * chunk + i); i += 1
+            }
+            val img = Ppm.decode(Ppm.encode(MM_W, rlen / ROW_BYTES, raw,
+              s"graft clip ${doc.doc_id} frame $f"))
+            var cs = 0L; var mo = 0L; var j = 0
+            while (j < rlen) {
+              val b = img.raster(j) & 0xff
+              cs += b
+              mo += math.abs(b - (prev(j) & 0xff))
+              j += 1
+            }
+            prev = img.raster
+            MmVideoFrame(doc.doc_id, f, cs, mo)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mm_video"    -> qMmVideo,
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
     "q_mm_decode"   -> qMmDecode,
@@ -520,6 +577,33 @@ object MultimodalOps {
          |    i -> (s[i] >= 0) <> (s[i+1] >= 0))) AS BIGINT) AS zero_cross,
          |  CAST(coalesce(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy
          |FROM b ORDER BY doc_id""".stripMargin,
+    // video clip: byte i (1-based, i <= rlen) of frame f is
+    // ord(text[f*chunk + i]) when i <= chunk and in-range, else 0; frame -1
+    // is black, so frame 0's motion equals its checksum
+    "q_mm_video" -> {
+      def byteAt(frame: String) =
+        s"""CASE WHEN i <= chunk AND $frame * chunk + i <= len
+           |  THEN ord(text[CAST($frame * chunk + i AS INT)]) ELSE 0 END""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    (length(text) + ${VID_FRAMES - 1}) // $VID_FRAMES AS chunk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, text, len, chunk,
+         |    ((chunk + ${ROW_BYTES - 1}) // $ROW_BYTES) * $ROW_BYTES AS rlen
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, text, len, chunk, rlen, unnest(range($VID_FRAMES)) AS fr
+         |  FROM g)
+         |SELECT doc_id, CAST(fr AS INT) AS frame,
+         |  CAST(coalesce(list_sum(list_transform(range(1, rlen + 1),
+         |    i -> ${byteAt("fr")})), 0) AS BIGINT) AS checksum,
+         |  CAST(coalesce(list_sum(list_transform(range(1, rlen + 1),
+         |    i -> abs(${byteAt("fr")} -
+         |      CASE WHEN fr = 0 THEN 0 ELSE ${byteAt("(fr - 1)")} END))), 0) AS BIGINT)
+         |    AS motion
+         |FROM f ORDER BY doc_id, frame""".stripMargin
+    },
     // short-time frames: slice the analytic sample list into 64-sample
     // runs; within-frame zero crossings only (adjacent pairs of the slice)
     "q_audio_features" ->

@@ -48,7 +48,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_hard_negatives", "q_mm_audio", "q_fim_split", "q_modularity",
     "q_audio_features", "q_link_predict", "q_span_corrupt", "q_ewma",
     "q_group_k", "q_prefix_dup", "q_ppr", "q_knn_join", "q_zorder",
-    "q_entity_match", "q_user_lag", "q_walk_corpus", "q_skipgram_pairs")
+    "q_entity_match", "q_user_lag", "q_walk_corpus", "q_skipgram_pairs",
+    "q_mm_video")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
