@@ -72,8 +72,9 @@ object IngestMaintenance {
     * the consolidated partition and carried over unchanged. NEVER call
     * this directly on a seen-ledger dir — use [[compactIngest]], which
     * orders the data dirs first and keeps the unledgered-batch exclusion
-    * consistent (see its scaladoc for the stranding failure mode). */
-  /** Optional multi-dimensional layout pass for [[compact]] — the
+    * consistent (see its scaladoc for the stranding failure mode).
+    *
+    * `zorderBy` is the optional multi-dimensional layout pass — the
     * OPTIMIZE-ZORDER-BY maintenance shape: consolidated rows are
     * range-partitioned and sorted on the Morton interleave of exactly
     * two numeric columns (min/max-normalized to equal bit widths, the
@@ -233,7 +234,7 @@ object IngestMaintenance {
   /** Restore a complete store if a previous swap died between its moves:
     * the staged copy is only ever moved aside once COMPLETE, so prefer
     * it, then the old dir. */
-  private def repairSwap(dir: String): Unit = {
+  private[streaming] def repairSwap(dir: String): Unit = {
     val src = Paths.get(dir)
     if (Files.exists(src)) return
     val staging = Paths.get(dir + ".compact")
@@ -302,7 +303,7 @@ object IngestMaintenance {
     } finally st.close()
   }
 
-  private def deleteTree(p: Path): Unit =
+  private[streaming] def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
       val st = Files.walk(p)
       try st.sorted(java.util.Comparator.reverseOrder())
