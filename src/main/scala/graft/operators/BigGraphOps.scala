@@ -247,6 +247,86 @@ object BigGraphOps {
     corpus
   }
 
+  /** node2vec bias weights, integer-scaled: return (back to the previous
+    * node) = 1/p, common neighbor of prev = 1, far = 1/q, with p = 2,
+    * q = 4, scaled ×4 so every weight is an exact integer — the pick is
+    * pure modular arithmetic, no float in the transition kernel. */
+  val N2V_RET = 2    // 1/p × 4
+  val N2V_COMMON = 4 // 1 × 4
+  val N2V_FAR = 1    // 1/q × 4
+
+  /** node2vec biased walks (Grover & Leskovec, KDD 2016) — the
+    * SECOND-ORDER Markov refinement of [[qWalkCorpus]]: from (prev, cur),
+    * each neighbor x of cur weighs 1/p if x = prev (return), 1 if x is
+    * also a neighbor of prev (BFS-ish), 1/q otherwise (DFS-ish). The
+    * first step (no prev) is uniform, as in the paper's implementation.
+    * Transition choice is deterministic: integer-scaled weights
+    * ([[N2V_RET]]/[[N2V_COMMON]]/[[N2V_FAR]]) cumulated over the
+    * id-ordered neighbor list, pick = hash32(start:walk:step) mod total
+    * weight — reproducible under any partitioning, and cross-engine
+    * exact because the kernel is all integers.
+    *
+    * Scale shape per step: one node-keyed join against the indexed
+    * adjacency (candidates), one (prev, x)-keyed LEFT join against the
+    * edge set (the is-neighbor-of-prev probe — the data answer to
+    * node2vec's "distance to prev" question), two walk-keyed window sums
+    * (cumulative + total), one filter. Everything keys on node or walk
+    * ids that scale with the data; candidates per step are Σdeg(cur),
+    * linear in the walk count × average degree. */
+  val qNode2vec: Q = (s, d) => {
+    val e = coEdges(s, d).select("src", "dst")
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    val wNb = Window.partitionBy("a").orderBy("b")
+    val adj = persisted(
+      und.withColumn("rn", row_number().over(wNb))
+        .join(und.groupBy("a").agg(count(lit(1)).as("deg")), "a"))
+    val prevEdge = und.select(col("a").as("prev"), col("b").as("cand"),
+      lit(1).as("is_common"))
+    // step 1: uniform (no prev yet) — qWalkCorpus's kernel
+    var frontier = und.select(col("a").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(WC_WALKS - 1))).as("wk"))
+      .select(col("start"), col("wk"), col("start").as("node"))
+    var corpus = frontier.select(col("start"), col("wk"),
+      lit(0).as("step"), col("node"))
+    val pick1 =
+      pmod(Fns.hash32(concat_ws(":", col("start"), col("wk"), lit(1))),
+        col("deg")) + 1
+    frontier = frontier.join(adj, col("node") === col("a"))
+      .filter(col("rn") === pick1)
+      .select(col("start"), col("wk"), col("node").as("prev"),
+        col("b").as("node"))
+      .localCheckpoint()
+    corpus = corpus.unionByName(
+      frontier.select(col("start"), col("wk"), lit(1).as("step"), col("node")))
+    for (t <- 2 to WC_STEPS) {
+      val wWalk = Window.partitionBy("start", "wk")
+      val cand = frontier.join(adj, col("node") === col("a"))
+        .select(col("start"), col("wk"), col("prev"), col("node"),
+          col("b").as("cand"), col("rn"))
+        .join(prevEdge, Seq("prev", "cand"), "left")
+        .withColumn("w",
+          when(col("cand") === col("prev"), lit(N2V_RET))
+            .when(col("is_common").isNotNull, lit(N2V_COMMON))
+            .otherwise(lit(N2V_FAR)))
+        .withColumn("cw", sum(col("w")).over(wWalk.orderBy("rn")))
+        .withColumn("tw", sum(col("w")).over(wWalk))
+        .withColumn("r",
+          pmod(Fns.hash32(concat_ws(":", col("start"), col("wk"), lit(t))),
+            col("tw")))
+      frontier = cand
+        .filter(col("r") >= col("cw") - col("w") && col("r") < col("cw"))
+        .select(col("start"), col("wk"), col("node").as("prev"),
+          col("cand").as("node"))
+        .localCheckpoint()
+      corpus = corpus.unionByName(
+        frontier.select(col("start"), col("wk"), lit(t).as("step"), col("node")))
+    }
+    corpus.orderBy("start", "wk", "step")
+  }
+
   /** Skip-gram context window for [[qSkipgramPairs]]. */
   val SG_WINDOW = 2
 
@@ -689,6 +769,7 @@ object BigGraphOps {
     "q_ppr"          -> qPpr,
     "q_walk_corpus"  -> qWalkCorpus,
     "q_skipgram_pairs" -> qSkipgramPairs,
+    "q_node2vec"     -> qNode2vec,
     "q_label_prop"   -> qLabelProp,
     "q_scc_big"      -> qSccBig,
     "q_wcc_big"      -> qWccBig,
@@ -921,6 +1002,53 @@ object BigGraphOps {
       s"""WITH $sqlWalkCtes
          |SELECT start, wk, step, node FROM corpus
          |ORDER BY start, wk, step""".stripMargin,
+    // node2vec: uniform first step, then 2nd-order biased steps — integer
+    // weight kernel cumulated over the id-ordered neighbor list, modular
+    // pick; MATERIALIZED adjacency (referenced once per step)
+    "q_node2vec" -> {
+      def h(t: Int) =
+        s"CAST('0x' || substr(md5(start || ':' || wk || ':' || $t), 1, 8) AS BIGINT)"
+      val steps = (2 to WC_STEPS).map { t =>
+        s"""cand$t AS (
+           |  SELECT s.start, s.wk, s.prev, s.node, adj.b AS cand, adj.rn,
+           |    CASE WHEN adj.b = s.prev THEN $N2V_RET
+           |         WHEN EXISTS (SELECT 1 FROM und e
+           |                      WHERE e.a = s.prev AND e.b = adj.b) THEN $N2V_COMMON
+           |         ELSE $N2V_FAR END AS w
+           |  FROM n${t - 1} s JOIN adj ON adj.a = s.node),
+           |cum$t AS (
+           |  SELECT *,
+           |    sum(w) OVER (PARTITION BY start, wk ORDER BY rn) AS cw,
+           |    sum(w) OVER (PARTITION BY start, wk) AS tw
+           |  FROM cand$t),
+           |n$t AS (
+           |  SELECT start, wk, node AS prev, cand AS node
+           |  FROM cum$t
+           |  WHERE ${h(t)} % tw >= cw - w AND ${h(t)} % tw < cw)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to WC_STEPS).map { t =>
+        s"SELECT start, wk, CAST($t AS INT) AS step, node FROM n$t"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $sqlEdges,
+         |und AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+         |adj AS MATERIALIZED (
+         |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+         |    count(*) OVER (PARTITION BY a) AS deg
+         |  FROM und),
+         |n0 AS (
+         |  SELECT t.a AS start, CAST(r.wk AS INT) AS wk, t.a AS node
+         |  FROM (SELECT DISTINCT a FROM und) t, range(0, $WC_WALKS) r(wk)),
+         |n1 AS (
+         |  SELECT s.start, s.wk, s.node AS prev, adj.b AS node
+         |  FROM n0 s JOIN adj ON adj.a = s.node
+         |    AND adj.rn = 1 + ${h(1)} % adj.deg),
+         |$steps
+         |SELECT start, wk, CAST(0 AS INT) AS step, node FROM n0
+         |UNION ALL $unions
+         |ORDER BY start, wk, step""".stripMargin
+    },
     // skip-gram pairs: walk-id-keyed self-join of the same corpus CTE
     "q_skipgram_pairs" ->
       s"""WITH $sqlWalkCtes

@@ -49,7 +49,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_audio_features", "q_link_predict", "q_span_corrupt", "q_ewma",
     "q_group_k", "q_prefix_dup", "q_ppr", "q_knn_join", "q_zorder",
     "q_entity_match", "q_user_lag", "q_walk_corpus", "q_skipgram_pairs",
-    "q_mm_video")
+    "q_mm_video", "q_node2vec")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -444,6 +444,33 @@ class QueriesSpec extends AnyFunSuite {
         case _ =>
       }
     }
+  }
+
+  test("q_node2vec walks are valid and the bias diverges from the uniform walk") {
+    val n2v = SparkEntry.queries("q_node2vec")(spark, sfDir).collect()
+    val dw = SparkEntry.queries("q_walk_corpus")(spark, sfDir).collect()
+    val und = operators.BigGraphOps.coEdges(spark, sfDir)
+      .select("src", "dst").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("start"), r.getAs[Int]("wk"), r.getAs[Int]("step"))
+    val n2vMap = n2v.map(r => key(r) -> r.getAs[Long]("node")).toMap
+    // every step follows a real edge
+    n2v.groupBy(r => (r.getAs[Long]("start"), r.getAs[Int]("wk"))).foreach {
+      case (_, ws) =>
+        val seq = ws.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("node"))
+        seq.sliding(2).foreach {
+          case Array(x, y) => assert(und((x, y)), s"n2v step ($x,$y) not an edge")
+          case _ =>
+        }
+    }
+    // steps 0 and 1 share DeepWalk's kernel; the 2nd-order bias must
+    // change at least one later transition
+    val diverges = dw.exists { r =>
+      r.getAs[Int]("step") >= 2 && n2vMap.get(key(r)).exists(_ != r.getAs[Long]("node"))
+    }
+    assert(diverges, "bias produced identical walks — kernel not applied?")
   }
 
   test("q_group_normalize z-scores mean to ~0 within each language") {
