@@ -761,7 +761,92 @@ object BigGraphOps {
       .limit(LP_TOPK)
   }
 
+  /** Katz-index truncation depth: the score counts walks of length
+    * ≤ KATZ_ITERS ending at each node. Bounded like every superstep gate
+    * so the oracle can unroll the same rounds. */
+  val KATZ_ITERS = 4
+
+  /** Katz centrality (Katz, Psychometrika 1953) truncated at
+    * [[KATZ_ITERS]] with attenuation β=1, i.e. x_k = 1 + Aᵀ·x_{k-1} from
+    * x_0 = 1 — so x_K(v) is the exact COUNT of directed walks of length
+    * 0..K ending at v. Keeping β=1 is the parity move: every quantity is
+    * an integer (decimal(38,0) internally, bigint out), so the gate is
+    * cross-engine exact with no float in the pipeline at all — where the
+    * spectral normalization would gate on libm, the walk-count semantics
+    * gate on arithmetic. The truncated form is also the scale-correct
+    * one: full spectral Katz needs a solve, while the truncated index is
+    * KATZ_ITERS node-keyed join+agg supersteps over the edge set —
+    * PageRank's exact dataflow shape (localCheckpoint per round, edges
+    * persisted once). Reference kin: E11 degrees
+    * (/root/reference/src/operand/analysis/DegreeCentrality.cpp) — Katz
+    * is degree's walk-depth generalization (k=1 IS in-degree+1). */
+  val qKatz: Q = (s, d) => {
+    val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
+    val nodes = persisted(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    var x = nodes.select(col("node"), lit(1L).cast("decimal(38,0)").as("score"))
+    for (_ <- 1 to KATZ_ITERS) {
+      val in = x.join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("score")).as("in_sum"))
+      x = nodes
+        .join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1L).cast("decimal(38,0)") +
+            coalesce(col("in_sum"), lit(0L).cast("decimal(38,0)"))).as("score"))
+        .localCheckpoint() // linear chain; keeps each round's plan flat
+    }
+    x.select(col("node"), col("score").cast("long").as("katz")).orderBy("node")
+  }
+
+  /** HITS mutual-reinforcement rounds. Unnormalized integer growth is
+    * bounded by maxdeg^(2·ITERS) per entry — decimal(38,0) holds that to
+    * maxdeg ≈ 2M at 3 rounds, far past any SF here (maxdeg 48 at sf0.1). */
+  val HITS_ITERS = 3
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the OTHER classic
+    * eigenvector pair on a digraph, and on this DAG-shaped co-purchase
+    * graph the interesting one: authority mass flows down edge direction,
+    * hub mass up. Run UNNORMALIZED for [[HITS_ITERS]] rounds from h_0=1:
+    * a_k = Aᵀ·h_{k-1}, h_k = A·a_k. Every value is an integer walk-count
+    * (decimal(38,0) internally), so like [[qKatz]] the gate is exact on
+    * both engines — the per-round L2 normalization of the textbook
+    * formulation is a presentation detail (it cancels in the ranking) and
+    * would put a sqrt+division inside the loop where rounding could
+    * accumulate. Scale shape: 2 node-keyed join+aggs per round over the
+    * persisted edge set; state is one row per node. */
+  val qHits: Q = (s, d) => {
+    val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
+    val nodes = persisted(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    val zero = lit(0L).cast("decimal(38,0)")
+    var hub = nodes.select(col("node"), lit(1L).cast("decimal(38,0)").as("h"))
+    var auth = nodes.select(col("node"), zero.as("a"))
+    for (_ <- 1 to HITS_ITERS) {
+      val aIn = hub.join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("in_sum"))
+      auth = nodes.join(aIn, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("in_sum"), zero).as("a"))
+        .localCheckpoint()
+      val hOut = auth.join(edges, col("node") === col("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("out_sum"))
+      hub = nodes.join(hOut, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("out_sum"), zero).as("h"))
+        .localCheckpoint()
+    }
+    auth.join(hub, Seq("node"))
+      .select(col("node"), col("h").cast("long").as("hub"),
+        col("a").cast("long").as("auth"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_katz"         -> qKatz,
+    "q_hits"         -> qHits,
     "q_link_predict" -> qLinkPredict,
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
@@ -853,7 +938,52 @@ object BigGraphOps {
       |  WHERE dst IS NOT NULL),
       |start AS (SELECT min(src) AS s FROM edges)""".stripMargin
 
+  /** Unrolled Katz rounds: k_i = 1 + Σ_in k_{i-1}, HUGEINT so no round
+    * can wrap (mirrors the Spark side's decimal(38,0)). */
+  private def sqlKatzRounds: String =
+    (1 to KATZ_ITERS).map { i =>
+      s"""k$i AS (
+         |  SELECT n.node, 1 + coalesce(s.t, 0) AS score
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(k.score) AS t
+         |    FROM k${i - 1} k JOIN edges e ON e.src = k.node
+         |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled HITS rounds: a_i from in-edge hub sums, h_i from out-edge
+    * authority sums — the same unnormalized integer recurrence. */
+  private def sqlHitsRounds: String =
+    (1 to HITS_ITERS).map { i =>
+      s"""a$i AS (
+         |  SELECT n.node, coalesce(s.t, 0) AS a
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(h.h) AS t
+         |    FROM h${i - 1} h JOIN edges e ON e.src = h.node
+         |    GROUP BY e.dst) s ON s.dst = n.node),
+         |h$i AS (
+         |  SELECT n.node, coalesce(s.t, 0) AS h
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src, sum(a.a) AS t
+         |    FROM a$i a JOIN edges e ON e.dst = a.node
+         |    GROUP BY e.src) s ON s.src = n.node)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q_katz" ->
+      s"""WITH $sqlEdges,
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |k0 AS (SELECT node, CAST(1 AS HUGEINT) AS score FROM nodes),
+         |$sqlKatzRounds
+         |SELECT node, CAST(score AS BIGINT) AS katz
+         |FROM k$KATZ_ITERS ORDER BY node""".stripMargin,
+    "q_hits" ->
+      s"""WITH $sqlEdges,
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, CAST(1 AS HUGEINT) AS h FROM nodes),
+         |$sqlHitsRounds
+         |SELECT h.node, CAST(h.h AS BIGINT) AS hub, CAST(a.a AS BIGINT) AS auth
+         |FROM h$HITS_ITERS h JOIN a$HITS_ITERS a ON a.node = h.node
+         |ORDER BY h.node""".stripMargin,
     // RA link prediction: wedge-joined candidates, existing edges removed,
     // 1/deg weights decimal-summed (IEEE-exact division on both engines)
     "q_link_predict" ->
