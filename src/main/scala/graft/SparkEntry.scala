@@ -31,7 +31,8 @@ object SparkEntry {
     operators.SourceOps.queries ++
     operators.SkewOps.queries ++
     operators.CorpusOps.queries ++
-    operators.ModelOps.queries
+    operators.ModelOps.queries ++
+    operators.BasketOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -51,5 +52,6 @@ object SparkEntry {
     operators.SourceOps.oracles ++
     operators.SkewOps.oracles ++
     operators.CorpusOps.oracles ++
-    operators.ModelOps.oracles
+    operators.ModelOps.oracles ++
+    operators.BasketOps.oracles
 }
