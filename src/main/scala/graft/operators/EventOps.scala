@@ -336,7 +336,97 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Autocorrelation horizon (hours). */
+  val AC_LAGS = 6
+
+  /** Lag-k autocorrelation of the hourly event-count series, k = 1..
+    * [[AC_LAGS]] — the seasonality/periodicity probe a monitoring or
+    * forecasting pipeline runs before fitting anything (Box & Jenkins'
+    * identification step). Pairs are TIME-keyed, not position-keyed: the
+    * pair for lag k is (count@h, count@h+k) where both hours exist, so a
+    * gap in the series drops pairs instead of silently misaligning them.
+    *
+    * Parity: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer
+    * sum of integer counts (decimal(38,0), HUGEINT on DuckDB — no corpus
+    * size wraps them); Pearson r assembles them in ONE fixed double
+    * expression tree (products of exactly-equal operands round
+    * identically), nullif-guarded against a constant series. Scale shape:
+    * the hourly count agg is the only data-sized shuffle (map-side
+    * combined); the pair join runs over the O(hours) count table. */
+  val qAutocorr: Q = (s, d) => {
+    val cnts = Tables.events(s, d)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("sec"))
+      .groupBy(expr("sec div 3600").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val lagged = cnts.select(col("hr"), col("c").as("x"),
+      explode(array((1 to AC_LAGS).map(lit(_)): _*)).as("lag"))
+    val m = lagged
+      .join(cnts.select(col("hr").as("hr2"), col("c").as("y")),
+        col("hr2") === col("hr") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+    val D = (n: String) => col(n).cast("double")
+    m.select(col("lag"), col("n_pairs"),
+      Fns.roundP(
+        (D("n_pairs") * D("sxy") - D("sx") * D("sy")) /
+          expr("nullif(sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Last-touch attribution (the marketing-analytics join every event
+    * warehouse runs): each purchase is credited to the SAME USER's most
+    * recent click strictly earlier in the (ts, event_id) total order —
+    * event_id breaks timestamp ties so attribution is deterministic under
+    * any partitioning. Report = purchases and gap mass per attributed
+    * click hour-of-day, with the never-touched bucket kept visible at
+    * hod = -1 (a funnel that silently drops unattributed conversions
+    * overstates every channel).
+    *
+    * Implementation is one per-user window pass (`last(..., ignoreNulls)`
+    * over ROWS UNBOUNDED PRECEDING..1 PRECEDING carries the latest click
+    * id AND its timestamp from the same row), then an O(24) aggregation —
+    * one user-keyed shuffle total, no join. The oracle derives the same
+    * attribution as a ground-truth ranked join (candidate clicks ranked
+    * per purchase), so the gate proves the window form against the
+    * definitional form. Gaps stay exact integer micros end-to-end. */
+  val qAttribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = ev
+      .withColumn("cid",
+        last(when(col("event_type") === "click", col("event_id")), true).over(w))
+      .withColumn("cus",
+        last(when(col("event_type") === "click", col("us")), true).over(w))
+      .withColumn("chod",
+        last(when(col("event_type") === "click", hour(col("ts"))), true).over(w))
+      .filter(col("event_type") === "purchase")
+    val gap = (col("us") - col("cus")).cast("decimal(38,0)")
+    attributed
+      .groupBy(coalesce(col("chod"), lit(-1)).cast("int").as("hod"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(gap).cast("long").as("sum_gap_us"),
+        Fns.roundP(
+          (sum(gap).cast("double") /
+            count(when(col("cid").isNotNull, lit(1))).cast("double")) / lit(1e6),
+          6).as("avg_gap_s"))
+      .orderBy("hod")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_autocorr"   -> qAutocorr,
+    "q_attribution" -> qAttribution,
     "q_user_lag"   -> qUserLag,
     "q_ewma"       -> qEwma,
     "q_anomaly"    -> qAnomaly,
@@ -360,6 +450,54 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // autocorrelation: exact HUGEINT moments, one fixed double tree for r
+    "q_autocorr" -> {
+      val D = (n: String) => s"CAST($n AS DOUBLE)"
+      s"""WITH c AS (
+         |  SELECT $sqlWs // 3600 AS hr, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |l AS (SELECT CAST(range AS INT) AS lag FROM range(1, ${AC_LAGS + 1})),
+         |p AS (
+         |  SELECT l.lag, a.cnt AS x, b.cnt AS y
+         |  FROM c a CROSS JOIN l JOIN c b ON b.hr = a.hr + l.lag),
+         |m AS (
+         |  SELECT lag, count(*) AS n_pairs, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM p GROUP BY 1)
+         |SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  ${Fns.roundPSql(
+             s"(${D("n_pairs")} * ${D("sxy")} - ${D("sx")} * ${D("sy")}) / " +
+               s"nullif(sqrt((${D("n_pairs")} * ${D("sxx")} - ${D("sx")} * ${D("sx")}) * " +
+               s"(${D("n_pairs")} * ${D("syy")} - ${D("sy")} * ${D("sy")})), 0.0)", 6)} AS acf
+         |FROM m ORDER BY lag""".stripMargin
+    },
+    // last-touch attribution, derived as the DEFINITIONAL ranked join
+    // (candidate clicks ranked per purchase) rather than the window form
+    "q_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    hour(CAST(ts AS TIMESTAMP)) AS hod
+         |  FROM events),
+         |pur AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         |clk AS (SELECT * FROM ev WHERE event_type = 'click'),
+         |cand AS (
+         |  SELECT p.event_id AS pid, c.event_id AS cid, c.us AS cus, c.hod AS chod,
+         |    row_number() OVER (
+         |      PARTITION BY p.event_id ORDER BY c.us DESC, c.event_id DESC) AS rn
+         |  FROM pur p JOIN clk c ON c.user_id = p.user_id
+         |    AND (c.us < p.us OR (c.us = p.us AND c.event_id < p.event_id))),
+         |att AS (
+         |  SELECT p.us, b.cid, b.cus, b.chod
+         |  FROM pur p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
+         |    ON b.pid = p.event_id)
+         |SELECT CAST(coalesce(chod, -1) AS INT) AS hod,
+         |  count(*) AS purchases,
+         |  CAST(sum(us - cus) AS BIGINT) AS sum_gap_us,
+         |  ${Fns.roundPSql(
+             "(CAST(sum(us - cus) AS DOUBLE) / CAST(count(cid) AS DOUBLE)) / 1000000.0",
+             6)} AS avg_gap_s
+         |FROM att GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_user_lag" ->
       s"""SELECT event_id, user_id, value,
          |  lag(value, 1) OVER w AS prev_value,
