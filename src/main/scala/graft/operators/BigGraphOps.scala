@@ -599,6 +599,42 @@ object BigGraphOps {
           .as("closure_rate"))
   }
 
+  /** Per-node LOCAL clustering coefficient (Watts & Strogatz, Nature
+    * 1998) — [[qClusteringBig]]'s global closure rate refined to the
+    * per-vertex signal community detectors and spam/bot classifiers
+    * consume. Triangle discovery is the SAME ordered wedge join (each
+    * triangle materializes exactly once as a < b < c), then each closed
+    * triangle credits its three corners via one row-local explode and a
+    * node-keyed count. lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)): integer
+    * numerator and denominator, one IEEE division, roundP-6 — exact on
+    * both engines. Nodes with deg < 2 are excluded (the coefficient is
+    * undefined there, and emitting 0 would conflate "no opportunity"
+    * with "no closure").
+    *
+    * Scale shape: two node-keyed joins (wedge, closure) + two node-keyed
+    * aggs — all shuffle keys scale with the data; the per-corner explode
+    * is 3× the triangle count, never the wedge count. */
+  val qLocalClustering: Q = (s, d) => {
+    val e = persisted(coEdges(s, d).select("src", "dst"))
+    val und = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n")))
+    val deg = und.groupBy("n").agg(count(lit(1)).as("deg"))
+    val tris = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        Fns.roundP(
+          (lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double")) /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"), 6).as("lcc"))
+      .orderBy("node")
+  }
+
   /** k-core threshold and peeling-round bound. k = 10 bites at every SF
     * that has a 10-core (sf0.01: 1298 of 1500 vertices survive across 7
     * peel rounds; sf0.1: 14306 of 14999 across 9; the sf0.001 graph has
@@ -847,6 +883,7 @@ object BigGraphOps {
   val queries: Map[String, Q] = Map(
     "q_katz"         -> qKatz,
     "q_hits"         -> qHits,
+    "q_local_clustering" -> qLocalClustering,
     "q_link_predict" -> qLinkPredict,
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
@@ -976,6 +1013,30 @@ object BigGraphOps {
          |$sqlKatzRounds
          |SELECT node, CAST(score AS BIGINT) AS katz
          |FROM k$KATZ_ITERS ORDER BY node""".stripMargin,
+    // local clustering: definitional triangle join (each triangle once as
+    // a<b<c), three-corner credit, integer ratio rounded once
+    "q_local_clustering" ->
+      s"""WITH $sqlEdges,
+         |und AS (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges),
+         |deg AS (SELECT n, count(*) AS deg FROM und GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.src = e1.dst
+         |  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pn AS (
+         |  SELECT n, count(*) AS tri FROM (
+         |    SELECT a AS n FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY 1)
+         |SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+         |  ${Fns.roundPSql(
+             "(2.0::DOUBLE * CAST(coalesce(p.tri, 0) AS DOUBLE)) / " +
+               "CAST(d.deg * (d.deg - 1) AS DOUBLE)", 6)} AS lcc
+         |FROM deg d LEFT JOIN pn p ON p.n = d.n
+         |WHERE d.deg >= 2 ORDER BY node""".stripMargin,
     "q_hits" ->
       s"""WITH $sqlEdges,
          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),

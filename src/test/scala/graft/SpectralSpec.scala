@@ -55,4 +55,14 @@ class SpectralSpec extends AnyFunSuite {
     val hasIn = edges.map(_._2).toSet
     assert(nodes.filterNot(hasIn).forall(n => got(n)._2 == 0))
   }
+
+  test("q_local_clustering: corner credits sum to 3x the global triangle count") {
+    val rows = BigGraphOps.qLocalClustering(spark, sfDir).collect()
+    val totalTri = rows.map(_.getLong(2)).sum
+    val global = BigGraphOps.qClusteringBig(spark, sfDir).collect().head
+    assert(totalTri == 3 * global.getLong(1))
+    assert(rows.forall { r =>
+      val lcc = r.getDouble(3); lcc >= 0.0 && lcc <= 1.0
+    })
+  }
 }
