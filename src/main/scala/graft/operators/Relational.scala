@@ -240,7 +240,29 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** CUBE over (returnflag, linestatus) — the full OLAP composition
+    * surface next to [[graft.operators.CorpusOps.qRollupStats]]'s ROLLUP:
+    * all four grouping sets in ONE pass (Spark plans `Expand` + a single
+    * hash agg — the corpus is scanned once, not four times), subtotal
+    * levels disambiguated by an explicit grouping id and NULL-free 'ALL'
+    * keys so the gate never leans on NULL-vs-subtotal ambiguity. Sums
+    * ride the q1_agg decimal discipline. */
+  val qCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).as("gr"),
+        grouping(col("l_linestatus")).as("gs"))
+      .select(
+        when(col("gr") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+        when(col("gs") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
+        (col("gr") * 2 + col("gs")).cast("int").as("gid"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("gid", "rf", "ls")
+
   val queries: Map[String, Q] = Map(
+    "q_cube"            -> qCube,
     "q1_agg"            -> q1Agg,
     "q_ship_priority"   -> qShipPriority,
     "q_local_volume"    -> qLocalVolume,
@@ -283,6 +305,16 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE c_nationkey = s_nationkey
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
