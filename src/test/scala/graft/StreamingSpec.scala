@@ -235,4 +235,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       s"streamed ${streamed.length} counters, batch ${batch.length}")
   }
+
+  test("stream-static enrichment equals the batch left join, unknowns kept") {
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-enr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    // static dimension with a deliberate coverage gap (user_id % 7 == 0
+    // users are absent) so the left-join 'unknown' lane is exercised
+    val dim = Tables.events(spark, sfDir).select("user_id").distinct()
+      .filter(pmod(col("user_id"), lit(7)) =!= 0)
+      .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(3))))
+    val q = EventStream.enrichedEvents(spark, dir.toString, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sorted
+    val streamed = rows(spark.table("enriched"))
+    val batch = rows(EventStream.enrichedOf(Tables.events(spark, sfDir), dim))
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_._4 == "unknown"), "coverage gap never exercised")
+    assert(streamed.count(_._4 == "unknown") < streamed.length,
+      "every row fell through to unknown — dim join broken")
+    assert(streamed.sameElements(batch))
+  }
 }
