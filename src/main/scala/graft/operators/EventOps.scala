@@ -424,7 +424,48 @@ object EventOps {
       .orderBy("hod")
   }
 
+  /** CUSUM reference level, slack and alarm threshold, all in centi-units
+    * (value × 100): target μ0 = 50.00, slack k = 10.00, alarm h = 200.00
+    * above drift — tuned so the heavy upper tail of `value` (max ≈ 490)
+    * trips alarms while the ~49.6 bulk drifts S back to 0. */
+  val CUSUM_MU = 5000L
+  val CUSUM_K = 1000L
+  val CUSUM_H = 20000L
+
+  /** One-sided CUSUM change detection (Page, Biometrika 1954) per user —
+    * the sequential drift detector monitoring pipelines run where
+    * [[qAnomaly]]'s 3σ rule scores points independently: S_i =
+    * max(0, S_{i-1} + (x_i − μ0 − k)) accumulates evidence across
+    * consecutive observations, so a sustained small shift alarms even
+    * when no single point is an outlier.
+    *
+    * The recursion is NOT a plain window sum, but it has a closed
+    * prefix form: S_i = cum_i − min(0, min_{j≤i} cum_j) with cum the
+    * ordinary prefix sum of z = x − μ0 − k. That turns the sequential
+    * definition into two stock window aggregates (running sum + running
+    * min) over the (ts, event_id) total order — one user-keyed shuffle,
+    * no recursion, no state. Values are centi-quantized to integers
+    * first (the streaming anomaly detector's discipline), so every
+    * prefix quantity is exact on both engines and the gate needs no
+    * rounding at all. */
+  val qCusum: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (floor(col("value") * lit(100) + lit(0.5)).cast("long")
+          - lit(CUSUM_MU) - lit(CUSUM_K)).as("z"))
+      .withColumn("cum", sum(col("z")).over(w))
+      .withColumn("s", col("cum") - least(lit(0L), min(col("cum")).over(w)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s")).as("max_s"),
+        count(when(col("s") > CUSUM_H, lit(1))).as("n_alarms"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cusum"      -> qCusum,
     "q_autocorr"   -> qAutocorr,
     "q_attribution" -> qAttribution,
     "q_user_lag"   -> qUserLag,
@@ -450,6 +491,29 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // CUSUM via the prefix closed form: S = cum − min(0, running-min cum),
+    // exact centi-integers end to end
+    "q_cusum" ->
+      s"""WITH z AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) - $CUSUM_MU - $CUSUM_K AS z
+         |  FROM events),
+         |c AS (
+         |  SELECT user_id, ts, event_id,
+         |    sum(z) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM z),
+         |p AS (
+         |  SELECT user_id, cum,
+         |    min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+         |  FROM c),
+         |sv AS (
+         |  SELECT user_id, cum - least(0, runmin) AS s FROM p)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(max(s) AS BIGINT) AS max_s,
+         |  count(CASE WHEN s > $CUSUM_H THEN 1 END) AS n_alarms
+         |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin,
     // autocorrelation: exact HUGEINT moments, one fixed double tree for r
     "q_autocorr" -> {
       val D = (n: String) => s"CAST($n AS DOUBLE)"
