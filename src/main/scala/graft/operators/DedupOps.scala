@@ -653,7 +653,61 @@ object DedupOps {
       .orderBy("blk", "cust_a", "cust_b")
   }
 
+  /** Sorted-neighborhood window width, verify threshold, sort-key and
+    * block-prefix lengths. */
+  val SN_W = 4
+  val SN_T = 0.5
+  val SN_KEYLEN = 24
+  val SN_BLOCK = 2
+
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo, SIGMOD
+    * 1995 — the merge/purge method): sort the corpus by a normalized
+    * key (whitespace-collapsed lowercase 24-char prefix) and compare
+    * each doc only with the next [[SN_W]]−1 docs in key order, then
+    * verify candidates with the exact shingle Jaccard shared with
+    * [[qJaccardPairs]]. Where MinHash-LSH buckets by CONTENT hash, the
+    * sorted neighborhood exploits ORDER locality — boilerplate-prefix
+    * near-dups land adjacent — so the two candidate generators miss
+    * different pair populations; production merge/purge runs several
+    * passes with different keys, exactly this dataflow re-keyed.
+    *
+    * Scale shape: candidate volume is N×(SN_W−1) by construction —
+    * linear, no hot key possible. The sort is PARTITIONED by the
+    * 2-char block prefix (a global-order window would funnel the corpus
+    * through one partition — the classic distributed-window trap); the
+    * documented cost is that cross-block boundary pairs wait for the
+    * next pass's key, the standard multi-pass posture. */
+  val qSortedNeighborhood: Q = (s, d) => {
+    val sh = shingleSets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      substring(lower(regexp_replace(col("text"), "\\s+", " ")), 1, SN_KEYLEN)
+        .as("k"))
+      .withColumn("blk", substring(col("k"), 1, SN_BLOCK))
+    val w = Window.partitionBy("blk").orderBy(col("k"), col("doc_id"))
+    val leads = keyed.select(
+      col("doc_id") +:
+        (1 until SN_W).map(i => lead(col("doc_id"), i).over(w).as(s"n$i")): _*)
+    val pairs = leads
+      .select(col("doc_id"),
+        explode(array((1 until SN_W).map(i => col(s"n$i")): _*)).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(least(col("doc_id"), col("nb")).as("doc_a"),
+        greatest(col("doc_id"), col("nb")).as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= SN_T)
+      .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_entity_match"      -> qEntityMatch,
     "q_group_k"           -> qGroupK,
     "q_prefix_dup"        -> qPrefixDup,
@@ -730,6 +784,36 @@ object DedupOps {
        |  JOIN sh sb ON sb.doc_id = p.doc_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sorted neighborhood: same partitioned window + lead pairs, shared
+    // shingle-Jaccard verify (regexp_replace needs the 'g' flag here —
+    // DuckDB replaces only the first match by default)
+    "q_sorted_neighborhood" -> {
+      val leadCols = (1 until SN_W).map(i => s"lead(doc_id, $i) OVER w AS n$i")
+        .mkString(", ")
+      val leadList = (1 until SN_W).map(i => s"n$i").mkString("[", ", ", "]")
+      s"""WITH $sqlShingles,
+         |keyed AS (
+         |  SELECT doc_id,
+         |    substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, $SN_KEYLEN) AS k
+         |  FROM documents),
+         |b AS (SELECT doc_id, k, substr(k, 1, $SN_BLOCK) AS blk FROM keyed),
+         |leads AS (
+         |  SELECT doc_id, $leadCols FROM b
+         |  WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)),
+         |pairs AS (
+         |  SELECT DISTINCT least(doc_id, n) AS doc_a, greatest(doc_id, n) AS doc_b
+         |  FROM (SELECT doc_id, unnest($leadList) AS n FROM leads)
+         |  WHERE n IS NOT NULL),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
+         |FROM verified WHERE jac >= $SN_T ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
