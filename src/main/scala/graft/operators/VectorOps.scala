@@ -845,7 +845,56 @@ object VectorOps {
       .orderBy("query_id", "rn")
   }
 
+  /** Covariance report size. */
+  val EC_TOPK = 50
+
+  /** Embedding feature-covariance QA (the health check an embedding
+    * pipeline runs before indexing: collapsed/duplicated/correlated
+    * dimensions show up as extreme off-diagonal covariance — the signal
+    * behind whitening and the redundancy analyses of representation-
+    * collapse papers). Reports the [[EC_TOPK]] strongest off-diagonal
+    * entries of the D×D covariance matrix.
+    *
+    * Dataflow: the D(D−1)/2 per-row products are expanded ROW-LOCALLY
+    * with nested array transforms (no self-join — the corpus is never
+    * joined with itself), then map-side partial aggregation collapses
+    * the stream to D² groups before anything shuffles; the moments join
+    * is over the D-row dimension table, broadcast. Parity: float
+    * elements are cast to double BEFORE multiplying (float×float would
+    * round to float32 on Spark while DuckDB multiplies doubles), the
+    * products are exact doubles summed through decimal(28,12), and
+    * cov = Σxy/n − (Σx/n)(Σy/n) is one fixed expression tree. */
+  val qEmbedCov: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("embedding").as("emb"))
+    val n1 = e.agg(count(lit(1)).as("n"))
+    val dimSum = e
+      .select(posexplode(col("emb")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + lit(1)).as("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("sx"))
+    val pairSum = e
+      .select(explode(flatten(transform(col("emb"), (x, i) =>
+        transform(slice(col("emb"), i + lit(2), size(col("emb"))),
+          (y, j2) => struct((i + lit(1)).as("i"), (i + j2 + lit(2)).as("j"),
+            (x.cast("double") * y.cast("double")).as("p")))))).as("pr"))
+      .select(col("pr.i"), col("pr.j"), col("pr.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(28,12)")).as("sxy"))
+    val nD = col("n").cast("double")
+    pairSum
+      .join(broadcast(dimSum.select(col("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(dimSum.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .crossJoin(broadcast(n1))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        Fns.roundP(
+          col("sxy").cast("double") / nD -
+            (col("sxi").cast("double") / nD) * (col("sxj").cast("double") / nD),
+          8).as("cov"))
+      .orderBy(abs(col("cov")).desc, col("i"), col("j"))
+      .limit(EC_TOPK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_random_projection" -> qRandomProjection,
@@ -961,6 +1010,36 @@ object VectorOps {
        |FROM af GROUP BY 1 ORDER BY cluster""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // covariance: index table from unnest(range(max len)) so the dim is
+    // data-derived (no hardcoded D to go stale on regeneration)
+    "q_embed_cov" -> {
+      val D = (n: String) => s"CAST($n AS DOUBLE)"
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |idx AS (
+         |  SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
+         |ds AS (
+         |  SELECT t.i, sum(CAST(e.v[t.i] AS DECIMAL(28,12))) AS sx
+         |  FROM e, idx t GROUP BY 1),
+         |ps AS (
+         |  SELECT ti.i AS i, tj.i AS j,
+         |    sum(CAST(e.v[ti.i] * e.v[tj.i] AS DECIMAL(28,12))) AS sxy
+         |  FROM e, idx ti, idx tj
+         |  WHERE tj.i > ti.i GROUP BY 1, 2)
+         |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+         |  ${Fns.roundPSql(
+             s"${D("p.sxy")} / ${D("nn.n")} - " +
+               s"(${D("a.sx")} / ${D("nn.n")}) * (${D("b.sx")} / ${D("nn.n")})",
+             8)} AS cov
+         |FROM ps p
+         |JOIN ds a ON a.i = p.i
+         |JOIN ds b ON b.i = p.j, nn
+         |ORDER BY abs(${Fns.roundPSql(
+             s"${D("p.sxy")} / ${D("nn.n")} - " +
+               s"(${D("a.sx")} / ${D("nn.n")}) * (${D("b.sx")} / ${D("nn.n")})",
+             8)}) DESC, i, j
+         |LIMIT $EC_TOPK""".stripMargin
+    },
     "q_hybrid_search" ->
       s"""WITH tk AS (SELECT doc_id, list_distinct(${TextOps.sqlTokensLower}) AS tk FROM documents),
          |q AS (SELECT tk AS qtk FROM tk WHERE doc_id = $PROBE_ID),
