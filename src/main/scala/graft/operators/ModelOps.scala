@@ -67,7 +67,12 @@ object ModelOps {
     * frame, not the token stream. Docs with zero tokens have no score
     * rows and are excluded identically on both engines.
     */
-  val qNbLang: Q = (s, d) => {
+  val qNbLang: Q = (s, d) =>
+    nbConfusion(s, d).orderBy("lang", "pred")
+
+  /** The resubstitution confusion matrix (lang, pred, n) behind
+    * [[qNbLang]] and [[qNbMetrics]]. */
+  private def nbConfusion(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // Stage the token array, THEN explode the attribute (the
     // InferFiltersFromGenerate trap — PERF.md); collapse to tf counts
@@ -77,7 +82,40 @@ object ModelOps {
     val am = nbPredict(tf.select("doc_id", "w", "tf"), term, pri)
     am.join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "pred")
+  }
+
+  /** Per-class evaluation metrics over the [[qNbLang]] confusion matrix —
+    * the precision/recall/F1 report every classifier-driven curation
+    * stage (fasttext-style language filters, quality classifiers) ships
+    * with its predictions. Each ratio is ONE integer-operand IEEE
+    * division (F1 via its 2tp/(2tp+fp+fn) identity rather than the
+    * precision·recall composition, which would chain three rounded
+    * divisions), nullif-guarded for never-predicted classes. Everything
+    * after the confusion matrix is O(classes²) arithmetic. */
+  val qNbMetrics: Q = (s, d) => {
+    val conf = nbConfusion(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cls = conf.select(col("lang")).distinct()
+    val tp = conf.filter(col("lang") === col("pred"))
+      .select(col("lang"), col("n").as("tp"))
+    val fp = conf.filter(col("lang") =!= col("pred"))
+      .groupBy(col("pred").as("lang")).agg(sum("n").as("fp"))
+    val fn = conf.filter(col("lang") =!= col("pred"))
+      .groupBy("lang").agg(sum("n").as("fn"))
+    val ratio = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
+      Fns.roundP(num.cast("double") /
+        when(den === 0, lit(null)).otherwise(den).cast("double"), 6)
+    cls
+      .join(tp, Seq("lang"), "left").join(fp, Seq("lang"), "left")
+      .join(fn, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .select(col("lang"), col("tp"), col("fp"), col("fn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("prec"),
+        ratio(col("tp"), col("tp") + col("fn")).as("rec"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+      .orderBy("lang")
   }
 
   /** (doc_id, lang, w, tf) token-frequency collapse of a document frame —
@@ -341,6 +379,7 @@ object ModelOps {
 
   val queries: Map[String, Q] = Map(
     "q_nb_lang"      -> qNbLang,
+    "q_nb_metrics"   -> qNbMetrics,
     "q_winnow"       -> qWinnow,
     "q_bpe_merges"   -> qBpeMerges,
     "q_bpe_tokenize" -> qBpeTokenize,
@@ -357,6 +396,35 @@ object ModelOps {
 
   private val sqlCandList =
     CorpusOps.LANGS.map(l => s"'$l'").mkString("[", ", ", "]")
+
+  /** The full NB train+score chain down to the (lang, pred, n) confusion
+    * matrix — shared by the q_nb_lang gate and the q_nb_metrics report
+    * so both engines derive metrics from the identical predictions. */
+  private def sqlNbConfusion: String =
+    s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
+       |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+       |cw AS (SELECT lang AS cand, w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+       |tl AS (SELECT cand, CAST(sum(c) AS BIGINT) AS tl FROM cw GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM cw),
+       |cands AS (SELECT unnest($sqlCandList) AS cand),
+       |grid AS (SELECT w, cand FROM (SELECT DISTINCT w FROM cw) CROSS JOIN cands),
+       |term AS (SELECT g.w, g.cand,
+       |  CAST(ln(CAST(COALESCE(cw.c, 0) + 1 AS DOUBLE))
+       |     - ln(CAST(tl.tl + v.v AS DOUBLE)) AS DECIMAL(28,18)) AS s
+       |  FROM grid g LEFT JOIN cw ON g.w = cw.w AND g.cand = cw.cand
+       |  JOIN tl ON g.cand = tl.cand CROSS JOIN v),
+       |pri AS (SELECT lang AS cand, CAST(ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,18))
+       |    - (SELECT CAST(ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,18)) FROM documents) AS lp
+       |  FROM documents GROUP BY lang),
+       |sc AS (SELECT tf.doc_id, term.cand, sum(term.s * CAST(tf.tf AS DECIMAL(9,0))) AS s
+       |  FROM tf JOIN term ON tf.w = term.w GROUP BY 1, 2),
+       |fin AS (SELECT sc.doc_id, sc.cand, sc.s + pri.lp AS score
+       |  FROM sc JOIN pri ON sc.cand = pri.cand),
+       |am AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score DESC, cand) AS rk FROM fin)
+       |SELECT d.lang, am.cand AS pred, count(*) AS n
+       |FROM am JOIN documents d USING (doc_id) WHERE am.rk = 1
+       |GROUP BY 1, 2""".stripMargin
 
   /** One unrolled BPE round: pair counts → argmax → fold-rewrite. The
     * fold is DuckDB's `list_reduce` with a space-joined string
@@ -414,31 +482,32 @@ object ModelOps {
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
-    "q_nb_lang" ->
-      s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
-         |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
-         |cw AS (SELECT lang AS cand, w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
-         |tl AS (SELECT cand, CAST(sum(c) AS BIGINT) AS tl FROM cw GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w) AS v FROM cw),
-         |cands AS (SELECT unnest($sqlCandList) AS cand),
-         |grid AS (SELECT w, cand FROM (SELECT DISTINCT w FROM cw) CROSS JOIN cands),
-         |term AS (SELECT g.w, g.cand,
-         |  CAST(ln(CAST(COALESCE(cw.c, 0) + 1 AS DOUBLE))
-         |     - ln(CAST(tl.tl + v.v AS DOUBLE)) AS DECIMAL(28,18)) AS s
-         |  FROM grid g LEFT JOIN cw ON g.w = cw.w AND g.cand = cw.cand
-         |  JOIN tl ON g.cand = tl.cand CROSS JOIN v),
-         |pri AS (SELECT lang AS cand, CAST(ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,18))
-         |    - (SELECT CAST(ln(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,18)) FROM documents) AS lp
-         |  FROM documents GROUP BY lang),
-         |sc AS (SELECT tf.doc_id, term.cand, sum(term.s * CAST(tf.tf AS DECIMAL(9,0))) AS s
-         |  FROM tf JOIN term ON tf.w = term.w GROUP BY 1, 2),
-         |fin AS (SELECT sc.doc_id, sc.cand, sc.s + pri.lp AS score
-         |  FROM sc JOIN pri ON sc.cand = pri.cand),
-         |am AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY score DESC, cand) AS rk FROM fin)
-         |SELECT d.lang, am.cand AS pred, count(*) AS n
-         |FROM am JOIN documents d USING (doc_id) WHERE am.rk = 1
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_nb_lang" -> s"$sqlNbConfusion\nORDER BY 1, 2",
+    // metrics from the SAME confusion chain; one integer-operand division
+    // per ratio, nullif for never-predicted classes
+    "q_nb_metrics" ->
+      s"""WITH conf AS ($sqlNbConfusion),
+         |cls AS (SELECT DISTINCT lang FROM conf),
+         |tp AS (SELECT lang, sum(n) AS tp FROM conf WHERE lang = pred GROUP BY 1),
+         |fp AS (SELECT pred AS lang, sum(n) AS fp FROM conf WHERE lang <> pred GROUP BY 1),
+         |fn AS (SELECT lang, sum(n) AS fn FROM conf WHERE lang <> pred GROUP BY 1),
+         |m AS (
+         |  SELECT c.lang,
+         |    CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(fn.fn, 0) AS BIGINT) AS fn
+         |  FROM cls c LEFT JOIN tp ON tp.lang = c.lang
+         |  LEFT JOIN fp ON fp.lang = c.lang
+         |  LEFT JOIN fn ON fn.lang = c.lang)
+         |SELECT lang, tp, fp, fn,
+         |  ${Fns.roundPSql(
+             "CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)", 6)} AS prec,
+         |  ${Fns.roundPSql(
+             "CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)", 6)} AS rec,
+         |  ${Fns.roundPSql(
+             "CAST(2 * tp AS DOUBLE) / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0)",
+             6)} AS f1
+         |FROM m ORDER BY lang""".stripMargin,
     "q_winnow" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS w, $sqlWsTrim AS t FROM documents),
          |sh AS (SELECT doc_id, CASE WHEN len(w) >= $WIN_K
