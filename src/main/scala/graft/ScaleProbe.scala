@@ -67,7 +67,17 @@ object ScaleProbe {
     "q_audio_features",      // per-row WAV decode + framing flatMap (documents)
     "q_knn_join",            // broadcast probes + WindowGroupLimit top-k (embeddings)
     "q_walk_corpus",         // per-step node-keyed joins vs indexed adjacency (orders)
-    "q_skipgram_pairs")      // walk-id-keyed self-join + pair agg (orders)
+    "q_skipgram_pairs",      // walk-id-keyed self-join + pair agg (orders)
+    "q_katz",                // integer power-iteration supersteps (orders;
+                             // q_hits shares the shape with 2 joins/round)
+    "q_itemsets",            // basket-local pair expansion + pair agg (lineitem)
+    "q_attribution",         // per-user carry-forward window + O(24) agg (events)
+    "q_sorted_neighborhood", // partitioned sort + fixed-width lead pairs
+                             // (documents; candidates are N×(W−1) by
+                             // construction, so even manufactured dups from
+                             // replication stay linear)
+    "q_embed_cov",           // row-local D² expansion, fixed-group agg (embeddings)
+    "q_cube")                // Expand(4 grouping sets) + one hash agg (lineitem)
     // q_entity_match: like q_knn_join, quadratic BY CONSTRUCTION under
     // replication (shifted custkeys land in the same nation blocks, so
     // Σblock² grows ×mult²) — its scaling story is the blocking bound
@@ -82,7 +92,7 @@ object ScaleProbe {
     val mults = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                 else Seq(1, 4, 8)
     // optional third arg: comma-separated probe subset (dev iteration on
-    // one family without re-timing all 38)
+    // one family without re-timing all 44)
     val probes = if (args.length > 2) PROBES.filter(args(2).split(",").toSet)
                  else PROBES
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -464,7 +464,45 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Robust outlier detection via median / MAD (Hampel's rule — the
+    * estimator monitoring uses where [[qAnomaly]]'s mean/σ is itself
+    * dragged by the outliers it hunts: median and median-absolute-
+    * deviation have a 50% breakdown point). Per event type: med =
+    * median(x), mad = median(|x − med|), outliers = count(|x − med| >
+    * 3·mad).
+    *
+    * Parity: values are centi-quantized to integers first, so both
+    * medians interpolate (a+b)/2 over integer order statistics — an
+    * exact IEEE operation — and every deviation is an exact double;
+    * the 3·mad threshold is one multiplication of identical operands.
+    * No rounding is load-bearing anywhere. Scale shape: exact medians
+    * sort WITHIN each type partition (types are low-cardinality — at
+    * real scale the exact percentile swaps for the gated
+    * percentile_approx twin, same plan otherwise); the med/mad tables
+    * are O(types) broadcasts onto re-scans, never a corpus shuffle. */
+  val qMadOutliers: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * lit(100) + lit(0.5)).cast("long").as("xq"))
+      .persist()
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(xq, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("xq").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"), count(lit(1)).as("n"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy("event_type")
+      .agg(count(when(col("dev") > lit(3.0) * col("mad"), lit(1))).as("n_outliers"))
+      .join(med, "event_type").join(mad.select("event_type", "mad", "n"), "event_type")
+      .select(col("event_type"), col("n"),
+        Fns.roundP(col("med"), 4).as("med_centi"),
+        Fns.roundP(col("mad"), 4).as("mad_centi"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mad_outliers" -> qMadOutliers,
     "q_cusum"      -> qCusum,
     "q_autocorr"   -> qAutocorr,
     "q_attribution" -> qAttribution,
@@ -491,6 +529,29 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // median/MAD: quantile_cont over centi-integers — (a+b)/2 is exact
+    // IEEE, deviations are exact doubles, one threshold multiply
+    "q_mad_outliers" ->
+      s"""WITH q AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+         |  FROM events),
+         |med AS (
+         |  SELECT event_type, quantile_cont(xq, 0.5) AS med, count(*) AS n
+         |  FROM q GROUP BY 1),
+         |dev AS (
+         |  SELECT q.event_type, abs(CAST(q.xq AS DOUBLE) - m.med) AS dev
+         |  FROM q JOIN med m USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+         |  FROM dev GROUP BY 1)
+         |SELECT m.event_type, m.n,
+         |  ${Fns.roundPSql("m.med", 4)} AS med_centi,
+         |  ${Fns.roundPSql("a.mad", 4)} AS mad_centi,
+         |  (SELECT count(*) FROM dev d
+         |   WHERE d.event_type = m.event_type AND d.dev > 3.0::DOUBLE * a.mad)
+         |    AS n_outliers
+         |FROM med m JOIN mad a USING (event_type)
+         |ORDER BY m.event_type""".stripMargin,
     // CUSUM via the prefix closed form: S = cum − min(0, running-min cum),
     // exact centi-integers end to end
     "q_cusum" ->

@@ -447,7 +447,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language readability report via the Coleman–Liau index (Coleman
+    * & Liau, J. Applied Psychology 1975) — the published readability
+    * formula that needs NO syllable estimation, only letter / word /
+    * sentence counts, which makes it the one a large-scale quality
+    * pipeline can compute exactly (Flesch-Kincaid's syllable counter is
+    * a heuristic that varies by implementation — a parity trap and a
+    * reproducibility smell). CLI = 0.0588·L − 0.296·S − 15.8 with
+    * L = letters per 100 words, S = sentences per 100 words.
+    *
+    * Counts are exact integers summed per language (sentence runs
+    * `[.!?]+` floored at 1 per doc so a fragment without terminal
+    * punctuation is one sentence, not a division by zero); the index is
+    * ONE fixed double expression over the aggregated sums. Single scan,
+    * one O(langs) agg. */
+  val qReadability: Q = (s, d) => {
+    val b = Tables.documents(s, d).select(col("lang"),
+      size(Fns.tokens(col("text"))).cast("long").as("w"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("l"),
+      greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+        .cast("long").as("sen"))
+    val D = (c: org.apache.spark.sql.Column) => c.cast("double")
+    b.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("l").as("letters"),
+        sum("w").as("words"), sum("sen").as("sentences"))
+      .select(col("lang"), col("n_docs"), col("letters"), col("words"),
+        col("sentences"),
+        Fns.roundP(
+          lit(0.0588) * (lit(100.0) * D(col("letters")) / D(col("words"))) -
+            lit(0.296) * (lit(100.0) * D(col("sentences")) / D(col("words"))) -
+            lit(15.8), 4).as("cli"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_readability"  -> qReadability,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_fim_split"    -> qFimSplit,
     "q_char_entropy" -> qCharEntropy,
@@ -482,6 +516,25 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    // Coleman–Liau: exact integer counts per language, one double tree
+    "q_readability" ->
+      s"""WITH b AS (
+         |  SELECT lang,
+         |    CAST(len($sqlTokens) AS BIGINT) AS w,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS l,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS sen
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, count(*) AS n_docs, sum(l) AS letters, sum(w) AS words,
+         |    sum(sen) AS sentences
+         |  FROM b GROUP BY 1)
+         |SELECT lang, n_docs, CAST(letters AS BIGINT) AS letters,
+         |  CAST(words AS BIGINT) AS words, CAST(sentences AS BIGINT) AS sentences,
+         |  ${Fns.roundPSql(
+             "0.0588::DOUBLE * (100.0::DOUBLE * CAST(letters AS DOUBLE) / CAST(words AS DOUBLE)) - " +
+               "0.296::DOUBLE * (100.0::DOUBLE * CAST(sentences AS DOUBLE) / CAST(words AS DOUBLE)) - " +
+               "15.8::DOUBLE", 4)} AS cli
+         |FROM m ORDER BY lang""".stripMargin,
     // span corruption: same block geometry derived per (doc, k); string_agg
     // of non-empty per-block pieces == Spark's flatten+join (every piece
     // contains its sentinel, so the separators line up token-for-token)
