@@ -797,6 +797,97 @@ object BigGraphOps {
       .limit(LP_TOPK)
   }
 
+  /** Double-sweep hop budget — bounds both BFS passes (and the oracle's
+    * recursive unrolls) like every superstep gate here. */
+  val DS_HOPS = 12
+
+  /** Hop-bounded multi-round BFS over an undirected edge frame (a, b):
+    * min-hop distances from `start`, [[DS_HOPS]] supersteps of
+    * frontier⋈edges + anti-join dedupe ([[qBfsBig]]'s dataflow, reused
+    * for both sweeps). */
+  private def undBfs(s: SparkSession, und: DataFrame, start: Long): DataFrame = {
+    var frontier = s.range(1)
+      .select(lit(start).as("node"), lit(0).as("hop")).localCheckpoint()
+    var reached = frontier
+    for (h <- 1 to DS_HOPS) {
+      frontier = frontier
+        .join(und, col("node") === col("a"))
+        .select(col("b").as("node"), lit(h).as("hop"))
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .distinct()
+        .localCheckpoint()
+      reached = reached.unionByName(frontier)
+    }
+    reached.groupBy(col("node")).agg(min(col("hop")).as("hop"))
+  }
+
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib, JEA
+    * 2009 — the standard cheap diameter estimator: BFS from an arbitrary
+    * vertex, then BFS from the farthest vertex found; the second
+    * eccentricity lower-bounds the diameter and is exact on trees).
+    * Both sweeps are [[DS_HOPS]]-capped like every superstep gate, so
+    * the gated quantity is the H-capped double-sweep bound — identical
+    * semantics on both engines, and the cap is the honest posture at
+    * scale (an uncapped sweep on a pathological path graph would run
+    * O(diameter) rounds). Farthest-vertex picks break ties on the
+    * MINIMUM node id so the whole report is deterministic. Output is
+    * one row: start, both peripheral vertices, both eccentricities.
+    *
+    * Scale shape: 2×DS_HOPS frontier joins keyed on node id; the only
+    * driver round-trips are the two 1-row argmax picks. */
+  val qDiameter: Q = (s, d) => {
+    val e = coEdges(s, d).select("src", "dst")
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    val start = startNode(e.select(col("src"), col("dst")))
+    def farthest(dists: DataFrame): (Long, Int) = {
+      val r = dists.orderBy(desc("hop"), col("node")).limit(1).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    val (far1, ecc1) = farthest(undBfs(s, und, start))
+    val (far2, ecc2) = farthest(undBfs(s, und, far1))
+    s.range(1).select(
+      lit(start).as("start"), lit(far1).as("far1"), lit(ecc1).as("ecc1"),
+      lit(far2).as("far2"), lit(ecc2).as("diameter_lb"))
+  }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002) — does this
+    * graph wire hubs to hubs (r > 0, social-network-like) or hubs to
+    * leaves (r < 0, internet-like)? The one-number mixing summary a
+    * graph-QA pass reports beside degree/clustering. Computed as the
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * set (each undirected edge contributes both orientations — the
+    * standard symmetric estimator). All six moments are exact integer
+    * sums (decimal(38,0)/HUGEINT); r assembles in the same fixed double
+    * tree as [[graft.operators.EventOps.qAutocorr]]. Two node-keyed
+    * joins (degree attach) + one global agg. */
+  val qAssortativity: Q = (s, d) => {
+    val e = coEdges(s, d).select("src", "dst")
+    val und = persisted(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("n_ends"),
+        sum(dec(col("da"))).as("sx"), sum(dec(col("db"))).as("sy"),
+        sum(dec(col("da") * col("db"))).as("sxy"),
+        sum(dec(col("da") * col("da"))).as("sxx"),
+        sum(dec(col("db") * col("db"))).as("syy"))
+    val D = (n: String) => col(n).cast("double")
+    m.select(col("n_ends"),
+      Fns.roundP(
+        (D("n_ends") * D("sxy") - D("sx") * D("sy")) /
+          expr("nullif(sqrt((CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "(CAST(n_ends AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)"), 6)
+        .as("assortativity"))
+  }
+
   /** Katz-index truncation depth: the score counts walks of length
     * ≤ KATZ_ITERS ending at each node. Bounded like every superstep gate
     * so the oracle can unroll the same rounds. */
@@ -884,6 +975,8 @@ object BigGraphOps {
     "q_katz"         -> qKatz,
     "q_hits"         -> qHits,
     "q_local_clustering" -> qLocalClustering,
+    "q_diameter"     -> qDiameter,
+    "q_assortativity" -> qAssortativity,
     "q_link_predict" -> qLinkPredict,
     "q_bfs_big"      -> qBfsBig,
     "q_sssp_big"     -> qSsspBig,
@@ -1013,6 +1106,53 @@ object BigGraphOps {
          |$sqlKatzRounds
          |SELECT node, CAST(score AS BIGINT) AS katz
          |FROM k$KATZ_ITERS ORDER BY node""".stripMargin,
+    // assortativity: endpoint-degree Pearson over the symmetrized edges,
+    // HUGEINT moments, one fixed double tree
+    "q_assortativity" -> {
+      val D = (n: String) => s"CAST($n AS DOUBLE)"
+      s"""WITH $sqlEdges,
+         |und AS (SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |deg AS (SELECT a AS n, count(*) AS deg FROM und GROUP BY 1),
+         |p AS (
+         |  SELECT da.deg AS da, db.deg AS db
+         |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+         |m AS (
+         |  SELECT count(*) AS n_ends, sum(da) AS sx, sum(db) AS sy,
+         |    sum(da * db) AS sxy, sum(da * da) AS sxx, sum(db * db) AS syy
+         |  FROM p)
+         |SELECT CAST(n_ends AS BIGINT) AS n_ends,
+         |  ${Fns.roundPSql(
+             s"(${D("n_ends")} * ${D("sxy")} - ${D("sx")} * ${D("sy")}) / " +
+               s"nullif(sqrt((${D("n_ends")} * ${D("sxx")} - ${D("sx")} * ${D("sx")}) * " +
+               s"(${D("n_ends")} * ${D("syy")} - ${D("sy")} * ${D("sy")})), 0.0)", 6)}
+         |    AS assortativity
+         |FROM m""".stripMargin
+    },
+    // double sweep: two DS_HOPS-bounded recursive BFS unrolls, min-id
+    // tie-breaks on both farthest picks
+    "q_diameter" ->
+      s"""WITH RECURSIVE $sqlEdges,
+         |und AS (SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |r1(n, d) AS (
+         |  SELECT s, 0 FROM start
+         |  UNION
+         |  SELECT u.b, r.d + 1 FROM r1 r JOIN und u ON u.a = r.n
+         |  WHERE r.d < $DS_HOPS),
+         |d1 AS (SELECT n, min(d) AS d FROM r1 GROUP BY 1),
+         |f1 AS (SELECT n, d FROM d1 ORDER BY d DESC, n LIMIT 1),
+         |r2(n, d) AS (
+         |  SELECT n, 0 FROM f1
+         |  UNION
+         |  SELECT u.b, r.d + 1 FROM r2 r JOIN und u ON u.a = r.n
+         |  WHERE r.d < $DS_HOPS),
+         |d2 AS (SELECT n, min(d) AS d FROM r2 GROUP BY 1),
+         |f2 AS (SELECT n, d FROM d2 ORDER BY d DESC, n LIMIT 1)
+         |SELECT (SELECT s FROM start) AS start,
+         |  f1.n AS far1, CAST(f1.d AS INT) AS ecc1,
+         |  f2.n AS far2, CAST(f2.d AS INT) AS diameter_lb
+         |FROM f1, f2""".stripMargin,
     // local clustering: definitional triangle join (each triangle once as
     // a<b<c), three-corner credit, integer ratio rounded once
     "q_local_clustering" ->

@@ -501,7 +501,92 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Wilson-score CTR ranking (Wilson, JASA 1927; the "how not to rank
+    * by raw average" estimator every ranking/AB system uses): per
+    * hour-of-day, the click share of view+click traffic (clicks are not
+    * a subset of views in this stream, so the honest binomial proportion
+    * is clicks out of views+clicks) with the 95% Wilson LOWER bound —
+    * low-traffic hours with lucky ratios rank below high-traffic hours
+    * with solid ones. Counts are exact integers; p̂, the z²-corrected
+    * numerator and the bound assemble in ONE fixed double tree (z = 1.96
+    * enters as the same literal on both engines and z² as the same
+    * multiplication; sqrt is correctly rounded IEEE), so the ranking
+    * key itself is deterministic. One scan, O(24) agg. */
+  val qWilsonCtr: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(hour(col("ts")).as("hod"))
+      .agg(count(when(col("event_type") === "view", lit(1))).as("views"),
+        count(when(col("event_type") === "click", lit(1))).as("clicks"))
+      .filter(col("views") + col("clicks") > 0)
+    val n = (col("views") + col("clicks")).cast("double")
+    val p = col("clicks").cast("double") / n
+    val z = lit(1.96)
+    val z2 = z * z
+    val lb = (p + z2 / (lit(2.0) * n) -
+      z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+      (lit(1.0) + z2 / n)
+    agg.select(col("hod").cast("int").as("hod"), col("views"), col("clicks"),
+      Fns.roundP(p, 6).as("ctr"), Fns.roundP(lb, 6).as("wilson_lb"))
+      .orderBy(desc("wilson_lb"), col("hod"))
+  }
+
+  /** Benford expected first-digit probabilities log10(1 + 1/d), baked as
+    * 12-dp literals into BOTH engines' plans — the constants enter as
+    * identical decimal strings, so no libm log10 call exists anywhere in
+    * the gated pipeline. */
+  private[operators] val BENFORD_P: Seq[(Int, String)] =
+    (1 to 9).map(dd => dd -> f"${math.log10(1.0 + 1.0 / dd)}%.12f")
+
+  /** Benford first-digit screening (Newcomb 1881 / Benford 1938; the
+    * fabricated-data test auditors run — heavily non-Benford value
+    * columns flag synthetic or truncated feeds): per event type, the
+    * observed leading-digit histogram of the centi-quantized values and
+    * the χ² statistic against Benford's law.
+    *
+    * The leading digit comes from INTEGER arithmetic (xq div
+    * 10^(digits−1), with the digit count read off the exact integer's
+    * string length) — never from float formatting or log10 of the value,
+    * the two nondeterminism traps. χ² sums its 9 per-digit terms through
+    * decimal(28,12) so aggregation order cannot perturb it. One scan,
+    * O(types×9) agg. */
+  val qBenford: Q = (s, d) => {
+    import s.implicits._
+    val expected = BENFORD_P.map { case (dd, p) => (dd, p) }
+      .toDF("digit", "p_str")
+      .select(col("digit"), col("p_str").cast("double").as("p"))
+    val digits = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("xq"))
+      .filter(col("xq") >= 1)
+      .withColumn("nd", length(col("xq").cast("string")))
+      .withColumn("digit",
+        expr("CAST(xq div CAST(pow(10, nd - 1) AS LONG) AS INT)"))
+    val obs = digits.groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("obs"))
+    val tot = digits.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // dense digit grid so absent digits contribute their full (0−np)²/np
+    val grid = tot.crossJoin(broadcast(expected))
+    val term = grid
+      .join(obs, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("n"), col("digit"),
+        coalesce(col("obs"), lit(0L)).as("obs"), col("p"))
+      .withColumn("exp", col("n").cast("double") * col("p"))
+      .withColumn("t",
+        (col("obs").cast("double") - col("exp")) *
+          (col("obs").cast("double") - col("exp")) / col("exp"))
+    term.groupBy("event_type", "n")
+      .agg(sum(col("t").cast("decimal(28,12)")).cast("double").as("chi2d"),
+        max(when(col("digit") === 1,
+          Fns.roundP(col("obs").cast("double") / col("n").cast("double"), 6)))
+          .as("d1_share"))
+      .select(col("event_type"), col("n"), Fns.roundP(col("chi2d"), 4).as("chi2"),
+        col("d1_share"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_benford"    -> qBenford,
+    "q_wilson_ctr" -> qWilsonCtr,
     "q_mad_outliers" -> qMadOutliers,
     "q_cusum"      -> qCusum,
     "q_autocorr"   -> qAutocorr,
@@ -529,6 +614,60 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // Benford: integer leading digit, literal-baked expectations, decimal-
+    // summed chi-square terms
+    "q_benford" -> {
+      val vals = BENFORD_P
+        .map { case (dd, p) => s"($dd, $p::DOUBLE)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type, xq, length(CAST(xq AS VARCHAR)) AS nd
+         |  FROM q WHERE xq >= 1),
+         |dg AS (
+         |  SELECT event_type,
+         |    CAST(xq // CAST(power(10, nd - 1) AS BIGINT) AS INT) AS digit
+         |  FROM f),
+         |obs AS (SELECT event_type, digit, count(*) AS obs FROM dg GROUP BY 1, 2),
+         |tot AS (SELECT event_type, count(*) AS n FROM dg GROUP BY 1),
+         |bp(digit, p) AS (VALUES $vals),
+         |term AS (
+         |  SELECT t.event_type, t.n, b.digit, coalesce(o.obs, 0) AS obs,
+         |    CAST(t.n AS DOUBLE) * b.p AS ex
+         |  FROM tot t CROSS JOIN bp b
+         |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = b.digit),
+         |tv AS (
+         |  SELECT event_type, n, digit, obs,
+         |    (CAST(obs AS DOUBLE) - ex) * (CAST(obs AS DOUBLE) - ex) / ex AS t
+         |  FROM term)
+         |SELECT event_type, n,
+         |  ${Fns.roundPSql("CAST(sum(CAST(t AS DECIMAL(28,12))) AS DOUBLE)", 4)} AS chi2,
+         |  max(CASE WHEN digit = 1 THEN ${Fns.roundPSql(
+             "CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)", 6)} END) AS d1_share
+         |FROM tv GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
+    // Wilson bound: the identical double expression tree, z as the same
+    // 1.96 literal, ranking on the rounded bound
+    "q_wilson_ctr" -> {
+      val n = "CAST(views + clicks AS DOUBLE)"
+      val p = s"(CAST(clicks AS DOUBLE) / $n)"
+      val z = "1.96::DOUBLE"
+      val z2 = s"($z * $z)"
+      val lb = s"(($p + $z2 / (2.0::DOUBLE * $n) - " +
+        s"$z * sqrt(($p * (1.0::DOUBLE - $p) + $z2 / (4.0::DOUBLE * $n)) / $n)) / " +
+        s"(1.0::DOUBLE + $z2 / $n))"
+      s"""WITH a AS (
+         |  SELECT hour(CAST(ts AS TIMESTAMP)) AS hod,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks
+         |  FROM events GROUP BY 1)
+         |SELECT CAST(hod AS INT) AS hod, views, clicks,
+         |  ${Fns.roundPSql(p, 6)} AS ctr,
+         |  ${Fns.roundPSql(lb, 6)} AS wilson_lb
+         |FROM a WHERE views + clicks > 0
+         |ORDER BY wilson_lb DESC, hod""".stripMargin
+    },
     // median/MAD: quantile_cont over centi-integers — (a+b)/2 is exact
     // IEEE, deviations are exact doubles, one threshold multiply
     "q_mad_outliers" ->

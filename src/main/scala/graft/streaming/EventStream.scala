@@ -295,6 +295,32 @@ object EventStream {
       .toDF()
   }
 
+  /** Declarative sessionization via Spark's NATIVE `session_window` — the
+    * Catalyst-planned twin of [[sessionCounts]]'s hand-rolled
+    * flatMapGroupsWithState: the gap-merge logic lives in the engine's
+    * SessionWindow state store (mergeable per-key session state, aged by
+    * the watermark) instead of user code, so it gets codegen, state
+    * cleanup, and AQE for free. Works identically over a batch frame —
+    * the spec pins batch session_window ≡ the window-function
+    * formulation (EventOps.qSessionize) per user, and the streaming run
+    * against the same data converges to the same sessions.
+    *
+    * Boundary note: session_window treats a gap of EXACTLY 30 min as a
+    * new session ([start, end) intervals) where qSessionize's `diff >
+    * gap` merges it — indistinguishable on microsecond event data (an
+    * exact 1.8e9-µs gap), documented rather than papered over. */
+  def sessionWindowsOf(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    sessionWindowsOf(rawEvents(s, dir))
+
   /** Stream-static dimension enrichment — the feature/profile lookup every
     * ingest path runs (attach a user's segment/profile to each arriving
     * event). The static side is broadcast into every micro-batch, so the

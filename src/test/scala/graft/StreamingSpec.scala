@@ -236,6 +236,35 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} counters, batch ${batch.length}")
   }
 
+  test("native session_window sessionization equals the window-function batch form") {
+    // batch: the declarative session_window over the same events must
+    // produce per-user session counts equal to qSessionize's lag-based
+    // formulation (and per-session event counts that sum to the total)
+    val sw = EventStream.sessionWindowsOf(Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perUser = sw.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._4).sum)).toMap
+    val batch = operators.EventOps.qSessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(perUser == batch)
+    // sessions are disjoint and gap-bounded: start < end, end = last+gap
+    assert(sw.forall { case (_, s, e, _) => s < e })
+
+    // streaming over the same file converges to the same sessions
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sw")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.sessionWindows(spark, dir.toString)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("sess_win").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(streamed.sameElements(sw.sorted))
+  }
+
   test("stream-static enrichment equals the batch left join, unknowns kept") {
     import org.apache.spark.sql.functions.{concat, lit, pmod}
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-enr")
