@@ -745,7 +745,49 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit width — enough rank depth that the log-log line is
+    * meaningful, small enough that the fitted frame is driver-trivial. */
+  val ZIPF_TOP = 200
+
+  /** Zipf exponent of the corpus — OLS of ln(freq) on ln(rank) over the
+    * top-[[ZIPF_TOP]] terms (deterministic tie-break on term). A healthy
+    * natural-language corpus fits slope ≈ −1; a synthetic or templated
+    * corpus bends it, which makes this the one-number distributional QA
+    * check next to [[qVocabGrowth]]. Scale shape: the corpus collapses to
+    * vocab-keyed counts (partial+final agg), TakeOrdered keeps ZIPF_TOP
+    * rows, and only that 200-row frame enters the single-partition
+    * ranking window — the global sort never touches more than ZIPF_TOP
+    * rows. Moment sums are per-term doubles cast decimal(38,18), so the
+    * 200-term summation is order-free; the closed-form slope/intercept
+    * divisions are the only double steps, mirrored verbatim in the
+    * oracle. */
+  val qZipfSlope: Q = (s, d) => {
+    val freq = Tables.documents(s, d)
+      .select(explode(Fns.tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(ZIPF_TOP)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val dec = (c: Column) => c.cast("decimal(38,18)")
+    val xy = freq
+      .select(row_number().over(w).cast("double").as("rk"),
+        col("freq").cast("double").as("f"))
+      .select(log(col("rk")).as("x"), log(col("f")).as("y"))
+    val D = (n: String) => col(n).cast("double")
+    val m = xy.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+      .withColumn("slope_raw",
+        (D("n") * D("sxy") - D("sx") * D("sy")) /
+          (D("n") * D("sxx") - D("sx") * D("sx")))
+    m.select(col("n").as("n_terms"),
+      Fns.roundP(col("slope_raw"), 6).as("slope"),
+      Fns.roundP((D("sy") - col("slope_raw") * D("sx")) / D("n"), 6)
+        .as("intercept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zipf_slope"    -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
     "q_curation_funnel" -> qCurationFunnel,
     "q_surprisal"     -> qSurprisal,
@@ -770,6 +812,26 @@ object CorpusOps {
   private val sqlTokensLower = TextOps.sqlTokensLower
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_slope" ->
+      s"""WITH t AS (SELECT unnest($sqlTokensLower) AS term FROM documents),
+         |f AS (SELECT term, count(*) AS freq FROM t
+         |      GROUP BY 1 ORDER BY freq DESC, term LIMIT $ZIPF_TOP),
+         |xy AS (SELECT
+         |  ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+         |  ln(CAST(freq AS DOUBLE)) AS y FROM f),
+         |m AS (SELECT count(*) AS n,
+         |  sum(CAST(x AS DECIMAL(38,18))) AS sx,
+         |  sum(CAST(y AS DECIMAL(38,18))) AS sy,
+         |  sum(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+         |  sum(CAST(x * x AS DECIMAL(38,18))) AS sxx FROM xy),
+         |s AS (SELECT n, sx, sy,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    AS slope_raw FROM m)
+         |SELECT n AS n_terms,
+         |  ${Fns.roundPSql("slope_raw", 6)} AS slope,
+         |  ${Fns.roundPSql("(CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 6)} AS intercept
+         |FROM s""".stripMargin,
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
          |g AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= $DECON_K

@@ -584,7 +584,37 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive backtest — forecast each hour's per-type value sum by
+    * the SAME hour one day earlier (the standard m=24 seasonal-naive
+    * baseline every forecasting pipeline scores first), and report the
+    * mean absolute error per type. The prediction is matched by HOUR
+    * VALUE via a self-join of the hourly aggregate (not a lag-24-rows
+    * window — gaps in the series would silently shift a positional lag),
+    * so the semantics are calendar-correct. Scale shape: the heavy input
+    * scan collapses to one (type × hour) partial+final agg; the self-join
+    * runs on that bounded hourly frame (persisted once, consumed twice)
+    * keyed on (type, hour) — at 100 TB the joined state is still only
+    * types × hours rows. Error sums ride exact decimals; only the final
+    * MAE division is a double. */
+  val qSeasonalError: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      .persist()
+    hourly
+      .join(hourly.select(col("event_type").as("et2"),
+          (col("hr") + 24).as("hr2"), col("v").as("pred")),
+        col("event_type") === col("et2") && col("hr") === col("hr2"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        Fns.roundP(sum(abs(col("v") - col("pred"))).cast("double")
+          / count(lit(1)), 6).as("mae"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seasonal_error" -> qSeasonalError,
     "q_benford"    -> qBenford,
     "q_wilson_ctr" -> qWilsonCtr,
     "q_mad_outliers" -> qMadOutliers,
@@ -614,6 +644,17 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_error" ->
+      s"""WITH hourly AS (
+         |  SELECT $sqlWs // 3600 AS hr, event_type,
+         |         sum(CAST(value AS DECIMAL(18,6))) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT a.event_type AS event_type, count(*) AS n_hours,
+         |  floor(CAST(sum(abs(a.v - b.v)) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         |    / 1000000 AS mae
+         |FROM hourly a
+         |JOIN hourly b ON a.event_type = b.event_type AND a.hr = b.hr + 24
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Benford: integer leading digit, literal-baked expectations, decimal-
     // summed chi-square terms
     "q_benford" -> {

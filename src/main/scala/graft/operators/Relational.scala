@@ -261,7 +261,81 @@ object Relational {
         col("cnt"), col("sum_qty"))
       .orderBy("gid", "rf", "ls")
 
+  /** TPC-H Q22 shape — scalar-subquery threshold + anti join: customers
+    * whose balance exceeds the average positive balance AND who have never
+    * placed an URGENT order, rolled up per nation (in this synthetic data
+    * every customer has SOME order, so the Q22 "no orders at all" form
+    * would gate on an empty frame). The threshold is a 1-row broadcast
+    * (cross join plans as BroadcastNestedLoopJoin, not a cartesian), and
+    * the comparison is cross-multiplied in decimals (`bal·n > Σbal`)
+    * instead of dividing, so both engines compare exact integers — an
+    * avg-of-doubles threshold would make the gate hinge on summation
+    * order at the boundary. The anti join is key-shuffled on custkey
+    * (orders is NOT broadcast-size at scale); AQE picks broadcast when
+    * the filtered customer side fits. */
+  val qAntiJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("bal_sum"),
+        count(lit(1)).as("bal_n"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("bal_n") > col("bal_sum"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** TPC-H Q4 shape — correlated-EXISTS as a left-semi join with a
+    * condition spanning both sides (late shipment: any line shipped more
+    * than 60 days after the order date). Semi join stops probing an order
+    * on first match and never duplicates rows, so no post-join distinct
+    * is needed; both sides shuffle once on orderkey. Timestamps compare
+    * in exact micros — no doubles anywhere. */
+  val qSemiJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Exact decile table — ntile(10) PARTITIONED by priority (ordered by
+    * (price, orderkey) so ties never make the rank ambiguous), then one
+    * hash agg per (priority, decile). The window is partition-parallel
+    * across priorities; within one priority it is a single-reducer sort —
+    * the honest cost of EXACT quantile assignment. The 100 TB rendering
+    * keeps this exact shape per bounded partition key, or swaps ntile for
+    * broadcast approx-percentile boundaries + a row-local bucket lookup
+    * when one key's volume exceeds a reducer (same output schema, ε-exact
+    * boundaries); see PERF.md. */
+  val qDecile: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(10).over(w).as("decile"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        graft.functions.Fns.roundP(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4).as("avg_price"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_anti_join"       -> qAntiJoin,
+    "q_semi_join"       -> qSemiJoin,
+    "q_decile"          -> qDecile,
     "q_cube"            -> qCube,
     "q1_agg"            -> q1Agg,
     "q_ship_priority"   -> qShipPriority,
@@ -282,6 +356,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decile" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, decile, count(*) AS cnt,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*) * 10000 + 0.5) / 10000 AS avg_price
+        |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ship_priority" ->
       """SELECT l_orderkey,
         |  epoch(o_orderdate)::BIGINT AS o_orderdate, o_orderpriority,

@@ -49,7 +49,9 @@ class QueriesSpec extends AnyFunSuite {
     "q_audio_features", "q_link_predict", "q_span_corrupt", "q_ewma",
     "q_group_k", "q_prefix_dup", "q_ppr", "q_knn_join", "q_zorder",
     "q_entity_match", "q_user_lag", "q_walk_corpus", "q_skipgram_pairs",
-    "q_mm_video", "q_node2vec")
+    "q_mm_video", "q_node2vec",
+    "q_anti_join", "q_semi_join", "q_decile", "q_seasonal_error",
+    "q_zipf_slope")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
