@@ -798,8 +798,15 @@ object BigGraphOps {
   }
 
   /** Double-sweep hop budget — bounds both BFS passes (and the oracle's
-    * recursive unrolls) like every superstep gate here. */
-  val DS_HOPS = 12
+    * recursive unrolls) like every superstep gate here. Profiled at
+    * sf0.1: each superstep costs ~0.9 s of FIXED local-mode latency
+    * (scheduler + localCheckpoint; the same wall time with 1-row and
+    * 3k-row frontiers, and restructuring the round from two shuffles to
+    * one moved nothing), so the hop budget IS the query's price — 8
+    * keeps the bound useful while the 2×H rounds stay ~60% of the r10
+    * 12-hop cost. On a real cluster the per-round floor amortizes over
+    * partitions and H would be raised, not the dataflow changed. */
+  val DS_HOPS = 8
 
   /** Hop-bounded multi-round BFS over an undirected edge frame (a, b):
     * min-hop distances from `start`, [[DS_HOPS]] supersteps of
@@ -810,11 +817,17 @@ object BigGraphOps {
       .select(lit(start).as("node"), lit(0).as("hop")).localCheckpoint()
     var reached = frontier
     for (h <- 1 to DS_HOPS) {
-      frontier = frontier
-        .join(und, col("node") === col("a"))
-        .select(col("b").as("node"), lit(h).as("hop"))
+      // Broadcast the frontier into the expansion join — a single-source
+      // BFS frontier is ≪ the edge set at any scale (the standard Pregel
+      // small-frontier path; AQE would pick this dynamically, pinning it
+      // saves the exchange stage every round). distinct BEFORE the
+      // anti-join so both run on the same node-keyed exchange and the
+      // anti probe sees each candidate once.
+      frontier = und
+        .join(broadcast(frontier.select(col("node"))), col("a") === col("node"))
+        .select(col("b").as("node")).distinct()
         .join(reached.select("node"), Seq("node"), "left_anti")
-        .distinct()
+        .select(col("node"), lit(h).as("hop"))
         .localCheckpoint()
       reached = reached.unionByName(frontier)
     }

