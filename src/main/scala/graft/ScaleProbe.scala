@@ -77,7 +77,24 @@ object ScaleProbe {
                              // construction, so even manufactured dups from
                              // replication stay linear)
     "q_embed_cov",           // row-local D² expansion, fixed-group agg (embeddings)
-    "q_cube")                // Expand(4 grouping sets) + one hash agg (lineitem)
+    "q_cube",                // Expand(4 grouping sets) + one hash agg (lineitem)
+    "q_small_order",         // per-part agg rejoined to its fact (lineitem;
+                             // parts gain members under replication — the
+                             // partial agg absorbs the growth)
+    "q_semi_join",           // orderkey-aligned left-semi with a residual
+                             // condition (orders⋈lineitem; copies join copy-
+                             // local keys, so match volume scales linearly)
+    "q_anti_join",           // 1-row threshold broadcast + custkey anti join
+                             // (customer is a 1× dim; the anti probe side is
+                             // the replicated orders stream)
+    "q_decile",              // exact ntile in a priority-partitioned window —
+                             // the HONEST super-linear probe: 5 partition keys
+                             // mean per-reducer volume grows ×mult (PERF.md
+                             // documents the boundary-broadcast rendering that
+                             // replaces it past a reducer's memory)
+    "q_event_paths",         // user-keyed WindowGroupLimit + bounded path agg (events)
+    "q_seasonal_error",      // (type×hour) agg + self-join on the bounded hourly frame (events)
+    "q_zipf_slope")          // vocab-keyed counts + 200-row fit (documents)
     // q_entity_match: like q_knn_join, quadratic BY CONSTRUCTION under
     // replication (shifted custkeys land in the same nation blocks, so
     // Σblock² grows ×mult²) — its scaling story is the blocking bound

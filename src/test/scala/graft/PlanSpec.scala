@@ -287,4 +287,47 @@ class PlanSpec extends AnyFunSuite {
       s"bottom-K sketch not partial-aggregated:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_anti_join broadcasts the 1-row threshold and anti-joins on custkey") {
+    val p = plan("q_anti_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold row must broadcast-cross, not partition:\n$p")
+    assert(p.contains("LeftAnti"), s"anti join lost:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_semi_join plans a left-semi (probe stops at first match, no dedup stage)") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
+    // a rewrite through inner-join+distinct would add an extra aggregate
+    // and duplicate-then-dedupe the fact stream
+    assert(!p.toLowerCase.contains("distinct"), s"semi became join+distinct:\n$p")
+  }
+
+  test("q_small_order aggregates per part partial+final before rejoining the fact") {
+    val p = plan("q_small_order")
+    assert(p.contains("partial_sum"), s"per-part agg lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_event_paths caps each user's events as WindowGroupLimit before pathing") {
+    val p = plan("q_event_paths")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=N filter not pushed into the window:\n$p")
+  }
+
+  test("q_zipf_slope collapses to vocab counts and fits on a top-K frame") {
+    val p = plan("q_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-$ZIPF_TOP_MSG terms must heap-select, not globally sort the vocab:\n$p")
+    assert(p.contains("partial_count"), s"term counts lost map-side combine:\n$p")
+  }
+
+  private val ZIPF_TOP_MSG = operators.CorpusOps.ZIPF_TOP
+
+  test("q_entity_match persists the verified pairs so the sort's sampling pass reuses them") {
+    val p = plan("q_entity_match")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"pair verify re-executes under RangePartitioning sampling:\n$p")
+  }
 }
