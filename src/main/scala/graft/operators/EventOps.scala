@@ -643,7 +643,39 @@ object EventOps {
       .orderBy(col("n_users").desc, col("path")).limit(20)
   }
 
+  /** Time-to-convert report — the temporal companion of [[qFunnel]]:
+    * for users who progressed view→click→purchase (identical chained
+    * min-ts state machine), the count and MEAN latency of each step
+    * transition. Gaps are exact integer micros (no float until the one
+    * final mean division), summed as longs — a 90-day gap is 7.8e12 µs,
+    * so even 10^6 converting users stay within int64. Same scale shape
+    * as the funnel: user-keyed joins over per-user first-hit state. */
+  val qFunnelTime: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t2 = e.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t2").as("t2k"))
+    def leg(df: DataFrame, a: String, b: String, name: String) =
+      df.select((unix_micros(col(b)) - unix_micros(col(a))).as("gap_us"))
+        .agg(count(lit(1)).as("n_users"), sum(col("gap_us")).as("sum_us"))
+        .select(lit(name).as("leg"), col("n_users"),
+          Fns.roundP(col("sum_us").cast("double") / col("n_users") / 1e6, 3)
+            .as("mean_gap_s"))
+    leg(t2, "t1k", "t2", "view>click")
+      .unionAll(leg(t3, "t2k", "t3", "click>purchase"))
+      .orderBy("leg")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel_time" -> qFunnelTime,
     "q_event_paths" -> qEventPaths,
     "q_seasonal_error" -> qSeasonalError,
     "q_benford"    -> qBenford,
@@ -675,6 +707,21 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_time" ->
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+         |t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1k FROM e JOIN t1 USING (user_id)
+         |       WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+         |t3 AS (SELECT e.user_id, min(t) AS t3, min(t2) AS t2k FROM e JOIN t2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+         |SELECT 'view>click' AS leg, count(*) AS n_users,
+         |  ${Fns.roundPSql("sum(epoch_us(t2) - epoch_us(t1k))::DOUBLE / count(*) / 1e6", 3)} AS mean_gap_s
+         |FROM t2
+         |UNION ALL
+         |SELECT 'click>purchase', count(*),
+         |  ${Fns.roundPSql("sum(epoch_us(t3) - epoch_us(t2k))::DOUBLE / count(*) / 1e6", 3)}
+         |FROM t3
+         |ORDER BY leg""".stripMargin,
     "q_event_paths" ->
       s"""WITH r AS (
          |  SELECT user_id, event_type,

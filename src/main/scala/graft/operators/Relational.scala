@@ -355,7 +355,38 @@ object Relational {
           .as("total_price"))
   }
 
+  /** Cumulative ratio-to-report — per priority, the running share of
+    * total revenue by order day (the "when does each class book its
+    * revenue" pacing report; the ANSI cumulative-window + ratio shape
+    * every BI layer emits). One partial+final agg collapses orders to
+    * (priority × day) rows; BOTH window passes (running sum, priority
+    * total) then run over that bounded daily frame on one
+    * priority-keyed exchange — the raw order stream never enters a
+    * window. Revenue accumulates in decimals; the share division is the
+    * only double, mirrored verbatim in the oracle. */
+  val qCumRevenue: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        expr("datediff(o_orderdate, date'1992-01-01')").as("day_idx"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("day_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    daily
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("tot", sum(col("rev")).over(wTot))
+      .select(col("o_orderpriority"), col("day_idx"),
+        col("rev").cast("double").as("day_rev"),
+        col("cum").cast("double").as("cum_rev"),
+        graft.functions.Fns.roundP(
+          col("cum").cast("double") / col("tot").cast("double"), 6).as("cum_share"))
+      .orderBy("o_orderpriority", "day_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cum_revenue"     -> qCumRevenue,
     "q_small_order"     -> qSmallOrder,
     "q_anti_join"       -> qAntiJoin,
     "q_semi_join"       -> qSemiJoin,
@@ -380,6 +411,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cum_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o_orderpriority, day_idx, rev,
+        |    sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY day_idx
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(rev) OVER (PARTITION BY o_orderpriority) AS tot
+        |  FROM daily)
+        |SELECT o_orderpriority, day_idx,
+        |  CAST(rev AS DOUBLE) AS day_rev, CAST(cum AS DOUBLE) AS cum_rev,
+        |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_share
+        |FROM w ORDER BY 1, 2""".stripMargin,
     "q_small_order" ->
       """WITH pa AS (
         |  SELECT l_partkey AS p_key,
