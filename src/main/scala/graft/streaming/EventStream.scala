@@ -339,4 +339,60 @@ object EventStream {
 
   def enrichedEvents(s: SparkSession, dir: String, dim: DataFrame): DataFrame =
     enrichedOf(rawEvents(s, dir), dim)
+
+  case class FunnelUpdate(user_id: Long, stage: Int,
+                          t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Streaming funnel conversion state machine — the deployed form of
+    * [[graft.operators.EventOps.qFunnel]]'s chained min-ts definition:
+    * per user, GroupState carries exactly three longs (first view ts,
+    * first strictly-later click ts, first strictly-later purchase ts;
+    * MaxValue = not reached), and each micro-batch folds its arrivals in
+    * (ts, event_id) order on top of that state, re-emitting the user's
+    * current stage. State is 3 longs/user — bounded by construction, the
+    * canonical flatMapGroupsWithState sequence-detection shape.
+    *
+    * Ordering contract, stated honestly: intra-batch disorder is
+    * IMMATERIAL (the handler sorts each batch's arrivals), and the spec
+    * proves batch-split independence on per-user time-ordered streams —
+    * the per-key-ordered delivery a keyed log (e.g. a partitioned
+    * commit log keyed by user) actually provides. CROSS-batch late
+    * events are a different regime: a view arriving after a
+    * chronologically-later click was already folded can lower t1 but
+    * cannot resurrect the discarded click — exact unordered funnel
+    * semantics provably needs the full per-user click history (any
+    * discarded click can become the answer when t1 later drops), which
+    * is the batch query's job. The streaming form trades that
+    * completeness for O(1) state, the same trade every production
+    * funnel processor makes; compose with a watermark-delay sorter
+    * upstream when the transport reorders across keys. */
+  def funnelStagesOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val UNSET = Long.MaxValue
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((UNSET, UNSET, UNSET))
+          it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, tpe) =>
+            tpe match {
+              case "view"     => if (ts < t1) t1 = ts
+              case "click"    => if (t1 != UNSET && ts > t1 && ts < t2) t2 = ts
+              case "purchase" => if (t2 != UNSET && ts > t2 && ts < t3) t3 = ts
+              case _          =>
+            }
+          }
+          state.update((t1, t2, t3))
+          val stage = if (t3 != UNSET) 3 else if (t2 != UNSET) 2
+                      else if (t1 != UNSET) 1 else 0
+          def o(t: Long) = if (t == UNSET) -1L else t
+          Iterator(FunnelUpdate(uid, stage, o(t1), o(t2), o(t3)))
+      }
+      .toDF()
+  }
 }

@@ -217,6 +217,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel state machine equals the batch min-chain on any batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // (event_id, ts_us, user_id, type). Per-user streams are TIME-ORDERED
+    // across batches (the per-key-ordered log contract) but interleaved
+    // across users and SHUFFLED within each batch (the handler sorts).
+    // user 1: full conversion, with a pre-view click (id 2, ts 5) that must
+    //   NOT count (click must be strictly after first view) and a ts-tie
+    //   click (id 4, ts==t1) that must not count either (strict >).
+    // user 2: view+click, never purchases (purchase BEFORE click, id 22).
+    // user 3: clicks/purchases only — stays at stage 0 (no view).
+    val ev: Seq[(Long, Long, Long, String)] = Seq(
+      (2L, 5L, 1L, "click"), (1L, 10L, 1L, "view"), (4L, 10L, 1L, "click"),
+      (3L, 20L, 1L, "click"), (5L, 25L, 1L, "click"), (6L, 30L, 1L, "purchase"),
+      (20L, 8L, 2L, "view"), (22L, 9L, 2L, "purchase"), (21L, 15L, 2L, "click"),
+      (30L, 7L, 3L, "click"), (31L, 12L, 3L, "purchase"))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts_us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"))
+    val q = EventStream.funnelStagesOf(stream)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 ends mid-funnel for user 1; batches are internally shuffled
+      mem.addData(scala.util.Random.shuffle(ev.take(4)))
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(ev.slice(4, 8)))
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(ev.drop(8)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // newest emission per user (memory sink appends in batch order)
+    val streamed = spark.table("funnel_stream").collect()
+      .zipWithIndex.groupBy(_._1.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+    // batch definition, computed independently: t1 = min view ts,
+    // t2 = min click ts > t1, t3 = min purchase ts > t2
+    val expected = ev.groupBy(_._3).map { case (u, es) =>
+      val t1 = es.filter(_._4 == "view").map(_._2).minOption.getOrElse(Long.MaxValue)
+      val t2 = es.filter(e => e._4 == "click" && e._2 > t1).map(_._2)
+        .minOption.getOrElse(Long.MaxValue)
+      val t3 = es.filter(e => e._4 == "purchase" && e._2 > t2).map(_._2)
+        .minOption.getOrElse(Long.MaxValue)
+      u -> (if (t3 != Long.MaxValue) 3 else if (t2 != Long.MaxValue) 2
+            else if (t1 != Long.MaxValue) 1 else 0, t1, t2, t3)
+    }
+    assert(expected(1L)._1 == 3 && expected(2L)._1 == 2 && expected(3L)._1 == 0,
+      s"fixture does not exercise all stages: $expected")
+    expected.foreach { case (u, (stage, t1, t2, t3)) =>
+      val r = streamed(u)
+      def o(t: Long) = if (t == Long.MaxValue) -1L else t
+      assert(r.getInt(1) == stage, s"user $u stage: stream ${r.getInt(1)} vs $stage")
+      assert(r.getLong(2) == o(t1) && r.getLong(3) == o(t2) && r.getLong(4) == o(t3),
+        s"user $u ts chain mismatch: $r vs ($t1, $t2, $t3)")
+    }
+  }
+
   test("streaming CMS counters equal the batch sketch build") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream5")
     java.nio.file.Files.copy(
