@@ -786,7 +786,64 @@ object CorpusOps {
         .as("intercept"))
   }
 
+  /** RAKE stoplist — the en stopword set the quality/Gopher gates already
+    * use, baked identically into the oracle. */
+  val RAKE_STOP = Seq("the", "a", "of", "and", "to", "in")
+  val RAKE_TOPK = 25
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010),
+    * corpus-level: candidate phrases are maximal stopword-free token
+    * runs; each word scores deg(w)/freq(w) where freq counts occurrences
+    * and deg sums the lengths of the phrases it appears in (co-occurrence
+    * degree including self); a phrase scores the sum of its member word
+    * scores. The classic cheap keyphrase baseline between q_top_terms
+    * (unigram counts) and q_tfidf_terms (doc-weighted unigrams) — the
+    * only member of the family that surfaces multi-word phrases.
+    *
+    * Dataflow: one posexplode; phrase ids are a running stopword count
+    * (user-keyed window per doc); phrase lengths ride a second window on
+    * the same (doc, phrase) exchange; word stats collapse to the vocab
+    * (broadcast back); phrase assembly groups on (doc, phrase) with
+    * order pinned by (pos) struct sort; identical phrase texts then
+    * collapse globally (score is text-determined, so max()==the value)
+    * and top-K plans as TakeOrderedAndProject. Word scores are
+    * deg/freq doubles cast decimal(18,12) per term, so the per-phrase
+    * sum is aggregation-order-free and long-backed. */
+  val qRakeKeywords: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Fns.tokens(lower(col("text"))).as("ws"))
+    val pos = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val members = pos
+      .withColumn("is_stop", col("w").isInCollection(RAKE_STOP))
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1).otherwise(0)).over(wDoc))
+      .filter(!col("is_stop"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "phrase_id")))
+    val scores = members.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .cast("decimal(18,12)").as("wscore"))
+    members.join(broadcast(scores), Seq("w"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("sc"))
+      .groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_occur"),
+        Fns.roundP(max(col("sc")).cast("double"), 6).as("score"))
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score"))
+      .orderBy(desc("score"), col("phrase")).limit(RAKE_TOPK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rake_keywords" -> qRakeKeywords,
     "q_zipf_slope"    -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
     "q_curation_funnel" -> qCurationFunnel,
@@ -812,6 +869,35 @@ object CorpusOps {
   private val sqlTokensLower = TextOps.sqlTokensLower
 
   val oracles: Map[String, String] = Map(
+    "q_rake_keywords" -> {
+      val stopList = RAKE_STOP.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $sqlTokensLower AS ws FROM documents),
+         |pos AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM toks),
+         |marked AS (
+         |  SELECT doc_id, pos, ws[pos] AS w,
+         |    sum(CASE WHEN ws[pos] IN ($stopList) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+         |      AS phrase_id
+         |  FROM pos),
+         |members AS (
+         |  SELECT doc_id, pos, w, phrase_id,
+         |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+         |  FROM marked WHERE w NOT IN ($stopList)),
+         |scores AS (
+         |  SELECT w, CAST(CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS DECIMAL(18,12)) AS wscore
+         |  FROM members GROUP BY 1),
+         |phrases AS (
+         |  SELECT m.doc_id, m.phrase_id,
+         |    string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+         |    count(*) AS n_words, sum(s.wscore) AS sc
+         |  FROM members m JOIN scores s USING (w)
+         |  GROUP BY 1, 2)
+         |SELECT phrase, max(n_words) AS n_words, count(*) AS n_occur,
+         |  ${Fns.roundPSql("CAST(max(sc) AS DOUBLE)", 6)} AS score
+         |FROM phrases GROUP BY 1
+         |ORDER BY score DESC, phrase LIMIT $RAKE_TOPK""".stripMargin
+    },
     "q_zipf_slope" ->
       s"""WITH t AS (SELECT unnest($sqlTokensLower) AS term FROM documents),
          |f AS (SELECT term, count(*) AS freq FROM t

@@ -674,7 +674,34 @@ object EventOps {
       .orderBy("leg")
   }
 
+  /** First-order Markov transition matrix over the per-user event stream
+    * — P(next=b | cur=a) estimated from adjacent pairs in the (ts,
+    * event_id) total order. The behavioral-model summary every session
+    * recommender / anomaly baseline starts from, and the probabilistic
+    * generalization of [[qEventPaths]]' discrete flows. One user-keyed
+    * window pass makes the pairs; counts collapse to the |types|²
+    * matrix (map-side combine absorbs the stream); the row-total join
+    * is over ≤|types| rows, broadcast. Counts exact; the probability is
+    * the single double division, mirrored in the oracle. */
+  val qTransitions: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("cur").agg(sum(col("cnt")).as("tot"))
+    pairs.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("cnt"),
+        Fns.roundP(col("cnt").cast("double") / col("tot").cast("double"), 6)
+          .as("prob"))
+      .orderBy("cur", "nxt")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_transitions" -> qTransitions,
     "q_funnel_time" -> qFunnelTime,
     "q_event_paths" -> qEventPaths,
     "q_seasonal_error" -> qSeasonalError,
@@ -707,6 +734,17 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      s"""WITH r AS (
+         |  SELECT event_type, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |p AS (SELECT event_type AS cur, nxt, count(*) AS cnt
+         |      FROM r WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT cur, sum(cnt) AS tot FROM p GROUP BY 1)
+         |SELECT p.cur, p.nxt, p.cnt,
+         |  ${Fns.roundPSql("CAST(p.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)", 6)} AS prob
+         |FROM p JOIN t USING (cur) ORDER BY 1, 2""".stripMargin,
     "q_funnel_time" ->
       s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
          |t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
