@@ -96,7 +96,9 @@ object ScaleProbe {
     "q_seasonal_error",      // (type×hour) agg + self-join on the bounded hourly frame (events)
     "q_zipf_slope",          // vocab-keyed counts + 200-row fit (documents)
     "q_funnel_time",         // user-keyed chained min-ts state + 2-row means (events)
-    "q_cum_revenue")         // (prio×day) agg; windows run on the bounded daily frame (orders)
+    "q_cum_revenue",         // (prio×day) agg; windows run on the bounded daily frame (orders)
+    "q_transitions",         // user-keyed lead window + |types|^2 matrix agg (events)
+    "q_rake_keywords")       // doc-keyed phrase windows + vocab-bounded score join (documents)
     // q_entity_match: like q_knn_join, quadratic BY CONSTRUCTION under
     // replication (shifted custkeys land in the same nation blocks, so
     // Σblock² grows ×mult²) — its scaling story is the blocking bound
