@@ -99,6 +99,9 @@ object ScaleProbe {
     "q_cum_revenue",         // (prio×day) agg; windows run on the bounded daily frame (orders)
     "q_transitions",         // user-keyed lead window + |types|^2 matrix agg (events)
     "q_rake_keywords")       // doc-keyed phrase windows + vocab-bounded score join (documents)
+    // q_truss: each peel round IS q_clustering_big's ordered wedge join
+    // (probed above via q_kcore_big/q_clustering_big family) over a set
+    // that only shrinks — no separate probe
     // q_entity_match: like q_knn_join, quadratic BY CONSTRUCTION under
     // replication (shifted custkeys land in the same nation blocks, so
     // Σblock² grows ×mult²) — its scaling story is the blocking bound

@@ -694,6 +694,64 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Truss order and round budget for [[qTruss]]. */
+  val TRUSS_K = 4
+  val TRUSS_ROUNDS = 5
+
+  /** k-truss decomposition (Cohen 2008) of the STRONG-TIE subgraph —
+    * the edge-level member of the cohesive-subgraph family beside
+    * [[qKcoreBig]] (node peeling) and q_clustering_big (triangle
+    * census): iteratively delete edges in fewer than k−2 triangles
+    * until fixpoint; what survives is the [[TRUSS_K]]-truss, a strictly
+    * stronger community core than the k-core (every surviving edge has
+    * k−2 common-neighbor witnesses). The peel cascades hard on this
+    * chain-structured graph: at sf0.1 the edge set collapses 146k →
+    * 12.3k → 1.1k → 0.6k and reaches fixpoint in 5 rounds, so
+    * [[TRUSS_ROUNDS]] = 5 covers every SF (and if a regeneration ever
+    * needed more, BOTH engines stop at the same round-5 state — the
+    * bound, not the fixpoint, is the gated semantic).
+    *
+    * Each round is q_clustering_big's ORDERED triangle join (a<b<c via
+    * the canonical src<dst edge list, each triangle counted once) over
+    * the SURVIVING edge set, a 3-way row-local explode crediting the
+    * triangle's edges, one (a,b)-keyed support agg, and the peel
+    * filter; localCheckpoint per round (the frame feeds 3 joins next
+    * round), driver early-exit at fixpoint so the result equals the
+    * oracle's full [[TRUSS_ROUNDS]] unroll (further rounds are
+    * identity). The oracle unrolls with MATERIALIZED CTEs — each round
+    * references the previous 3×, so default inlining would expand
+    * 3^rounds-fold (the q_kcore_big lesson). Output is the per-node
+    * incident truss degree, node-ordered. */
+  val qTruss: Q = (s, d) => {
+    var t = coEdges(s, d)
+      .select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
+    var nEdges = t.count()
+    var done = nEdges == 0L
+    for (_ <- 1 to TRUSS_ROUNDS if !done) {
+      val tri = t
+        .join(t.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(t.select(col("a").as("a2"), col("b").as("c2")),
+          col("a") === col("a2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("e"))
+        .groupBy(col("e.x").as("a"), col("e.y").as("b"))
+        .agg(count(lit(1)).as("sup"))
+      t = t.join(sup, Seq("a", "b"))
+        .filter(col("sup") >= TRUSS_K - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n = t.count()
+      done = n == nEdges // fixpoint: every further round is identity
+      nEdges = n
+    }
+    t.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg_truss"))
+      .orderBy("node")
+  }
+
   /** Pivot count / hop bound for [[qHarmonicBig]]. */
   val CENT_PIVOTS = 4
   val CENT_HOPS = 6
@@ -1005,6 +1063,7 @@ object BigGraphOps {
     "q_clustering_big" -> qClusteringBig,
     "q_kcore_big"    -> qKcoreBig,
     "q_harmonic_big" -> qHarmonicBig,
+    "q_truss"        -> qTruss,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1438,6 +1497,32 @@ object BigGraphOps {
     // survivor set twice, so DuckDB's default CTE inlining would expand
     // the tree 2^ROUNDS-fold (measured: "too many open files" at 12
     // rounds); materialization makes the unroll linear.
+    "q_truss" -> {
+      val rounds = (1 to TRUSS_ROUNDS).map { i =>
+        val p = i - 1
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT e1.a, e1.b, e2.b AS c FROM t$p e1
+           |  JOIN t$p e2 ON e1.b = e2.a
+           |  JOIN t$p e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |sup$i AS MATERIALIZED (
+           |  SELECT x AS a, y AS b, count(*) AS sup FROM (
+           |    SELECT a AS x, b AS y FROM tri$i
+           |    UNION ALL SELECT b, c FROM tri$i
+           |    UNION ALL SELECT a, c FROM tri$i)
+           |  GROUP BY 1, 2),
+           |t$i AS MATERIALIZED (
+           |  SELECT t.a, t.b FROM t$p t
+           |  JOIN sup$i s ON s.a = t.a AND s.b = t.b
+           |  WHERE s.sup >= ${TRUSS_K - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlEdges,
+         |t0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges),
+         |$rounds
+         |SELECT node, count(*) AS deg_truss FROM (
+         |  SELECT a AS node FROM t$TRUSS_ROUNDS
+         |  UNION ALL SELECT b FROM t$TRUSS_ROUNDS)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_kcore_big" -> {
       val rounds = (1 to KCORE_ROUNDS).map { i =>
         s"""a$i AS MATERIALIZED (
