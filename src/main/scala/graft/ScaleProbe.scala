@@ -98,7 +98,11 @@ object ScaleProbe {
     "q_funnel_time",         // user-keyed chained min-ts state + 2-row means (events)
     "q_cum_revenue",         // (prio×day) agg; windows run on the bounded daily frame (orders)
     "q_transitions",         // user-keyed lead window + |types|^2 matrix agg (events)
-    "q_rake_keywords")       // doc-keyed phrase windows + vocab-bounded score join (documents)
+    "q_rake_keywords",       // doc-keyed phrase windows + vocab-bounded score join (documents)
+    "q_asof_forward",        // union + one user-keyed carry-backward window (events)
+    "q_cohort_ltv",          // per-user first-week agg + calendar-bounded matrix (events)
+    "q_ab_test",             // ONE conditional partial+final agg, 1-row output (events)
+    "q_pareto")              // per-customer agg; ranking window on the 1x customer dim (orders)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

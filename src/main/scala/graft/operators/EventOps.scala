@@ -700,7 +700,65 @@ object EventOps {
       .orderBy("cur", "nxt")
   }
 
+  /** Micros per week, for cohort bucketing. */
+  val WEEK_US = 604800000000L
+
+  /** Cohort LTV matrix — users bucketed by FIRST-SEEN week, value summed
+    * per (cohort, week offset): the lifetime-value triangle every growth
+    * team reads (row = acquisition cohort, column = age). Two passes:
+    * per-user first-week agg (user-keyed), then the value stream joins
+    * its user's cohort and collapses to the cohorts×offsets matrix —
+    * the working set after the first agg is one row per user, and the
+    * matrix is calendar-bounded. Distinct-user counts are exact
+    * (keyed by the same user_id the join shuffled on). */
+  val qCohortLtv: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $WEEK_US").as("wk"),
+        col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
+  /** Two-sample A/B z-test — the experimentation primitive: users split
+    * by the deterministic user_id parity, per-variant mean event value
+    * compared with the unpooled z statistic. All moments are exact
+    * decimal sums collected in ONE conditional-aggregation pass (no
+    * per-variant rescan, no pivot); mean/variance/z assemble in a fixed
+    * double tree mirrored verbatim in the oracle. At 100 TB this is a
+    * single partial+final agg over the event stream — the entire test
+    * reduces to six numbers. */
+  val qAbTest: Q = (s, d) => {
+    val dec6 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+    val dec28 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,6)")
+    val v = pmod(col("user_id"), lit(2))
+    val m = Tables.events(s, d).select(v.as("variant"), col("value"))
+      .agg(
+        count(when(col("variant") === 0, 1)).as("n0"),
+        count(when(col("variant") === 1, 1)).as("n1"),
+        sum(when(col("variant") === 0, dec6(col("value")))).as("s0"),
+        sum(when(col("variant") === 1, dec6(col("value")))).as("s1"),
+        sum(when(col("variant") === 0, dec28(col("value") * col("value")))).as("q0"),
+        sum(when(col("variant") === 1, dec28(col("value") * col("value")))).as("q1"))
+    val D = (n: String) => col(n).cast("double")
+    m.withColumn("m0", D("s0") / D("n0"))
+      .withColumn("m1", D("s1") / D("n1"))
+      .withColumn("v0", (D("q0") - D("s0") * D("s0") / D("n0")) / (D("n0") - 1))
+      .withColumn("v1", (D("q1") - D("s1") * D("s1") / D("n1")) / (D("n1") - 1))
+      .select(col("n0"), col("n1"),
+        Fns.roundP(col("m0"), 6).as("mean0"),
+        Fns.roundP(col("m1"), 6).as("mean1"),
+        Fns.roundP((col("m0") - col("m1")) /
+          sqrt(col("v0") / D("n0") + col("v1") / D("n1")), 4).as("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cohort_ltv"  -> qCohortLtv,
+    "q_ab_test"     -> qAbTest,
     "q_transitions" -> qTransitions,
     "q_funnel_time" -> qFunnelTime,
     "q_event_paths" -> qEventPaths,
@@ -734,6 +792,40 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_ltv" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $WEEK_US AS wk, value
+         |  FROM events),
+         |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+         |SELECT c.cohort_wk, e.wk - c.cohort_wk AS wk_offset,
+         |  count(DISTINCT e.user_id) AS n_users,
+         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM ev e JOIN cohort c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ab_test" ->
+      s"""WITH m AS (
+         |  SELECT
+         |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n0,
+         |    count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n1,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,6)) END) AS s0,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(28,6)) END) AS q0,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(value * value AS DECIMAL(28,6)) END) AS q1
+         |  FROM events),
+         |t AS (
+         |  SELECT n0, n1,
+         |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |      / (CAST(n0 AS DOUBLE) - 1) AS v0,
+         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |      / (CAST(n1 AS DOUBLE) - 1) AS v1
+         |  FROM m)
+         |SELECT n0, n1,
+         |  ${Fns.roundPSql("m0", 6)} AS mean0,
+         |  ${Fns.roundPSql("m1", 6)} AS mean1,
+         |  ${Fns.roundPSql("(m0 - m1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE))", 4)} AS z
+         |FROM t""".stripMargin,
     "q_transitions" ->
       s"""WITH r AS (
          |  SELECT event_type, lead(event_type) OVER (

@@ -385,7 +385,36 @@ object Relational {
       .orderBy("o_orderpriority", "day_idx")
   }
 
+  /** Revenue concentration (Pareto report) — what share of total revenue
+    * the top-decile customers book. The raw order stream collapses to
+    * one row per customer FIRST (partial+final agg), so the global
+    * ranking window runs over the dimension-sized customer frame, never
+    * the facts — the same bounded-single-partition posture as
+    * q_zipf_slope's fit. k = ⌊n/10⌋ comes from the 1-row totals
+    * broadcast (no driver round-trip); revenue stays decimal until the
+    * one share division. */
+  val qPareto: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val totals = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("o_custkey"))
+    rev.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(totals))
+      .filter(col("rk") <= expr("n_cust div 10"))
+      .groupBy(col("n_cust"), col("total"))
+      .agg(count(lit(1)).as("k"), sum(col("rev")).as("top_rev"))
+      .select(col("n_cust"), col("k"),
+        col("top_rev").cast("double").as("top_rev"),
+        col("total").cast("double").as("total_rev"),
+        graft.functions.Fns.roundP(
+          col("top_rev").cast("double") / col("total").cast("double"), 6)
+          .as("top_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pareto"          -> qPareto,
     "q_cum_revenue"     -> qCumRevenue,
     "q_small_order"     -> qSmallOrder,
     "q_anti_join"       -> qAntiJoin,
@@ -411,6 +440,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_cust, sum(rev) AS total FROM rev),
+        |r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk FROM rev)
+        |SELECT t.n_cust, count(*) AS k,
+        |  CAST(sum(r.rev) AS DOUBLE) AS top_rev,
+        |  CAST(t.total AS DOUBLE) AS total_rev,
+        |  floor(CAST(sum(r.rev) AS DOUBLE) / CAST(t.total AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS top_share
+        |FROM r, t WHERE r.rk <= t.n_cust // 10
+        |GROUP BY t.n_cust, t.total""".stripMargin,
     "q_cum_revenue" ->
       """WITH daily AS (
         |  SELECT o_orderpriority,

@@ -83,8 +83,49 @@ object TemporalOps {
       .orderBy("event_id")
   }
 
+  /** Forward-tolerance bound for [[qAsofForward]]: 1 hour in micros. */
+  val ASOF_TOL_US = 3600000000L
+
+  /** Forward as-of join with tolerance — each click matched to the SAME
+    * user's NEXT purchase at-or-after it, kept only within
+    * [[ASOF_TOL_US]] (the SLA/conversion-window matching shape;
+    * [[qAsofJoin]] is its backward mirror). Same union + single-window
+    * rendering — a carry-BACKWARD `first(ignoreNulls)` over
+    * (current..following) — so the per-user stream is sorted once and no
+    * join materializes click×purchase pairs; out-of-tolerance clicks
+    * stay visible with NULL match (the left semantics a conversion
+    * report needs). Refs sort AFTER probes at equal ts (kind 1 > 0), so
+    * a same-instant purchase matches with gap 0 on both engines. */
+  val qAsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(0).as("kind"), lit(null).cast("long").as("ref_id"),
+        col("event_id").as("probe_id"))
+    val ref = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("kind"), col("event_id").as("ref_id"),
+        lit(null).cast("long").as("probe_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("kind").asc, col("ref_id").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    probe.unionByName(ref)
+      .withColumn("nref", first(col("ref_id"), ignoreNulls = true).over(w))
+      .withColumn("nref_us",
+        first(when(col("kind") === 1, col("t_us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("probe_id").as("event_id"), col("user_id"),
+        when(col("nref_us") - col("t_us") <= ASOF_TOL_US, col("nref"))
+          .as("purchase_id"),
+        when(col("nref_us") - col("t_us") <= ASOF_TOL_US,
+          col("nref_us") - col("t_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_asof_join"  -> qAsofJoin,
+    "q_asof_forward" -> qAsofForward,
     "q_range_join" -> qRangeJoin,
   )
 
@@ -111,6 +152,27 @@ object TemporalOps {
         |  FROM u)
         |SELECT probe_id AS event_id, user_id, purchase_id, t_us - ref_us AS gap_us
         |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_forward" ->
+      s"""WITH u AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, 0 AS kind,
+         |         NULL::BIGINT AS ref_id, event_id AS probe_id
+         |  FROM events WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 1, event_id, NULL::BIGINT
+         |  FROM events WHERE event_type = 'purchase'),
+         |w AS (
+         |  SELECT probe_id, user_id, t_us, kind,
+         |    first_value(ref_id IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY t_us, kind, ref_id ASC NULLS LAST
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nref,
+         |    first_value(CASE WHEN kind = 1 THEN t_us END IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY t_us, kind, ref_id ASC NULLS LAST
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nref_us
+         |  FROM u)
+         |SELECT probe_id AS event_id, user_id,
+         |  CASE WHEN nref_us - t_us <= $ASOF_TOL_US THEN nref END AS purchase_id,
+         |  CASE WHEN nref_us - t_us <= $ASOF_TOL_US THEN nref_us - t_us END AS gap_us
+         |FROM w WHERE kind = 0 ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       s"""SELECT e.event_id, count(c.event_id) AS n_near_clicks
          |FROM events e LEFT JOIN events c

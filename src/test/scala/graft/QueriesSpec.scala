@@ -52,7 +52,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_mm_video", "q_node2vec",
     "q_anti_join", "q_semi_join", "q_decile", "q_seasonal_error",
     "q_zipf_slope", "q_small_order", "q_event_paths",
-    "q_funnel_time", "q_cum_revenue", "q_transitions", "q_rake_keywords")
+    "q_funnel_time", "q_cum_revenue", "q_transitions", "q_rake_keywords",
+    "q_asof_forward", "q_cohort_ltv", "q_ab_test", "q_pareto")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
