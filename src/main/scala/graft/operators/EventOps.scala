@@ -756,7 +756,35 @@ object EventOps {
           sqrt(col("v0") / D("n0") + col("v1") / D("n1")), 4).as("z"))
   }
 
+  /** Burstiness per event type — the Fano factor (index of dispersion,
+    * var/mean) of the hourly count series: 1 for a Poisson arrival
+    * process, >1 for bursty traffic, <1 for regular — the one-number
+    * arrival-process QA beside [[qAutocorr]]'s correlogram. Counts are
+    * integers, so ALL moments are exact (decimal(38,0) sums over the
+    * calendar-bounded hourly frame); mean, sample variance, and fano
+    * assemble in one fixed double tree. */
+  val qBurstiness: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(dec(col("c"))).as("sc"),
+        sum(dec(col("c") * col("c"))).as("scc"))
+    val D = (n: String) => col(n).cast("double")
+    m.withColumn("mean_c", D("sc") / D("n_hours"))
+      .withColumn("var_c",
+        (D("scc") - D("sc") * D("sc") / D("n_hours")) / (D("n_hours") - 1))
+      .select(col("event_type"), col("n_hours"),
+        Fns.roundP(col("mean_c"), 4).as("mean_c"),
+        Fns.roundP(col("var_c") / col("mean_c"), 4).as("fano"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_burstiness"  -> qBurstiness,
     "q_cohort_ltv"  -> qCohortLtv,
     "q_ab_test"     -> qAbTest,
     "q_transitions" -> qTransitions,
@@ -792,6 +820,25 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_burstiness" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, $sqlWs // 3600 AS hr, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, count(*) AS n_hours,
+         |    sum(CAST(c AS DECIMAL(38,0))) AS sc,
+         |    sum(CAST(c * c AS DECIMAL(38,0))) AS scc
+         |  FROM hourly GROUP BY 1),
+         |t AS (
+         |  SELECT event_type, n_hours,
+         |    CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_c,
+         |    (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+         |      / (CAST(n_hours AS DOUBLE) - 1) AS var_c
+         |  FROM m)
+         |SELECT event_type, n_hours,
+         |  ${Fns.roundPSql("mean_c", 4)} AS mean_c,
+         |  ${Fns.roundPSql("var_c / mean_c", 4)} AS fano
+         |FROM t ORDER BY 1""".stripMargin,
     "q_cohort_ltv" ->
       s"""WITH ev AS (
          |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $WEEK_US AS wk, value

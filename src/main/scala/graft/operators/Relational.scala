@@ -413,7 +413,32 @@ object Relational {
           .as("top_share"))
   }
 
+  /** Gini coefficient of customer revenue — the inequality summary
+    * beside [[qPareto]]'s top-decile share, via the rank formula
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values.
+    * Same bounded-window posture: facts collapse per customer first,
+    * the rank runs on the dimension-sized frame, and both Σx and
+    * Σ(i·x) are exact decimals (rank × decimal stays decimal), so the
+    * only doubles are the final fixed-tree assembly. */
+  val qGini: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").asc, col("o_custkey"))
+    val m = rev.withColumn("rk", row_number().over(w))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("rev")).as("sx"),
+        sum(col("rk") * col("rev")).as("six"))
+    val D = (n: String) => col(n).cast("double")
+    m.select(col("n_cust"),
+      graft.functions.Fns.roundP(
+        lit(2.0) * D("six") / (D("n_cust") * D("sx"))
+          - (D("n_cust") + 1) / D("n_cust"), 6).as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gini"            -> qGini,
     "q_pareto"          -> qPareto,
     "q_cum_revenue"     -> qCumRevenue,
     "q_small_order"     -> qSmallOrder,
@@ -440,6 +465,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev, row_number() OVER (ORDER BY rev ASC, o_custkey) AS rk FROM rev),
+        |m AS (SELECT count(*) AS n_cust, sum(rev) AS sx, sum(rk * rev) AS six FROM r)
+        |SELECT n_cust,
+        |  floor((2.0::DOUBLE * CAST(six AS DOUBLE) / (CAST(n_cust AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - (CAST(n_cust AS DOUBLE) + 1) / CAST(n_cust AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS gini
+        |FROM m""".stripMargin,
     "q_pareto" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
