@@ -522,6 +522,7 @@ object BigGraphOps {
         least(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint()
+    var nE = e.count()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < CC_MAX_ROUNDS) {
@@ -545,8 +546,16 @@ object BigGraphOps {
         .select(greatest(col("n"), col("m")).as("u"),
           least(col("n"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint() // consumed 3×: two excepts + next round
-      changed = small.except(e).count() + e.except(small).count()
+        .localCheckpoint() // consumed up to 2×: the fixpoint probe + next round
+      // Fixpoint test without the former two-sided except pair: both
+      // frames are DISTINCT sets, so |small| ≠ |e| alone proves change
+      // (zero extra jobs in the shrinking early rounds — the count rides
+      // the checkpoint), and at equal sizes ONE one-sided except decides
+      // (|A|=|B| ∧ A∖B=∅ ⇒ A=B). Exact, never probabilistic — a hashed
+      // frame digest would risk a silent early stop on collision.
+      val nSmall = small.count()
+      changed = if (nSmall != nE) 1L else small.except(e).count()
+      nE = nSmall
       e = small
       iter += 1
     }
