@@ -841,7 +841,14 @@ object BigGraphOps {
     val und = persisted(
       e.select(col("src").as("a"), col("dst").as("b"))
         .unionByName(e.select(col("dst").as("a"), col("src").as("b"))))
+    // the decimal RA weight is cast ONCE PER NODE here, not once per
+    // wedge: double→decimal runs through BigDecimal(Double.toString) at
+    // ~1.7 µs/value (PERF.md), so casting on the Σdeg² wedge stream was
+    // the query's hidden hot loop — same values (the cast is a pure
+    // function of deg), the wedge agg now just sums long-backed decimals
     val deg = und.groupBy(col("a").as("mid")).agg(count(lit(1)).as("deg"))
+      .withColumn("rweight",
+        (lit(1.0) / col("deg").cast("double")).cast("decimal(18,12)"))
     // stage order: score the wedge stream FIRST (the deg join rides the
     // wedge join's mid-keyed partitioning, the (a,c) agg collapses Σdeg²
     // wedge rows — 6.2M at sf0.1, maxdeg 48 — to distinct pairs), THEN
@@ -854,10 +861,7 @@ object BigGraphOps {
     val scored = wedges.join(deg, Seq("mid"))
       .groupBy("a", "c")
       .agg(count(lit(1)).as("common_neighbors"),
-        Fns.roundP(
-          sum((lit(1.0) / col("deg").cast("double")).cast("decimal(18,12)"))
-            .cast("double"), 6)
-          .as("ra_score"))
+        Fns.roundP(sum(col("rweight")).cast("double"), 6).as("ra_score"))
     scored
       .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_anti")
       .orderBy(desc("ra_score"), col("a"), col("c"))
