@@ -783,7 +783,90 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Exact single-changepoint detection (binary segmentation, first
+    * split) on the per-type hourly value series: the split k minimizing
+    * total within-segment SSE, computed in CLOSED FORM from prefix sums
+    * — SSE(k) = (S2ₖ−S1ₖ²/k) + ((S2ₙ−S2ₖ)−(S1ₙ−S1ₖ)²/(n−k)) — so the
+    * whole scan of candidate splits is one window pass over the
+    * calendar-bounded series, no per-split rescan (the naive form is
+    * O(n²)). Prefix sums ride exact decimals; the SSE tree and the two
+    * segment means are the only doubles; argmin tie-breaks on the
+    * EARLIEST split so both engines pick the same k. */
+  val qChangepoint: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+    val dec2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,6)")
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hr")
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val staged = hourly
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s1", sum(dec(col("v"))).over(wCum))
+      .withColumn("s2", sum(dec2(col("v") * col("v"))).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t1", sum(dec(col("v"))).over(wAll))
+      .withColumn("t2", sum(dec2(col("v") * col("v"))).over(wAll))
+    val D = (n: String) => col(n).cast("double")
+    val sse = staged.filter(col("k") < col("n"))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("rd", (col("n") - col("k")).cast("double"))
+      .withColumn("sse",
+        (D("s2") - D("s1") * D("s1") / col("kd")) +
+          ((D("t2") - D("s2")) -
+            (D("t1") - D("s1")) * (D("t1") - D("s1")) / col("rd")))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("sse").asc, col("k").asc)
+    sse.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_hours"), col("k").as("best_k"),
+        col("hr").as("split_hr"),
+        Fns.roundP(col("sse"), 4).as("sse_best"),
+        Fns.roundP(D("s1") / col("kd"), 4).as("mean_left"),
+        Fns.roundP((D("t1") - D("s1")) / col("rd"), 4).as("mean_right"))
+      .orderBy("event_type")
+  }
+
+  /** Theil–Sen robust trend of the hourly count series — the median of
+    * all pairwise slopes (Δc/Δhr over i<j), 29% breakdown where OLS is
+    * dragged by any single outlier hour; the robust companion to
+    * [[qRegression]]. Pair volume is CALENDAR² (hours², not events²) —
+    * bounded at any corpus size — and the median is positional over the
+    * sorted slope values, so duplicate slopes make the tie order
+    * irrelevant (the value at a position is the same under any
+    * permutation of equals): both engines agree with a bare
+    * ORDER BY slope. Even counts average the two middle values. */
+  val qTheilSen: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val a = hourly.select(col("event_type"), col("hr").as("h1"), col("c").as("c1"))
+    val b = hourly.select(col("event_type"), col("hr").as("h2"), col("c").as("c2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("h1") < col("h2"))
+      .select(col("event_type"),
+        ((col("c2") - col("c1")) / (col("h2") - col("h1")).cast("double"))
+          .as("slope"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("slope")
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    slopes.withColumn("rn", row_number().over(wS))
+      .withColumn("m", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+      .groupBy(col("event_type"), col("m").as("n_pairs"))
+      .agg(Fns.roundP(sum(col("slope")) / count(lit(1)), 6).as("ts_slope"))
+      .select(col("event_type"), col("n_pairs"), col("ts_slope"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_changepoint" -> qChangepoint,
+    "q_theil_sen"   -> qTheilSen,
     "q_burstiness"  -> qBurstiness,
     "q_cohort_ltv"  -> qCohortLtv,
     "q_ab_test"     -> qAbTest,
@@ -820,6 +903,57 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_changepoint" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, $sqlWs // 3600 AS hr,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, hr, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+         |    sum(CAST(v AS DECIMAL(18,6))) OVER
+         |      (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS s1,
+         |    sum(CAST(v * v AS DECIMAL(28,6))) OVER
+         |      (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS s2,
+         |    count(*) OVER (PARTITION BY event_type) AS n,
+         |    sum(CAST(v AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS t1,
+         |    sum(CAST(v * v AS DECIMAL(28,6))) OVER (PARTITION BY event_type) AS t2
+         |  FROM hourly),
+         |sse AS (
+         |  SELECT event_type, hr, k, n,
+         |    CAST(k AS DOUBLE) AS kd, CAST(n - k AS DOUBLE) AS rd,
+         |    CAST(s1 AS DOUBLE) AS s1d, CAST(t1 AS DOUBLE) AS t1d,
+         |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+         |    + ((CAST(t2 AS DOUBLE) - CAST(s2 AS DOUBLE))
+         |       - (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE)) * (CAST(t1 AS DOUBLE) - CAST(s1 AS DOUBLE))
+         |         / CAST(n - k AS DOUBLE)) AS sse
+         |  FROM st WHERE k < n),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY sse ASC, k ASC) AS rn
+         |  FROM sse)
+         |SELECT event_type, n AS n_hours, k AS best_k, hr AS split_hr,
+         |  ${Fns.roundPSql("sse", 4)} AS sse_best,
+         |  ${Fns.roundPSql("s1d / kd", 4)} AS mean_left,
+         |  ${Fns.roundPSql("(t1d - s1d) / rd", 4)} AS mean_right
+         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_theil_sen" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, $sqlWs // 3600 AS hr, CAST(count(*) AS DOUBLE) AS c
+         |  FROM events GROUP BY 1, 2),
+         |slopes AS (
+         |  SELECT a.event_type,
+         |    (b.c - a.c) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+         |  FROM hourly a JOIN hourly b
+         |    ON a.event_type = b.event_type AND a.hr < b.hr),
+         |r AS (
+         |  SELECT event_type, slope,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS m
+         |  FROM slopes)
+         |SELECT event_type, m AS n_pairs,
+         |  ${Fns.roundPSql("sum(slope) / count(*)", 6)} AS ts_slope
+         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_burstiness" ->
       s"""WITH hourly AS (
          |  SELECT event_type, $sqlWs // 3600 AS hr, count(*) AS c
