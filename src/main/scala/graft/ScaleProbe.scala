@@ -104,7 +104,9 @@ object ScaleProbe {
     "q_ab_test",             // ONE conditional partial+final agg, 1-row output (events)
     "q_pareto",              // per-customer agg; ranking window on the 1x customer dim (orders)
     "q_gini",                // same bounded-rank posture, exact decimal rank-moments (orders)
-    "q_burstiness")          // (type x hour) count agg + O(types) moment rollup (events)
+    "q_burstiness",          // (type x hour) count agg + O(types) moment rollup (events)
+    "q_changepoint",         // prefix-sum SSE scan over the calendar-bounded series (events)
+    "q_theil_sen")           // hours^2 pair slopes per type - calendar-bounded (events)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe
