@@ -542,7 +542,58 @@ object MultimodalOps {
       .orderBy("doc_id", "frame")
   }
 
+  /** aHash bit width — 32 keeps the hash inside a positive BIGINT shift
+    * on both engines. */
+  val PHASH_BITS = 32
+
+  case class MmPhash(doc_id: Long, phash: Long, n_ones: Int)
+
+  /** Perceptual average-hash lane over the DECODED raster — the standard
+    * aHash recipe (block means vs global mean → one bit per block),
+    * which is how image pipelines near-dup at scale: the 32-bit
+    * signature buckets visually-similar rasters where the exact digest
+    * of [[qMmMeta]] only catches byte-identical ones. The raster is
+    * parsed by the real P6 codec in the same partition-batch shape as
+    * [[qMmFeatures]]; each bit compares integers cross-multiplied
+    * (`Σblock·L > Σtotal·len` ⇔ blockMean > globalMean) so no division
+    * ever happens and the oracle reproduces every bit from the text
+    * bytes analytically. Blocks are contiguous raster spans with
+    * ⌊c·L/B⌋ boundaries — exact for any length, including the zero
+    * padding the row alignment adds (pad bytes count as 0 on both
+    * engines). Row-local; zero shuffle but the final sort. */
+  val qMmPhash: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.map { doc =>
+          val raster = Ppm.decode(ppmOf(doc)).raster
+          val L = raster.length
+          var tot = 0L
+          var i = 0
+          while (i < L) { tot += raster(i) & 0xff; i += 1 }
+          var phash = 0L
+          var ones = 0
+          var c = 0
+          while (c < PHASH_BITS) {
+            val b0 = (c.toLong * L / PHASH_BITS).toInt
+            val b1 = ((c + 1).toLong * L / PHASH_BITS).toInt
+            var s0 = 0L
+            var j = b0
+            while (j < b1) { s0 += raster(j) & 0xff; j += 1 }
+            if (s0 * L > tot * (b1 - b0)) { phash |= 1L << c; ones += 1 }
+            c += 1
+          }
+          MmPhash(doc.doc_id, phash, ones)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mm_phash"    -> qMmPhash,
     "q_mm_video"    -> qMmVideo,
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
@@ -659,6 +710,36 @@ object MultimodalOps {
          |  ${mean("s0 + s1 + s2", "nr")} AS f3
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "q_mm_phash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    ((length(text) + ${ROW_BYTES - 1}) // $ROW_BYTES) * $ROW_BYTES AS L
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, text, n, L,
+         |    coalesce(list_sum(list_transform(range(1, n + 1),
+         |      i -> ord(text[i]))), 0) AS tot
+         |  FROM d),
+         |b AS (SELECT doc_id, text, n, L, tot,
+         |        unnest(range(0, $PHASH_BITS)) AS c FROM t),
+         |cs AS (
+         |  SELECT doc_id, L, tot, c,
+         |    (c * L) // $PHASH_BITS AS b0,
+         |    ((c + 1) * L) // $PHASH_BITS AS b1,
+         |    coalesce(list_sum(list_transform(
+         |      range((c * L) // $PHASH_BITS + 1,
+         |            least(((c + 1) * L) // $PHASH_BITS, n) + 1),
+         |      i -> ord(text[i]))), 0) AS s0
+         |  FROM b),
+         |ph AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN s0 * L > tot * (b1 - b0)
+         |        THEN (1::BIGINT << c) ELSE 0 END) AS phash,
+         |    sum(CASE WHEN s0 * L > tot * (b1 - b0) THEN 1 ELSE 0 END) AS n_ones
+         |  FROM cs GROUP BY 1)
+         |SELECT doc_id, CAST(coalesce(phash, 0) AS BIGINT) AS phash,
+         |  CAST(coalesce(n_ones, 0) AS INT) AS n_ones
+         |FROM ph ORDER BY doc_id""".stripMargin,
     "q_mm_decode" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, length(text) AS n,
