@@ -47,4 +47,58 @@ class EventOpsFixtureSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got(0).getDouble(0) == 0.5)
   }
+
+  /** Hand-computed series fixture for the statistics gates: one type,
+    * six hours, hourly event COUNTS 1..6 and hourly value SUMS
+    * [1,1,1,9,9,9] (per-hour values chosen to sum exactly in
+    * decimal(18,6)). Every expected number below is exact:
+    *  - changepoint: the step is at k=3 — both segments are constant, so
+    *    SSE(3) = 0 (the unique minimum), means 1 and 9.
+    *  - Theil–Sen: counts are the line c = h+1, so ALL 15 pairwise
+    *    slopes are exactly 1 → median 1.
+    *  - burstiness: mean([1..6]) = 3.5 and sample var([1..6]) = 17.5/5
+    *    = 3.5 → Fano factor exactly 1. */
+  private lazy val seriesDir: String = {
+    val base = java.nio.file.Files.createTempDirectory("graft-series").toString
+    val perHour: Seq[Seq[Double]] = Seq(
+      Seq(1.0), Seq(0.5, 0.5), Seq(0.4, 0.4, 0.2),
+      Seq(2.25, 2.25, 2.25, 2.25), Seq(1.8, 1.8, 1.8, 1.8, 1.8),
+      Seq(1.5, 1.5, 1.5, 1.5, 1.5, 1.5))
+    val rows = for {
+      (vs, h) <- perHour.zipWithIndex
+      (v, i) <- vs.zipWithIndex
+    } yield (h.toLong * 10 + i + 1, h.toLong * 3600000000L + i * 1000000L,
+      1L, "a", v)
+    import spark.implicits._
+    rows.toDF("event_id", "t_us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .write.parquet(base + "/events.parquet")
+    base
+  }
+
+  test("q_changepoint finds the exact step: k=3, SSE 0, means 1 and 9") {
+    val got = operators.EventOps.qChangepoint(spark, seriesDir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_hours") == 6L)
+    assert(r.getAs[Int]("best_k") == 3)
+    assert(r.getAs[Double]("sse_best") == 0.0)
+    assert(r.getAs[Double]("mean_left") == 1.0)
+    assert(r.getAs[Double]("mean_right") == 9.0)
+  }
+
+  test("q_theil_sen on the exact line c = h+1 reports slope 1 over 15 pairs") {
+    val got = operators.EventOps.qTheilSen(spark, seriesDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_pairs") == 15L)
+    assert(got(0).getAs[Double]("ts_slope") == 1.0)
+  }
+
+  test("q_burstiness on counts 1..6 is the exact Fano factor 1") {
+    val got = operators.EventOps.qBurstiness(spark, seriesDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Double]("mean_c") == 3.5)
+    assert(got(0).getAs[Double]("fano") == 1.0)
+  }
 }
