@@ -45,6 +45,38 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit(BPE_PATTERN), lit(0))).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Length-histogram bucket width (chars). */
+  val HIST_BUCKET = 256
+
+  /** Per-source duplicate-rate report — the first number a corpus intake
+    * dashboard shows: docs vs distinct contents per source, and the dup
+    * ratio. Distinctness is keyed on md5(text) (the cross-engine content
+    * key used by the whole dedup family), so the exact-distinct agg
+    * shuffles 16-byte digests, never documents. */
+  val qDupRatio: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        Fns.roundP(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_ratio"))
+      .orderBy("source")
+
+  /** Per-language document-length histogram in fixed [[HIST_BUCKET]]-char
+    * buckets — the length-distribution panel beside
+    * [[qLengthPercentiles]]' quantiles. Integer-exact bucketing (n div
+    * width), one partial+final agg; histogram cardinality is bounded by
+    * langs × (max_len / width) regardless of corpus size. */
+  val qLenHistogram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"),
+        expr(s"length(text) div $HIST_BUCKET").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(length(col("text"))).cast("long").as("min_len"),
+        max(length(col("text"))).cast("long").as("max_len"))
+      .orderBy("lang", "bucket")
+
   /** Quality scoring: length/punctuation/stopword ratios. */
   val qTextQuality: Q = (s, d) => {
     val nWords = size(Fns.tokens(col("text"))).cast("double")
@@ -481,6 +513,8 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_dup_ratio"    -> qDupRatio,
+    "q_len_histogram" -> qLenHistogram,
     "q_readability"  -> qReadability,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_fim_split"    -> qFimSplit,
@@ -516,6 +550,18 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    "q_dup_ratio" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  floor((1.0::DOUBLE - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_ratio
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_len_histogram" ->
+      s"""SELECT lang, length(text) // $HIST_BUCKET AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(min(length(text)) AS BIGINT) AS min_len,
+         |  CAST(max(length(text)) AS BIGINT) AS max_len
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Coleman–Liau: exact integer counts per language, one double tree
     "q_readability" ->
       s"""WITH b AS (
