@@ -330,4 +330,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       s"pair verify re-executes under RangePartitioning sampling:\n$p")
   }
+
+  test("q_ab_test reduces the event stream in one partial+final agg, no joins") {
+    val p = plan("q_ab_test")
+    assert(p.contains("partial_"), s"conditional moments lost map-side combine:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"the 6-moment pass grew a join:\n$p")
+  }
+
+  test("q_cum_revenue windows run over the aggregated daily frame, not raw orders") {
+    val p = plan("q_cum_revenue")
+    // the partial+final agg must appear BELOW the window operator
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("partial_sum")
+    assert(wIdx >= 0 && aggIdx >= 0 && aggIdx > wIdx,
+      s"expected Window above (executing after) the partial agg in the plan tree:\n$p")
+  }
+
+  test("q_mm_phash is one typed mapPartitions scan, no join, no generator") {
+    val p = plan("q_mm_phash")
+    assert(p.contains("SerializeFromObject"), s"typed decode boundary lost:\n$p")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q_dup_ratio shuffles digests for the exact distinct, never document text") {
+    val p = plan("q_dup_ratio")
+    assert(p.contains("md5"), s"content key lost:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"exact distinct lost its partial stage:\n$p")
+  }
 }
