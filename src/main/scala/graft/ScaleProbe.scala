@@ -108,7 +108,8 @@ object ScaleProbe {
     "q_changepoint",         // prefix-sum SSE scan over the calendar-bounded series (events)
     "q_theil_sen",           // hours^2 pair slopes per type - calendar-bounded (events)
     "q_dup_ratio",           // source-keyed exact-distinct on content digests (documents)
-    "q_len_histogram")       // bounded (lang x bucket) partial+final agg (documents)
+    "q_len_histogram",       // bounded (lang x bucket) partial+final agg (documents)
+    "q_oov_rate")            // split vocab distinct + vocab-keyed anti join (documents)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

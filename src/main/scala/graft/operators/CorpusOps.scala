@@ -842,7 +842,42 @@ object CorpusOps {
       .orderBy(desc("score"), col("phrase")).limit(RAKE_TOPK)
   }
 
+  /** OOV rate of the valid split under the train-split vocabulary — the
+    * number every tokenizer/vocab decision reads first: per valid-split
+    * language, total token occurrences, occurrences of tokens never
+    * seen in train (left-anti against the train vocab), and the same
+    * pair over DISTINCT types. Uses the shared deterministic hash
+    * split, so it composes with q_backoff_lm (whose OOV floor fires on
+    * exactly these tokens). Scale shape: train collapses to its vocab
+    * (distinct, vocab-bounded), valid tokens collapse to (lang, token)
+    * counts BEFORE the anti join, so the join probes vocab-sized frames
+    * on both sides. */
+  val qOovRate: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        DedupOps.splitOf(col("doc_id")).as("split"),
+        explode(Fns.tokens(lower(col("text")))).as("w"))
+    val trainVocab = toks.filter(col("split") === "train")
+      .select(col("w")).distinct()
+    val validCounts = toks.filter(col("split") === "valid")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oov = validCounts.join(trainVocab, Seq("w"), "left_anti")
+      .groupBy("lang")
+      .agg(sum(col("c")).as("oov_occ"), count(lit(1)).as("oov_types"))
+    validCounts.groupBy("lang")
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_types"))
+      .join(oov, Seq("lang"), "left")
+      .select(col("lang"), col("n_occ"), col("n_types"),
+        coalesce(col("oov_occ"), lit(0L)).as("oov_occ"),
+        coalesce(col("oov_types"), lit(0L)).as("oov_types"),
+        Fns.roundP(coalesce(col("oov_occ"), lit(0L)).cast("double")
+          / col("n_occ").cast("double"), 6).as("oov_rate"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_oov_rate"      -> qOovRate,
     "q_rake_keywords" -> qRakeKeywords,
     "q_zipf_slope"    -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
@@ -869,6 +904,26 @@ object CorpusOps {
   private val sqlTokensLower = TextOps.sqlTokensLower
 
   val oracles: Map[String, String] = Map(
+    "q_oov_rate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${DedupOps.sqlSplitOf("doc_id")} AS split,
+         |    unnest($sqlTokensLower) AS w
+         |  FROM documents),
+         |tv AS (SELECT DISTINCT w FROM t WHERE split = 'train'),
+         |vc AS (SELECT lang, w, count(*) AS c FROM t WHERE split = 'valid'
+         |       GROUP BY 1, 2),
+         |oov AS (
+         |  SELECT lang, sum(c) AS oov_occ, count(*) AS oov_types
+         |  FROM vc WHERE w NOT IN (SELECT w FROM tv) GROUP BY 1),
+         |tot AS (
+         |  SELECT lang, sum(c) AS n_occ, count(*) AS n_types FROM vc GROUP BY 1)
+         |SELECT tot.lang,
+         |  CAST(tot.n_occ AS BIGINT) AS n_occ, tot.n_types,
+         |  CAST(coalesce(oov.oov_occ, 0) AS BIGINT) AS oov_occ,
+         |  coalesce(oov.oov_types, 0) AS oov_types,
+         |  ${Fns.roundPSql(
+             "CAST(coalesce(oov.oov_occ, 0) AS DOUBLE) / CAST(tot.n_occ AS DOUBLE)", 6)} AS oov_rate
+         |FROM tot LEFT JOIN oov USING (lang) ORDER BY 1""".stripMargin,
     "q_rake_keywords" -> {
       val stopList = RAKE_STOP.map(w => s"'$w'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id, $sqlTokensLower AS ws FROM documents),
