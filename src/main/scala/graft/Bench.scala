@@ -18,8 +18,13 @@ import org.apache.spark.sql.SparkSession
   * postmortem: identical code measured 35 s / 51 s / 79 s across hosts):
   * a load spike poisons different queries in different passes, so the
   * per-query min survives it, where min-of-2 back-to-back runs does not.
-  * All per-pass times are emitted under `"passes"` so an outlier run is
-  * self-diagnosing from the artifact alone.
+  * All per-pass times are emitted under `"passes"` in bench.json so an
+  * outlier run is self-diagnosing from the artifact alone; the stdout
+  * line omits them (and rounds to ms) so the driver's bounded tail
+  * capture always holds the parseable core. Pass-1 times are ALSO
+  * summarized under `"cold"`: the one-shot batch cost, beside the
+  * resident-service min that a query's own persisted blocks amortize in
+  * later passes.
   *
   * Cache scope: `clearCache()` runs once per PASS, not per query — shared
   * loop-invariant stages (e.g. the trade-edges build feeding seven graph
@@ -126,16 +131,32 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // ms precision everywhere: full double reprs overflowed the driver's
+    // tail capture in round 10 (BENCH_r10 parsed:null, 68/188 values
+    // visible) — 1 ms resolution loses nothing a min-of-3 can claim
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+    // cold = pass-1 time (first execution after table warm-up, empty
+    // cache): the number a one-shot batch run pays, visible beside the
+    // resident-service min that persist-amortized rows otherwise hide
+    // (q_entity_match r10: 0.31 s min vs ~12 s cold)
+    val coldJson = passTimes.head.map { case (k, v) => jstr(k) + ":" + ms(v) }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val flakyJson = flaky.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val passJson = passTimes.map { ts =>
-      ts.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      ts.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"passes":$passJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    val coldTotal = passTimes.head.map(_._2).filter(_ >= 0).sum
+    val head =
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","cold_total":${f"$coldTotal%.3f"},"n_queries":${results.size},"sf":"$sfDir""""
+    // stdout line: totals FIRST, per-query mins + cold, NO per-pass dump —
+    // the driver tail-captures a bounded window, so the parseable core
+    // must fit it; the full per-pass detail lives in bench.json only
+    val line = s"""{$head,"queries":$qs,"cold":$coldJson,"errors":$errJson,"flaky":$flakyJson}"""
+    val full = s"""{$head,"queries":$qs,"cold":$coldJson,"errors":$errJson,"flaky":$flakyJson,"passes":$passJson}"""
+    Files.writeString(Paths.get("bench.json"), full + "\n")
     println(line)
     spark.stop()
   }

@@ -11,6 +11,7 @@ object Lexer {
   case class TNum(v: Double) extends Tok
   case class TDatetime(epoch: Long) extends Tok
   case class TBinary(b64: String) extends Tok
+  case class THash(h: String) extends Tok
   case class TIdent(name: String) extends Tok // includes $keywords
   case class TPunct(c: String) extends Tok    // { } [ ] ( ) : , ; * -> <- -- =>
   case object TEof extends Tok
@@ -27,7 +28,7 @@ object Lexer {
     var prevEndsValue = false
     def emit(t: Tok): Unit = {
       prevEndsValue = t match {
-        case TInt(_) | TNum(_) | TStr(_) | TDatetime(_) | TBinary(_) | TIdent(_) => true
+        case TInt(_) | TNum(_) | TStr(_) | TDatetime(_) | TBinary(_) | THash(_) | TIdent(_) => true
         case TPunct(")") | TPunct("]") | TPunct("}") => true
         case _ => false
       }
@@ -68,6 +69,23 @@ object Lexer {
         val b64 = input.substring(s, i)
         i += 1
         emit(TBinary(b64))
+      }
+      else if (c == '0' && peek(1) == 'h' && peek(2) == '\'') {
+        // 0h'9q8yyk' — geohash literal (reference README.md:139 "hash: a
+        // special type of string"; encoder src/Type/Hash.cpp:18-90 —
+        // NOTE the reference declares but never lexes it: src/gql.l has
+        // no 0h rule). Validate against the geohash base-32 alphabet so
+        // a typo'd hash fails at lex time, not at first spatial use.
+        i += 3
+        val s = i
+        while (i < n && input.charAt(i) != '\'') i += 1
+        if (i >= n) throw LexError("unterminated 0h literal")
+        val h = input.substring(s, i)
+        i += 1
+        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz" // Hash.cpp:18 charMap
+        if (h.isEmpty || !h.forall(alphabet.contains(_)))
+          throw LexError(s"bad geohash literal '0h'$h'' at $s")
+        emit(THash(h))
       }
       else if (c.isDigit || (c == '.' && peek(1).isDigit) ||
                (c == '-' && !prevEndsValue && (peek(1).isDigit || peek(1) == '.') &&

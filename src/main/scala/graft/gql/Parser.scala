@@ -468,6 +468,11 @@ class Parser(toks: Vector[Tok]) {
     case TBinary(_) =>
       val TBinary(b) = advance(): @unchecked
       GBinary(java.util.Base64.getDecoder.decode(b))
+    case THash(_) =>
+      // "hash: a special type of string" (reference README.md:139) — it
+      // stores as its string rendering; spatial ops decode on demand
+      val THash(h) = advance(): @unchecked
+      GStr(h)
     case TPunct("*") => advance(); GStar
     case TPunct("[") => GArr(parseArray(parseValue _))
     case TPunct("{") =>

@@ -703,8 +703,14 @@ object BigGraphOps {
       .orderBy("node")
   }
 
-  /** Truss order and round budget for [[qTruss]]. */
+  /** Truss order and round budget for [[qTruss]]. The peel's inner join
+    * to the support table silently drops zero-triangle edges, which is
+    * equivalent to the `sup >= TRUSS_K-2` filter ONLY while TRUSS_K >= 3
+    * (at K=2 the filter keeps sup=0 edges the join has already lost, and
+    * the oracle shares the join so the gate would not catch the drift). */
   val TRUSS_K = 4
+  require(TRUSS_K >= 3,
+    "qTruss's inner support join assumes TRUSS_K >= 3 (zero-support edges are dropped)")
   val TRUSS_ROUNDS = 5
 
   /** k-truss decomposition (Cohen 2008) of the STRONG-TIE subgraph —
@@ -876,8 +882,11 @@ object BigGraphOps {
     * one moved nothing), so the hop budget IS the query's price — 8
     * keeps the bound useful while the 2×H rounds stay ~60% of the r10
     * 12-hop cost. On a real cluster the per-round floor amortizes over
-    * partitions and H would be raised, not the dataflow changed. */
-  val DS_HOPS = 8
+    * partitions and H would be raised, not the dataflow changed —
+    * env-overridable (SPARK_GRAFT_DS_HOPS) so a cluster run restores the
+    * deeper sweep without a code change; the oracle SQL interpolates the
+    * same val, so both engines always share the bound. */
+  val DS_HOPS = sys.env.getOrElse("SPARK_GRAFT_DS_HOPS", "8").toInt
 
   /** Hop-bounded multi-round BFS over an undirected edge frame (a, b):
     * min-hop distances from `start`, [[DS_HOPS]] supersteps of

@@ -747,8 +747,12 @@ object EventOps {
     val D = (n: String) => col(n).cast("double")
     m.withColumn("m0", D("s0") / D("n0"))
       .withColumn("m1", D("s1") / D("n1"))
-      .withColumn("v0", (D("q0") - D("s0") * D("s0") / D("n0")) / (D("n0") - 1))
-      .withColumn("v1", (D("q1") - D("s1") * D("s1") / D("n1")) / (D("n1") - 1))
+      // a variant with ≤1 row: Spark double x/0 yields NaN where DuckDB
+      // yields NULL — guard the variance to NULL on both engines
+      .withColumn("v0", when(col("n0") > 1,
+        (D("q0") - D("s0") * D("s0") / D("n0")) / (D("n0") - 1)))
+      .withColumn("v1", when(col("n1") > 1,
+        (D("q1") - D("s1") * D("s1") / D("n1")) / (D("n1") - 1)))
       .select(col("n0"), col("n1"),
         Fns.roundP(col("m0"), 6).as("mean0"),
         Fns.roundP(col("m1"), 6).as("mean1"),
@@ -775,8 +779,10 @@ object EventOps {
         sum(dec(col("c") * col("c"))).as("scc"))
     val D = (n: String) => col(n).cast("double")
     m.withColumn("mean_c", D("sc") / D("n_hours"))
-      .withColumn("var_c",
-        (D("scc") - D("sc") * D("sc") / D("n_hours")) / (D("n_hours") - 1))
+      // an event type with exactly one hourly bucket: Spark double x/0
+      // yields NaN/Infinity where DuckDB yields NULL — guard to NULL
+      .withColumn("var_c", when(col("n_hours") > 1,
+        (D("scc") - D("sc") * D("sc") / D("n_hours")) / (D("n_hours") - 1)))
       .select(col("event_type"), col("n_hours"),
         Fns.roundP(col("mean_c"), 4).as("mean_c"),
         Fns.roundP(col("var_c") / col("mean_c"), 4).as("fano"))
@@ -966,8 +972,9 @@ object EventOps {
          |t AS (
          |  SELECT event_type, n_hours,
          |    CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_c,
-         |    (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
-         |      / (CAST(n_hours AS DOUBLE) - 1) AS var_c
+         |    CASE WHEN n_hours > 1 THEN
+         |      (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+         |        / (CAST(n_hours AS DOUBLE) - 1) END AS var_c
          |  FROM m)
          |SELECT event_type, n_hours,
          |  ${Fns.roundPSql("mean_c", 4)} AS mean_c,
@@ -997,10 +1004,12 @@ object EventOps {
          |  SELECT n0, n1,
          |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
          |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-         |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-         |      / (CAST(n0 AS DOUBLE) - 1) AS v0,
-         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-         |      / (CAST(n1 AS DOUBLE) - 1) AS v1
+         |    CASE WHEN n0 > 1 THEN
+         |      (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |        / (CAST(n0 AS DOUBLE) - 1) END AS v0,
+         |    CASE WHEN n1 > 1 THEN
+         |      (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |        / (CAST(n1 AS DOUBLE) - 1) END AS v1
          |  FROM m)
          |SELECT n0, n1,
          |  ${Fns.roundPSql("m0", 6)} AS mean0,

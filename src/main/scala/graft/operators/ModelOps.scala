@@ -254,6 +254,17 @@ object ModelOps {
   /** Number of byte-pair merges to learn. */
   val BPE_MERGES = 8
 
+  /** Minimum word frequency admitted to the BPE trainer's vocab table —
+    * the standard trainer floor (sentencepiece, HF tokenizers ship the
+    * same knob) that bounds the driver-side word-frequency collect BY
+    * POLICY rather than by data: web-scale corpora carry 10⁷-10⁸ word
+    * forms, most hapax noise, and a floor of even 2-5 cuts the table an
+    * order of magnitude while leaving merge counts essentially unchanged
+    * (a merge the floor could flip would be supported only by dropped
+    * hapaxes). 1 on testdata = admit everything, so the gate frame is
+    * byte-identical; raise via SPARK_GRAFT_BPE_MINFREQ on a real corpus. */
+  val BPE_MINFREQ = sys.env.getOrElse("SPARK_GRAFT_BPE_MINFREQ", "1").toLong
+
   /** End-of-word marker symbol (Sennrich, Haddow & Birch, "Neural Machine
     * Translation of Rare Words with Subword Units", ACL 2016 — the
     * word-boundary convention that makes merges position-aware). */
@@ -307,6 +318,7 @@ object ModelOps {
       .select(Fns.tokens(lower(col("text"))).as("tk"))
       .select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= BPE_MINFREQ) // policy bound on the driver collect
       .as[(String, Long)]
       .collect()
     // (word, freq, symbol list) — chars + end-of-word marker

@@ -383,4 +383,25 @@ class GqlSpec extends AnyFunSuite {
     val r = e2.exec(s"import '$cyc';").head
     assert(r.status.startsWith("error") && r.status.contains("depth"), r.status)
   }
+
+  test("0h geohash literal — lexes, stores as string, round-trips a query") {
+    // reference README.md:139 declares `0h'hash'` ("a special type of
+    // string", encoder src/Type/Hash.cpp) but its lexer never implements
+    // it (no 0h rule in src/gql.l) — we lex it to its hash string
+    import graft.gql.Lexer
+    assert(Lexer.tokenize("0h'9q8yyk'") ==
+      Vector(Lexer.THash("9q8yyk"), Lexer.TEof))
+    // invalid alphabet chars (a, i, l, o are absent from geohash base-32)
+    intercept[Lexer.LexError] { Lexer.tokenize("0h'abc'") }
+    intercept[Lexer.LexError] { Lexer.tokenize("0h'9q8") }
+
+    val e = freshEngine()
+    e.exec("{create: 'ga', group: ['g']};")
+    assert(e.exec("{upset: 'g', vertex: [[1, {loc: 0h'9q8yyk'}], [2, {loc: 0h'u4pruy'}]]};")
+      .head.status == "UPSET SUCCESS")
+    // equality matches whether the predicate writes the 0h form or the
+    // plain string — hash IS a string subtype
+    assert(count(e, "{query: 'g', in: 'ga', where: {loc: 0h'9q8yyk'}};") == 1)
+    assert(count(e, "{query: 'g', in: 'ga', where: {loc: '9q8yyk'}};") == 1)
+  }
 }
