@@ -280,39 +280,115 @@ object VectorOps {
     * (measured 2/7 recall at sf0.001); 2-probe is the standard IVF fix. */
   val NASSIGN = 2
 
-  /** Embedding-cosine near-dup pairs, IVF-cell-blocked — the gated scale
-    * path. Each vector is assigned to its NASSIGN nearest label-centroids
-    * (broadcast centroids + codegen'd Dist2; top-cells per vector via a
-    * partial-aggregated sorted ncells-struct list with a deterministic cell
-    * tiebreak — no window shuffle of the corpus), then candidate pairs are
-    * generated ONLY within a cell: the self-join is an equi-join on `cell`,
-    * never an unconditioned `id_a < id_b` cartesian, and pairs sharing two
-    * cells dedupe through one distinct. At 100 TB the cells are partition
-    * keys and the pair scan is sum-of-squares *per cell*, not corpus².
-    * Recall semantics: pairs whose members share none of their NASSIGN
-    * cells are missed by construction — [[qCosinePairs]] stays as the
-    * spec-level exhaustive ground truth (CosineBlockingSpec asserts
-    * blocked ⊆ brute with usable recall on the test corpus). */
-  val qCosineBlocked: Q = (s, d) => {
-    val v = vecs(s, d)
+  /** Population cap per (cell, sub-bucket) for the blocked pair-join
+    * family. The label-centroid cells are FIXED in number, so per-cell
+    * population — and the within-cell pair join, Σcell² — grows
+    * quadratically with the corpus (the r10 verdict's one open
+    * would-it-survive-100× question). Above the cap a cell splits into
+    * 2^nb random-hyperplane sub-buckets, nb sized so each sub-bucket
+    * lands in (cap/2, cap]: sub-bucket count is ∝ corpus, pair volume
+    * per (cell, bucket) is ≤ cap² by construction, and the total pair
+    * scan is LINEAR in N (standard IVF practice — ncells ~ √N̅ / hot-cell
+    * splitting; here rendered as in-cell SimHash since the cells carry
+    * label semantics the gates pin). Below the cap nb = 0 and the
+    * dataflow is bit-identical to the uncapped blocked join, so parity-
+    * scale gate hashes are unchanged while the bound stays a live branch
+    * (CosineBlockingSpec forces it with a small cap). */
+  val CELL_CAP = sys.env.getOrElse("SPARK_GRAFT_CELL_CAP", "1000").toInt
+  /** Max sub-bucket bits (2^8 sub-buckets ≈ 256× over-cap headroom;
+    * raise alongside CELL_CAP for larger clusters). */
+  val CELL_MAXB = 8
+
+  /** Shared candidate stage of [[qCosineBlocked]] / [[qHardNegatives]] /
+    * [[qSemanticDedup]]: every vector keyed by its NASSIGN nearest
+    * label-centroid cells AND its in-cell hyperplane sub-bucket, with
+    * norms staged once per row. Columns: (cell, bkt, vec_id, label, v,
+    * nrm); the pair join downstream is an equi-join on (cell, bkt).
+    *
+    * Sub-bucketing: per cell, nb = the least b with population ≤ cap·2^b
+    * (integer ladder — no float log2 to diverge cross-engine), bucket =
+    * the nb sign bits of v against the md5-derived [[planeVal]] planes
+    * (dot products unrolled to plan-literal sums — no HOF re-eval, same
+    * left-to-right addition order as the DuckDB twin). Recall insurance
+    * mirrors [[qAnnLsh]]'s multi-probe: each vector also lands in the
+    * bucket with its lowest-|margin| bit flipped, so a pair survives any
+    * single near-boundary bit on either member (plus flip=flip double
+    * misses); pairs in different sub-buckets beyond that are missed BY
+    * CONSTRUCTION — the same concession the NASSIGN cell assignment
+    * already makes, measured by CosineBlockingSpec's recall floor.
+    * Boundary caveat: a |margin| tie picks the lower bit on both engines
+    * (struct min), but the sign/margin doubles themselves are float
+    * sums — exact cross-engine only because both sum in list order. */
+  private[graft] def cellBucketed(v: DataFrame, cap: Int): DataFrame = {
     val best = v.crossJoin(broadcast(centroidArrays(v)))
       .withColumn("cd", VectorExprs.dist2(col("v"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("cd"), col("cell")))).as("cs"))
       .select(col("vec_id"), explode(slice(col("cs"), 1, NASSIGN)).as("a"))
       .select(col("vec_id"), col("a.cell").as("cell"))
-    val n = v.join(best, "vec_id")
-      .select(col("cell"), col("vec_id"), col("v"),
-        sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"))
+    val nbLadder = (1 to CELL_MAXB).foldLeft(lit(0)) { (acc, b) =>
+      when(col("cn") > lit(cap.toLong << (b - 1)), lit(b)).otherwise(acc)
+    }
+    val csz = best.groupBy("cell").agg(count(lit(1)).as("cn"))
+      .select(col("cell"), nbLadder.as("nb"))
+    // plan-literal hyperplane dots (one unrolled sum per bit, computed
+    // only for members of an over-cap cell)
+    val dots = array((0 until CELL_MAXB).map { h =>
+      (0 until DIM).map(i => col("v").getItem(i) * lit(planeVal(h, i)))
+        .reduce(_ + _)
+    }: _*)
+    val bkt0 = (0 until CELL_MAXB).map { h =>
+      when(lit(h) < col("nb") && col("dots").getItem(h) >= 0, lit(1L << h))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val margins = array((0 until CELL_MAXB).map { h =>
+      struct(abs(col("dots").getItem(h)).as("m"), lit(h).as("k"))
+    }: _*)
+    v.join(best, "vec_id")
+      .join(broadcast(csz), "cell")
+      .withColumn("dots", when(col("nb") > 0, dots))
+      .withColumn("bkt0", when(col("nb") > 0, bkt0).otherwise(lit(0L)))
+      .withColumn("flip", array_min(slice(margins, lit(1), col("nb")))("k"))
+      .select(col("cell"), col("vec_id"), col("label"), col("v"),
+        sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"),
+        explode(when(col("nb") > 0,
+            array(col("bkt0"),
+              col("bkt0").bitwiseXOR(expr("cast(shiftleft(1, flip) as bigint)"))))
+          .otherwise(array(col("bkt0")))).as("bkt"))
+  }
+
+  /** Embedding-cosine near-dup pairs, IVF-cell-blocked — the gated scale
+    * path. Each vector is assigned to its NASSIGN nearest label-centroids
+    * (broadcast centroids + codegen'd Dist2; top-cells per vector via a
+    * partial-aggregated sorted ncells-struct list with a deterministic cell
+    * tiebreak — no window shuffle of the corpus), then candidate pairs
+    * are generated ONLY within a (cell, sub-bucket) blocking key: the
+    * self-join is an equi-join on the key, never an unconditioned
+    * `id_a < id_b` cartesian, and pairs sharing two keys dedupe through
+    * one distinct. At 100 TB the keys are partition keys and the pair
+    * scan is sum-of-squares per key with population ≤ [[CELL_CAP]] each
+    * ([[cellBucketed]]'s adaptive split) — LINEAR in corpus, never
+    * corpus² and never Σcell² over fixed cells.
+    * Recall semantics: pairs whose members share none of their NASSIGN
+    * cells are missed by construction — [[qCosinePairs]] stays as the
+    * spec-level exhaustive ground truth (CosineBlockingSpec asserts
+    * blocked ⊆ brute with usable recall on the test corpus). */
+  val qCosineBlocked: Q = cosineBlockedWith(CELL_CAP)
+
+  /** [[qCosineBlocked]] with an explicit sub-bucket cap — the gate uses
+    * [[CELL_CAP]]; specs force the capped branch with a small cap. */
+  private[graft] def cosineBlockedWith(cap: Int): Q = (s, d) => {
+    val n = cellBucketed(vecs(s, d), cap)
+      .select(col("cell"), col("bkt"), col("vec_id"), col("v"), col("nrm"))
       .persist() // consumed by both join sides — no cross-branch CSE
-    val a = n.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
+    val a = n.select(col("cell"), col("bkt"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("cell"), col("bkt"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= COS_T)
       .select(col("id_a"), col("id_b"), Fns.roundP(col("cos"), 6).as("cos_sim"))
-      .distinct() // a pair sharing both probe cells appears twice
+      .distinct() // a pair sharing both probe cells/buckets appears twice
       .orderBy("id_a", "id_b")
   }
 
@@ -333,27 +409,18 @@ object VectorOps {
     * candidate are absent on both engines. Reference kin: none (net-new
     * training-data op; builds on E9's blocking). */
   val qHardNegatives: Q = (s, d) => {
-    val v = vecs(s, d)
-    val best = v.crossJoin(broadcast(centroidArrays(v)))
-      .withColumn("cd", VectorExprs.dist2(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("cd"), col("cell")))).as("cs"))
-      .select(col("vec_id"), explode(slice(col("cs"), 1, NASSIGN)).as("a"))
-      .select(col("vec_id"), col("a.cell").as("cell"))
-    val n = v.join(best, "vec_id")
-      .select(col("cell"), col("vec_id"), col("label"), col("v"),
-        sqrt(VectorExprs.dotp(col("v"), col("v"))).as("nrm"))
+    val n = cellBucketed(vecs(s, d), CELL_CAP)
       .persist() // consumed by both join sides — no cross-branch CSE
-    val a = n.select(col("cell"), col("vec_id").as("anchor"),
+    val a = n.select(col("cell"), col("bkt"), col("vec_id").as("anchor"),
       col("label").as("la"), col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("cell"), col("vec_id").as("negative"),
+    val b = n.select(col("cell"), col("bkt"), col("vec_id").as("negative"),
       col("label").as("neg_label"), col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cell"))
+    val pairs = a.join(b, Seq("cell", "bkt"))
       .filter(col("anchor") =!= col("negative") && col("la") =!= col("neg_label"))
       .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
       .select(col("anchor"), col("negative"), col("neg_label"),
         Fns.roundP(col("cos"), 6).as("cos_sim"))
-      .distinct() // a pair sharing both probe cells appears twice
+      .distinct() // a pair sharing both probe cells/buckets appears twice
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("anchor").orderBy(col("cos_sim").desc, col("negative"))
     pairs.withColumn("rn", row_number().over(w))
@@ -938,10 +1005,26 @@ object VectorOps {
     "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
 
   /** Shared CTE chain of the IVF-cell-blocked cosine pair join: `e` (the
-    * vector table), label centroids, NASSIGN-cell assignments, and `n`
-    * (cell, vec_id, v, nrm) — the join-ready normalized side. Used by the
-    * q_cosine_blocked and q_semantic_dedup oracles. */
-  private[operators] lazy val sqlCosBlockCtes =
+    * vector table), label centroids, NASSIGN-cell assignments, the
+    * [[cellBucketed]] adaptive sub-bucket twin (cell counts → integer nb
+    * ladder → hyperplane sign bits + lowest-margin multi-probe), and `n`
+    * (cell, bkt, vec_id, v, nrm) — the join-ready normalized side. Pair
+    * joins downstream key on (cell, bkt). Used by the q_cosine_blocked,
+    * q_hard_negatives and q_semantic_dedup oracles. */
+  private[operators] lazy val sqlCosBlockCtes = {
+    // the same md5-derived plane components as planeVal/q_ann_lsh's oracle
+    def planeComp(h: Int): String =
+      s"(CAST('0x' || substr(md5('lshp_${h}_' || CAST(i-1 AS VARCHAR)), 1, 8) AS BIGINT)" +
+        " / 4294967296.0::DOUBLE - 0.5)"
+    def dotPlane(h: Int): String =
+      s"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ${planeComp(h)}))"
+    val dotsList = (0 until CELL_MAXB).map(dotPlane).mkString("[", ",\n      ", "]")
+    val nbCase = (CELL_MAXB to 1 by -1)
+      .map(b => s"WHEN cn > ${CELL_CAP.toLong << (b - 1)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val bktBits = (0 until CELL_MAXB)
+      .map(h => s"(CASE WHEN $h < nb AND dots[${h + 1}] >= 0 THEN ${1L << h} ELSE 0 END)")
+      .mkString(" + ")
     s"""e AS ($sqlVecs),
        |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
        |cent AS (
@@ -958,9 +1041,27 @@ object VectorOps {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
        |    FROM cd)
        |  WHERE rn <= $NASSIGN),
+       |csz AS (SELECT cell, count(*) AS cn FROM asg GROUP BY cell),
+       |nbs AS (SELECT cell, $nbCase AS nb FROM csz),
+       |bx AS (
+       |  SELECT a.vec_id, a.cell, t.nb,
+       |    CASE WHEN t.nb > 0 THEN $dotsList END AS dots
+       |  FROM asg a JOIN nbs t USING (cell) JOIN e USING (vec_id)),
+       |bb AS (
+       |  SELECT vec_id, cell, nb,
+       |    CASE WHEN nb > 0 THEN $bktBits ELSE 0 END AS bkt0,
+       |    CASE WHEN nb > 0 THEN
+       |      (list_min(list_transform(range(0, nb), h -> {'m': abs(dots[h+1]), 'k': h}))).k
+       |    END AS flip
+       |  FROM bx),
+       |asg2 AS (
+       |  SELECT vec_id, cell,
+       |    unnest(CASE WHEN nb > 0 THEN [bkt0, xor(bkt0, 1 << flip)] ELSE [bkt0] END) AS bkt
+       |  FROM bb),
        |n AS (
-       |  SELECT a.cell, e.vec_id, e.v, sqrt(${sqlDot("e.v", "e.v")}) AS nrm
-       |  FROM e JOIN asg a ON e.vec_id = a.vec_id)""".stripMargin
+       |  SELECT a.cell, a.bkt, e.vec_id, e.v, sqrt(${sqlDot("e.v", "e.v")}) AS nrm
+       |  FROM e JOIN asg2 a ON e.vec_id = a.vec_id)""".stripMargin
+  }
 
   /** [[sqlCosBlockCtes]] extended with the recursive component flood:
     * `cc` maps every vec_id in a near-dup pair to its cluster id (min
@@ -970,7 +1071,7 @@ object VectorOps {
     s"""$sqlCosBlockCtes,
        |vp AS (
        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-       |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  FROM n a JOIN n b ON a.cell = b.cell AND a.bkt = b.bkt AND a.vec_id < b.vec_id
        |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T),
        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM vp
        |       UNION ALL SELECT doc_b, doc_a FROM vp),
@@ -1217,7 +1318,7 @@ object VectorOps {
          |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS negative,
          |    eb.label AS neg_label,
          |    ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
-         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  FROM n a JOIN n b ON a.cell = b.cell AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
          |  JOIN e ea ON ea.vec_id = a.vec_id
          |  JOIN e eb ON eb.vec_id = b.vec_id
          |  WHERE ea.label <> eb.label),
@@ -1229,7 +1330,7 @@ object VectorOps {
       s"""WITH $sqlCosBlockCtes
          |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
-         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |FROM n a JOIN n b ON a.cell = b.cell AND a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $COS_T
          |ORDER BY id_a, id_b""".stripMargin,
     // SemDeDup: the blocked pair CTEs verbatim, then the q_dedup_clusters

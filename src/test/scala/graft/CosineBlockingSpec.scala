@@ -31,6 +31,42 @@ class CosineBlockingSpec extends AnyFunSuite {
       s"blocked recall too low: ${blocked.size}/${brute.size}")
   }
 
+  test("cell sub-bucketing: inert at the default cap, bounds bucket pops and keeps subset semantics under a small cap") {
+    import org.apache.spark.sql.functions._
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+    // at the default cap every testdata cell is under-cap: nb = 0 and the
+    // whole frame sits in sub-bucket 0 — the property that keeps the gate
+    // hashes byte-identical to the pre-capping dataflow
+    val inert = VectorOps.cellBucketed(v, VectorOps.CELL_CAP)
+      .groupBy("bkt").count().collect()
+    assert(inert.map(_.getLong(0)).toSet == Set(0L),
+      s"default cap must be inert on testdata, got buckets ${inert.mkString(",")}")
+
+    // a small cap forces the split: no (cell, bkt) key may hold more than
+    // cap×4 members (hyperplane splits halve in expectation; 4× slack
+    // covers skew + the doubled multi-probe memberships)
+    val cap = 30
+    val capped = VectorOps.cellBucketed(v, cap)
+    val maxPop = capped.groupBy("cell", "bkt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPop <= cap * 4L, s"bucket pop $maxPop exceeds ${cap * 4}")
+
+    // capped pairs are a SUBSET of the uncapped blocked pairs (the join
+    // key only refines), with identical cosines, and recall does not
+    // collapse — the multi-probe flip must keep a usable fraction even at
+    // the loose COS_T where per-bit collision odds are worst
+    val uncapped = pairs(VectorOps.qCosineBlocked(spark, dir))
+    val sub = pairs(VectorOps.cosineBlockedWith(cap)(spark, dir))
+    sub.foreach { case (ids, cos) =>
+      assert(uncapped.contains(ids), s"capped pair $ids not in uncapped set")
+      assert(uncapped(ids) == cos, s"cosine drifted for $ids")
+    }
+    assert(sub.size * 10 >= uncapped.size,
+      s"capped recall collapsed: ${sub.size}/${uncapped.size}")
+  }
+
   test("q_semantic_dedup equals union-find over the blocked pairs") {
     val edges = pairs(VectorOps.qCosineBlocked(spark, dir)).keys.toSeq
     // driver-side union-find ground truth
