@@ -624,6 +624,26 @@ object DedupOps {
   /** Edit-distance threshold for [[qEntityMatch]]. */
   val ER_MAXDIST = 2
 
+  /** Block-size cap for [[qEntityMatch]]. The nation blocking key has
+    * FIXED cardinality, so the within-block self-join is Σblock² with
+    * block ≈ corpus/25 — quadratic in corpus size (the r10 verdict's
+    * flagged scale-killer). Blocks at or under the cap keep the exact
+    * within-block pair scan; blocks OVER it switch to two
+    * Hernández-Stolfo sorted-neighborhood passes (forward + reversed
+    * key), whose candidate volume is N×(W−1)×2 BY CONSTRUCTION — linear
+    * at any corpus size. Testdata blocks (≤ ~650 at sf0.1) stay under
+    * the default cap, so gate outputs are unchanged while the capped
+    * branch stays live (EntityMatchSpec forces it with a small cap). */
+  val ER_BLOCK_CAP = sys.env.getOrElse("SPARK_GRAFT_ER_BLOCK_CAP", "2000").toInt
+  /** Sorted-neighborhood window width inside over-cap blocks. */
+  val ER_W = 8
+  /** Sort-key prefix that sub-partitions an over-cap block's window (the
+    * distributed-window guard — a global per-block window would funnel
+    * corpus/25 rows through one reducer). Boundary pairs across the
+    * prefix edge wait for the other pass's key — the standard
+    * merge/purge multi-pass posture, same as [[qSortedNeighborhood]]. */
+  val ER_PFX = 12
+
   /** Blocked fuzzy entity matching — record linkage (Newcombe 1959 /
     * Fellegi-Sunter): candidate pairs come ONLY from within a blocking
     * key (here the customer's nation), then an edit-distance verify
@@ -631,13 +651,20 @@ object DedupOps {
     * output is the linkage edge list (block, a, b, dist) — the input
     * the transitive-cluster assignment of qDedupClusters consumes.
     *
-    * Scale shape: the self-join is keyed on the block, so pair volume is
-    * Σ block² — never corpus² — and the verify runs inside the join's
-    * codegen stage. A production run bounds the hottest block with
-    * multiple redundant blocking keys (phonetic + prefix + length, the
-    * minhash-banding posture applied to records); the join structure is
-    * unchanged. Levenshtein evaluates identically in Spark and DuckDB
-    * (both classic DP), so the gate is integer-exact.
+    * Scale shape: blocks at or under [[ER_BLOCK_CAP]] run the exact
+    * within-block self-join (pair volume Σ block², bounded by cap×N);
+    * blocks OVER the cap switch to two sorted-neighborhood passes
+    * (forward name + reversed name — complementary keys: the forward
+    * pass surfaces pairs agreeing on leading characters, the reversed
+    * pass pairs agreeing on trailing ones), each a partitioned sort +
+    * [[ER_W]]−1 lead pairs — candidates N×(W−1)×2 by construction, so
+    * total pair volume is LINEAR in corpus size. Candidate recall inside
+    * an over-cap block is approximate (pairs whose edits straddle both
+    * key regions can miss both passes — the merge/purge concession,
+    * measured by EntityMatchSpec's floor); production adds more passes
+    * with more keys, not a bigger join. Levenshtein evaluates
+    * identically in Spark and DuckDB (both classic DP), so the gate is
+    * integer-exact.
     *
     * The verify runs the BANDED levenshtein (threshold form: -1 when
     * > k, the true distance otherwise) — O(k·n) cells per pair instead
@@ -650,14 +677,23 @@ object DedupOps {
     * the filter passed 100% of pairs and only added per-pair work —
     * segment filtering needs entropy spread across the string, which
     * synthetic key-like names don't have. */
-  val qEntityMatch: Q = (s, d) => {
+  val qEntityMatch: Q = entityMatchWith(ER_BLOCK_CAP, ER_W)
+
+  /** [[qEntityMatch]] with explicit cap/window — the gate uses the
+    * defaults; EntityMatchSpec forces the capped branch with a small cap. */
+  private[graft] def entityMatchWith(cap: Int, w: Int): Q = (s, d) => {
     val c = Tables.customer(s, d)
       .select(col("c_nationkey").as("blk"), col("c_custkey"), col("c_name"))
-    val a = c.select(col("blk"), col("c_custkey").as("cust_a"),
+    val bsz = c.groupBy("blk").agg(count(lit(1)).as("bn"))
+    val sized = c.join(broadcast(bsz), "blk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = sized.filter(col("bn") <= cap)
+    val big = sized.filter(col("bn") > cap)
+    val a = small.select(col("blk"), col("c_custkey").as("cust_a"),
       col("c_name").as("name_a"))
-    val b = c.select(col("blk"), col("c_custkey").as("cust_b"),
+    val b = small.select(col("blk"), col("c_custkey").as("cust_b"),
       col("c_name").as("name_b"))
-    a.join(b, Seq("blk"))
+    val smallPairs = a.join(b, Seq("blk"))
       // the ordered-pair test GUARDS the levenshtein inside one `when`:
       // left as two filter conjuncts, Catalyst folds both into the join
       // condition with the cheap custkey comparison LAST, and the DP runs
@@ -669,6 +705,34 @@ object DedupOps {
           .otherwise(lit(-1)))
       .filter(col("dist") >= 0)
       .select(col("blk"), col("cust_a"), col("cust_b"), col("dist"))
+    // over-cap blocks: merge/purge sorted neighborhood, forward + reversed
+    def snPass(key: org.apache.spark.sql.Column): DataFrame = {
+      val keyed = big.select(col("blk"), col("c_custkey"), col("c_name"), key.as("k"))
+        .withColumn("pfx", substring(col("k"), 1, ER_PFX))
+      val win = Window.partitionBy("blk", "pfx").orderBy(col("k"), col("c_custkey"))
+      val leads = keyed.select(
+        col("blk") +: col("c_custkey") +: col("c_name") +:
+          (1 until w).flatMap(i => Seq(
+            lead(col("c_custkey"), i).over(win).as(s"ck$i"),
+            lead(col("c_name"), i).over(win).as(s"nm$i"))): _*)
+      leads.select(col("blk"), col("c_custkey"), col("c_name"),
+          explode(array((1 until w).map(i =>
+            struct(col(s"ck$i").as("ck"), col(s"nm$i").as("nm"))): _*)).as("nb"))
+        .filter(col("nb.ck").isNotNull)
+        .select(col("blk"),
+          least(col("c_custkey"), col("nb.ck")).as("cust_a"),
+          greatest(col("c_custkey"), col("nb.ck")).as("cust_b"),
+          when(col("c_custkey") < col("nb.ck"), col("c_name"))
+            .otherwise(col("nb.nm")).as("name_a"),
+          when(col("c_custkey") < col("nb.ck"), col("nb.nm"))
+            .otherwise(col("c_name")).as("name_b"))
+    }
+    val bigPairs = snPass(col("c_name")).unionAll(snPass(reverse(col("c_name"))))
+      .distinct() // dedupe cross-pass repeats BEFORE the verify DP runs
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), ER_MAXDIST))
+      .filter(col("dist") >= 0)
+      .select(col("blk"), col("cust_a"), col("cust_b"), col("dist"))
+    smallPairs.unionAll(bigPairs)
       // the global sort's RangePartitioning SAMPLES its child — without
       // this persist the whole pair-verify join executes twice (once for
       // the sampling pass), measured 2× the query
@@ -892,14 +956,49 @@ object DedupOps {
          |  < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 0
          |         THEN 300 ELSE 700 END
          |ORDER BY doc_id""".stripMargin,
-    "q_entity_match" ->
+    "q_entity_match" -> {
+      // the capped branch's twin: per pass, W-1 lead columns over the
+      // (blk, key-prefix) window, unpivoted via UNION ALL
+      def passCtes(tag: String, keyExpr: String): String = {
+        val leadCols = (1 until ER_W).map(i =>
+          s"lead(c_custkey, $i) OVER w AS ck$i, lead(c_name, $i) OVER w AS nm$i")
+          .mkString(",\n    ")
+        val unpivot = (1 until ER_W).map(i =>
+          s"""SELECT blk, c_custkey, c_name, ck$i AS ck, nm$i AS nm
+             |   FROM l$tag WHERE ck$i IS NOT NULL""".stripMargin)
+          .mkString("\n  UNION ALL ")
+        s"""l$tag AS (
+           |  SELECT blk, c_custkey, c_name, $leadCols
+           |  FROM (SELECT blk, c_custkey, c_name, $keyExpr AS k FROM big)
+           |  WINDOW w AS (PARTITION BY blk, substr(k, 1, $ER_PFX) ORDER BY k, c_custkey)),
+           |u$tag AS (
+           |  $unpivot)""".stripMargin
+      }
       s"""WITH c AS (
-         |  SELECT c_nationkey AS blk, c_custkey, c_name FROM customer)
-         |SELECT a.blk, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-         |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-         |WHERE levenshtein(a.c_name, b.c_name) <= $ER_MAXDIST
-         |ORDER BY a.blk, cust_a, cust_b""".stripMargin,
+         |  SELECT c_nationkey AS blk, c_custkey, c_name FROM customer),
+         |bsz AS (SELECT blk, count(*) AS bn FROM c GROUP BY blk),
+         |small AS (SELECT c.* FROM c JOIN bsz USING (blk) WHERE bn <= $ER_BLOCK_CAP),
+         |big AS (SELECT c.* FROM c JOIN bsz USING (blk) WHERE bn > $ER_BLOCK_CAP),
+         |sp AS (
+         |  SELECT a.blk, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         |    CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         |  FROM small a JOIN small b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= $ER_MAXDIST),
+         |${passCtes("f", "c_name")},
+         |${passCtes("r", "reverse(c_name)")},
+         |cand AS (
+         |  SELECT DISTINCT blk,
+         |    least(c_custkey, ck) AS cust_a, greatest(c_custkey, ck) AS cust_b,
+         |    CASE WHEN c_custkey < ck THEN c_name ELSE nm END AS name_a,
+         |    CASE WHEN c_custkey < ck THEN nm ELSE c_name END AS name_b
+         |  FROM (SELECT * FROM uf UNION ALL SELECT * FROM ur)),
+         |bp AS (
+         |  SELECT blk, cust_a, cust_b,
+         |    CAST(levenshtein(name_a, name_b) AS INT) AS dist
+         |  FROM cand WHERE levenshtein(name_a, name_b) <= $ER_MAXDIST)
+         |SELECT * FROM (SELECT * FROM sp UNION ALL SELECT * FROM bp)
+         |ORDER BY blk, cust_a, cust_b""".stripMargin
+    },
     "q_group_k" ->
       s"""WITH r AS (
          |  SELECT doc_id, source, lang,
