@@ -108,6 +108,7 @@ object ScaleProbe {
     "q_changepoint",         // prefix-sum SSE scan over the calendar-bounded series (events)
     "q_theil_sen",           // hours^2 pair slopes per type - calendar-bounded (events)
     "q_dup_ratio",           // source-keyed exact-distinct on content digests (documents)
+    "q_snapshot_drift",      // 3 bounded category aggs + O(cats) KL arithmetic (documents)
     "q_len_histogram",       // bounded (lang x bucket) partial+final agg (documents)
     "q_oov_rate")            // split vocab distinct + vocab-keyed anti join (documents)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
@@ -181,6 +182,7 @@ object ScaleProbe {
     * the source stores (nanos-long under the legacy conf, or micros
     * timestamp) so Tables.events' schema-adaptive branch is exercised
     * identically at every multiple. */
+  // (shared by PairScaleProbe for its unscaled tables)
   def build(s: SparkSession, src: String, mult: Int, dir: String): Unit = {
     def copies(df: DataFrame, shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(i => shift(df, i)).reduce(_ unionAll _)
@@ -210,6 +212,125 @@ object ScaleProbe {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => s.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+    Files.createFile(Paths.get(dir, "_built"))
+  }
+}
+
+/** Scale probe for the blocked PAIR-EXPANSION family (entity match,
+  * PPJoin Jaccard pairs, the IVF-cell cosine trio) — the operators whose
+  * candidate volume the plain [[ScaleProbe]] replication would distort:
+  * key-shifted IDENTICAL payloads manufacture Θ(mult²) TRUE near-dup
+  * pairs (cos = 1 / Jaccard = 1 / levenshtein = 0 across copies), a
+  * worst-case dup corpus rather than a bigger day of traffic. Here every
+  * copy is a DISJOINT population:
+  *  - customer: custkeys shift AND c_name is re-derived from the shifted
+  *    key, so cross-copy names differ in their digit prefix (nation
+  *    blocks still grow ×mult — the stressor the block cap answers);
+  *  - documents: every token gets a per-copy suffix — within-copy
+  *    shingle/dup structure is isomorphic to the original, cross-copy
+  *    Jaccard is 0 (disjoint vocabularies);
+  *  - embeddings: copies >0 add deterministic per-component noise at
+  *    ~3× the component σ (sin-hash, no RNG), so cross-copy cosines sit
+  *    far below COS_T while labels — and so the FIXED cell count the
+  *    sub-bucket cap answers — are preserved.
+  * A sub-quadratic time curve here is the evidence the r10 verdict asked
+  * for: pair volume provably stops growing quadratically. */
+object PairScaleProbe {
+  val PROBES = Seq(
+    "q_entity_match",    // nation blocks ×mult → ER_BLOCK_CAP path
+    "q_jaccard_pairs",   // PPJoin prefix-filtered pairs, disjoint vocabs
+    "q_cosine_blocked",  // fixed cells ×mult → CELL_CAP sub-buckets
+    "q_hard_negatives",  // same blocking + per-anchor WindowGroupLimit
+    "q_semantic_dedup")  // blocked pairs + min-label component flood
+
+  /** Per-component jitter amplitude for embedding copies — uniform via a
+    * sin-hash in [−0.6, 0.6): noise σ ≈ 0.35 vs component σ ≈ 0.125, so
+    * cos(original, jittered) ≈ 0.34 < COS_T = 0.45. */
+  val JITTER = 0.6
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mults = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                else Seq(1, 16, 64)
+    val probes = if (args.length > 2) PROBES.filter(args(2).split(",").toSet)
+                 else PROBES
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(spark.range(1000).selectExpr("sum(id)").toDF())
+
+    val srcTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val results = mults.map { m =>
+      val dir = s"/tmp/graft_pair_v1_${srcTag}_$m"
+      if (!Files.exists(Paths.get(dir, "_built"))) build(spark, sfDir, m, dir)
+      Seq("customer", "documents", "embeddings", "nation")
+        .foreach(t => noop(spark.read.parquet(s"$dir/$t.parquet")))
+      val times = probes.map { name =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(name)(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        // COLD is the scaling signal here: three of the five queries end
+        // in a persist of their final pair frame, so a min-of-2 would
+        // time pass 2's re-sort of the cache, not the pair scan
+        val cold = once()
+        val warm = once()
+        spark.catalog.clearCache()
+        println(f"PAIRSCALE $m%dx $name%-18s cold $cold%.2f s  warm $warm%.2f s")
+        name -> cold
+      }
+      m -> times.toMap
+    }.toMap
+
+    val json = probes.map { q =>
+      val per = mults.map(m => s""""${m}": ${f"${results(m)(q)}%.3f"}""").mkString(",")
+      s""""$q":{$per}"""
+    }.mkString(",")
+    println(s"""{"probe":"pairscale","sf":"$sfDir","mults":[${mults.mkString(",")}],"queries":{$json}}""")
+    spark.stop()
+  }
+
+  def build(s: SparkSession, src: String, mult: Int, dir: String): Unit = {
+    def copies(df: DataFrame, shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(i => shift(df, i)).reduce(_ unionAll _)
+    copies(s.read.parquet(s"$src/customer.parquet"),
+      (d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+                 .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    copies(s.read.parquet(s"$src/documents.parquet"),
+      (d, i) => {
+        val shifted = d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        if (i == 0) shifted
+        else shifted.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"~$i"))), " "))
+      })
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    copies(s.read.parquet(s"$src/embeddings.parquet"),
+      (d, i) => {
+        val shifted = d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        if (i == 0) shifted
+        else shifted.withColumn("embedding", expr(
+          s"""transform(embedding, (x, j) -> cast(x + $JITTER *
+             |  ((sin(vec_id * 12.9898 + j * 78.233 + $i * 37.719) * 43758.5453)
+             |   - floor(sin(vec_id * 12.9898 + j * 78.233 + $i * 37.719) * 43758.5453)
+             |   - 0.5) * 2 as float))""".stripMargin))
+      })
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("region", "nation", "supplier", "part", "orders", "lineitem", "events")
+      .foreach { t =>
+        if (t == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
     Files.createFile(Paths.get(dir, "_built"))
   }
 }

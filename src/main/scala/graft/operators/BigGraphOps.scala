@@ -575,6 +575,69 @@ object BigGraphOps {
   val qWccBig: Q = (s, d) =>
     ccTwoPhase(sccEdges(s, d)).orderBy("node")
 
+  /** DataFrame-superstep SCC (Orzan coloring — the same algorithm GraphX's
+    * Pregel SCC runs): outer rounds of (forward min-color propagation to
+    * fixpoint) → (roots = color==self) → (backward confirmation inside the
+    * color) → remove confirmed SCCs; vertices left when the edge set
+    * drains are singletons. Built to ANSWER the r10 verdict's "evaluate
+    * retiring the GraphX RDD path for q_scc_big" — a measured comparison,
+    * not a guess (SccCompare + PERF.md row, SccDfSpec parity vs the gate).
+    * Every inner fixpoint is count-probed on localCheckpoint'ed frames
+    * (the iterative-loop rule); supersteps are node-keyed joins like
+    * every DF graph gate here, so the comparison isolates exactly the
+    * per-superstep cost difference between the two execution paths. */
+  private[graft] def dfScc(edges0: DataFrame, maxRounds: Int = SCC_ITERS): DataFrame = {
+    val sess = edges0.sparkSession
+    var edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var verts = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var confirmed: DataFrame =
+      sess.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("scc_id")).limit(0)
+    var round = 0
+    while (round < maxRounds && edges.count() > 0) {
+      // forward min-color propagation to fixpoint
+      var color = verts.select(col("node"), col("node").as("color")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = color.join(edges, col("node") === col("src"))
+          .groupBy(col("dst").as("n")).agg(min(col("color")).as("pc"))
+        val nc = color.join(prop, col("node") === col("n"), "left")
+          .select(col("node"),
+            least(col("color"), coalesce(col("pc"), col("color"))).as("color"))
+          .localCheckpoint()
+        changed = nc.join(color.withColumnRenamed("color", "old"), "node")
+          .filter(col("color") =!= col("old")).count()
+        color = nc
+      }
+      // backward confirmation: from each root r, walk edges in reverse
+      // while staying inside color r — the reached set IS SCC(r)
+      var conf = color.filter(col("color") === col("node"))
+        .select(col("node"), col("node").as("scc_id")).localCheckpoint()
+      var grew = 1L
+      while (grew > 0) {
+        val step = edges.join(conf, col("dst") === col("node"))
+          .select(col("src").as("node"), col("scc_id"))
+          .join(color, "node")
+          .filter(col("color") === col("scc_id"))
+          .select(col("node"), col("scc_id"))
+        val next = conf.unionByName(step).distinct().localCheckpoint()
+        grew = next.count() - conf.count()
+        conf = next
+      }
+      confirmed = confirmed.unionByName(conf)
+      verts = verts.join(conf.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      edges = edges
+        .join(verts.select(col("node").as("src")), Seq("src"))
+        .join(verts.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst")).localCheckpoint()
+      round += 1
+    }
+    // drained graph: every remaining vertex is its own singleton SCC
+    confirmed.unionByName(verts.select(col("node"), col("node").as("scc_id")))
+  }
+
   /** Triangle counting + global closure at data scale — the motif gate
     * (E3's kin) on the co-purchase graph: the edge set is already
     * ORDERED (dst > src by construction), so a triangle is a < b < c

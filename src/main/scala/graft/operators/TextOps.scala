@@ -77,6 +77,54 @@ object TextOps {
         max(length(col("text"))).cast("long").as("max_len"))
       .orderBy("lang", "bucket")
 
+  /** Laplace pseudo-count smoothing the snapshot-drift distributions —
+    * keeps KL finite when a category appears in only one snapshot. */
+  val DRIFT_LAMBDA = 0.5
+
+  /** Snapshot drift gate — the "did the crawl change under us" check a
+    * continuous-ingest pipeline runs beside [[qDupRatio]] /
+    * [[qLenHistogram]]: KL divergence (bits) of the source, language and
+    * doc-length-magnitude distributions between two ingest snapshots.
+    * Snapshots here are the deterministic halves of a content-hash split
+    * (the q_hash_split machinery) standing in for consecutive crawls;
+    * in production the snap column is the ingest batch id and the same
+    * bounded aggregation runs unchanged. Distributions are add-λ
+    * smoothed over the union of categories so a category present in one
+    * snapshot only contributes a finite term; per-category KL terms ride
+    * an exact decimal sum (cross-engine double-sum order trap), and the
+    * digit-count length bucket is integer-exact (no float log boundary).
+    *
+    * Scale shape: one corpus scan into three bounded partial+final aggs
+    * (|sources| + |langs| + ~10 magnitude buckets rows); everything
+    * after the aggs is arithmetic on O(categories) rows. */
+  val qSnapshotDrift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("snap",
+        Fns.hash32(concat(lit("snap_"), col("doc_id").cast("string"))) % 2)
+    def klOf(nm: String, cat: Column): DataFrame = {
+      val c = docs.groupBy(cat.as("cat"))
+        .agg(count(when(col("snap") === 0, 1)).as("na"),
+          count(when(col("snap") === 1, 1)).as("nb"))
+      val tot = c.agg(sum("na").as("ta"), sum("nb").as("tb"),
+        count(lit(1)).as("k"))
+      val D = (cn: String) => col(cn).cast("double")
+      c.crossJoin(broadcast(tot))
+        .withColumn("pa",
+          (D("na") + lit(DRIFT_LAMBDA)) / (D("ta") + lit(DRIFT_LAMBDA) * D("k")))
+        .withColumn("pb",
+          (D("nb") + lit(DRIFT_LAMBDA)) / (D("tb") + lit(DRIFT_LAMBDA) * D("k")))
+        .withColumn("term",
+          (col("pb") * log2(col("pb") / col("pa"))).cast("decimal(18,12)"))
+        .agg(max(col("k")).as("n_cats"),
+          Fns.roundP(sum(col("term")).cast("double"), 6).as("kl_bits"))
+        .select(lit(nm).as("dim"), col("n_cats"), col("kl_bits"))
+    }
+    klOf("source", col("source"))
+      .unionAll(klOf("lang", col("lang")))
+      .unionAll(klOf("len_mag", length(col("n_chars").cast("string"))))
+      .orderBy("dim")
+  }
+
   /** Quality scoring: length/punctuation/stopword ratios. */
   val qTextQuality: Q = (s, d) => {
     val nWords = size(Fns.tokens(col("text"))).cast("double")
@@ -514,6 +562,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "q_dup_ratio"    -> qDupRatio,
+    "q_snapshot_drift" -> qSnapshotDrift,
     "q_len_histogram" -> qLenHistogram,
     "q_readability"  -> qReadability,
     "q_span_corrupt" -> qSpanCorrupt,
@@ -550,6 +599,38 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_drift" -> {
+      def dimCtes(nm: String, catExpr: String) =
+        s"""c_$nm AS (
+           |  SELECT $catExpr AS cat,
+           |    count(CASE WHEN snap = 0 THEN 1 END) AS na,
+           |    count(CASE WHEN snap = 1 THEN 1 END) AS nb
+           |  FROM t GROUP BY 1),
+           |tt_$nm AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS k FROM c_$nm)""".stripMargin
+      def dimSel(nm: String) =
+        s"""SELECT '$nm' AS dim, max(k) AS n_cats,
+           |  ${Fns.roundPSql(
+               "CAST(sum(CAST(pb * log2(pb / pa) AS DECIMAL(18,12))) AS DOUBLE)", 6)} AS kl_bits
+           |FROM (
+           |  SELECT k,
+           |    (CAST(na AS DOUBLE) + $DRIFT_LAMBDA::DOUBLE)
+           |      / (CAST(ta AS DOUBLE) + $DRIFT_LAMBDA::DOUBLE * CAST(k AS DOUBLE)) AS pa,
+           |    (CAST(nb AS DOUBLE) + $DRIFT_LAMBDA::DOUBLE)
+           |      / (CAST(tb AS DOUBLE) + $DRIFT_LAMBDA::DOUBLE * CAST(k AS DOUBLE)) AS pb
+           |  FROM c_$nm, tt_$nm)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT source, lang, n_chars,
+         |    CAST('0x' || substr(md5('snap_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS snap
+         |  FROM documents),
+         |${dimCtes("source", "source")},
+         |${dimCtes("lang", "lang")},
+         |${dimCtes("len_mag", "length(CAST(n_chars AS VARCHAR))")}
+         |SELECT * FROM (
+         |  ${dimSel("source")}
+         |  UNION ALL ${dimSel("lang")}
+         |  UNION ALL ${dimSel("len_mag")})
+         |ORDER BY dim""".stripMargin
+    },
     "q_dup_ratio" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_distinct,

@@ -331,11 +331,15 @@ object VectorOps {
     }
     val csz = best.groupBy("cell").agg(count(lit(1)).as("cn"))
       .select(col("cell"), nbLadder.as("nb"))
-    // plan-literal hyperplane dots (one unrolled sum per bit, computed
-    // only for members of an over-cap cell)
+    // plan-literal hyperplane dots, lshBucket's compact HOF form: the
+    // loop codegen keeps the method small (an unrolled 8×DIM term tree
+    // blew janino's 64 KB method limit at probe scale and silently fell
+    // back to interpreted mode); zip_with+aggregate folds left-to-right,
+    // the same order as the DuckDB list_sum twin
     val dots = array((0 until CELL_MAXB).map { h =>
-      (0 until DIM).map(i => col("v").getItem(i) * lit(planeVal(h, i)))
-        .reduce(_ + _)
+      val plane = array((0 until DIM).map(i => lit(planeVal(h, i))): _*)
+      aggregate(zip_with(col("v"), plane, (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
     }: _*)
     val bkt0 = (0 until CELL_MAXB).map { h =>
       when(lit(h) < col("nb") && col("dots").getItem(h) >= 0, lit(1L << h))
@@ -420,7 +424,13 @@ object VectorOps {
       .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
       .select(col("anchor"), col("negative"), col("neg_label"),
         Fns.roundP(col("cos"), 6).as("cos_sim"))
-      .distinct() // a pair sharing both probe cells/buckets appears twice
+    // NO distinct here, deliberately: a pair sharing two blocking keys
+    // repeats, but its repeats are VALUE-IDENTICAL rows, so the rank-1
+    // winner below is unchanged — and unlike q_cosine_blocked there is no
+    // COS_T filter shrinking the frame first, so a distinct would shuffle
+    // the ENTIRE candidate set. Without it the row_number filter plans as
+    // WindowGroupLimit: each partition keeps 1 row per anchor BEFORE the
+    // exchange (measured 54 s → pair-scan cost at 16× probe scale).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("anchor").orderBy(col("cos_sim").desc, col("negative"))
     pairs.withColumn("rn", row_number().over(w))
