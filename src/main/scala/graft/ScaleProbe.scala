@@ -109,6 +109,7 @@ object ScaleProbe {
     "q_theil_sen",           // hours^2 pair slopes per type - calendar-bounded (events)
     "q_dup_ratio",           // source-keyed exact-distinct on content digests (documents)
     "q_snapshot_drift",      // 3 bounded category aggs + O(cats) KL arithmetic (documents)
+    "q_phrase_search",       // phrase-term-filtered postings + (doc,pos) joins (documents)
     "q_len_histogram",       // bounded (lang x bucket) partial+final agg (documents)
     "q_oov_rate")            // split vocab distinct + vocab-keyed anti join (documents)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
@@ -241,7 +242,8 @@ object PairScaleProbe {
     "q_jaccard_pairs",   // PPJoin prefix-filtered pairs, disjoint vocabs
     "q_cosine_blocked",  // fixed cells ×mult → CELL_CAP sub-buckets
     "q_hard_negatives",  // same blocking + per-anchor WindowGroupLimit
-    "q_semantic_dedup")  // blocked pairs + min-label component flood
+    "q_semantic_dedup",  // blocked pairs + min-label component flood
+    "q_bitext_mine")     // blocked cross-lang pairs + two k-NN pool windows
 
   /** Per-component jitter amplitude for embedding copies — uniform via a
     * sin-hash in [−0.6, 0.6): noise σ ≈ 0.35 vs component σ ≈ 0.125, so

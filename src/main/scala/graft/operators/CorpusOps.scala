@@ -478,6 +478,44 @@ object CorpusOps {
     stats.join(postings, Seq("term")).orderBy("term")
   }
 
+  /** Query phrase for [[qPhraseSearch]] — deliberately PERIODIC
+    * ("table table" overlaps itself), so the positional semantics the
+    * gate pins include the self-overlapping matches a regex scan would
+    * undercount. */
+  val PS_PHRASE = Seq("table", "table")
+
+  /** Positional phrase search — the query shape [[qInvertedIndex]]'s
+    * postings exist to serve: find every token-aligned occurrence of a
+    * multi-word phrase via POSITION-ADJACENCY joins over per-term
+    * postings (term, doc_id, pos). Term i's postings join term 0's at
+    * `pos − i`, so a k-term phrase is k−1 equi-joins keyed on
+    * (doc_id, pos) — the classic positional-index AND-query plan every
+    * search engine runs.
+    *
+    * Scale shape: the explode is filtered to the phrase's terms BEFORE
+    * any shuffle (row-local isin on the generator output, so the
+    * postings that move are the phrase terms' lists, never the corpus
+    * vocabulary), then k−1 (doc_id, pos)-keyed hash joins whose inputs
+    * are those filtered lists. Overlapping matches count naturally —
+    * each match is its own starting position. Output is per-doc match
+    * count + first hit, doc-ordered. */
+  val qPhraseSearch: Q = (s, d) => {
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Fns.tokens(lower(col("text")))).as(Seq("pos", "term")))
+      .filter(col("term").isin(PS_PHRASE.distinct: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one side per phrase term
+    val t0 = post.filter(col("term") === PS_PHRASE.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = PS_PHRASE.zipWithIndex.tail.foldLeft(t0) { case (acc, (w, i)) =>
+      acc.join(post.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Stupid-backoff discount (Brants et al. 2007, "Large Language Models
     * in Machine Translation" — the score they ran at 2-trillion-token
     * scale on MapReduce). */
@@ -891,6 +929,7 @@ object CorpusOps {
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_bm25"          -> qBm25,
     "q_inverted_index" -> qInvertedIndex,
+    "q_phrase_search" -> qPhraseSearch,
     "q_backoff_lm"    -> qBackoffLm,
     "q_vocab_growth"  -> qVocabGrowth,
     "q_pmi_collocations" -> qPmiCollocations,
@@ -904,6 +943,19 @@ object CorpusOps {
   private val sqlTokensLower = TextOps.sqlTokensLower
 
   val oracles: Map[String, String] = Map(
+    "q_phrase_search" -> {
+      // token-aligned positional scan: toks[i+1+j] must equal phrase[j]
+      // for every j — counts overlapping matches exactly like the
+      // position-adjacency join
+      val cond = PS_PHRASE.zipWithIndex
+        .map { case (w, j) => s"toks[i+${j + 1}] = '$w'" }.mkString(" AND ")
+      s"""WITH tk AS (SELECT doc_id, $sqlTokensLower AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, i FROM tk, unnest(range(len(toks))) t(i)
+         |  WHERE $cond)
+         |SELECT doc_id, count(*) AS n_matches, CAST(min(i) AS INT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_oov_rate" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, ${DedupOps.sqlSplitOf("doc_id")} AS split,

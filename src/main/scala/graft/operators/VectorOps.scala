@@ -439,6 +439,72 @@ object VectorOps {
       .orderBy("anchor")
   }
 
+  /** k-NN pool width and margin threshold for [[qBitextMine]]. */
+  val BM_K = 4
+  val BM_T = 1.05
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the method
+    * behind CCMatrix/LASER parallel-corpus extraction): for every
+    * non-English document, the best English candidate scored by the RATIO
+    * margin — cos(x,y) normalized by the mean cosine of each side's k-NN
+    * pool — which suppresses hubness that raw cosine thresholds suffer.
+    * `keep` flags pairs over [[BM_T]], the mined-pair decision.
+    *
+    * Scale shape: candidates come from the SAME capped (cell, sub-bucket)
+    * blocking as the cosine family ([[cellBucketed]] — linear pair
+    * volume), langs ride a vec_id-co-keyed join with the doc store; both
+    * k-NN pools are rank-≤K windows Spark executes as WindowGroupLimit
+    * (each partition surrenders ≤K rows per key before the exchange);
+    * pool means are decimal-exact over the ROUNDED cosines and the final
+    * per-anchor argmax ranks on the rounded margin with a candidate-id
+    * tiebreak, so the mined pair is deterministic under any partition
+    * order. The margin pool is the anchor's blocked top-K (the paper
+    * evaluates margins within retrieved k-NN lists; blocking bounds the
+    * retrieval the same way it bounds q_hard_negatives). */
+  val qBitextMine: Q = (s, d) => {
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val n = cellBucketed(vecs(s, d), CELL_CAP)
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("cell"), col("bkt"), col("vec_id"), col("lang"), col("v"), col("nrm"))
+    val a = n.filter(col("lang") =!= "en")
+      .select(col("cell"), col("bkt"), col("vec_id").as("src_doc"),
+        col("lang").as("src_lang"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.filter(col("lang") === "en")
+      .select(col("cell"), col("bkt"), col("vec_id").as("tgt_doc"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_doc").orderBy(col("cos_sim").desc, col("tgt_doc"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("tgt_doc").orderBy(col("cos_sim").desc, col("src_doc"))
+    val pairs = a.join(b, Seq("cell", "bkt"))
+      .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("src_doc"), col("src_lang"), col("tgt_doc"),
+        Fns.roundP(col("cos"), 6).as("cos_sim"))
+      .distinct() // a pair sharing two blocking keys repeats; both pools
+                  // and counts must see it once
+      .persist() // consumed by both pool windows — no cross-branch CSE
+    val dec6 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+    val topA = pairs.withColumn("rk", row_number().over(wA)).filter(col("rk") <= BM_K)
+    val topB = pairs.withColumn("rk", row_number().over(wB)).filter(col("rk") <= BM_K)
+    val da = topA.groupBy("src_doc")
+      .agg((sum(dec6(col("cos_sim"))).cast("double") / count(lit(1))).as("da"))
+    val db = topB.groupBy("tgt_doc")
+      .agg((sum(dec6(col("cos_sim"))).cast("double") / count(lit(1))).as("db"))
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_doc").orderBy(col("margin").desc, col("tgt_doc"))
+    topA.select("src_doc", "src_lang", "tgt_doc", "cos_sim")
+      .join(da, "src_doc")
+      .join(db, "tgt_doc")
+      .withColumn("margin",
+        Fns.roundP(col("cos_sim") / ((col("da") + col("db")) / 2.0), 6))
+      .withColumn("rn", row_number().over(wM))
+      .filter(col("rn") === 1)
+      .select(col("src_doc"), col("src_lang"), col("tgt_doc"),
+        col("cos_sim"), col("margin"),
+        (col("margin") >= BM_T).as("keep"))
+      .orderBy("src_doc")
+  }
+
   /** Embedding-cosine near-dup pairs — the brute-force all-pairs baseline
     * (norms staged once per row; one codegen'd dot per pair). Quadratic by
     * construction — NOT gated; spec-level ground truth for
@@ -1005,6 +1071,7 @@ object VectorOps {
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_blocked" -> qCosineBlocked,
     "q_hard_negatives" -> qHardNegatives,
+    "q_bitext_mine"    -> qBitextMine,
     "q_pq_adc"         -> qPqAdc,
     "q_ann_ivfpq"      -> qAnnIvfPq,
   )
@@ -1336,6 +1403,37 @@ object VectorOps {
          |    PARTITION BY anchor ORDER BY cos_sim DESC, negative) AS rn FROM hp)
          |SELECT anchor, negative, neg_label, cos_sim FROM rk WHERE rn = 1
          |ORDER BY anchor""".stripMargin,
+    "q_bitext_mine" ->
+      s"""WITH $sqlCosBlockCtes,
+         |lg AS (
+         |  SELECT n.cell, n.bkt, n.vec_id, d.lang, n.v, n.nrm
+         |  FROM n JOIN documents d ON n.vec_id = d.doc_id),
+         |bp AS (
+         |  SELECT DISTINCT a.vec_id AS src_doc, a.lang AS src_lang,
+         |    b.vec_id AS tgt_doc,
+         |    ${Fns.roundPSql(s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)} AS cos_sim
+         |  FROM lg a JOIN lg b ON a.cell = b.cell AND a.bkt = b.bkt
+         |  WHERE a.lang <> 'en' AND b.lang = 'en'),
+         |ta AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src_doc ORDER BY cos_sim DESC, tgt_doc) AS rk FROM bp),
+         |tb AS (SELECT *, row_number() OVER (
+         |    PARTITION BY tgt_doc ORDER BY cos_sim DESC, src_doc) AS rk FROM bp),
+         |da AS (SELECT src_doc,
+         |    CAST(sum(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS da
+         |  FROM ta WHERE rk <= $BM_K GROUP BY 1),
+         |db AS (SELECT tgt_doc,
+         |    CAST(sum(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS db
+         |  FROM tb WHERE rk <= $BM_K GROUP BY 1),
+         |mg AS (
+         |  SELECT t.src_doc, t.src_lang, t.tgt_doc, t.cos_sim,
+         |    ${Fns.roundPSql("t.cos_sim / ((da.da + db.db) / 2.0)", 6)} AS margin
+         |  FROM ta t JOIN da USING (src_doc) JOIN db USING (tgt_doc)
+         |  WHERE t.rk <= $BM_K),
+         |rk2 AS (SELECT *, row_number() OVER (
+         |    PARTITION BY src_doc ORDER BY margin DESC, tgt_doc) AS rn FROM mg)
+         |SELECT src_doc, src_lang, tgt_doc, cos_sim, margin,
+         |  margin >= $BM_T AS keep
+         |FROM rk2 WHERE rn = 1 ORDER BY src_doc""".stripMargin,
     "q_cosine_blocked" ->
       s"""WITH $sqlCosBlockCtes
          |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

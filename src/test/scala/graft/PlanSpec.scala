@@ -34,9 +34,27 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("blocked pair scans contain no cartesian product") {
-    for (q <- Seq("q_cosine_blocked", "q_jaccard_pairs", "q_minhash_dedup")) {
+    for (q <- Seq("q_cosine_blocked", "q_jaccard_pairs", "q_minhash_dedup",
+      "q_entity_match", "q_hard_negatives", "q_bitext_mine")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went quadratic:\n$p")
+    }
+  }
+
+  test("q_phrase_search filters postings to phrase terms before any exchange") {
+    val p = plan("q_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the term isin filter must sit below the first exchange: the filter
+    // appears in the plan and the phrase join is (doc_id, pos)-keyed
+    assert(p.contains("term"), p)
+    assert(p.contains("pos"), p)
+  }
+
+  test("q_hard_negatives and q_bitext_mine keep rank-limit pruning (WindowGroupLimit)") {
+    for (q <- Seq("q_hard_negatives", "q_bitext_mine")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost per-partition rank pruning before the exchange:\n$p")
     }
   }
 

@@ -55,7 +55,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_funnel_time", "q_cum_revenue", "q_transitions", "q_rake_keywords",
     "q_asof_forward", "q_cohort_ltv", "q_ab_test", "q_pareto",
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
-    "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift")
+    "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
+    "q_phrase_search", "q_bitext_mine")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
