@@ -81,6 +81,15 @@ object TextOps {
     * keeps KL finite when a category appears in only one snapshot. */
   val DRIFT_LAMBDA = 0.5
 
+  /** The three QA dimensions the drift family monitors — shared by the
+    * batch gate and the streaming per-batch monitor
+    * ([[graft.streaming.CorpusIngest.startDriftMonitor]]) so the two
+    * cannot diverge on what "the distribution" means. */
+  private[graft] val driftDims: Seq[(String, Column)] = Seq(
+    ("source", col("source")),
+    ("lang", col("lang")),
+    ("len_mag", length(col("n_chars").cast("string")).cast("string")))
+
   /** Snapshot drift gate — the "did the crawl change under us" check a
     * continuous-ingest pipeline runs beside [[qDupRatio]] /
     * [[qLenHistogram]]: KL divergence (bits) of the source, language and
@@ -119,9 +128,8 @@ object TextOps {
           Fns.roundP(sum(col("term")).cast("double"), 6).as("kl_bits"))
         .select(lit(nm).as("dim"), col("n_cats"), col("kl_bits"))
     }
-    klOf("source", col("source"))
-      .unionAll(klOf("lang", col("lang")))
-      .unionAll(klOf("len_mag", length(col("n_chars").cast("string"))))
+    driftDims.map { case (nm, c) => klOf(nm, c) }
+      .reduce(_ unionAll _)
       .orderBy("dim")
   }
 

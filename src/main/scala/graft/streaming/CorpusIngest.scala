@@ -378,4 +378,67 @@ object CorpusIngest {
       }
       .start()
   }
+
+  /** Streaming DRIFT MONITOR — the per-batch production form of the
+    * q_snapshot_drift gate ("did the crawl change under us", evaluated as
+    * every ingest batch arrives instead of between two finished
+    * snapshots): per micro-batch, the batch's source/language/
+    * length-magnitude category counts (the SHARED
+    * [[graft.operators.TextOps.driftDims]], so the monitored
+    * distributions cannot diverge from the gate's) are written to a
+    * counts store, and KL(batch ‖ all strictly-earlier batches) in bits
+    * — add-λ smoothed over the category union, per-dim terms
+    * decimal-summed — lands as a report row per dimension.
+    *
+    * Exactly-once: counts and report for batch b live in overwrite dirs
+    * keyed by batch id, and the baseline reads ONLY batches < b, so a
+    * replayed batch recomputes byte-identical outputs (the
+    * [[startCurated]] protocol). State is bounded by construction:
+    * O(categories) rows per batch, never documents. The first batch has
+    * no baseline — its kl_bits is NULL with n_base = 0, not a divide-
+    * by-zero artifact. */
+  def startDriftMonitor(s: SparkSession, srcDir: String, countsDir: String,
+                        reportDir: String, checkpointDir: String): StreamingQuery = {
+    import graft.operators.TextOps.{DRIFT_LAMBDA, driftDims}
+    s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val cnts = driftDims.map { case (nm, c) =>
+          batch.groupBy(c.as("cat")).agg(count(lit(1)).as("n"))
+            .select(lit(nm).as("dim"), col("cat"), col("n"))
+        }.reduce(_ unionByName _)
+        cnts.withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$bid")
+        // baseline: STRICTLY earlier batches only — replay-stable
+        val base = spark.read.parquet(countsDir)
+          .filter(col("batch_id") < bid)
+          .groupBy("dim", "cat").agg(sum("n").as("nb"))
+        val joined = cnts.withColumnRenamed("n", "na")
+          .join(base, Seq("dim", "cat"), "full_outer")
+          .na.fill(0L, Seq("na", "nb"))
+        val tot = joined.groupBy("dim")
+          .agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("k"))
+        val D = (cn: String) => col(cn).cast("double")
+        joined.join(tot, "dim")
+          .withColumn("pa",
+            (D("na") + lit(DRIFT_LAMBDA)) / (D("ta") + lit(DRIFT_LAMBDA) * D("k")))
+          .withColumn("pb",
+            (D("nb") + lit(DRIFT_LAMBDA)) / (D("tb") + lit(DRIFT_LAMBDA) * D("k")))
+          .withColumn("term",
+            (col("pa") * log2(col("pa") / col("pb"))).cast("decimal(18,12)"))
+          .groupBy("dim")
+          .agg(max("k").as("n_cats"), max("ta").as("n_batch"), max("tb").as("n_base"),
+            graft.functions.Fns.roundP(
+              when(max("tb") > 0, sum(col("term")).cast("double")), 6).as("kl_bits"))
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$bid")
+      }
+      .start()
+  }
 }

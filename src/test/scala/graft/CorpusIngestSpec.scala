@@ -295,4 +295,61 @@ class CorpusIngestSpec extends AnyFunSuite {
     val finalSigs = spark.read.parquet(sigs).select("doc_id").collect().map(_.getLong(0))
     assert(finalSigs.length == finalSigs.toSet.size, "sig store key no longer unique")
   }
+
+  test("drift monitor: per-batch KL vs the accepted baseline, NULL-first-batch, exact replay") {
+    val root = Files.createTempDirectory("graft-drift")
+    val (src, counts, report, ckpt) =
+      (s"$root/src", s"$root/counts", s"$root/report", s"$root/ckpt")
+    Files.createDirectories(Paths.get(src))
+
+    def run(ck: String): Unit = {
+      val q = CorpusIngest.startDriftMonitor(spark, src, counts, report, ck)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    // delivery 1+2: the full documents table twice (same distribution);
+    // delivery 3: ONLY English docs — a drifted crawl
+    def writeAsFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator()
+      val f = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(f, Paths.get(s"$src/$name"))
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    writeAsFile(docs, "b0.parquet"); run(ckpt)
+    writeAsFile(docs, "b1.parquet"); run(ckpt)
+    writeAsFile(docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      "b2.parquet"); run(ckpt)
+
+    val rep = spark.read.parquet(report).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("dim")) ->
+        (r.getAs[Long]("n_base"), Option(r.getAs[java.lang.Double]("kl_bits"))))
+      .toMap
+    assert(rep.size == 9, s"3 batches x 3 dims expected: ${rep.keys}")
+    // batch 0: no baseline — NULL kl, zero base mass
+    for (dim <- Seq("source", "lang", "len_mag")) {
+      val (nb, kl) = rep((0L, dim))
+      assert(nb == 0L && kl.isEmpty, s"batch 0 $dim must be baseline-less: $nb $kl")
+    }
+    // batch 1 repeats the distribution: tiny KL; batch 2 drops every
+    // non-English doc: the lang drift must dwarf batch 1's
+    val kl1 = rep((1L, "lang"))._2.get
+    val kl2 = rep((2L, "lang"))._2.get
+    assert(kl1 < 0.01, s"identical distribution should be ~0 bits, got $kl1")
+    assert(kl2 > 10 * kl1 && kl2 > 0.1, s"drifted batch must stand out: $kl1 vs $kl2")
+
+    // exact replay: wipe ONLY the checkpoint — all three files re-deliver
+    // with the same batch ids, overwrite dirs must land byte-identical rows
+    val before = spark.read.parquet(report).collect().map(_.toString).sorted
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm); Files.delete(p)
+    }
+    rm(Paths.get(ckpt))
+    run(s"$root/ckpt2")
+    val after = spark.read.parquet(report).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "replay must recompute identical reports")
+  }
 }
