@@ -593,6 +593,76 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Kneser-Ney absolute discount (Chen & Goodman 1999's fixed-D
+    * formulation; 0.75 is the classic default). */
+  val KN_D = 0.75
+
+  /** Interpolated Kneser-Ney bigram LM scored on the held-out split —
+    * the smoothing that replaced stupid backoff wherever quality beats
+    * throughput (Chen & Goodman 1999): instead of backing off to raw
+    * unigram frequency, the lower-order term is the CONTINUATION
+    * probability P_cont(w₂) = N1+(·,w₂)/B (how many distinct contexts
+    * w₂ completes, over B = distinct bigram types), so "francisco" stops
+    * looking probable just because "san francisco" is frequent. Score:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N1+(w₁,·)/c(w₁·) · P_cont(w₂)        (w₁ seen)
+    *   P(w₂|w₁) = P_cont(w₂)                             (w₁ unseen)
+    *
+    * with a documented half-count floor N1+(·,w₂) ← 0.5 for w₂ never
+    * seen as a continuation (no ln 0, mirrors q_backoff_lm's OOV floor).
+    * The gate pins per-doc mean NLL plus the integer counts of positions
+    * whose bigram/context was seen in train, so the smoothing-path
+    * distribution is regression-locked next to q_backoff_lm's tiers.
+    *
+    * Scale shape: identical to [[qBackoffLm]] — all four model tables
+    * (bigram counts, context totals, forward/backward continuation fan)
+    * are vocab-keyed partial+final aggs off ONE shared bigram frame, and
+    * scoring is keyed left joins of held-out positions against them
+    * (token-keyed shuffle joins at real scale, broadcast at test SF).
+    * NLL sums ride decimal(28,18) so shuffle order can't perturb them. */
+  val qKneserNey: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), DedupOps.splitOf(col("doc_id")).as("split"),
+        Fns.tokens(lower(col("text"))).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigrams = toks.filter(col("split") === "train" && size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("b"))
+      .select(col("b.0").as("w1"), col("b.1").as("w2"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ctx = bi.groupBy("w1")
+      .agg(sum("cb").as("c1dot"), count(lit(1)).as("n1p_fwd"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val types = bi.agg(count(lit(1)).as("b_types"))
+    val pos = toks.filter(col("split") === "valid" && size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val pCont = coalesce(col("n1p_bwd").cast("double"), lit(0.5)) /
+      col("b_types").cast("double")
+    val p = when(col("c1dot").isNotNull,
+        greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(KN_D), lit(0.0)) /
+          col("c1dot").cast("double") +
+        (lit(KN_D) * col("n1p_fwd").cast("double") / col("c1dot").cast("double")) * pCont)
+      .otherwise(pCont)
+    pos
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("nll", negate(log(p)).cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("c1dot").isNotNull, 1L).otherwise(0L)).as("n_ctx"),
+        Fns.roundP(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll2"))
+      .orderBy("doc_id")
+  }
+
   /** Number of growth tiers for [[qVocabGrowth]]. */
   val VG_TIERS = 10
 
@@ -931,6 +1001,7 @@ object CorpusOps {
     "q_inverted_index" -> qInvertedIndex,
     "q_phrase_search" -> qPhraseSearch,
     "q_backoff_lm"    -> qBackoffLm,
+    "q_kneser_ney"    -> qKneserNey,
     "q_vocab_growth"  -> qVocabGrowth,
     "q_pmi_collocations" -> qPmiCollocations,
     "q_dsir_weights"  -> qDsirWeights,
@@ -1256,6 +1327,37 @@ object CorpusOps {
          |  CAST(count(*) FILTER (WHERE is_tri) AS BIGINT) AS n_tri,
          |  CAST(count(*) FILTER (WHERE is_bi) AS BIGINT) AS n_bi,
          |  ${Fns.roundPSql("CAST(sum(CAST(-ln(s) AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_nll3
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_kneser_ney" ->
+      s"""WITH tk AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,
+         |              $sqlTokensLower AS tk FROM documents),
+         |bg AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |       FROM tk WHERE split = 'train' AND len(tk) >= 2),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1dot, count(*) AS n1p_fwd
+         |        FROM bi GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n1p_bwd FROM bi GROUP BY 1),
+         |ty AS (SELECT count(*) AS b_types FROM bi),
+         |pos AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+         |        FROM tk WHERE split = 'valid' AND len(tk) >= 2),
+         |sc AS (SELECT p.doc_id,
+         |  b.cb IS NOT NULL AS seen, c.c1dot IS NOT NULL AS has_ctx,
+         |  CASE WHEN c.c1dot IS NOT NULL THEN
+         |    greatest(CAST(COALESCE(b.cb, 0) AS DOUBLE) - $KN_D::DOUBLE, 0.0::DOUBLE)
+         |      / CAST(c.c1dot AS DOUBLE)
+         |    + ($KN_D::DOUBLE * CAST(c.n1p_fwd AS DOUBLE) / CAST(c.c1dot AS DOUBLE))
+         |      * (COALESCE(CAST(k.n1p_bwd AS DOUBLE), 0.5::DOUBLE) / CAST(ty.b_types AS DOUBLE))
+         |  ELSE COALESCE(CAST(k.n1p_bwd AS DOUBLE), 0.5::DOUBLE) / CAST(ty.b_types AS DOUBLE)
+         |  END AS p
+         |  FROM pos p
+         |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+         |  LEFT JOIN ctx c ON c.w1 = p.w1
+         |  LEFT JOIN cont k ON k.w2 = p.w2
+         |  CROSS JOIN ty)
+         |SELECT doc_id, count(*) AS n_pos,
+         |  CAST(count(*) FILTER (WHERE seen) AS BIGINT) AS n_seen,
+         |  CAST(count(*) FILTER (WHERE has_ctx) AS BIGINT) AS n_ctx,
+         |  ${Fns.roundPSql("CAST(sum(CAST(-ln(p) AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_nll2
          |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_vocab_growth" ->
       s"""WITH t AS (SELECT

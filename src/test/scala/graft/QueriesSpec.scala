@@ -56,7 +56,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_asof_forward", "q_cohort_ltv", "q_ab_test", "q_pareto",
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
-    "q_phrase_search", "q_bitext_mine")
+    "q_phrase_search", "q_bitext_mine", "q_kneser_ney")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -300,6 +300,25 @@ class QueriesSpec extends AnyFunSuite {
     // every scored doc hashes into the valid split
     import org.apache.spark.sql.functions.col
     val scored = rows.map(_.getAs[Long]("doc_id")).toSet
+    val valid = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), operators.DedupOps.splitOf(col("doc_id")).as("s"))
+      .collect().filter(_.getAs[String]("s") == "valid").map(_.getAs[Long]("doc_id")).toSet
+    assert(scored.subsetOf(valid), s"non-valid docs scored: ${scored -- valid}")
+  }
+
+  test("q_kneser_ney probabilities stay in (0,1] and tier counts are consistent") {
+    val rows = SparkEntry.queries("q_kneser_ney")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, ns, nc) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_seen"), r.getAs[Long]("n_ctx"))
+      assert(ns <= nc, "a seen bigram implies its context was seen")
+      assert(nc <= np, "context count exceeds positions")
+      // interpolated KN: every P is a convex-ish mixture of in-range terms,
+      // so per-position NLL must be strictly positive
+      assert(r.getAs[Double]("mean_nll2") > 0.0, "held-out NLL must be positive")
+    }
+    val scored = rows.map(_.getAs[Long]("doc_id")).toSet
+    import org.apache.spark.sql.functions.col
     val valid = Tables.documents(spark, sfDir)
       .select(col("doc_id"), operators.DedupOps.splitOf(col("doc_id")).as("s"))
       .collect().filter(_.getAs[String]("s") == "valid").map(_.getAs[Long]("doc_id")).toSet
