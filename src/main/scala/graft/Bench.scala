@@ -151,13 +151,24 @@ object Bench {
     val coldTotal = passTimes.head.map(_._2).filter(_ >= 0).sum
     val head =
       s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","cold_total":${f"$coldTotal%.3f"},"n_queries":${results.size},"sf":"$sfDir""""
-    // stdout line: totals FIRST, per-query mins + cold, NO per-pass dump —
-    // the driver tail-captures a bounded window, so the parseable core
-    // must fit it; the full per-pass detail lives in bench.json only
+    // stdout contract (round-11 postmortem): the driver tail-captures the
+    // LAST ~2000 chars of stdout, so a ~12 KB single line loses its front —
+    // including the totals when they lead. Two lines go to stdout:
+    //   1. the full line (queries + cold maps) for humans / logs,
+    //   2. a compact ≤500-char totals-only summary LAST, so it always sits
+    //      whole inside the tail window. The truncated front of line 1 is
+    //      not valid JSON, so any per-line parser lands on line 2.
     val line = s"""{$head,"queries":$qs,"cold":$coldJson,"errors":$errJson,"flaky":$flakyJson}"""
     val full = s"""{$head,"queries":$qs,"cold":$coldJson,"errors":$errJson,"flaky":$flakyJson,"passes":$passJson}"""
+    // If mass failures inflate the error maps past the tail window, degrade
+    // the summary to counts — the full detail is still in bench.json.
+    val summaryFull = s"""{$head,"errors":$errJson,"flaky":$flakyJson}"""
+    val summary =
+      if (summaryFull.length <= 1500) summaryFull
+      else s"""{$head,"n_errors":${errors.size},"n_flaky":${flaky.size}}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     println(line)
+    println(summary)
     spark.stop()
   }
 }
