@@ -66,6 +66,10 @@ object Ast {
   case class RemoveVertex(group: String, keys: Seq[GVal], where: Option[Pred]) extends Stmt
   case class RemoveEdge(group: String, patterns: Seq[Pred]) extends Stmt
   case class Drop(db: String) extends Stmt
+  /** `use graph 'xxx'` — pin a session default graph so later statements
+    * may omit `in:` (README.md:275-278; declared but never implemented in
+    * the reference — no `use` rule in src/gql.y). */
+  case class UseGraph(db: String) extends Stmt
   case class Dump(db: String) extends Stmt
   case class ShowGraph(db: Option[String]) extends Stmt
   case class AstOf(stmt: Stmt) extends Stmt

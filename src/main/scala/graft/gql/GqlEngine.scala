@@ -62,7 +62,18 @@ class GqlEngine(spark: SparkSession, root: String,
       st match {
         case Create(db, groups, index) =>
           catalog.create(db, groups, index); Result("CREATE SUCCESS")
-        case Drop(db) => catalog.drop(db); Result("DROP SUCCESS")
+        case Drop(db) =>
+          catalog.drop(db)
+          // a dropped graph must not linger as the session default
+          if (usedDb.contains(db)) usedDb = None
+          Result("DROP SUCCESS")
+        case UseGraph(db) =>
+          if (!catalog.exists(db))
+            Result(s"error: no such graph '$db'")
+          else {
+            usedDb = Some(db); lastDb = Some(db)
+            Result("USE SUCCESS")
+          }
         case ShowGraph(None) =>
           Result("SHOW SUCCESS", text = Some(catalog.listGraphs().mkString("\n")))
         case ShowGraph(Some(db)) =>
@@ -351,22 +362,35 @@ class GqlEngine(spark: SparkSession, root: String,
   // ---- query ---------------------------------------------------------------
 
   private var lastDb: Option[String] = None
+  /** Session default pinned by `use graph 'xxx'` — unlike the [[lastDb]]
+    * heuristic it is explicit, so it wins outright and mutations on groups
+    * missing from it ERROR rather than silently routing to another graph. */
+  private var usedDb: Option[String] = None
 
   /** The reference binds statements to the open db handle; scripts here name
-    * the db via `in:` (queries) or inherit the last one used (mutations).
-    * The last-used graph wins when it contains the group — otherwise two
-    * graphs sharing a group name would route mutations alphabetically. */
-  private def requireDb(group: String): String = {
-    val fromLast = lastDb.filter(db =>
-      catalog.exists(db) && catalog.groups(db).contains(group))
-    fromLast
-      .orElse(catalog.listGraphs().find(db => catalog.groups(db).contains(group)))
-      .getOrElse(
-        throw new IllegalArgumentException(s"no graph contains group '$group'"))
-  }
+    * the db via `in:` (queries), the `use graph` default, or inherit the last
+    * one used (mutations). The last-used graph wins when it contains the
+    * group — otherwise two graphs sharing a group name would route mutations
+    * alphabetically. */
+  private def requireDb(group: String): String =
+    usedDb.filter(catalog.exists) match {
+      case Some(db) =>
+        if (!catalog.groups(db).contains(group))
+          throw new IllegalArgumentException(
+            s"group '$group' not in used graph '$db'")
+        db
+      case None =>
+        val fromLast = lastDb.filter(db =>
+          catalog.exists(db) && catalog.groups(db).contains(group))
+        fromLast
+          .orElse(catalog.listGraphs().find(db => catalog.groups(db).contains(group)))
+          .getOrElse(
+            throw new IllegalArgumentException(s"no graph contains group '$group'"))
+    }
 
   private def runQuery(q: Query): DataFrame = {
-    val db = q.in.orElse(lastDb).getOrElse(
+    val db = q.in.orElse(usedDb.filter(catalog.exists))
+      .orElse(lastDb.filter(catalog.exists)).getOrElse(
       catalog.listGraphs().headOption.getOrElse(
         throw new IllegalArgumentException("no graph open")))
     lastDb = Some(db)

@@ -56,6 +56,15 @@ class Parser(toks: Vector[Tok]) {
         }
         case other => fail(s"show $other not supported")
       }
+    case TIdent("use") =>
+      advance()
+      ident() match {
+        case "graph" => cur match {
+          case TStr(_) => UseGraph(str())
+          case other => fail(s"use graph needs a quoted name, got $other")
+        }
+        case other => fail(s"use $other not supported")
+      }
     case TPunct("{") => braceStatement()
     case other => fail(s"unexpected $other")
   }

@@ -384,6 +384,31 @@ class GqlSpec extends AnyFunSuite {
     assert(r.status.startsWith("error") && r.status.contains("depth"), r.status)
   }
 
+  test("use graph pins the session default, interplays with drop (README 5.1)") {
+    val e = freshEngine()
+    e.exec("{create: 'ua', group: ['g']};")
+    e.exec("{create: 'ub', group: ['g', 'h']};")
+    // routes by heuristic: no pin, no lastDb -> first graph containing 'g' (ua)
+    assert(e.exec("{upset: 'g', vertex: [[1, {t: 'a'}]]};").head.status == "UPSET SUCCESS")
+    // pin ub: unqualified queries and mutations now hit ub, not lastDb=ua
+    assert(e.exec("use graph 'ub';").head.status == "USE SUCCESS")
+    assert(count(e, "{query: 'g'};") == 0)                // ub.g is empty
+    e.exec("{upset: 'g', vertex: [[2, {t: 'b'}], [3, {t: 'c'}]]};")
+    assert(count(e, "{query: 'g'};") == 2)                // landed in ub
+    assert(count(e, "{query: 'g', in: 'ua'};") == 1)      // explicit in: still wins
+    // a group missing from the pinned graph errors instead of silent rerouting
+    e.exec("use graph 'ua';")
+    assert(e.exec("{upset: 'h', vertex: [[9, {t: 'x'}]]};").head.status.startsWith("error"))
+    // unknown graph errors; the pin is unchanged
+    assert(e.exec("use graph 'nope';").head.status.startsWith("error"))
+    assert(count(e, "{query: 'g'};") == 1)                // still pinned to ua
+    // dropping the pinned graph clears the default (falls back to heuristic)
+    e.exec("{drop: 'ua'};")
+    assert(count(e, "{query: 'g'};") == 2)                // resolves to ub again
+    // ast renders the statement
+    assert(e.exec("ast use graph 'ub';").head.text.exists(_.contains("UseGraph")))
+  }
+
   test("0h geohash literal — lexes, stores as string, round-trips a query") {
     // reference README.md:139 declares `0h'hash'` ("a special type of
     // string", encoder src/Type/Hash.cpp) but its lexer never implements
