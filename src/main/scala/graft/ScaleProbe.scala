@@ -111,7 +111,9 @@ object ScaleProbe {
     "q_snapshot_drift",      // 3 bounded category aggs + O(cats) KL arithmetic (documents)
     "q_phrase_search",       // phrase-term-filtered postings + (doc,pos) joins (documents)
     "q_len_histogram",       // bounded (lang x bucket) partial+final agg (documents)
-    "q_oov_rate")            // split vocab distinct + vocab-keyed anti join (documents)
+    "q_oov_rate",            // split vocab distinct + vocab-keyed anti join (documents)
+    "q_paragraph_dedup")     // digest-keyed recurrence agg + join-back (documents;
+                             // same saturating-dup-set posture as q_substring_dup)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

@@ -568,6 +568,51 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Paragraph size in words for [[qParagraphDedup]]. The corpus carries no
+    * newlines, so "paragraph" is the fixed non-overlapping word block — on a
+    * real web corpus the split key would be `\n\n` with the identical
+    * downstream dataflow (digest → recurrence agg → keeper election). */
+  val PARA_W = 15
+
+  /** Paragraph-level exact dedup (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" dedups at paragraph granularity;
+    * [[qDedupExact]] is doc-level and [[qSubstringDup]] is overlapping
+    * fixed windows — this is the non-overlapping segment grain between
+    * them). Each doc splits into [[PARA_W]]-word blocks; a block recurring
+    * in ≥2 docs is a duplicated paragraph. Per doc: paragraph count,
+    * duplicated-paragraph occurrences, the duplicated fraction, and
+    * `n_kept` — how many recurring paragraphs this doc canonically owns
+    * (min-doc_id keeper, the qDedupExact rule), i.e. the paragraphs a
+    * remove-all-but-one pass would keep here.
+    *
+    * Scale shape: segmentation is row-local array algebra (explode over a
+    * bounded per-doc sequence, no joins); the only shuffles are keyed by
+    * the 32-char md5 digest of the paragraph — never the text — one agg
+    * for recurrence + keeper, one digest-keyed join back (same posture as
+    * q_dup_ratio). The exploded paragraph stage feeds both consumers, so
+    * it is persisted (no cross-branch CSE). */
+  val qParagraphDedup: Q = (s, d) => {
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(PARA_W.toDouble)).cast("int") - 1),
+          i => md5(array_join(slice(col("ws"), i * PARA_W + 1, lit(PARA_W)), " ")))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rec = paras.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keeper"))
+    paras.join(rec, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_para"),
+        count(col("keeper")).as("n_dup"),
+        countDistinct(when(col("keeper") === col("doc_id"), col("h"))).as("n_kept"))
+      .select(col("doc_id"), col("n_para"), col("n_dup"), col("n_kept"),
+        Fns.roundP(col("n_dup").cast("double") / col("n_para"), 4).as("dup_para_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Exact per-group sample size for [[qGroupK]]. */
   val GROUP_K = 20
 
@@ -810,6 +855,7 @@ object DedupOps {
     "q_simhash"           -> qSimhash,
     "q_hash_split"        -> qHashSplit,
     "q_substring_dup"     -> qSubstringDup,
+    "q_paragraph_dedup"   -> qParagraphDedup,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1105,5 +1151,19 @@ object DedupOps {
          |  ${Fns.roundPSql("CAST(count(*) FILTER (WHERE d.w IS NOT NULL) AS DOUBLE) / count(*)", 4)} AS dup_frac
          |FROM wins LEFT JOIN dup d ON wins.w = d.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_paragraph_dedup" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |expl AS (SELECT doc_id, ws,
+         |  unnest(range(CAST(ceil(len(ws) / $PARA_W.0) AS BIGINT))) AS i FROM words),
+         |paras AS (SELECT doc_id,
+         |  md5(array_to_string(ws[(i*$PARA_W+1):(i*$PARA_W+$PARA_W)], ' ')) AS h FROM expl),
+         |rec AS (SELECT h, min(doc_id) AS keeper FROM paras
+         |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT paras.doc_id, count(*) AS n_para,
+         |  CAST(count(rec.keeper) AS BIGINT) AS n_dup,
+         |  CAST(count(DISTINCT CASE WHEN rec.keeper = paras.doc_id THEN rec.h END) AS BIGINT) AS n_kept,
+         |  ${Fns.roundPSql(s"CAST(count(rec.keeper) AS DOUBLE) / count(*)", 4)} AS dup_para_frac
+         |FROM paras LEFT JOIN rec ON paras.h = rec.h
+         |GROUP BY paras.doc_id ORDER BY paras.doc_id""".stripMargin,
   )
 }
