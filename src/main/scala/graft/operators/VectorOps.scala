@@ -396,22 +396,33 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Negatives mined per anchor by [[qHardNegatives]] — real contrastive
+    * pipelines train against k negatives per anchor, not one. */
+  val HN_K = 3
+
   /** Hard-negative mining for contrastive training — the ANN-negatives
-    * stage of dense-retriever training (DPR, Karpukhin et al. 2020 §3.2;
-    * ANCE, Xiong et al. 2021): for every anchor vector, the most cosine-
-    * similar candidate bearing a DIFFERENT label inside the anchor's
-    * [[NASSIGN]] probe cells — close enough in embedding space to confuse
-    * the model, labeled differently so it trains as a negative.
+    * stage of dense-retriever training (DPR, Karpukhin et al. 2020 §3.2
+    * uses one BM25 negative; ANCE, Xiong et al. 2021 mines top-k ANN
+    * negatives per anchor): for every anchor vector, the [[HN_K]] most
+    * cosine-similar candidates bearing a DIFFERENT label inside the
+    * anchor's [[NASSIGN]] probe cells — close enough in embedding space to
+    * confuse the model, labeled differently so they train as negatives.
     *
     * Scale shape: candidate generation is the SAME IVF cell blocking as
     * [[qCosineBlocked]] (pairs only within shared cells — never
     * all-pairs), norms staged once per row, one codegen'd dot per
-    * candidate; the per-anchor argmax is a WindowGroupLimit over the
+    * candidate; the per-anchor top-k is a WindowGroupLimit over the
     * blocked pairs ranked on the ROUNDED cosine with a candidate-id
-    * tie-break, so each anchor's winner is deterministic under any
-    * partition order. Anchors whose probe cells hold no different-label
-    * candidate are absent on both engines. Reference kin: none (net-new
-    * training-data op; builds on E9's blocking). */
+    * tie-break, so each anchor's list is deterministic under any
+    * partition order. A pair sharing two blocking keys repeats as
+    * VALUE-IDENTICAL rows; dense_rank (not row_number) keeps repeats on
+    * ONE rank so they cannot crowd out a real kth negative, and the
+    * post-filter distinct touches only the ≤ HN_K × dup-factor surviving
+    * rows per anchor — never the full candidate set (the full-frame
+    * distinct measured 2.2× slower at 16× and OOM'd at 64×, PERF.md).
+    * Anchors whose probe cells hold no different-label candidate are
+    * absent on both engines. Reference kin: none (net-new training-data
+    * op; builds on E9's blocking). */
   val qHardNegatives: Q = (s, d) => {
     val n = cellBucketed(vecs(s, d), CELL_CAP)
       .persist() // consumed by both join sides — no cross-branch CSE
@@ -424,19 +435,16 @@ object VectorOps {
       .withColumn("cos", VectorExprs.dotp(col("va"), col("vb")) / (col("na") * col("nb")))
       .select(col("anchor"), col("negative"), col("neg_label"),
         Fns.roundP(col("cos"), 6).as("cos_sim"))
-    // NO distinct here, deliberately: a pair sharing two blocking keys
-    // repeats, but its repeats are VALUE-IDENTICAL rows, so the rank-1
-    // winner below is unchanged — and unlike q_cosine_blocked there is no
-    // COS_T filter shrinking the frame first, so a distinct would shuffle
-    // the ENTIRE candidate set. Without it the row_number filter plans as
-    // WindowGroupLimit: each partition keeps 1 row per anchor BEFORE the
-    // exchange (measured 54 s → pair-scan cost at 16× probe scale).
+    // (cos_sim, negative) is unique per anchor post-dedup, so dense_rank
+    // over it assigns distinct negatives distinct ranks and duplicate rows
+    // the same rank — filter ≤ HN_K, THEN dedup the tiny survivor frame.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("anchor").orderBy(col("cos_sim").desc, col("negative"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("anchor", "negative", "neg_label", "cos_sim")
-      .orderBy("anchor")
+    pairs.withColumn("rank", dense_rank().over(w))
+      .filter(col("rank") <= HN_K)
+      .select("anchor", "rank", "negative", "neg_label", "cos_sim")
+      .distinct()
+      .orderBy("anchor", "rank")
   }
 
   /** k-NN pool width and margin threshold for [[qBitextMine]]. */
@@ -1408,9 +1416,10 @@ object VectorOps {
          |  JOIN e eb ON eb.vec_id = b.vec_id
          |  WHERE ea.label <> eb.label),
          |rk AS (SELECT *, row_number() OVER (
-         |    PARTITION BY anchor ORDER BY cos_sim DESC, negative) AS rn FROM hp)
-         |SELECT anchor, negative, neg_label, cos_sim FROM rk WHERE rn = 1
-         |ORDER BY anchor""".stripMargin,
+         |    PARTITION BY anchor ORDER BY cos_sim DESC, negative) AS rank FROM hp)
+         |SELECT anchor, CAST(rank AS INT) AS rank, negative, neg_label, cos_sim
+         |FROM rk WHERE rank <= $HN_K
+         |ORDER BY anchor, rank""".stripMargin,
     "q_bitext_mine" ->
       s"""WITH $sqlCosBlockCtes,
          |lg AS (
