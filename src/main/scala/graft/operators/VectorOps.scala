@@ -836,13 +836,45 @@ object VectorOps {
     val cb = Array.tabulate(PQ_M, PQ_K, PQ_SUB)((m, k, j) => cbRows(k)(m * PQ_SUB + j))
     val pv = v.filter(col("vec_id") === PROBE_ID)
       .select(col("v")).as[Seq[Double]].head().toArray
-    val pd = Array.tabulate(PQ_M, PQ_K) { (m, k) =>
+    (cb, pv, adcTable(cb, pv))
+  }
+
+  /** The trained PQ codebook alone (the driver-held artifact an ingest
+    * holds for its lifetime, like the coarse-quantizer centroids). */
+  def trainPqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqArtifacts(s, d)._1
+
+  /** Probe→codeword ADC lookup table for a trained codebook — computed
+    * with the same 0-seeded left-to-right fold as the SQL twin's
+    * list_sum, so driver arithmetic is bit-identical to both engines'
+    * in-plan arithmetic. */
+  def adcTable(cb: Array[Array[Array[Double]]], pv: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(PQ_M, PQ_K) { (m, k) =>
       (0 until PQ_SUB).map { j =>
         val dlt = pv(m * PQ_SUB + j) - cb(m)(k)(j); dlt * dlt
       }.foldLeft(0.0)(_ + _)
     }
-    (cb, pv, pd)
-  }
+
+  /** Stage ONE `codes` array<int> column (the [[PQ_M]] codeword ids) onto
+    * a frame bearing `v` — the ingest-time encode that makes stored rows
+    * ADC-servable without touching raw vectors again. Row-local column
+    * algebra, zero shuffle (the [[pqEncode]] HOF loop + an array pack;
+    * staging columns are dropped). */
+  def withPqCodes(df: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
+    pqEncode(df, cb)
+      .withColumn("codes", array((0 until PQ_M).map(m => col(s"c$m")): _*))
+      .drop((0 until PQ_M).flatMap(m => Seq(s"s$m", s"d$m", s"c$m")): _*)
+
+  /** ADC distance from a STORED `codes` array (the serving twin of
+    * [[pqAdcCol]], which reads the staged c0..c{M−1} encode columns):
+    * Σ_m lookup of the probe table at codes[m], decimal-summed —
+    * identical fold, so serving from codes reproduces the encode-path
+    * distances exactly. */
+  def adcFromCodes(pd: Array[Array[Double]]): Column =
+    (0 until PQ_M).map(m =>
+        element_at(typedLit(pd(m).toSeq), element_at(col("codes"), m + 1) + 1)
+          .cast("decimal(28,18)"))
+      .reduce(_ + _)
 
   /** Stage PQ codes c0..c{M−1} onto a frame bearing (vec_id, v, …): per
     * subspace, the 16 codeword distances against a LITERAL codebook array

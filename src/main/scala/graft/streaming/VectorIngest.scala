@@ -45,10 +45,19 @@ object VectorIngest {
     * building. Rejected vectors ARE recorded in the seen ledger:
     * rejection is content-based (they are duplicates), unlike the fuzzy
     * ingest's id-collision rejection. */
+  /** `pqCodebook = Some(cb)` additionally writes the PQ `codes` column
+    * (the [[graft.operators.VectorOps.PQ_M]] codeword ids) at ingest —
+    * the trained codebook is a driver-held lifetime artifact exactly like
+    * the coarse-quantizer centroids (re-training is a batch rebuild).
+    * With codes in the store, the IVFADC serving path ([[searchAdc]])
+    * ranks candidates reading 8 ints per row instead of re-encoding the
+    * raw vector per query — the Jégou et al. 2011 memory-traffic win,
+    * end-to-end. */
   def start(s: SparkSession, srcDir: String, storeDir: String,
             checkpointDir: String, seenDir: String,
             centroids: Seq[(Int, Seq[Double])],
-            dedupCosine: Option[Double] = None): StreamingQuery = {
+            dedupCosine: Option[Double] = None,
+            pqCodebook: Option[Array[Array[Array[Double]]]] = None): StreamingQuery = {
     require(centroids.nonEmpty, "vector ingest needs a coarse quantizer")
     require(dedupCosine.forall(t => t > 0 && t <= 1),
       s"dedupCosine must be in (0, 1] (got $dedupCosine)")
@@ -130,8 +139,12 @@ object VectorIngest {
               // Only the dedup path can go empty here (the plain path's
               // kept ≡ novel, already checked), so the plain path skips
               // the extra action.
-              val keptOut = kept
+              val keptCols = kept
                 .select(col("vec_id"), col("v"), col("label"), col("cid").as("cell"))
+              // PQ encode rides the same row-local batch scan (an HOF
+              // projection, no extra action or shuffle)
+              val keptOut = pqCodebook.fold(keptCols)(cb =>
+                VectorOps.withPqCodes(keptCols, cb))
               if (dedupCosine.isEmpty || !keptOut.isEmpty)
                 keptOut.write.mode("overwrite").partitionBy("cell")
                   .parquet(s"$storeDir/batch=$bid")
@@ -142,5 +155,26 @@ object VectorIngest {
         } finally novel.unpersist()
       }
       .start()
+  }
+
+  /** IVFADC serving read over a codes-bearing store: rank the given probe
+    * cells' vectors by ADC distance computed from the STORED `codes`
+    * column — the raw `v` column is never read (column pruning) and only
+    * the probed cells' files are scanned (partition pruning), so the
+    * per-query cost is 8 ints × probed-cell rows. `pd` is the
+    * probe→codeword table ([[graft.operators.VectorOps.adcTable]]); the
+    * decimal fold matches the q_pq_adc gate, so serving distances equal
+    * the encode-path distances exactly. Exact re-rank of the returned k
+    * ids (the qAnnIvfPq tail) is the caller's one extra pruned read. */
+  def searchAdc(s: SparkSession, storeDir: String, cells: Seq[Long],
+                pd: Array[Array[Double]], k: Int): DataFrame = {
+    import graft.operators.VectorOps
+    s.read.parquet(storeDir)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"),
+        graft.functions.Fns.roundP(VectorOps.adcFromCodes(pd).cast("double"), 6)
+          .as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(k)
   }
 }

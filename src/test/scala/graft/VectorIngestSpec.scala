@@ -75,6 +75,62 @@ class VectorIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == nVecs)
   }
 
+  test("PQ codes persist at ingest: round-trip, code-only ADC serving, file pruning") {
+    val root = Files.createTempDirectory("graft-vecpq")
+    val (src, store, ckpt, seen) =
+      (s"$root/src", s"$root/store", s"$root/ckpt", s"$root/seen")
+    Files.createDirectories(Paths.get(src))
+    val cents = VectorOps.seedCentroids(spark, sfDir)
+    val cb = VectorOps.trainPqCodebook(spark, sfDir)
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"), Paths.get(s"$src/v1.parquet"))
+    val q = VectorIngest.start(spark, src, store, ckpt, seen, cents, pqCodebook = Some(cb))
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // codes column round-trips: stored codes == a fresh batch encode
+    val expected = VectorOps.withPqCodes(vecs, cb)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = spark.read.parquet(store)
+    assert(stored.columns.contains("codes"), stored.columns.mkString(","))
+    val got = stored.select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == expected, "stored PQ codes diverged from the batch encode")
+
+    // serving: ADC from stored codes matches the encode-path ADC ranking
+    val pv = vecs.filter(col("vec_id") === VectorOps.PROBE_ID)
+      .select(col("v")).collect().head.getSeq[Double](0).toArray
+    val pd = VectorOps.adcTable(cb, pv)
+    val someCells = stored.select(col("cell").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.take(2).toSeq
+    val served = VectorIngest.searchAdc(spark, store, someCells, pd, 5)
+    val servedRows = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expServe = VectorOps.withPqCodes(
+        VectorOps.assignCells(vecs, cents).filter(col("cid").isin(someCells: _*)), cb)
+      .select(col("vec_id"),
+        graft.functions.Fns.roundP(VectorOps.adcFromCodes(pd).cast("double"), 6)
+          .as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(servedRows.toSeq == expServe.toSeq,
+      s"code-served ADC diverged: ${servedRows.toSeq} vs ${expServe.toSeq}")
+
+    // the serving scan must NOT read the raw vector column, and the cell
+    // filter must still prune at the file level
+    val plan = served.queryExecution.executedPlan
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the serving plan"))
+    assert(!scan.requiredSchema.fieldNames.contains("v"),
+      s"serving read the raw vectors: ${scan.requiredSchema.fieldNames.mkString(",")}")
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"cell predicate not a partition filter:\n$scan")
+    val allFiles = spark.read.parquet(store).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      "serving scan read every file — no partition pruning")
+  }
+
   test("cosine dedup at ingest rejects near-copies against the store and within a batch") {
     val root = Files.createTempDirectory("graft-vecdedup")
     val (src, store, ckpt, seen) =
