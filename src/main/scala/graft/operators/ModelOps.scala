@@ -389,12 +389,210 @@ object ModelOps {
       .orderBy("lang")
   }
 
+  // --------------------------------------------------------------------
+  // Unigram-LM tokenizer training (Kudo 2018 — SentencePiece's other half)
+  // --------------------------------------------------------------------
+
+  /** Max piece length admitted to the seed vocabulary. */
+  val UNI_MAXLEN = 4
+
+  /** Multi-char seed candidates kept (top by substring-occurrence count;
+    * all single chars are always kept so every word stays segmentable). */
+  val UNI_SEED_K = 40
+
+  /** Multi-char pieces surviving the prune between EM rounds. */
+  val UNI_VOCAB_K = 24
+
+  /** Same policy floor as [[BPE_MINFREQ]] for the driver-side word-
+    * frequency collect (1 on testdata = admit everything → gate frame is
+    * byte-identical; raise on a real corpus). */
+  val UNI_MINFREQ = sys.env.getOrElse("SPARK_GRAFT_UNI_MINFREQ", "1").toLong
+
+  /** Double → BigDecimal exactly as Spark's `cast(x as decimal(28,18))`
+    * executes it (Decimal(double) via Double.toString, then
+    * changePrecision with HALF_UP) — so driver-side log-prob arithmetic
+    * lands on the identical decimals the distributed gates produce, and
+    * DuckDB's matching cast (the proven q_nb_lang / q_surprisal pattern)
+    * agrees. */
+  private def dec18(x: Double): java.math.BigDecimal = {
+    val dd = org.apache.spark.sql.types.Decimal(x)
+    require(dd.changePrecision(28, 18), s"decimal(28,18) overflow on $x")
+    dd.toJavaBigDecimal
+  }
+
+  /** Laplace-smoothed log-probabilities over a piece-count table:
+    * lp(p) = ln(c+1) − ln(Σc + |V|), each ln cast to decimal(28,18)
+    * BEFORE the subtraction (term-wise, like the NB model) so scores are
+    * exact decimal sums on both engines. */
+  private def uniModel(v: Map[String, Long])
+      : Map[String, java.math.BigDecimal] = {
+    val norm = dec18(math.log((v.values.sum + v.size).toDouble))
+    v.map { case (p, c) =>
+      p -> dec18(math.log((c + 1).toDouble)).subtract(norm)
+    }
+  }
+
+  /** Deterministic Viterbi segmentation of one word under a piece model:
+    * maximize the decimal log-prob sum; on ties prefer the LONGER piece at
+    * each backtrack step — i.e. among all optimal segmentations, the one
+    * whose reversed piece-length sequence is lexicographically largest
+    * (the property the DuckDB oracle reproduces by enumeration with
+    * `ORDER BY s DESC, list_reverse(ks) DESC`; equivalence proven in
+    * ModelOpsSpec against brute force). O(n·MAXLEN) per word. */
+  private[graft] def uniViterbi(
+      w: String, m: Map[String, java.math.BigDecimal]): List[String] = {
+    val n = w.length
+    val best = new Array[java.math.BigDecimal](n + 1)
+    val bk = new Array[Int](n + 1)
+    best(0) = java.math.BigDecimal.ZERO.setScale(18)
+    var j = 1
+    while (j <= n) {
+      var bs: java.math.BigDecimal = null
+      var bkk = 0
+      var k = 1
+      while (k <= math.min(UNI_MAXLEN, j)) {
+        if (best(j - k) != null) m.get(w.substring(j - k, j)) match {
+          case Some(lp) =>
+            val sc = best(j - k).add(lp)
+            if (bs == null || sc.compareTo(bs) >= 0) { bs = sc; bkk = k }
+          case None =>
+        }
+        k += 1
+      }
+      best(j) = bs; bk(j) = bkk
+      j += 1
+    }
+    require(best(n) != null, s"word '$w' not segmentable — missing chars")
+    var pos = n
+    var acc = List.empty[String]
+    while (pos > 0) {
+      val k = bk(pos); acc = w.substring(pos - k, pos) :: acc; pos -= k
+    }
+    acc
+  }
+
+  /** One hard-EM E-step: Viterbi-segment every vocab word, accumulate
+    * word-frequency-weighted piece counts; returns (counts, segmentations). */
+  private def uniEstep(
+      wf: Array[(String, Long)], m: Map[String, java.math.BigDecimal])
+      : (Map[String, Long], Array[(String, Seq[String])]) = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val segs = wf.map { case (w, f) =>
+      val ps = uniViterbi(w, m)
+      ps.foreach(p => counts.update(p, counts.getOrElse(p, 0L) + f))
+      (w, ps: Seq[String])
+    }
+    (counts.toMap, segs)
+  }
+
+  /** Unigram-LM tokenizer training (Kudo, "Subword Regularization", ACL
+    * 2018 — the SentencePiece trainer beside BPE), simplified to the
+    * deterministic hard-EM variant so the DuckDB twin is value-exact:
+    * seed = all ≤[[UNI_MAXLEN]]-char substrings (occurrence-weighted, top
+    * [[UNI_SEED_K]] multi-char + every single char), then two Viterbi-EM
+    * rounds with a count-based prune to [[UNI_VOCAB_K]] multi-char pieces
+    * between them (full Kudo prunes by likelihood loss; piece count is
+    * its standard monotone proxy under hard EM, noted here as the
+    * documented simplification). Scores are Laplace-smoothed log-probs as
+    * exact decimal(28,18) sums; ties prefer the longer trailing piece.
+    *
+    * Plan/scale: exactly the [[bpeLearn]] posture — the ONLY corpus-scale
+    * stage is the word-frequency aggregation (one token-keyed shuffle with
+    * map-side combine, [[UNI_MINFREQ]]-floored collect); seeding, EM and
+    * pruning fold on the driver over the vocab-bounded table (O(|vocab| ×
+    * maxlen × MAXLEN) per round), the same single-node shape production
+    * trainers use. Returns (final piece counts, smoothing totals, final
+    * segmentations). */
+  private def unigramLearn(s: SparkSession, d: String)
+      : (Seq[(String, Long)], Long, Long, Array[(String, Seq[String])]) = {
+    import s.implicits._
+    val wf: Array[(String, Long)] = Tables.documents(s, d)
+      .select(Fns.tokens(lower(col("text"))).as("tk"))
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= UNI_MINFREQ) // policy bound on the driver collect
+      .as[(String, Long)]
+      .collect()
+    // seed: substring-occurrence counts, length 1..UNI_MAXLEN
+    val cnt0 = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      var j = 1
+      while (j <= w.length) {
+        var k = 1
+        while (k <= math.min(UNI_MAXLEN, j)) {
+          val p = w.substring(j - k, j)
+          cnt0.update(p, cnt0.getOrElse(p, 0L) + f)
+          k += 1
+        }
+        j += 1
+      }
+    }
+    val singles = cnt0.keysIterator.filter(_.length == 1).toSeq
+    val mlt0 = cnt0.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(UNI_SEED_K)
+    val v0 = (singles.map(p => p -> cnt0(p)) ++ mlt0).toMap
+    // round 1: E-step under the seed model, then count-prune
+    val cnt1 = uniEstep(wf, uniModel(v0))._1
+    val kept = cnt1.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(UNI_VOCAB_K).map(_._1)
+    val v1 = (singles ++ kept).map(p => p -> cnt1.getOrElse(p, 0L)).toMap
+    // round 2: E-step under the pruned model → final counts + segmentations
+    val (cnt2, segs) = uniEstep(wf, uniModel(v1))
+    val fin = v1.keys.toSeq.map(p => (p, cnt2.getOrElse(p, 0L)))
+    (fin, fin.map(_._2).sum, fin.size.toLong, segs)
+  }
+
+  /** The trained unigram-LM piece table (piece, cnt, prob) — the model
+    * artifact the tokenizer-training job ships; prob is the Laplace
+    * estimate the next EM round would use. */
+  val qUnigramLm: Q = (s, d) => {
+    import s.implicits._
+    val (fin, tot, nv, _) = unigramLearn(s, d)
+    fin.toDF("piece", "cnt")
+      .select(col("piece"), col("cnt"),
+        Fns.roundP((col("cnt") + 1).cast("double") / lit((tot + nv).toDouble), 6)
+          .as("prob"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Apply the trained unigram LM to the corpus: per-language word count,
+    * piece count, mean pieces per word, distinct piece types — the same
+    * fertility readout as [[qBpeTokenize]], for the second production
+    * tokenizer. Plan/scale: corpus reduces to (lang, word) counts in one
+    * shuffle; the vocab-bounded word→segmentation table BROADCASTS in;
+    * the type count explodes only the bounded frame. */
+  val qUnigramTokenize: Q = (s, d) => {
+    import s.implicits._
+    val segs = unigramLearn(s, d)._4
+    val vocab = segs.toSeq.toDF("w", "ps")
+    val lw = Tables.documents(s, d)
+      .select(col("lang"), Fns.tokens(lower(col("text"))).as("tk"))
+      .select(col("lang"), explode(col("tk")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+      .join(broadcast(vocab), Seq("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // profile + type-count branches
+    val prof = lw.groupBy("lang").agg(
+      sum(col("f")).as("n_words"),
+      sum(col("f") * size(col("ps"))).as("n_pieces"))
+    val types = lw
+      .select(col("lang"), explode(col("ps")).as("p"))
+      .groupBy("lang").agg(countDistinct(col("p")).as("n_types"))
+    prof.join(types, Seq("lang"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        Fns.roundP(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("avg_pieces"),
+        col("n_types"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_nb_lang"      -> qNbLang,
     "q_nb_metrics"   -> qNbMetrics,
     "q_winnow"       -> qWinnow,
     "q_bpe_merges"   -> qBpeMerges,
     "q_bpe_tokenize" -> qBpeTokenize,
+    "q_unigram_lm"   -> qUnigramLm,
+    "q_unigram_tokenize" -> qUnigramTokenize,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -491,9 +689,90 @@ object ModelOps {
        |  t.n_types
        |FROM prof p JOIN types t USING (lang) ORDER BY p.lang""".stripMargin
 
+  /** One enumeration-Viterbi pass for the unigram-LM oracle: a recursive
+    * CTE extends partial segmentations by every vocab piece matching at
+    * the cursor (so it enumerates ALL segmentations — words are ≤ tens of
+    * chars, pieces ≤ [[UNI_MAXLEN]], fine at oracle scale), then rk=1 by
+    * `(s DESC, list_reverse(ks) DESC)` — provably the segmentation the
+    * Spark driver's O(n·L) Viterbi backtrack picks (backtrack-prefer-
+    * longer-piece = reversed-length-sequence lexicographic max among
+    * optimal segmentations; ModelOpsSpec pins the equivalence by brute
+    * force). */
+  private def uniViterbiSql(i: Int, model: String): String =
+    s"""e$i AS (
+       |  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS ps, CAST([] AS BIGINT[]) AS ks,
+       |         CAST(0 AS DECIMAL(28,18)) AS s
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT e$i.w, CAST(e$i.pos + kk.k AS INTEGER) AS pos,
+       |         list_append(e$i.ps, substr(e$i.w, CAST(e$i.pos+1 AS INTEGER), CAST(kk.k AS INTEGER))) AS ps,
+       |         list_append(e$i.ks, kk.k) AS ks,
+       |         CAST(e$i.s + m.lp AS DECIMAL(28,18)) AS s
+       |  FROM e$i
+       |  JOIN (SELECT unnest(range(1, $UNI_MAXLEN+1)) AS k) kk ON e$i.pos + kk.k <= len(e$i.w)
+       |  JOIN $model m ON m.p = substr(e$i.w, CAST(e$i.pos+1 AS INTEGER), CAST(kk.k AS INTEGER))),
+       |b$i AS (SELECT w, ps, row_number() OVER (PARTITION BY w
+       |        ORDER BY s DESC, list_reverse(ks) DESC) AS rk
+       |       FROM e$i WHERE pos = len(w)),
+       |seg$i AS (SELECT w, ps FROM b$i WHERE rk = 1),
+       |cnt$i AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM (
+       |   SELECT wf.f, unnest(seg$i.ps) AS p FROM wf JOIN seg$i USING (w)) GROUP BY 1)""".stripMargin
+
+  /** Laplace model CTE over a (p, c) piece-count CTE — term-wise
+    * decimal(28,18) casts, same as the Spark driver's uniModel. */
+  private def uniModelSql(name: String, vc: String): String =
+    s"""$name AS (SELECT p, CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(28,18))
+       |  - (SELECT CAST(ln(CAST(sum(c) + count(*) AS DOUBLE)) AS DECIMAL(28,18)) FROM $vc) AS lp
+       |  FROM $vc)""".stripMargin
+
+  /** Shared CTE chain for both unigram gates: seed → EM round 1 → prune →
+    * EM round 2 (final counts cnt2 + segmentations seg2). */
+  private val uniCtes: String =
+    s"""WITH RECURSIVE
+       |tk AS (SELECT unnest($sqlToksLower) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM tk GROUP BY 1),
+       |sp0 AS (SELECT w, f, unnest(range(1, len(w)+1)) AS j FROM wf),
+       |sp1 AS (SELECT w, f, j, unnest(range(1, least($UNI_MAXLEN, j)+1)) AS k FROM sp0),
+       |sp AS (SELECT substr(w, CAST(j-k+1 AS INTEGER), CAST(k AS INTEGER)) AS p,
+       |       CAST(sum(f) AS BIGINT) AS c FROM sp1 GROUP BY 1),
+       |sgl AS (SELECT p, c FROM sp WHERE len(p) = 1),
+       |mlt AS (SELECT p, c FROM sp WHERE len(p) > 1 ORDER BY c DESC, p LIMIT $UNI_SEED_K),
+       |v0 AS (SELECT p, c FROM sgl UNION ALL SELECT p, c FROM mlt),
+       |${uniModelSql("m0", "v0")},
+       |${uniViterbiSql(1, "m0")},
+       |v1 AS (SELECT p FROM sgl UNION ALL
+       |       SELECT p FROM (SELECT p FROM cnt1 WHERE len(p) > 1 ORDER BY c DESC, p LIMIT $UNI_VOCAB_K)),
+       |v1c AS (SELECT v1.p, COALESCE(cnt1.c, 0) AS c FROM v1 LEFT JOIN cnt1 USING (p)),
+       |${uniModelSql("m1", "v1c")},
+       |${uniViterbiSql(2, "m1")},
+       |v1f AS (SELECT v1c.p, COALESCE(cnt2.c, 0) AS cnt FROM v1c LEFT JOIN cnt2 ON v1c.p = cnt2.p),
+       |tots AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS nv FROM v1f)""".stripMargin
+
+  private val uniLmSql: String =
+    s"""$uniCtes
+       |SELECT p AS piece, cnt,
+       |  ${Fns.roundPSql("CAST(cnt + 1 AS DOUBLE) / (tot + nv)", 6)} AS prob
+       |FROM v1f, tots ORDER BY cnt DESC, piece""".stripMargin
+
+  private val uniTokenizeSql: String =
+    s"""$uniCtes,
+       |tkl AS (SELECT lang, unnest($sqlToksLower) AS w FROM documents),
+       |lw AS (SELECT lang, w, count(*) AS f FROM tkl GROUP BY 1, 2),
+       |j2 AS (SELECT lw.lang, lw.f, len(seg2.ps) AS m, seg2.ps FROM lw JOIN seg2 USING (w)),
+       |prof AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_words,
+       |    CAST(sum(f*m) AS BIGINT) AS n_pieces FROM j2 GROUP BY 1),
+       |types AS (SELECT lang, count(DISTINCT p) AS n_types FROM (
+       |    SELECT lang, unnest(ps) AS p FROM j2) GROUP BY 1)
+       |SELECT prof.lang, n_words, n_pieces,
+       |  ${Fns.roundPSql("CAST(n_pieces AS DOUBLE) / n_words", 6)} AS avg_pieces,
+       |  n_types
+       |FROM prof JOIN types USING (lang) ORDER BY prof.lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
+    "q_unigram_lm" -> uniLmSql,
+    "q_unigram_tokenize" -> uniTokenizeSql,
     "q_nb_lang" -> s"$sqlNbConfusion\nORDER BY 1, 2",
     // metrics from the SAME confusion chain; one integer-operand division
     // per ratio, nullif for never-predicted classes

@@ -169,6 +169,81 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got == expected, s"tokenize profile mismatch: $got vs $expected")
   }
 
+  /** Brute-force argmax over ALL segmentations of `w` into vocab pieces
+    * (≤ UNI_MAXLEN chars), picking (score DESC, reversed length-sequence
+    * lex DESC) — the exact order the DuckDB oracle's enumeration uses.
+    * uniViterbi's O(n·L) backtrack must agree on every input. */
+  private def bruteSeg(w: String, m: Map[String, JBigDecimal]): List[String] = {
+    def all(pos: Int): List[List[String]] =
+      if (pos == w.length) List(Nil)
+      else (1 to math.min(ModelOps.UNI_MAXLEN, w.length - pos)).toList.flatMap { k =>
+        val p = w.substring(pos, pos + k)
+        if (m.contains(p)) all(pos + k).map(p :: _) else Nil
+      }
+    implicit val ord: Ordering[List[Int]] = new Ordering[List[Int]] {
+      def compare(a: List[Int], b: List[Int]): Int = (a, b) match {
+        case (Nil, Nil) => 0
+        case (Nil, _)   => -1
+        case (_, Nil)   => 1
+        case (x :: xs, y :: ys) =>
+          if (x != y) Integer.compare(x, y) else compare(xs, ys)
+      }
+    }
+    all(0).maxBy(seg =>
+      (seg.foldLeft(JBigDecimal.ZERO)((a, p) => a.add(m(p))),
+        seg.map(_.length).reverse))
+  }
+
+  test("uniViterbi equals brute-force enumeration under the oracle's tie order") {
+    // equal log-probs force ties: "ababa" has two optimal 2-piece segs,
+    // [ab, aba] (ks [2,3]) and [aba, ba] (ks [3,2]); reversed-lex order
+    // picks [ab, aba] — the backtrack-prefer-longer-piece choice
+    val lp = new JBigDecimal("-1.5").setScale(18)
+    val m = Seq("a", "b", "ab", "ba", "aba", "bab").map(_ -> lp).toMap
+    assert(ModelOps.uniViterbi("ababa", m) == List("ab", "aba"))
+    assert(bruteSeg("ababa", m) == List("ab", "aba"))
+    // fixed-seed fuzz over two-char words with tie-prone discrete scores
+    val rnd = new scala.util.Random(42)
+    val lps = Array("-1.0", "-1.5", "-2.0", "-3.0")
+      .map(new JBigDecimal(_).setScale(18))
+    for (_ <- 1 to 300) {
+      val w = (1 to (1 + rnd.nextInt(8))).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val subs = (for (i <- 0 until w.length; k <- 1 to math.min(ModelOps.UNI_MAXLEN, w.length - i))
+        yield w.substring(i, i + k)).distinct
+      val vocab = subs.filter(p => p.length == 1 || rnd.nextBoolean())
+      val m2 = vocab.map(p => p -> lps(rnd.nextInt(lps.length))).toMap
+      val got = ModelOps.uniViterbi(w, m2)
+      assert(got == bruteSeg(w, m2), s"viterbi/brute divergence on '$w' with $m2")
+      assert(got.mkString == w, s"segmentation does not cover '$w'")
+    }
+  }
+
+  test("unigram gates are mutually consistent and cover the corpus") {
+    val lm = ModelOps.qUnigramLm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tok = ModelOps.qUnigramTokenize(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // every single char of the corpus vocabulary is a retained piece
+    val pieces = lm.map(_._1).toSet
+    val chars = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => toks(r.getString(0).toLowerCase)).flatMap(_.toCharArray)
+      .map(_.toString).toSet
+    assert(chars.subsetOf(pieces), s"missing single-char pieces: ${chars diff pieces}")
+    // the final E-step counts and the corpus-applied profile agree in total
+    assert(lm.map(_._2).sum == tok.map(_._3).sum,
+      "sum of piece counts != total pieces emitted over the corpus")
+    // n_words equals the corpus token count per language
+    val langToks = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1).toLowerCase).size.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(tok.map(t => t._1 -> t._2).toMap == langToks)
+    // probabilities are the Laplace estimates of the final counts
+    val tot = lm.map(_._2).sum + lm.length
+    lm.foreach { case (_, c, p) =>
+      assert(p == math.floor((c + 1).toDouble / tot * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("winnowing guarantee: a shared run of WIN_W + WIN_K - 1 tokens shares a fingerprint") {
     import spark.implicits._
     // 6 shared tokens (= 4 windows of 3-shingles → ≥1 common selected min)
