@@ -112,8 +112,19 @@ object ScaleProbe {
     "q_phrase_search",       // phrase-term-filtered postings + (doc,pos) joins (documents)
     "q_len_histogram",       // bounded (lang x bucket) partial+final agg (documents)
     "q_oov_rate",            // split vocab distinct + vocab-keyed anti join (documents)
-    "q_paragraph_dedup")     // digest-keyed recurrence agg + join-back (documents;
+    "q_paragraph_dedup",     // digest-keyed recurrence agg + join-back (documents;
                              // same saturating-dup-set posture as q_substring_dup)
+    "q_unigram_tokenize",    // corpus word-freq agg + driver EM fold +
+                             // broadcast segmentation join (documents;
+                             // q_unigram_lm shares the fold, minus the
+                             // corpus-applied profile)
+    "q_ngram_novelty",       // gram-keyed shuffle join, BOTH sides corpus-
+                             // scale (documents; replicated docs re-seen
+                             // grams saturate the train set — row flow
+                             // stays linear like q_substring_dup)
+    "q_mmr_select")          // corpus rel scan + TakeOrdered pool; the
+                             // greedy rerank is pool-bounded driver work
+                             // (embeddings)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

@@ -34,6 +34,14 @@ object CorpusOps {
   /** Key terms kept per document by [[qTfidfTerms]]. */
   val TFIDF_TOP = 3
 
+  /** n-gram width for the train→held-out novelty (memorization) metric.
+    * Published analyses use 8–13-gram overlap (Lee et al. 2022; GPT-3
+    * appx. C); on the ~30-word synthetic vocabulary 4-grams are the width
+    * where the metric discriminates (measured: mean novelty 0.94 with a
+    * near-zero tail flagging memorized docs, vs 0.46 at 3 and ≈0.96 flat
+    * at ≥5). */
+  val NOV_N = 4
+
   /** Fixed pivot columns for [[qPivotLangs]] (the langid label set). */
   val LANGS = Seq("de", "en", "es", "fr", "zh")
 
@@ -82,6 +90,46 @@ object CorpusOps {
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         Fns.roundP(col("n_hit").cast("double") / col("n_grams"), 4).as("overlap_frac"),
         (col("n_hit") >= 1).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Train→held-out n-gram novelty — the memorization-risk readout an
+    * eval-set release ships (Lee et al. 2022's novel-n-gram analysis;
+    * the GPT-3 appx.-C overlap audit, as a per-doc FRACTION rather than
+    * q_decontaminate's boolean): for every doc OUTSIDE the training split
+    * ([[graft.operators.DedupOps.splitOf]] — the same hash split the
+    * held-out LM gates train/score on), the fraction of its distinct
+    * [[NOV_N]]-gram spans NOT present anywhere in the training split.
+    * Near-zero novelty = a train near-copy leaking into eval.
+    *
+    * Plan/scale: gram extraction is row-local array algebra; the ONLY
+    * shuffles are keyed by the gram string — one distinct over the train
+    * side, one join against the held-out side, one doc-keyed agg. Unlike
+    * q_decontaminate (fixed-size bench set → broadcast), BOTH sides here
+    * are corpus-scale, so the join is an honest gram-keyed shuffle join,
+    * co-partitioned on the gram — at 100 TB, hash the gram to a 16-byte
+    * digest before the exchange (q_substring_dup's posture) so the
+    * shuffle carries digests, not text. */
+  val qNgramNovelty: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Fns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.operators.DedupOps.splitOf(col("doc_id")).as("split"),
+        array_distinct(Fns.shinglesOfTokens(col("toks"), col("text"), NOV_N)).as("gs"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // train + held-out consumers
+    val train = grams.filter(col("split") === "train")
+      .select(explode(col("gs")).as("gr")).distinct()
+    val held = grams.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), posexplode_outer(col("gs")))
+      .select(col("doc_id"), col("split"), col("col").as("gr"))
+    val seen = held.join(train, Seq("gr"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    val tot = held.groupBy("doc_id", "split").agg(count(lit(1)).as("n_grams"))
+    tot.join(seen, Seq("doc_id"), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .select(col("doc_id"), col("split"), col("n_grams"), col("n_seen"),
+        Fns.roundP(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4)
+          .as("novelty_frac"))
       .orderBy("doc_id")
   }
 
@@ -989,6 +1037,7 @@ object CorpusOps {
     "q_rake_keywords" -> qRakeKeywords,
     "q_zipf_slope"    -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
+    "q_ngram_novelty" -> qNgramNovelty,
     "q_curation_funnel" -> qCurationFunnel,
     "q_surprisal"     -> qSurprisal,
     "q_bigram_surprisal" -> qBigramSurprisal,
@@ -1109,6 +1158,20 @@ object CorpusOps {
          |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
          |  ${Fns.roundPSql("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams", 4)} AS overlap_frac,
          |  (COALESCE(h.n_hit, 0) >= 1) AS contaminated
+         |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
+         |g AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,
+         |  list_distinct(CASE WHEN len(w) >= $NOV_N
+         |    THEN list_transform(range(1, len(w) - ${NOV_N - 2}),
+         |           i -> array_to_string(w[i:i+${NOV_N - 1}], ' '))
+         |    ELSE [t] END) AS gs FROM toks),
+         |tg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE split = 'train'),
+         |hg AS (SELECT doc_id, split, unnest(gs) AS gr FROM g WHERE split <> 'train'),
+         |hits AS (SELECT doc_id, count(*) AS n_seen FROM hg JOIN tg USING (gr) GROUP BY 1),
+         |tot AS (SELECT doc_id, split, count(*) AS n_grams FROM hg GROUP BY 1, 2)
+         |SELECT t.doc_id, t.split, t.n_grams, COALESCE(h.n_seen, 0) AS n_seen,
+         |  ${Fns.roundPSql("1.0::DOUBLE - CAST(COALESCE(h.n_seen, 0) AS DOUBLE) / t.n_grams", 4)} AS novelty_frac
          |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
     // stage predicates copied verbatim from the q_gopher_rules /
     // q_dedup_exact / q_decontaminate / q_semantic_dedup oracles — the

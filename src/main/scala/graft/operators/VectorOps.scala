@@ -1101,7 +1101,81 @@ object VectorOps {
       .limit(EC_TOPK)
   }
 
+  // --------------------------------------------------------------------
+  // MMR diverse selection (retrieve-then-rerank data selection)
+  // --------------------------------------------------------------------
+
+  /** Relevance pool size for the MMR rerank stage. */
+  val MMR_POOL = 64
+
+  /** Items selected by the greedy MMR loop. */
+  val MMR_K = 8
+
+  /** Relevance/diversity trade-off — the two weights are INDEPENDENT
+    * literals (not 1−λ computed at runtime: `1 - 0.7` is
+    * 0.30000000000000004 in IEEE doubles, which would diverge from the
+    * SQL literal `0.3`). Their decimal strings are interpolated verbatim
+    * into the oracle. */
+  val MMR_LAMBDA = 0.7
+  val MMR_MU = 0.3
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity-aware data-selection step a fine-tuning
+    * pipeline runs after retrieval: pick [[MMR_K]] items maximizing
+    * λ·rel(x) − μ·max_{s∈selected} cos(x, s), rel = cosine to the probe.
+    * Rendered as the production two-stage shape: a DISTRIBUTED relevance
+    * scan takes the top-[[MMR_POOL]] pool via TakeOrderedAndProject (the
+    * only corpus-scale stage — one pass, no shuffle beyond the k-row
+    * merge), then the inherently sequential greedy loop runs on the
+    * driver over the pool×dim-bounded collect, exactly like the PQ/
+    * k-means trained-artifact tier. Greedy ties break on vec_id
+    * ascending; round 1 has no diversity term (empty selected set scores
+    * a 0 penalty). Driver dots use the same 0-seeded left-to-right fold
+    * as the SQL twin's list_sum, so arithmetic is bit-identical.
+    *
+    * At 100 TB: the pool scan is the same plan as [[qKnnCosine]] (scan +
+    * per-partition heaps); the O(K·POOL·D) driver rerank is
+    * corpus-size-independent. */
+  val qMmrSelect: Q = (s, d) => {
+    import s.implicits._
+    val pool: Array[(Long, Seq[Double], Double)] = vecs(s, d)
+      .filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(probe(s, d))
+      .select(col("vec_id"), col("v"), cosSim(col("v"), col("pv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MMR_POOL)
+      .as[(Long, Seq[Double], Double)]
+      .collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // (vec_id, v, rel, best-sim-to-selected or None)
+    var rem = pool.map { case (id, v, rel) => (id, v, rel, Option.empty[Double]) }
+    val picks = Seq.newBuilder[(Int, Long, Double, Double)]
+    for (step <- 1 to MMR_K if rem.nonEmpty) {
+      val scored = rem.map { case (id, v, rel, bs) =>
+        (id, v, rel, bs, MMR_LAMBDA * rel - MMR_MU * bs.getOrElse(0.0))
+      }
+      val w = scored.minBy { case (id, _, _, _, sc) => (-sc, id) }
+      picks += ((step, w._1, w._3, w._5))
+      rem = rem.collect { case (id, v, rel, bs) if id != w._1 =>
+        val c = cos(v, w._2)
+        (id, v, rel, Some(bs.fold(c)(math.max(_, c))))
+      }
+    }
+    picks.result().toDF("step", "vec_id", "rel", "mmr")
+      .select(col("step"), col("vec_id"),
+        Fns.roundP(col("rel"), 6).as("rel"),
+        Fns.roundP(col("mmr"), 6).as("mmr"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mmr_select"     -> qMmrSelect,
     "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -1252,7 +1326,42 @@ object VectorOps {
        |  ${Fns.roundPSql("CAST(sum(CAST(dist AS DECIMAL(28,12))) AS DOUBLE)", 4)} AS inertia
        |FROM af GROUP BY 1 ORDER BY cluster""".stripMargin
 
+  /** Unrolled greedy-MMR twin: pool CTE (same shape as the q_knn_cosine
+    * oracle + LIMIT), then [[MMR_K]] rounds of argmax-then-penalize. The
+    * weight literals interpolate from the SAME Scala constants the gate
+    * uses, so both engines parse the identical decimal string. */
+  private val sqlMmr: String = {
+    def round(k: Int): String = {
+      val prev = s"b${k - 1}"
+      s"""s$k AS (SELECT vec_id, v, rel, sc FROM (
+         |    SELECT vec_id, v, rel,
+         |      $MMR_LAMBDA::DOUBLE * rel - $MMR_MU::DOUBLE * COALESCE(bs, 0.0::DOUBLE) AS sc
+         |    FROM $prev)
+         |  ORDER BY sc DESC, vec_id LIMIT 1),
+         |b$k AS (SELECT b.vec_id, b.v, b.rel,
+         |  CASE WHEN b.bs IS NULL THEN ${sqlCos("b.v", "s.v")}
+         |       ELSE greatest(b.bs, ${sqlCos("b.v", "s.v")}) END AS bs
+         |  FROM $prev b, s$k s WHERE b.vec_id <> s.vec_id)""".stripMargin
+    }
+    val rounds = (1 to MMR_K).map(round).mkString(",\n")
+    val unions = (1 to MMR_K)
+      .map(k => s"SELECT $k AS step, vec_id, rel, sc FROM s$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS ($sqlVecs), p AS (SELECT v AS pv FROM e WHERE vec_id = $PROBE_ID),
+       |pool AS (SELECT vec_id, v, rel FROM (
+       |    SELECT e.vec_id, e.v, ${sqlCos("e.v", "p.pv")} AS rel FROM e, p
+       |    WHERE e.vec_id <> $PROBE_ID)
+       |  ORDER BY rel DESC, vec_id LIMIT $MMR_POOL),
+       |b0 AS (SELECT vec_id, v, rel, CAST(NULL AS DOUBLE) AS bs FROM pool),
+       |$rounds
+       |SELECT step, vec_id,
+       |  ${Fns.roundPSql("rel", 6)} AS rel,
+       |  ${Fns.roundPSql("sc", 6)} AS mmr
+       |FROM ($unions) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr_select" -> sqlMmr,
     // covariance: index table from unnest(range(max len)) so the dim is
     // data-derived (no hardcoded D to go stale on regeneration)
     "q_embed_cov" -> {
