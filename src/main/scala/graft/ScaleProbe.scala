@@ -122,8 +122,11 @@ object ScaleProbe {
                              // scale (documents; replicated docs re-seen
                              // grams saturate the train set — row flow
                              // stays linear like q_substring_dup)
-    "q_mmr_select")          // corpus rel scan + TakeOrdered pool; the
+    "q_mmr_select",          // corpus rel scan + TakeOrdered pool; the
                              // greedy rerank is pool-bounded driver work
+                             // (embeddings)
+    "q_pca_power")           // one D²-expansion covariance pass; power
+                             // iteration rides the collected D×D matrix
                              // (embeddings)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set

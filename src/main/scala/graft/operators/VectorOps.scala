@@ -1102,6 +1102,102 @@ object VectorOps {
   }
 
   // --------------------------------------------------------------------
+  // Distributed PCA (power iteration by matvec passes)
+  // --------------------------------------------------------------------
+
+  /** Power-iteration rounds for [[qPcaPower]]. Rounds run over the
+    * COLLECTED D×D covariance, so they are free on both engines —
+    * 64 covers the measured λ2/λ1 = 0.93 gap of the near-isotropic
+    * synthetic embeddings (0.93^64 ≈ 0.01 residual mixing — alignment
+    * ≥ 0.999 vs a dense eigensolve, SpectralSpec). */
+  val PCA_ITERS = 64
+
+  /** First principal component of the embedding column — the PCA step an
+    * embedding pipeline runs before whitening/compression, rendered as
+    * production tall-skinny PCA (Spark MLlib's computePrincipalComponents
+    * shape): ONE distributed pass computes the D×D covariance (row-local
+    * upper-triangle D² expansion with decimal(18,12) partial sums — the
+    * q_embed_cov dataflow including the diagonal), the dimension-bounded
+    * matrix collects to the driver (D² doubles — corpus-size-independent,
+    * the trained-artifact tier), and the eigenpair comes from
+    * [[PCA_ITERS]] deterministic power-iteration rounds there.
+    *
+    * Exactness: covariance entries derive from exact decimal sums, so
+    * both engines hold identical doubles; every driver matvec folds row
+    * entries left-to-right in j order — the DuckDB twin's per-row
+    * `list_sum(list_transform(...))` over `list(c ORDER BY j)` — and the
+    * norm folds in i order, so all 64 rounds are bit-identical. Output:
+    * loadings, the eigenvalue estimate ‖y‖ of the last round, and its
+    * explained share of total variance (trace).
+    *
+    * At 100 TB: one map-reduce whose shuffle carries D²-bounded decimal
+    * partials per partition; the iteration cost is O(ITERS·D²) driver
+    * flops. (The local `repartition` spreads the D²-per-row expansion
+    * over cores when the input parquet is a single small split; its
+    * one-time N×D shuffle is ~1/D of the expansion volume, noise at any
+    * scale.) */
+  val qPcaPower: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = e.count()
+    val nD = nRows.toDouble
+    val m: Array[Double] = e
+      .select(posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy("i0").agg(sum(col("x").cast("decimal(18,12)")).as("sx"))
+      .orderBy("i0")
+      .select((col("sx").cast("double") / lit(nD)).as("mi"))
+      .as[Double].collect()
+    val dim = m.length
+    // upper triangle INCLUDING the diagonal: (i, j≥i, Σ vi·vj) — exact
+    // decimal sums, one shuffle of D(D+1)/2-bounded partials
+    val covU: Array[(Int, Int, Double)] = e
+      .select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("i0"), col("x"),
+        posexplode(slice(col("v"), col("i0") + lit(1), size(col("v"))))
+          .as(Seq("p2", "y")))
+      .select(col("i0").as("i"), (col("i0") + col("p2")).as("j"),
+        (col("x") * col("y")).as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(18,12)")).as("sxy"))
+      .select(col("i").cast("int"), col("j").cast("int"),
+        col("sxy").cast("double"))
+      .as[(Int, Int, Double)].collect()
+    // full matrix rows with the same E[xy] − mx·my arithmetic as the twin
+    val cov = Array.ofDim[Double](dim, dim)
+    covU.foreach { case (i, j, sxy) =>
+      val c = sxy / nD - m(i) * m(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var x = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lastNorm = 0.0
+    for (_ <- 1 to PCA_ITERS) {
+      val y = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += cov(i)(j) * x(j); j += 1 } // j-ascending fold
+        acc
+      }
+      var ss = 0.0; var i = 0
+      while (i < dim) { ss += y(i) * y(i); i += 1 } // i-ascending fold
+      lastNorm = math.sqrt(ss)
+      x = y.map(_ / lastNorm)
+    }
+    val trace = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += cov(i)(i); i += 1 }
+      acc
+    }
+    x.toSeq.zipWithIndex.map { case (l, i) => (i + 1, l) }
+      .toDF("pos", "loading")
+      .select(col("pos"), Fns.roundP(col("loading"), 6).as("loading"),
+        Fns.roundP(lit(lastNorm), 6).as("eigval"),
+        Fns.roundP(lit(lastNorm / trace), 6).as("expl_var"))
+      .orderBy("pos")
+  }
+
+  // --------------------------------------------------------------------
   // MMR diverse selection (retrieve-then-rerank data selection)
   // --------------------------------------------------------------------
 
@@ -1175,6 +1271,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_pca_power"      -> qPcaPower,
     "q_mmr_select"     -> qMmrSelect,
     "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
@@ -1360,7 +1457,54 @@ object VectorOps {
        |FROM ($unions) ORDER BY step""".stripMargin
   }
 
+  /** Twin of [[qPcaPower]]: exact-decimal covariance CTEs (the Spark
+    * pass), then [[PCA_ITERS]] unrolled matvec rounds over the D-row
+    * `rw` CTE. Matvec and norm folds ride list_sum over j- (resp. i-)
+    * ordered lists — the driver loop's fold order.
+    *
+    * MATERIALIZED is load-bearing: DuckDB inlines CTEs, and each round
+    * references its predecessor more than once, so un-hinted expansion is
+    * 2^ITERS re-evaluations of the chain — measured as "Too many open
+    * files" at ITERS=12 before the hints. Materializing rw/y_k/x_k makes
+    * the chain linear, which is also what the driver loop executes. */
+  private val sqlPca: String = {
+    def round(k: Int): String =
+      s"""y$k AS MATERIALIZED (SELECT r.i, list_sum(list_transform(range(1, len(r.rw)+1),
+         |    j -> r.rw[j] * x.xl[j])) AS yi FROM rws r, x${k - 1} x),
+         |n$k AS (SELECT sqrt(list_sum(list_transform(yl, z -> z * z))) AS nrm
+         |  FROM (SELECT list(yi ORDER BY i) AS yl FROM y$k)),
+         |x$k AS MATERIALIZED (SELECT list_transform(yy.yl, z -> z / n$k.nrm) AS xl
+         |  FROM (SELECT list(yi ORDER BY i) AS yl FROM y$k) yy, n$k)""".stripMargin
+    val rounds = (1 to PCA_ITERS).map(round).mkString(",\n")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |dd AS (SELECT len(v) AS d FROM e LIMIT 1),
+       |msum AS (SELECT t.i, CAST(sum(CAST(v[t.i] AS DECIMAL(18,12))) AS DOUBLE) AS sx
+       |  FROM e, unnest(range(1, len(v)+1)) AS t(i) GROUP BY t.i),
+       |mm AS (SELECT i, sx / (SELECT n FROM nn) AS mi FROM msum),
+       |px AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM e),
+       |py AS (SELECT v, i, unnest(range(i, len(v)+1)) AS j FROM px),
+       |pu AS (SELECT i, j, CAST(sum(CAST(v[i] * v[j] AS DECIMAL(18,12))) AS DOUBLE) AS sxy
+       |  FROM py GROUP BY 1, 2),
+       |cu AS (SELECT pu.i, pu.j, pu.sxy / nn.n - a.mi * b.mi AS c
+       |  FROM pu, nn JOIN mm a ON a.i = pu.i JOIN mm b ON b.i = pu.j),
+       |cf AS (SELECT i, j, c FROM cu UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
+       |rws AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS rw FROM cf GROUP BY i),
+       |x0 AS (SELECT list_transform(range(1, d + 1),
+       |    z -> 1.0::DOUBLE / sqrt(CAST(d AS DOUBLE))) AS xl FROM dd),
+       |$rounds,
+       |tr AS (SELECT list_sum(dg) AS t
+       |  FROM (SELECT list(c ORDER BY i) AS dg FROM cf WHERE i = j))
+       |SELECT CAST(t.i AS INTEGER) AS pos,
+       |  ${Fns.roundPSql("x.xl[t.i]", 6)} AS loading,
+       |  ${Fns.roundPSql(s"n$PCA_ITERS.nrm", 6)} AS eigval,
+       |  ${Fns.roundPSql(s"n$PCA_ITERS.nrm / tr.t", 6)} AS expl_var
+       |FROM x$PCA_ITERS x, unnest(range(1, len(x.xl)+1)) AS t(i), n$PCA_ITERS, tr
+       |ORDER BY pos""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pca_power" -> sqlPca,
     "q_mmr_select" -> sqlMmr,
     // covariance: index table from unnest(range(max len)) so the dim is
     // data-derived (no hardcoded D to go stale on regeneration)

@@ -65,4 +65,41 @@ class SpectralSpec extends AnyFunSuite {
       val lcc = r.getDouble(3); lcc >= 0.0 && lcc <= 1.0
     })
   }
+
+  test("q_pca_power converges to the dominant eigenpair of the dense covariance") {
+    // independent path: materialize the FULL DxD covariance from collected
+    // embeddings (direct two-pass formula, plain doubles) and power-iterate
+    // it 500 rounds — then the gate's 12-round distributed matvec must agree
+    // up to sign on the component and closely on the eigenvalue
+    val vs = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vs.length; val dim = vs.head.length
+    val m = Array.tabulate(dim)(i => vs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vs.map(v => (v(i) - m(i)) * (v(j) - m(j))).sum / n)
+    var x = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lam = 0.0
+    for (_ <- 1 to 500) {
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * x(j)).sum)
+      lam = math.sqrt(y.map(z => z * z).sum)
+      x = y.map(_ / lam)
+    }
+    val got = graft.operators.VectorOps.qPcaPower(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1 to dim), "one row per dimension")
+    val gl = got.map(_._2)
+    // unit loading vector
+    assert(math.abs(gl.map(z => z * z).sum - 1.0) < 1e-4, "loadings not unit-norm")
+    // direction agreement up to sign
+    val cosAbs = math.abs(gl.zip(x).map { case (a, b) => a * b }.sum)
+    assert(cosAbs > 0.999, s"component misaligned with dense eigenvector: $cosAbs")
+    val eig = got.head._3
+    assert(math.abs(eig - lam) / lam < 1e-3, s"eigenvalue off: $eig vs $lam")
+    // explained share consistent with the dense trace, and in (0, 1]
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val expl = got.head._4
+    assert(expl > 0.0 && expl <= 1.0)
+    assert(math.abs(expl - eig / trace) < 1e-4, s"expl_var inconsistent: $expl")
+  }
 }
