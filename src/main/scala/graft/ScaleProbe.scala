@@ -125,9 +125,11 @@ object ScaleProbe {
     "q_mmr_select",          // corpus rel scan + TakeOrdered pool; the
                              // greedy rerank is pool-bounded driver work
                              // (embeddings)
-    "q_pca_power")           // one D²-expansion covariance pass; power
+    "q_pca_power",           // one D²-expansion covariance pass; power
                              // iteration rides the collected D×D matrix
                              // (embeddings)
+    "q_char_entropy")        // char explode + two keyed aggs, all codegen
+                             // (documents)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

@@ -399,42 +399,31 @@ object TextOps {
     * query at 12.4 s on sf0.1; the run fold is ~20× cheaper and produces
     * bit-identical terms, so the oracle hash is unchanged.) */
   val qCharEntropy: Q = (s, d) => {
-    // term for a closed run of length c: (c/n)·ln(n/c), the same double
-    // expression shape as the DuckDB oracle, cast decimal so the ≤128-term
-    // sum is exact and aggregation-order-free. run=0 (fold start) adds 0.
-    def termOf(run: Column, n: Column): Column = {
-      val c = run.cast("double")
-      when(run > 0L, ((c / n) * log(n / c)).cast("decimal(28,18)"))
-        .otherwise(lit(0).cast("decimal(28,18)"))
-    }
+    // Histogram rendering: explode to (doc, char), count per (doc, char)
+    // with map-side combine (the shuffle carries ~|alphabet| rows per
+    // doc, not the char stream), then one decimal term per DISTINCT char
+    // — (c/n)·ln(n/c) in the same double shape as the DuckDB oracle —
+    // summed per doc. Replaced an interpreted per-char aggregate() fold
+    // over the sorted char array: same terms, same exact decimal totals
+    // (sums are order-free), measured 6.1 → 0.7 s exec at sf0.1 — the
+    // fold built a struct + two BigDecimals per character on the
+    // single-split scan task, while every stage here is codegen'd.
     Tables.documents(s, d)
       .filter(length(col("text")) > 0)
-      // split-on-empty is the native (codegen'd) char-array build — the
-      // transform(sequence…substr) rendering re-enters the interpreted
-      // HOF path once per character
-      .select(col("doc_id"), split(col("text"), "").as("cs0"))
-      .withColumn("n", size(col("cs0")))
-      .withColumn("cs", array_sort(col("cs0")))
+      // stage the char array, THEN explode the bare attribute — the
+      // InferFiltersFromGenerate clone would otherwise run the regex
+      // split twice per row (PERF.md generator rule)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        split(col("text"), "").as("cs"))
+      .select(col("doc_id"), col("n"), explode(col("cs")).as("ch"))
+      .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"),
+        ((col("c").cast("double") / col("n")) * log(col("n") / col("c").cast("double")))
+          .cast("decimal(28,18)").as("term"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("term")).as("h"))
       .select(col("doc_id"), col("n").cast("long").as("n_chars2"),
-        Fns.roundP(
-          aggregate(
-            col("cs"),
-            struct(lit("").as("prev"), lit(0L).as("run"),
-              lit(0).cast("decimal(38,18)").as("acc")),
-            (st, x) => {
-              val same = x === st.getField("prev")
-              struct(
-                x.as("prev"),
-                when(same, st.getField("run") + lit(1L)).otherwise(lit(1L)).as("run"),
-                // decimal(38,18)+decimal(28,18) widens to (38,17); cast back
-                when(same, st.getField("acc"))
-                  .otherwise((st.getField("acc") +
-                    termOf(st.getField("run"), col("n"))).cast("decimal(38,18)"))
-                  .as("acc"))
-            },
-            st => (st.getField("acc") +
-              termOf(st.getField("run"), col("n"))).cast("decimal(38,18)"))
-            .cast("double"), 6).as("h_char"))
+        Fns.roundP(col("h").cast("double"), 6).as("h_char"))
       .orderBy("doc_id")
   }
 

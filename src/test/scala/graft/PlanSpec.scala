@@ -228,14 +228,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q_char_entropy is a single-scan row-local fold: no join, only the sort exchange") {
-    // the sorted-run fold must stay entirely inside the scan's stage — a
-    // refactor that reintroduces a per-char groupBy (corpus-keyed shuffle)
-    // or a join would show up as extra exchanges here
+  test("q_char_entropy is one scan into map-combined histogram aggs: no join") {
+    // histogram rendering (round 12): explode → partial+final agg per
+    // (doc, char) → decimal term → per-doc agg → sort. The partial agg is
+    // load-bearing — it bounds the shuffle to ~|alphabet| rows per doc.
+    // (Replaced the row-local interpreted aggregate() fold: same exact
+    // decimal totals, 3.0 → 1.3 s warm at sf0.1 — PERF.md round 12.)
     val p = plan("q_char_entropy")
     assert(!p.toLowerCase.contains("join"), s"entropy must not join:\n$p")
-    assert("Exchange".r.findAllIn(p).length <= 1,
-      s"only the final orderBy exchange is allowed:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 3,
+      s"two agg exchanges + the orderBy only:\n$p")
+    assert(p.contains("partial_count"),
+      s"char histogram must map-side combine before the shuffle:\n$p")
     assert("FileScan".r.findAllIn(p).length == 1, s"one documents scan only:\n$p")
   }
 
