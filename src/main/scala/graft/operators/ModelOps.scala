@@ -164,20 +164,25 @@ object ModelOps {
     * tokens produce no row. One broadcast join + one doc-keyed agg; the
     * argmax window rides the classes-per-doc frame, not the token
     * stream. */
-  private[graft] def nbPredict(tokTf: DataFrame, term: DataFrame,
-                               pri: DataFrame): DataFrame = {
+  /** Per-(doc, class) posterior log-scores (decimal-exact) behind
+    * [[nbPredict]] and [[qCalibration]]. */
+  private[graft] def nbScores(tokTf: DataFrame, term: DataFrame,
+                              pri: DataFrame): DataFrame = {
     val sc = tokTf
       .join(broadcast(term), Seq("w"))
       .groupBy("doc_id", "cand")
       .agg(sum(col("s") * col("tf").cast("decimal(9,0)")).as("s"))
-    val fin = sc.join(broadcast(pri), Seq("cand"))
+    sc.join(broadcast(pri), Seq("cand"))
       .select(col("doc_id"), col("cand"), (col("s") + col("lp")).as("score"))
-    fin
+  }
+
+  private[graft] def nbPredict(tokTf: DataFrame, term: DataFrame,
+                               pri: DataFrame): DataFrame =
+    nbScores(tokTf, term, pri)
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("cand").as("pred"))
-  }
 
   // --------------------------------------------------------------------
   // Winnowing fingerprint overlap (MOSS)
@@ -390,6 +395,59 @@ object ModelOps {
   }
 
   // --------------------------------------------------------------------
+  // Classifier calibration (reliability diagram)
+  // --------------------------------------------------------------------
+
+  /** Reliability diagram of the [[qNbLang]] classifier — the calibration
+    * readout every filter-training run ships beside precision/recall
+    * (an over-confident quality/language filter silently skews the
+    * corpus mix at threshold time): per confidence decile, document
+    * count, mean softmax confidence, and empirical accuracy, plus the
+    * |acc − conf| gap the ECE weights.
+    *
+    * Exactness: class scores are the decimal-exact NB log-posteriors;
+    * softmax runs as exp(score − max) with the subtraction in decimals,
+    * each exp term cast back to decimal(28,18) before the 5-term sum, so
+    * no aggregation order exists (exp itself is bit-identical across
+    * engines — probed against DuckDB's libm, like the established ln
+    * parity). The top class's term is exp(0) = 1 exactly, so confidence
+    * collapses to 1/Σterms — one IEEE division. Buckets are
+    * floor(conf·10) capped at 9.
+    *
+    * Plan: rides the same (doc, token, tf) collapse + broadcast model as
+    * qNbLang; the softmax/argmax windows run on the 5-rows-per-doc score
+    * frame; the report is one bounded (≤10-row) agg. */
+  val qCalibration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = nbTokenTf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val (term, pri) = nbModelFromTf(s, tf, docs)
+    val fin = nbScores(tf.select("doc_id", "w", "tf"), term, pri)
+    val wD = Window.partitionBy("doc_id")
+    val scored = fin
+      .withColumn("m", max(col("score")).over(wD))
+      .withColumn("p", exp((col("score") - col("m")).cast("double"))
+        .cast("decimal(28,18)"))
+      .withColumn("rk", row_number().over(
+        wD.orderBy(col("score").desc, col("cand"))))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum(col("p")).as("denom"),
+        min(when(col("rk") === 1, col("cand"))).as("pred"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("conf", lit(1.0) / col("denom").cast("double"))
+      .withColumn("bucket",
+        least(floor(col("conf") * 10), lit(9.0)).cast("int"))
+    perDoc.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("conf").cast("decimal(28,18)")).as("cs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("ok"))
+      .select(col("bucket"), col("n"),
+        Fns.roundP(col("cs").cast("double") / col("n"), 6).as("mean_conf"),
+        Fns.roundP(col("ok").cast("double") / col("n"), 6).as("acc"))
+      .withColumn("gap", Fns.roundP(abs(col("mean_conf") - col("acc")), 6))
+      .orderBy("bucket")
+  }
+
+  // --------------------------------------------------------------------
   // Unigram-LM tokenizer training (Kudo 2018 — SentencePiece's other half)
   // --------------------------------------------------------------------
 
@@ -588,6 +646,7 @@ object ModelOps {
   val queries: Map[String, Q] = Map(
     "q_nb_lang"      -> qNbLang,
     "q_nb_metrics"   -> qNbMetrics,
+    "q_calibration"  -> qCalibration,
     "q_winnow"       -> qWinnow,
     "q_bpe_merges"   -> qBpeMerges,
     "q_bpe_tokenize" -> qBpeTokenize,
@@ -607,11 +666,10 @@ object ModelOps {
   private val sqlCandList =
     CorpusOps.LANGS.map(l => s"'$l'").mkString("[", ", ", "]")
 
-  /** The full NB train+score chain down to the (lang, pred, n) confusion
-    * matrix — shared by the q_nb_lang gate and the q_nb_metrics report
-    * so both engines derive metrics from the identical predictions. */
-  private def sqlNbConfusion: String =
-    s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
+  /** NB train+score CTE prelude down to the per-(doc, class) `fin` score
+    * frame — shared by the confusion chain and the calibration oracle. */
+  private def sqlNbPrelude: String =
+    s"""t AS (SELECT doc_id, lang, unnest($sqlToksLower) AS w FROM documents),
        |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
        |cw AS (SELECT lang AS cand, w, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
        |tl AS (SELECT cand, CAST(sum(c) AS BIGINT) AS tl FROM cw GROUP BY 1),
@@ -629,12 +687,45 @@ object ModelOps {
        |sc AS (SELECT tf.doc_id, term.cand, sum(term.s * CAST(tf.tf AS DECIMAL(9,0))) AS s
        |  FROM tf JOIN term ON tf.w = term.w GROUP BY 1, 2),
        |fin AS (SELECT sc.doc_id, sc.cand, sc.s + pri.lp AS score
-       |  FROM sc JOIN pri ON sc.cand = pri.cand),
+       |  FROM sc JOIN pri ON sc.cand = pri.cand)""".stripMargin
+
+  /** The full NB train+score chain down to the (lang, pred, n) confusion
+    * matrix — shared by the q_nb_lang gate and the q_nb_metrics report
+    * so both engines derive metrics from the identical predictions. */
+  private def sqlNbConfusion: String =
+    s"""WITH $sqlNbPrelude,
        |am AS (SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
        |  ORDER BY score DESC, cand) AS rk FROM fin)
        |SELECT d.lang, am.cand AS pred, count(*) AS n
        |FROM am JOIN documents d USING (doc_id) WHERE am.rk = 1
        |GROUP BY 1, 2""".stripMargin
+
+  /** Twin of [[qCalibration]]: same prelude, softmax via exp(score − max)
+    * with decimal-cast terms, confidence = 1/Σterms, decile buckets. */
+  private def sqlCalibration: String =
+    s"""WITH $sqlNbPrelude,
+       |scored AS (SELECT doc_id, cand, score,
+       |    max(score) OVER (PARTITION BY doc_id) AS m,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+       |  FROM fin),
+       |sp AS (SELECT doc_id, cand, rk,
+       |    CAST(exp(CAST(score - m AS DOUBLE)) AS DECIMAL(28,18)) AS p
+       |  FROM scored),
+       |pd AS (SELECT sp.doc_id, sum(sp.p) AS denom,
+       |    min(CASE WHEN sp.rk = 1 THEN sp.cand END) AS pred
+       |  FROM sp GROUP BY 1),
+       |cj AS (SELECT pd.doc_id, pd.pred, d.lang,
+       |    1.0::DOUBLE / CAST(pd.denom AS DOUBLE) AS conf
+       |  FROM pd JOIN documents d USING (doc_id)),
+       |bk AS (SELECT CAST(least(floor(conf * 10), 9.0::DOUBLE) AS INTEGER) AS bucket,
+       |    conf, (pred = lang) AS ok FROM cj),
+       |rep AS (SELECT bucket, count(*) AS n,
+       |    ${Fns.roundPSql("CAST(sum(CAST(conf AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_conf,
+       |    ${Fns.roundPSql("CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS acc
+       |  FROM bk GROUP BY 1)
+       |SELECT bucket, n, mean_conf, acc,
+       |  ${Fns.roundPSql("abs(mean_conf - acc)", 6)} AS gap
+       |FROM rep ORDER BY bucket""".stripMargin
 
   /** One unrolled BPE round: pair counts → argmax → fold-rewrite. The
     * fold is DuckDB's `list_reduce` with a space-joined string
@@ -774,6 +865,7 @@ object ModelOps {
     "q_unigram_lm" -> uniLmSql,
     "q_unigram_tokenize" -> uniTokenizeSql,
     "q_nb_lang" -> s"$sqlNbConfusion\nORDER BY 1, 2",
+    "q_calibration" -> sqlCalibration,
     // metrics from the SAME confusion chain; one integer-operand division
     // per ratio, nullif for never-predicted classes
     "q_nb_metrics" ->

@@ -169,6 +169,32 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got == expected, s"tokenize profile mismatch: $got vs $expected")
   }
 
+  test("q_calibration is consistent with the confusion matrix and bucket bounds") {
+    val conf = ModelOps.qNbLang(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cal = ModelOps.qCalibration(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // every scored doc lands in exactly one bucket
+    assert(cal.map(_._2).sum == conf.map(_._3).sum,
+      "bucket populations must sum to the scored-doc count")
+    // n-weighted accuracy over buckets equals overall accuracy from the
+    // confusion matrix (up to the per-bucket rounding of acc)
+    val okConf = conf.collect { case (l, p, n) if l == p => n }.sum
+    val okCal = cal.map { case (_, n, _, acc, _) => acc * n }.sum
+    assert(math.abs(okCal - okConf) < 0.01 * cal.length,
+      s"bucket-weighted accuracy $okCal vs confusion $okConf")
+    cal.foreach { case (b, n, mc, acc, gap) =>
+      assert(b >= 0 && b <= 9 && n > 0)
+      // mean confidence must live inside its decile (rounding eps)
+      assert(mc >= b / 10.0 - 1e-6 && mc <= (b + 1) / 10.0 + 1e-6,
+        s"mean_conf $mc outside bucket $b")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(gap - math.floor(math.abs(mc - acc) * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+    // softmax over 5 classes bounds confidence to [1/5, 1]
+    assert(cal.forall(_._1 >= 1), "confidence below the 5-class floor")
+  }
+
   /** Brute-force argmax over ALL segmentations of `w` into vocab pieces
     * (≤ UNI_MAXLEN chars), picking (score DESC, reversed length-sequence
     * lex DESC) — the exact order the DuckDB oracle's enumeration uses.
