@@ -1141,7 +1141,11 @@ object VectorOps {
     * over cores when the input parquet is a single small split; its
     * one-time N×D shuffle is ~1/D of the expansion volume, noise at any
     * scale.) */
-  val qPcaPower: Q = (s, d) => {
+  /** Trained PCA artifact shared by [[qPcaPower]] and [[qPcaScores]]:
+    * (mean vector, unit component, eigenvalue, trace). One distributed
+    * covariance pass, then the driver iteration. */
+  private[graft] def pcaComponent(s: SparkSession, d: String)
+      : (Array[Double], Array[Double], Double, Double) = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("v"))
@@ -1194,12 +1198,49 @@ object VectorOps {
       while (i < dim) { acc += cov(i)(i); i += 1 }
       acc
     }
+    (m, x, lastNorm, trace)
+  }
+
+  val qPcaPower: Q = (s, d) => {
+    import s.implicits._
+    val (_, x, eig, trace) = pcaComponent(s, d)
     x.toSeq.zipWithIndex.map { case (l, i) => (i + 1, l) }
       .toDF("pos", "loading")
       .select(col("pos"), Fns.roundP(col("loading"), 6).as("loading"),
-        Fns.roundP(lit(lastNorm), 6).as("eigval"),
-        Fns.roundP(lit(lastNorm / trace), 6).as("expl_var"))
+        Fns.roundP(lit(eig), 6).as("eigval"),
+        Fns.roundP(lit(eig / trace), 6).as("expl_var"))
       .orderBy("pos")
+  }
+
+  /** Apply side of [[qPcaPower]] — project every embedding onto the
+    * trained component and report per-label PC1 statistics (count, mean
+    * score, within-label standard deviation): the separability/collapse
+    * readout an embedding-QA pass publishes (labels that separate along
+    * PC1 mean the dominant variance is class structure; sd ≈ 0 flags a
+    * collapsed cluster). The projection is ONE broadcast-literal codegen
+    * scan — (v − m)·x with the DotProd left-to-right fold — and the
+    * stats are an O(labels) agg with decimal-cast score moments, so the
+    * report is corpus-order-free. */
+  val qPcaScores: Q = (s, d) => {
+    val (m, x, _, _) = pcaComponent(s, d)
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("label"),
+        VectorExprs.dotp(
+          zip_with(col("v"), typedLit(m.toSeq), (a, b) => a - b),
+          typedLit(x.toSeq)).as("sc"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sc").cast("decimal(28,18)")).as("s1"),
+        sum((col("sc") * col("sc")).cast("decimal(28,18)")).as("s2"))
+      .withColumn("mean_raw", col("s1").cast("double") / col("n"))
+      .withColumn("m2", col("s2").cast("double") / col("n"))
+      .select(col("label"), col("n"),
+        Fns.roundP(col("mean_raw"), 6).as("mean_pc1"),
+        Fns.roundP(sqrt(greatest(
+          col("m2") - col("mean_raw") * col("mean_raw"), lit(0.0))), 6)
+          .as("sd_pc1"))
+      .orderBy("label")
   }
 
   // --------------------------------------------------------------------
@@ -1277,6 +1318,7 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "q_pca_power"      -> qPcaPower,
+    "q_pca_scores"     -> qPcaScores,
     "q_mmr_select"     -> qMmrSelect,
     "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
@@ -1472,7 +1514,7 @@ object VectorOps {
     * 2^ITERS re-evaluations of the chain — measured as "Too many open
     * files" at ITERS=12 before the hints. Materializing rw/y_k/x_k makes
     * the chain linear, which is also what the driver loop executes. */
-  private val sqlPca: String = {
+  private val sqlPcaCtes: String = {
     def round(k: Int): String =
       s"""y$k AS MATERIALIZED (SELECT r.i, list_sum(list_transform(range(1, len(r.rw)+1),
          |    j -> r.rw[j] * x.xl[j])) AS yi FROM rws r, x${k - 1} x),
@@ -1481,12 +1523,13 @@ object VectorOps {
          |x$k AS MATERIALIZED (SELECT list_transform(yy.yl, z -> z / n$k.nrm) AS xl
          |  FROM (SELECT list(yi ORDER BY i) AS yl FROM y$k) yy, n$k)""".stripMargin
     val rounds = (1 to PCA_ITERS).map(round).mkString(",\n")
-    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
        |nn AS (SELECT count(*) AS n FROM e),
        |dd AS (SELECT len(v) AS d FROM e LIMIT 1),
        |msum AS (SELECT t.i, CAST(sum(CAST(v[t.i] AS DECIMAL(18,12))) AS DOUBLE) AS sx
        |  FROM e, unnest(range(1, len(v)+1)) AS t(i) GROUP BY t.i),
        |mm AS (SELECT i, sx / (SELECT n FROM nn) AS mi FROM msum),
+       |ml AS (SELECT list(mi ORDER BY i) AS ml FROM mm),
        |px AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM e),
        |py AS (SELECT v, i, unnest(range(i, len(v)+1)) AS j FROM px),
        |pu AS (SELECT i, j, CAST(sum(CAST(v[i] * v[j] AS DECIMAL(18,12))) AS DOUBLE) AS sxy
@@ -1499,17 +1542,39 @@ object VectorOps {
        |    z -> 1.0::DOUBLE / sqrt(CAST(d AS DOUBLE))) AS xl FROM dd),
        |$rounds,
        |tr AS (SELECT list_sum(dg) AS t
-       |  FROM (SELECT list(c ORDER BY i) AS dg FROM cf WHERE i = j))
+       |  FROM (SELECT list(c ORDER BY i) AS dg FROM cf WHERE i = j))""".stripMargin
+  }
+
+  private val sqlPca: String =
+    s"""WITH $sqlPcaCtes
        |SELECT CAST(t.i AS INTEGER) AS pos,
        |  ${Fns.roundPSql("x.xl[t.i]", 6)} AS loading,
        |  ${Fns.roundPSql(s"n$PCA_ITERS.nrm", 6)} AS eigval,
        |  ${Fns.roundPSql(s"n$PCA_ITERS.nrm / tr.t", 6)} AS expl_var
        |FROM x$PCA_ITERS x, unnest(range(1, len(x.xl)+1)) AS t(i), n$PCA_ITERS, tr
        |ORDER BY pos""".stripMargin
-  }
+
+  /** Twin of [[qPcaScores]]: same trained-component chain, then one
+    * centered-dot projection per row and an O(labels) moment agg. */
+  private val sqlPcaScores: String =
+    s"""WITH $sqlPcaCtes,
+       |cl AS (SELECT e2.label, list_transform(range(1, len(e2.v)+1),
+       |    i -> e2.v[i] - ml.ml[i]) AS cv
+       |  FROM (SELECT embedding::DOUBLE[] AS v, label FROM embeddings) e2, ml),
+       |sj AS (SELECT label, list_sum(list_transform(range(1, len(cv)+1),
+       |    j -> cv[j] * x.xl[j])) AS sc FROM cl, x$PCA_ITERS x),
+       |ag AS (SELECT label, count(*) AS n,
+       |    CAST(sum(CAST(sc AS DECIMAL(28,18))) AS DOUBLE) / count(*) AS mean_raw,
+       |    CAST(sum(CAST(sc * sc AS DECIMAL(28,18))) AS DOUBLE) / count(*) AS m2
+       |  FROM sj GROUP BY 1)
+       |SELECT label, n,
+       |  ${Fns.roundPSql("mean_raw", 6)} AS mean_pc1,
+       |  ${Fns.roundPSql("sqrt(greatest(m2 - mean_raw * mean_raw, 0.0::DOUBLE))", 6)} AS sd_pc1
+       |FROM ag ORDER BY label""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_pca_power" -> sqlPca,
+    "q_pca_scores" -> sqlPcaScores,
     "q_mmr_select" -> sqlMmr,
     // covariance: index table from unnest(range(max len)) so the dim is
     // data-derived (no hardcoded D to go stale on regeneration)

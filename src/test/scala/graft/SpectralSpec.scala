@@ -102,4 +102,26 @@ class SpectralSpec extends AnyFunSuite {
     assert(expl > 0.0 && expl <= 1.0)
     assert(math.abs(expl - eig / trace) < 1e-4, s"expl_var inconsistent: $expl")
   }
+
+  test("q_pca_scores moments are consistent with the trained eigenpair") {
+    // Cross-gate invariants that hold regardless of the component's sign:
+    // scores are (v - m)·x, so the GLOBAL score mean is 0 (centering) and
+    // the pooled variance Σ n_l (sd_l² + mean_l²)/N − mean² is xᵀCx = the
+    // eigenvalue q_pca_power reports. Label partition must be exhaustive.
+    val rows = graft.operators.VectorOps.qPcaScores(spark, sfDir).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total, "per-label counts must partition the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(_._4 >= 0.0), "sd must be non-negative")
+    val n = total.toDouble
+    val gMean = rows.map(r => r._2 * r._3).sum / n
+    assert(math.abs(gMean) < 1e-4, s"centered scores must have ~0 mean: $gMean")
+    val pooledVar =
+      rows.map(r => r._2 * (r._4 * r._4 + r._3 * r._3)).sum / n - gMean * gMean
+    val eig = graft.operators.VectorOps.qPcaPower(spark, sfDir)
+      .collect().head.getDouble(2)
+    assert(math.abs(pooledVar - eig) / eig < 1e-3,
+      s"pooled PC1 variance $pooledVar must equal the eigenvalue $eig")
+  }
 }
