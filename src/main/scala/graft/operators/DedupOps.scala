@@ -301,6 +301,38 @@ object DedupOps {
       .orderBy(col("rank_h"), col("doc_id"))
       .limit(UNIFORM_K)
 
+  /** Exact sample size for [[qWeightedSample]]. */
+  val WEIGHTED_K = 100
+
+  /** EXACT-K weighted sample without replacement (Efraimidis–Spirakis
+    * 2006) — inclusion probability ∝ token count, the "sample by token
+    * budget, not by document count" selection a training mix needs when
+    * document lengths span decades. Each doc draws its deterministic
+    * uniform u = (hash32+0.5)/2³² and is ranked by the ES key u^(1/w);
+    * the top K keys are the sample. The implementation ranks by the
+    * order-equivalent ln(u)/w (descending) so the only transcendental is
+    * `ln`, which the engines' libm agree on bit-for-bit (PERF.md exp/ln
+    * parity note) — `pow` with a fractional exponent would not be safe.
+    * Zero-token docs are excluded (their inclusion weight is 0 and the
+    * key is undefined).
+    *
+    * Scale posture: same as [[qUniformK]] — a zero-shuffle scan into
+    * TakeOrderedAndProject (per-partition K-heaps, K-row driver merge);
+    * the tokenize-and-count weight derivation is row-local, so at 100 TB
+    * the whole selection is one pass over the corpus. */
+  val qWeightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("w"),
+        ((Fns.hash32(concat(lit("wes_"), col("doc_id").cast("string")))
+          .cast("double") + lit(0.5)) / lit(graft.functions.Kmv.HASH_SPACE)).as("u"))
+      .filter(col("w") > 0)
+      .withColumn("es_key", log(col("u")) / col("w").cast("double"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(WEIGHTED_K)
+      .select(col("doc_id"), col("source"), col("w"),
+        Fns.roundP(col("es_key"), 6).as("es_key"))
+
   /** Corpus-mix budget: keep ~MIX_NUM/MIX_DEN of the MEAN per-source token
     * total from every source. */
   val MIX_NUM = 6L
@@ -849,6 +881,7 @@ object DedupOps {
     "q_dedup_clusters"    -> qDedupClusters,
     "q_stratified_sample" -> qStratifiedSample,
     "q_uniform_k"         -> qUniformK,
+    "q_weighted_sample"   -> qWeightedSample,
     "q_corpus_mix"        -> qCorpusMix,
     "q_temperature_sample" -> qTemperatureSample,
     "q_jaccard_pairs"     -> qJaccardPairs,
@@ -1070,6 +1103,15 @@ object DedupOps {
       s"""SELECT doc_id, source,
          |  ${sqlHash32("'uni_' || CAST(doc_id AS VARCHAR)")} AS rank_h
          |FROM documents ORDER BY rank_h, doc_id LIMIT $UNIFORM_K""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len(${TextOps.sqlTokens}) AS BIGINT) AS w,
+         |    (CAST(${sqlHash32("'wes_' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+         |      / ${graft.functions.Kmv.HASH_SPACE} AS u
+         |  FROM documents)
+         |SELECT doc_id, source, w, ${Fns.roundPSql("ln(u) / CAST(w AS DOUBLE)", 6)} AS es_key
+         |FROM t WHERE w > 0
+         |ORDER BY ln(u) / CAST(w AS DOUBLE) DESC, doc_id LIMIT $WEIGHTED_K""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len(${TextOps.sqlTokens}) AS BIGINT) AS n_toks

@@ -108,6 +108,96 @@ object SketchOps {
         col("n_overlap_hashes"))
   }
 
+  /** HyperLogLog geometry: 2^[[HLL_P]] registers over the top [[HLL_P]]
+    * bits of [[Fns.hash32]]; the remaining [[HLL_BITS]] bits feed the
+    * leading-zero rank. p=10 is the classic 1.04/√m ≈ 3.2% regime. */
+  val HLL_P = 10
+  val HLL_M = 1 << HLL_P            // 1024 registers
+  val HLL_BITS = 32 - HLL_P         // 22-bit rank suffix
+  /** α_m·m² for the raw estimate (Flajolet et al. 2007, m ≥ 128 branch).
+    * Computed once here and embedded as the SAME double literal in both
+    * engines (shortest round-trip repr parses to identical bits). */
+  val HLL_ALPHA_M2: Double = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+  /** Raw-estimate thresholds: small-range below 2.5m, large-range above
+    * 2^32/30 — both exact doubles, so the branch taken is engine-free. */
+  val HLL_SMALL: Double = 2.5 * HLL_M
+  val HLL_LARGE: Double = Kmv.HASH_SPACE / 30.0
+
+  /** HyperLogLog distinct (user, day) pairs per event type — the same
+    * workload as [[qKmvDistinct]] under the OTHER classic cardinality
+    * sketch, so the two estimators' error is comparable row-for-row.
+    * Spark's own `approx_count_distinct` is HLL++ with an engine-private
+    * register layout (not oracle-gateable); this is from-scratch classic
+    * HLL over [[Fns.hash32]], and every step is deterministic: registers
+    * are max-rank per bucket of a FIXED hash set (order/partition-free),
+    * the indicator sum Σ2^-r is dyadic-exact in double (common
+    * denominator 2^22+1 bits, far under the 53-bit mantissa — float
+    * addition never rounds, so no decimal cast is needed or wanted:
+    * decimal(18,12) would truncate 2^-23), and the correction branches
+    * compare identical doubles. Reports the exact distinct-hash count and
+    * the zero-register count beside the estimate, pinning the sketch's
+    * input, its correction regime, and its error.
+    *
+    * Scale posture: after the distinct pre-pass, state is a FIXED m=1024
+    * integers per group regardless of input size — map-side max-combine
+    * per (group, bucket), then an O(m) final fold. The mergeable-register
+    * HLL shape (union = element-wise max) is what production systems ship
+    * across executors instead of raw keys. */
+  /** (group, bucket, r) registers from a (group, h) hash frame — max-rank
+    * per bucket, the mergeable HLL state (union = element-wise max).
+    * Shared by the gate and the streaming cardinality monitor so the
+    * register math cannot diverge between them. */
+  private[graft] def hllRegisters(h: DataFrame, group: String): DataFrame =
+    h.select(col(group), shiftright(col("h"), HLL_BITS).as("bucket"),
+        col("h").bitwiseAND(lit((1L << HLL_BITS) - 1)).as("w"))
+      // rank of the leftmost set bit of the 22-bit suffix, 1-based; w=0
+      // falls out naturally: ltrim(bin(0)) = "" on both engines → 23
+      .withColumn("r", lit(HLL_BITS + 1) - length(ltrim(bin(col("w")), "0")))
+      .groupBy(col(group), col("bucket")).agg(max("r").as("r"))
+
+  /** (group, v_zero, hll_raw) estimate from a register frame: Σ2^-r over
+    * present registers (absent = 2^0 each), α·m²/sum raw estimate, and
+    * the Flajolet small/large-range corrections. Unrounded — callers
+    * apply [[Fns.roundP]] at their reporting edge. */
+  private[graft] def hllEstimate(regs: DataFrame, group: String): DataFrame =
+    regs.groupBy(col(group))
+      .agg(count(lit(1)).as("npres"),
+        // 2^-r as exact integer shift + exact dyadic division (the
+        // functions API's shiftleft takes a literal bit count, hence expr)
+        sum(lit(1.0) /
+          expr("cast(shiftleft(cast(1 as bigint), cast(r as int)) as double)"))
+          .as("psum"))
+      .withColumn("v_zero", (lit(HLL_M.toLong) - col("npres")))
+      .withColumn("e_raw",
+        lit(HLL_ALPHA_M2) / (col("psum") + col("v_zero").cast("double")))
+      .withColumn("hll_raw",
+        when(col("e_raw") <= lit(HLL_SMALL) && col("v_zero") > 0,
+          lit(HLL_M.toDouble) * log(lit(HLL_M.toDouble) / col("v_zero").cast("double")))
+        .when(col("e_raw") > lit(HLL_LARGE),
+          lit(-Kmv.HASH_SPACE) * log(lit(1.0) - col("e_raw") / lit(Kmv.HASH_SPACE)))
+        .otherwise(col("e_raw")))
+      .select(col(group), col("v_zero"), col("hll_raw"))
+
+  /** The gate's (event_type, h) distinct-hash frame — also the streaming
+    * monitor's per-batch input shape. */
+  private[graft] def hllHashes(df: DataFrame): DataFrame = {
+    val day = floor(unix_micros(col("ts")) / lit(DAY_US)).cast("string")
+    df.select(col("event_type"),
+        Fns.hash32(concat(col("user_id").cast("string"), lit("_"), day)).as("h"))
+      .distinct()
+  }
+
+  val qHllDistinct: Q = (s, d) => {
+    val h = hllHashes(Tables.events(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = hllEstimate(hllRegisters(h, "event_type"), "event_type")
+    val exact = h.groupBy("event_type").agg(count(lit(1)).as("n_distinct_hashes"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_distinct_hashes"), col("v_zero"),
+        Fns.roundP(col("hll_raw"), 4).as("hll_est"))
+      .orderBy("event_type")
+  }
+
   /** Count-Min sketch geometry: [[CMS_D]] hash rows × [[CMS_W]] counters.
     * Affine-mod hashes over [[graft.functions.Fns.hash32]] with the same
     * Mersenne modulus the minhash family uses, so both engines compute the
@@ -167,6 +257,7 @@ object SketchOps {
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap"  -> qKmvOverlap,
     "q_cms_topk"     -> qCmsTopk,
+    "q_hll_distinct" -> qHllDistinct,
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +302,37 @@ object SketchOps {
              "CAST((SELECT c FROM inter) AS DOUBLE) / CAST((SELECT c FROM un) AS DOUBLE)", 4)}
          |    ELSE NULL END AS kmv_jaccard_est,
          |  (SELECT c FROM ex) AS n_overlap_hashes""".stripMargin,
+    "q_hll_distinct" -> {
+      // identical register math in integer arithmetic; the α·m² and
+      // threshold doubles are embedded from the same Scala constants
+      // (shortest round-trip repr → identical bits after parse)
+      val mask = (1L << HLL_BITS) - 1
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+         |      CAST(CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / $DAY_US) AS BIGINT) AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM events),
+         |b AS (SELECT event_type, h >> $HLL_BITS AS bucket, h & $mask AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |        max(${HLL_BITS + 1} - length(ltrim(bin(w), '0'))) AS r
+         |      FROM b GROUP BY 1, 2),
+         |a AS (SELECT event_type, count(*) AS npres,
+         |        sum(1.0::DOUBLE / CAST(1::BIGINT << r AS DOUBLE)) AS psum
+         |      FROM r GROUP BY 1),
+         |ex AS (SELECT event_type, count(*) AS n_distinct_hashes FROM h GROUP BY 1),
+         |f AS (SELECT a.event_type, ex.n_distinct_hashes,
+         |        CAST($HLL_M - npres AS BIGINT) AS v_zero,
+         |        $HLL_ALPHA_M2 / (psum + CAST($HLL_M - npres AS DOUBLE)) AS e_raw
+         |      FROM a JOIN ex USING (event_type))
+         |SELECT event_type, n_distinct_hashes, v_zero,
+         |  ${Fns.roundPSql(
+             s"""CASE WHEN e_raw <= $HLL_SMALL AND v_zero > 0
+                |    THEN ${HLL_M.toDouble} * ln(${HLL_M.toDouble} / CAST(v_zero AS DOUBLE))
+                |    WHEN e_raw > $HLL_LARGE
+                |    THEN -${Kmv.HASH_SPACE} * ln(1.0::DOUBLE - e_raw / ${Kmv.HASH_SPACE})
+                |    ELSE e_raw END""".stripMargin, 4)} AS hll_est
+         |FROM f ORDER BY event_type""".stripMargin
+    },
     "q_cms_topk" -> {
       val toksLower = TextOps.sqlTokensLower
       def bucket(hExpr: String, i: Int) =

@@ -395,4 +395,46 @@ object EventStream {
       }
       .toDF()
   }
+
+  /** Streaming CARDINALITY MONITOR — the production form of
+    * [[graft.operators.SketchOps.qHllDistinct]]: cumulative distinct
+    * (user, day) pairs per event type as every ingest batch arrives,
+    * carried as HLL REGISTERS instead of raw keys. Each micro-batch
+    * writes its own (group, bucket, max-rank) registers to a register
+    * store keyed by batch id, then the cumulative estimate is read off
+    * the element-wise max of all registers ≤ this batch — HLL union is
+    * exactly that max, which is what makes the sketch the streaming
+    * answer where exact distinct-state grows with the key space. Register
+    * math and estimator are the gate's own [[SketchOps.hllRegisters]] /
+    * [[SketchOps.hllEstimate]], so monitor and gate cannot diverge.
+    *
+    * Exactly-once: per-batch overwrite dirs + a read bounded at ≤ bid
+    * (the [[graft.streaming.CorpusIngest.startDriftMonitor]] protocol) —
+    * a replayed batch recomputes byte-identical registers and report.
+    * State is bounded by construction: ≤ m=1024 rows per (group, batch),
+    * never keys. */
+  def startCardinalityMonitor(s: SparkSession, srcDir: String, regDir: String,
+                              reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SketchOps
+    rawEvents(s, srcDir, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        SketchOps.hllRegisters(SketchOps.hllHashes(batch), "event_type")
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$regDir/batch=$bid")
+        val merged = spark.read.parquet(regDir)
+          .filter(col("batch_id") <= bid)
+          .groupBy("event_type", "bucket").agg(max("r").as("r"))
+        SketchOps.hllEstimate(merged, "event_type")
+          .select(col("event_type"), col("v_zero"),
+            graft.functions.Fns.roundP(col("hll_raw"), 4).as("hll_est"))
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$bid")
+      }
+      .start()
+  }
 }

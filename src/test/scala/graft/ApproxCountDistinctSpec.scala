@@ -63,4 +63,52 @@ class ApproxCountDistinctSpec extends AnyFunSuite {
       info(f"$typ: exact=$ex kmv=$est%.0f rel=${rel}%.4f (bound $kmvBound%.3f)")
     }
   }
+
+  test("q_hll_distinct matches a from-scratch register mirror and its error bound") {
+    // independent path: collect the distinct (event_type, hash32) pairs and
+    // run classic HLL in plain Scala Maps — registers, dyadic sum, and the
+    // correction branches recomputed with no shared code — then the gate
+    // must agree exactly on v_zero and on the estimate to its 4-dp round
+    val day = floor(unix_micros(col("ts")) / lit(SketchOps.DAY_US)).cast("string")
+    val hs = Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Fns.hash32(
+          concat(col("user_id").cast("string"), lit("_"), day)).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val m = SketchOps.HLL_M
+    val mirror = hs.groupBy(_._1).map { case (typ, rows) =>
+      val regs = scala.collection.mutable.Map.empty[Long, Int]
+      rows.foreach { case (_, h) =>
+        val bucket = h >> SketchOps.HLL_BITS
+        val w = h & ((1L << SketchOps.HLL_BITS) - 1)
+        val r = SketchOps.HLL_BITS + 1 -
+          (if (w == 0) 0 else java.lang.Long.toBinaryString(w).length)
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0), r)
+      }
+      val v = m - regs.size
+      val sum = regs.values.map(r => 1.0 / (1L << r)).sum + v.toDouble
+      val eRaw = SketchOps.HLL_ALPHA_M2 / sum
+      val est =
+        if (eRaw <= SketchOps.HLL_SMALL && v > 0) m * math.log(m.toDouble / v)
+        else if (eRaw > SketchOps.HLL_LARGE)
+          -graft.functions.Kmv.HASH_SPACE * math.log(1.0 - eRaw / graft.functions.Kmv.HASH_SPACE)
+        else eRaw
+      typ -> (rows.length.toLong, v.toLong, est)
+    }
+    val got = SketchOps.qHllDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == mirror.keySet)
+    for ((typ, nHash, vZero, est) <- got) {
+      val (mN, mV, mEst) = mirror(typ)
+      assert(nHash == mN, s"$typ: distinct-hash count $nHash vs mirror $mN")
+      assert(vZero == mV, s"$typ: zero registers $vZero vs mirror $mV")
+      assert(math.abs(est - mEst) < 5e-5 + 1e-9 * math.abs(mEst),
+        s"$typ: estimate $est vs mirror $mEst")
+      // estimator quality: 4× the 1.04/√m standard error
+      val rel = math.abs(est - nHash) / nHash
+      assert(rel <= 4 * 1.04 / math.sqrt(m.toDouble),
+        s"$typ: HLL estimate $est vs exact-ish $nHash — rel err $rel")
+      info(f"$typ: exact=$nHash hll=$est%.1f v=$vZero rel=$rel%.4f")
+    }
+  }
 }

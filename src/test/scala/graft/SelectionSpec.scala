@@ -99,4 +99,29 @@ class SelectionSpec extends AnyFunSuite {
     // the metric must discriminate on this corpus: not all docs fully novel
     assert(got.exists(_._5 < 1.0), "no memorized grams found at all — width mis-tuned")
   }
+
+  test("q_weighted_sample is the exact ES top-K of an independent mirror") {
+    // independent path: MD5 via MessageDigest, keys as u^(1/w) with
+    // math.pow — the gate ranks by ln(u)/w, and ES's whole point is that
+    // the two orderings are identical; membership AND order must agree
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = docs.map { case (id, t) =>
+      val w = toks(t).length
+      val u = (hash32(s"wes_$id").toDouble + 0.5) / 4294967296.0
+      (id, w.toLong, math.pow(u, 1.0 / w))
+    }.filter(_._2 > 0)
+    val expect = keyed.sortBy { case (id, _, k) => (-k, id) }
+      .take(DedupOps.WEIGHTED_K).map(t => (t._1, t._2)).toSeq
+    val got = DedupOps.qWeightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == expect, "ES top-K membership/order diverged from the mirror")
+    // weighting must bite: the sample's mean token count exceeds the
+    // corpus mean (long docs over-selected by construction)
+    val corpusMean = keyed.map(_._2).sum.toDouble / keyed.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean — weights ignored")
+  }
 }

@@ -352,4 +352,51 @@ class StreamingSpec extends AnyFunSuite {
       "every row fell through to unknown — dim join broken")
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming HLL cardinality monitor converges to the batch gate, bounded state, exact replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hllmon")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val (regs, report) = (s"$root/regs", s"$root/report")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def writeAsFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      val part = Iterator.continually(f).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    // two half-corpus deliveries; the monitor's cumulative estimate after
+    // the second must equal the BATCH gate over the whole table — HLL
+    // union (element-wise register max) makes the split invisible
+    writeAsFile(raw.filter(col("event_id") % 2 === 0), "b0.parquet")
+    writeAsFile(raw.filter(col("event_id") % 2 === 1), "b1.parquet")
+    def run(ck: String): Unit = {
+      val q = EventStream.startCardinalityMonitor(spark, src, regs, report, ck)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    run(s"$root/ckpt")
+    val rep = spark.read.parquet(report).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("v_zero"), r.getAs[Double]("hll_est")))
+    assert(rep.map(_._1).toSet == Set(0L, 1L), s"two batches expected: ${rep.map(_._1).toSet}")
+    val lastRep = rep.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).sorted.toSeq
+    val gate = operators.SketchOps.qHllDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(lastRep == gate,
+      s"cumulative streamed estimate must equal the batch gate:\n$lastRep\nvs\n$gate")
+    // register store is sketch-bounded: ≤ m rows per (event_type, batch)
+    val regCounts = spark.read.parquet(regs)
+      .groupBy("batch_id", "event_type").count().collect().map(_.getLong(2))
+    assert(regCounts.forall(_ <= operators.SketchOps.HLL_M),
+      "register store exceeded m rows per group — storing keys, not registers?")
+    // exact replay: wipe ONLY the checkpoint; both files re-deliver with
+    // the same batch ids and must overwrite byte-identical rows
+    val before = spark.read.parquet(report).collect().map(_.toString).sorted
+    run(s"$root/ckpt2")
+    val after = spark.read.parquet(report).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "replay must recompute identical reports")
+  }
 }
