@@ -128,7 +128,19 @@ object ScaleProbe {
     "q_pca_power",           // one D²-expansion covariance pass; power
                              // iteration rides the collected D×D matrix
                              // (embeddings)
-    "q_char_entropy")        // char explode + two keyed aggs, all codegen
+    "q_char_entropy",        // char explode + two keyed aggs, all codegen
+                             // (documents)
+    "q_calibration",         // (doc,token,tf) collapse + vocab broadcast
+                             // scores + O(bins) reliability agg (documents)
+    "q_pca_scores",          // covariance pass + ONE broadcast-literal
+                             // projection scan + O(labels) moment agg
+                             // (embeddings)
+    "q_hll_distinct",        // distinct pre-pass + fixed 2^p-register
+                             // max-agg, O(m) final fold (events)
+    "q_weighted_sample",     // zero-shuffle tokenize scan + TakeOrdered
+                             // K-heap merge (documents)
+    "q_auc")                 // NB broadcast scoring + (class, score)
+                             // count agg + distinct-score prefix window
                              // (documents)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set

@@ -447,6 +447,58 @@ object ModelOps {
       .orderBy("bucket")
   }
 
+  /** One-vs-rest ROC-AUC per class for the NB classifier — the
+    * threshold-free ranking-quality readout beside [[qCalibration]]'s
+    * probability-quality one (a filter can rank well and still be
+    * miscalibrated, and vice versa). Score = the class's softmax
+    * posterior; AUC is the tie-corrected Mann–Whitney statistic
+    * U = Σ_p (negBelow(p)·pos(p) + pos(p)·neg(p)/2) over DISTINCT score
+    * values p ascending, so the arithmetic is INTEGER-exact until the one
+    * final division (doubled to keep the half-credit term integral:
+    * AUC = U2 / (2·P·N)).
+    *
+    * Scale posture: scoring is the NB broadcast chain; the rank pass then
+    * collapses to (class, score) COUNTS first — one keyed agg — and the
+    * prefix-sum window rides the distinct-score frame, which is bounded
+    * by score collisions (ties), not by the corpus; at 100 TB the
+    * standard tightening is score-bucketing, which this dataflow admits
+    * by coarsening p before the count agg. Docs with no in-vocabulary
+    * tokens have no score rows and are excluded identically on both
+    * engines (the [[qNbLang]] discipline). */
+  val qAuc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = nbTokenTf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val (term, pri) = nbModelFromTf(s, tf, docs)
+    val fin = nbScores(tf.select("doc_id", "w", "tf"), term, pri)
+    val wD = Window.partitionBy("doc_id")
+    val probs = fin
+      .withColumn("m", max(col("score")).over(wD))
+      .withColumn("e", exp((col("score") - col("m")).cast("double"))
+        .cast("decimal(28,18)"))
+      .withColumn("denom", sum(col("e")).over(wD))
+      .select(col("doc_id"), col("cand"),
+        (col("e").cast("double") / col("denom").cast("double")).as("p"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("pos", (col("lang") === col("cand")).cast("long"))
+    val counts = probs.groupBy("cand", "p")
+      .agg(sum(col("pos")).as("pos_n"),
+        (count(lit(1)) - sum(col("pos"))).as("neg_n"))
+    val wP = Window.partitionBy("cand").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("neg_below", coalesce(sum(col("neg_n")).over(wP), lit(0L)))
+      .groupBy("cand")
+      .agg(sum(col("pos_n")).as("n_pos"), sum(col("neg_n")).as("n_neg"),
+        sum(lit(2L) * col("neg_below") * col("pos_n") +
+          col("pos_n") * col("neg_n")).as("u2"))
+      .select(col("cand"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          Fns.roundP(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+      .orderBy("cand")
+  }
+
   // --------------------------------------------------------------------
   // Unigram-LM tokenizer training (Kudo 2018 — SentencePiece's other half)
   // --------------------------------------------------------------------
@@ -647,6 +699,7 @@ object ModelOps {
     "q_nb_lang"      -> qNbLang,
     "q_nb_metrics"   -> qNbMetrics,
     "q_calibration"  -> qCalibration,
+    "q_auc"          -> qAuc,
     "q_winnow"       -> qWinnow,
     "q_bpe_merges"   -> qBpeMerges,
     "q_bpe_tokenize" -> qBpeTokenize,
@@ -726,6 +779,37 @@ object ModelOps {
        |SELECT bucket, n, mean_conf, acc,
        |  ${Fns.roundPSql("abs(mean_conf - acc)", 6)} AS gap
        |FROM rep ORDER BY bucket""".stripMargin
+
+  /** Twin of [[qAuc]]: same prelude and softmax, then the integer
+    * Mann–Whitney prefix-sum over (class, distinct score) counts. */
+  private def sqlAuc: String =
+    s"""WITH $sqlNbPrelude,
+       |scored AS (SELECT doc_id, cand, score,
+       |    max(score) OVER (PARTITION BY doc_id) AS m FROM fin),
+       |sp AS (SELECT doc_id, cand,
+       |    CAST(exp(CAST(score - m AS DOUBLE)) AS DECIMAL(28,18)) AS e
+       |  FROM scored),
+       |pd AS (SELECT doc_id, sum(e) AS denom FROM sp GROUP BY 1),
+       |pr AS (SELECT sp.cand, CAST(sp.e AS DOUBLE) / CAST(pd.denom AS DOUBLE) AS p,
+       |    CASE WHEN d.lang = sp.cand THEN 1 ELSE 0 END AS pos
+       |  FROM sp JOIN pd USING (doc_id) JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT cand, p, CAST(sum(pos) AS BIGINT) AS pos_n,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS neg_n
+       |  FROM pr GROUP BY 1, 2),
+       |pf AS (SELECT cand, pos_n, neg_n,
+       |    COALESCE(sum(neg_n) OVER (PARTITION BY cand ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM cnt),
+       |ag AS (SELECT cand, CAST(sum(pos_n) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg_n) AS BIGINT) AS n_neg,
+       |    CAST(sum(2 * neg_below * pos_n + pos_n * neg_n) AS BIGINT) AS u2
+       |  FROM pf GROUP BY 1)
+       |SELECT cand, n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ${Fns.roundPSql(
+             "CAST(u2 AS DOUBLE) / (2.0::DOUBLE * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))", 6)}
+       |  END AS auc
+       |FROM ag ORDER BY cand""".stripMargin
 
   /** One unrolled BPE round: pair counts → argmax → fold-rewrite. The
     * fold is DuckDB's `list_reduce` with a space-joined string
@@ -866,6 +950,7 @@ object ModelOps {
     "q_unigram_tokenize" -> uniTokenizeSql,
     "q_nb_lang" -> s"$sqlNbConfusion\nORDER BY 1, 2",
     "q_calibration" -> sqlCalibration,
+    "q_auc" -> sqlAuc,
     // metrics from the SAME confusion chain; one integer-operand division
     // per ratio, nullif for never-predicted classes
     "q_nb_metrics" ->

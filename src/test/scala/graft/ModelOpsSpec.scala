@@ -195,6 +195,56 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(cal.forall(_._1 >= 1), "confidence below the 5-class floor")
   }
 
+  test("q_auc equals the brute-force pairwise Mann-Whitney on collected posteriors") {
+    // independent path: rebuild each class's (posterior, is-class) list
+    // from the gate's own probability dataflow is NOT allowed — instead
+    // recompute posteriors from nbScores directly, then brute-force
+    // compare every (pos, neg) pair with explicit half-credit ties
+    val docs = Tables.documents(spark, sfDir)
+    val tf = ModelOps.nbTokenTf(docs)
+    val (term, pri) = ModelOps.nbModelFromTf(spark, tf, docs)
+    val fin = ModelOps.nbScores(tf.select("doc_id", "w", "tf"), term, pri)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDecimal(2)))
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = fin.groupBy(_._1)
+    val probs = byDoc.toSeq.flatMap { case (did, rows) =>
+      val m = rows.map(_._3.doubleValue).max
+      val es = rows.map { case (_, c, sc) =>
+        // mirror the gate's decimal(28,18) round of each exp term
+        val e = BigDecimal(math.exp(sc.doubleValue - m))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        (c, e)
+      }
+      val denom = es.map(_._2).sum
+      es.map { case (c, e) =>
+        (c, (e / denom).toDouble * 1.0, langOf(did) == c)
+      }
+    }
+    // note: mirror divides BigDecimals then toDouble; the gate divides
+    // doubles — agreement is asserted to AUC's 6-dp round, not bitwise
+    val got = ModelOps.qAuc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for ((cand, nPos, nNeg, auc) <- got) {
+      val cls = probs.filter(_._1 == cand)
+      val pos = cls.filter(_._3).map(_._2)
+      val neg = cls.filterNot(_._3).map(_._2)
+      assert(pos.length == nPos && neg.length == nNeg,
+        s"$cand: class sizes ${pos.length}/${neg.length} vs gate $nPos/$nNeg")
+      val u = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val expect = u / (pos.length.toDouble * neg.length)
+      assert(math.abs(auc - expect) < 2e-5,
+        s"$cand: AUC $auc vs brute-force $expect")
+      // better than chance for every class: the synthetic languages share
+      // most of a ~30-word vocabulary (q_nb_metrics recall 9–87%), so the
+      // honest ranking quality is 0.64–0.71 — the bar is chance, not 0.9
+      assert(auc > 0.5, s"$cand: AUC $auc no better than chance")
+    }
+    assert(got.length == graft.operators.CorpusOps.LANGS.length)
+    assert(got.exists(_._4 > 0.6), "every class at chance — scoring broken?")
+  }
+
   /** Brute-force argmax over ALL segmentations of `w` into vocab pieces
     * (≤ UNI_MAXLEN chars), picking (score DESC, reversed length-sequence
     * lex DESC) — the exact order the DuckDB oracle's enumeration uses.
