@@ -139,9 +139,12 @@ object ScaleProbe {
                              // max-agg, O(m) final fold (events)
     "q_weighted_sample",     // zero-shuffle tokenize scan + TakeOrdered
                              // K-heap merge (documents)
-    "q_auc")                 // NB broadcast scoring + (class, score)
+    "q_auc",                 // NB broadcast scoring + (class, score)
                              // count agg + distinct-score prefix window
                              // (documents)
+    "q_ann_recall")          // brute probe-set eval + cell-routed pruned
+                             // scan, both top-k as WindowGroupLimit
+                             // (embeddings)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

@@ -1036,6 +1036,70 @@ object VectorOps {
       .orderBy("query_id", "rn")
   }
 
+  /** Fixed probe budget for [[qAnnRecall]] — the eval's brute-force side
+    * must not grow with the corpus. */
+  val AR_QUERIES = 64
+
+  /** ANN QUALITY EVAL — per-query recall@[[TOPK]] of the IVF route
+    * against exact brute force over the [[qKnnJoin]] probe set: the
+    * measurement a pipeline runs before trusting an approximate index
+    * (the nprobe-vs-recall tuning readout), here pinned as data the same
+    * way the CMS/KMV/PQ gates pin their approximation error.
+    *
+    * Both sides are deterministic, so the gate is hash-exact: exact
+    * top-k is the qKnnJoin dataflow; the IVF side ranks each query's
+    * NPROBE nearest cells on decimal-summed centroid distances (the
+    * q_ann_ivf arithmetic, generalized from one probe to the set via a
+    * (query, cell) group + per-query rank window), scans ONLY those
+    * cells, and takes the same rounded-distance top-k window.
+    *
+    * Scale posture: centroids are a cells×dim agg; the (query, cell)
+    * routing table is queries×NPROBE rows, broadcast back onto the
+    * corpus as a cell-keyed equi-join — the corpus moves through ONE
+    * pruned scan, and both top-k windows plan as WindowGroupLimit. The
+    * exact side is the eval's cost (it IS brute force), so the probe set
+    * is CAPPED at [[AR_QUERIES]] (smallest ids of the qKnnJoin sample) —
+    * an uncapped probe set grows with the corpus and makes the brute
+    * side quadratic (measured: 1.4/1.7/12.0 s at 1×/16×/64× uncapped;
+    * a fixed budget keeps the eval one bounded-probe corpus scan). */
+  val qAnnRecall: Q = (s, d) => {
+    val v = vecs(s, d)
+    val probes = broadcast(v.filter(pmod(col("vec_id"), lit(KJ_MOD)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("pv"))
+      .orderBy("query_id").limit(AR_QUERIES))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
+    def topk(cands: DataFrame): DataFrame = cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TOPK)
+      .select(col("query_id"), col("vec_id"))
+    val exact = topk(v.crossJoin(probes))
+    val centLong = v.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+    val probeLong = probes.select(col("query_id"), posexplode(col("pv")))
+      .select(col("query_id"), col("pos"), col("col").as("px"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cd"), col("label"))
+    val route = centLong.join(broadcast(probeLong), "pos")
+      .groupBy("query_id", "label")
+      .agg(sum(((col("c") - col("px")) * (col("c") - col("px"))).cast("decimal(28,14)"))
+        .cast("double").as("cd"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NPROBE)
+      .select(col("query_id"), col("label"))
+    val ann = topk(v.join(broadcast(route), "label").join(probes, "query_id"))
+    exact.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        Fns.roundP(col("n_hit").cast("double") / col("k").cast("double"), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Covariance report size. */
   val EC_TOPK = 50
 
@@ -1322,6 +1386,7 @@ object VectorOps {
     "q_mmr_select"     -> qMmrSelect,
     "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
+    "q_ann_recall"     -> qAnnRecall,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_random_projection" -> qRandomProjection,
     "q_hybrid_search"  -> qHybridSearch,
@@ -1670,6 +1735,47 @@ object VectorOps {
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH e AS ($sqlVecs),
+         |p AS (SELECT vec_id AS query_id, v AS pv FROM e
+         |  WHERE vec_id % $KJ_MOD = 0 ORDER BY query_id LIMIT $AR_QUERIES),
+         |dists AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    ${Fns.roundPSql(sqlDist2("e.v", "p.pv"), 6)} AS dist2
+         |  FROM e, p WHERE e.vec_id <> p.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist2, vec_id) AS rn FROM dists)
+         |  WHERE rn <= $TOPK),
+         |long AS (SELECT label, i-1 AS pos, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)),
+         |cent AS (SELECT label, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+         |  FROM long GROUP BY label, pos),
+         |pl AS (SELECT query_id, i-1 AS pos, pv[i] AS px
+         |  FROM p, unnest(range(1, len(pv)+1)) AS t(i)),
+         |qd AS (SELECT pl.query_id, cent.label,
+         |    CAST(sum(CAST((cent.c - pl.px) * (cent.c - pl.px) AS DECIMAL(28,14))) AS DOUBLE) AS cd
+         |  FROM cent JOIN pl ON cent.pos = pl.pos GROUP BY 1, 2),
+         |qc AS (SELECT query_id, label FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cd, label) AS rn FROM qd)
+         |  WHERE rn <= $NPROBE),
+         |annd AS (
+         |  SELECT qc.query_id, e.vec_id,
+         |    ${Fns.roundPSql(sqlDist2("e.v", "p.pv"), 6)} AS dist2
+         |  FROM e JOIN qc ON e.label = qc.label
+         |  JOIN p ON p.query_id = qc.query_id
+         |  WHERE e.vec_id <> qc.query_id),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist2, vec_id) AS rn FROM annd)
+         |  WHERE rn <= $TOPK)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  ${Fns.roundPSql(
+             "CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS recall
+         |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id AND ex.vec_id = ann.vec_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "q_random_projection" -> {
       def sgn(j: Int) =
         s"""list_sum(list_transform(range(1, ${DIM + 1}), i ->
