@@ -151,7 +151,9 @@ object ScaleProbe {
     // q_entity_match: like q_knn_join, quadratic BY CONSTRUCTION under
     // replication (shifted custkeys land in the same nation blocks, so
     // Σblock² grows ×mult²) — its scaling story is the blocking bound
-    // q_fuzzy_decontaminate: minhash family, deliberately absent (header note)
+    // q_fuzzy_decontaminate / q_lsh_quality: minhash family, deliberately
+    // absent (header note); the eval gate's inputs are the banded join and
+    // the PPJoin chain, both with their own scaling stories
     // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
     // vectors — every cross-copy pair is a true cos=1 near-dup, so replication
     // manufactures Θ(mult²) REAL pairs (the minhash argument, in vector space);

@@ -78,6 +78,23 @@ object DedupOps {
   private def signatures(s: SparkSession, d: String): DataFrame =
     signaturesOf(Tables.documents(s, d))
 
+  /** UNVERIFIED banded candidate pairs between two signature frames —
+    * the raw LSH index output before any Jaccard check. Shared by
+    * [[nearPairs]] and the [[qLshQuality]] eval so the measured index is
+    * exactly the one the dedup gates run. */
+  private[graft] def bandCandidates(sigA: DataFrame, sigB: DataFrame,
+      requireLess: Boolean): DataFrame = {
+    def buckets(sig: DataFrame, side: String): DataFrame = sig
+      .select(col("doc_id"), posexplode_outer(col("bands")))
+      .select(col("doc_id").as(s"doc_$side"),
+        col("pos").as(s"band_$side"), col("col").as(s"key_$side"))
+    val cond = col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+      (if (requireLess) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b"))
+    buckets(sigA, "a").join(buckets(sigB, "b"), cond)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** Verified near-dup pairs BETWEEN two signature frames (each with
     * columns doc_id, sh, bands): banded bucket equi-join for candidates —
     * never all-pairs — then exact-Jaccard verify at [[THRESHOLD]].
@@ -86,15 +103,7 @@ object DedupOps {
     * store-vs-batch form, where the id spaces are disjoint). */
   private[graft] def nearPairs(sigA: DataFrame, sigB: DataFrame,
       requireLess: Boolean, threshold: Double = THRESHOLD): DataFrame = {
-    def buckets(sig: DataFrame, side: String): DataFrame = sig
-      .select(col("doc_id"), posexplode_outer(col("bands")))
-      .select(col("doc_id").as(s"doc_$side"),
-        col("pos").as(s"band_$side"), col("col").as(s"key_$side"))
-    val cond = col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
-      (if (requireLess) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b"))
-    val pairs = buckets(sigA, "a").join(buckets(sigB, "b"), cond)
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val pairs = bandCandidates(sigA, sigB, requireLess)
     pairs
       .join(sigA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sigB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -497,6 +506,41 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH INDEX QUALITY EVAL — recall and precision of the minhash
+    * banding against exact ground truth, pinned as data (the q_ann_recall
+    * pattern for the OTHER approximate index the engine ships): truth =
+    * [[qJaccardPairs]]' exact-recall PPJoin pairs at the same threshold
+    * and shingle space; candidates = [[bandCandidates]], the UNVERIFIED
+    * bucket collisions the dedup gates feed to their verify step. Recall
+    * is the (1−(1−s^r)^b) banding guarantee made measurable — a
+    * NUM_BANDS/ROWS_PER_BAND retune shows up as a number, not a silent
+    * dedup miss; precision is the verify stage's workload efficiency
+    * (how many candidate Jaccard computations are spent per true pair).
+    *
+    * Scale posture: both inputs are the probed production dataflows
+    * (banded self-join; prefix-filtered PPJoin); the eval itself adds
+    * two k-row joins and three 1-row aggregates. */
+  val qLshQuality: Q = (s, d) => {
+    val sig = signatures(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandCandidates(sig, sig, requireLess = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = qJaccardPairs(s, d).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nCand).crossJoin(nHit)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0,
+          Fns.roundP(col("n_hit").cast("double") / col("n_true").cast("double"), 4))
+          .as("recall"),
+        when(col("n_cand") > 0,
+          Fns.roundP(col("n_hit").cast("double") / col("n_cand").cast("double"), 4))
+          .as("precision"))
+  }
+
   /** SimHash document signature (16-bit): for each bit, sum +1/-1 over the
     * distinct-token hash32s and keep the sign. Near-dup docs land within a
     * small Hamming distance. Entirely row-local column algebra. */
@@ -885,6 +929,7 @@ object DedupOps {
     "q_corpus_mix"        -> qCorpusMix,
     "q_temperature_sample" -> qTemperatureSample,
     "q_jaccard_pairs"     -> qJaccardPairs,
+    "q_lsh_quality"       -> qLshQuality,
     "q_simhash"           -> qSimhash,
     "q_hash_split"        -> qHashSplit,
     "q_substring_dup"     -> qSubstringDup,
@@ -1144,6 +1189,45 @@ object DedupOps {
          |WHERE ${sqlHash32("'tmp_' || CAST(doc_id AS VARCHAR)")} % $SAMPLE_SPACE
          |  < CAST(floor(rt.rate * $SAMPLE_SPACE) AS BIGINT)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lsh_quality" ->
+      // band CTEs already begin with the shared shingle CTE `sh`; the
+      // PPJoin truth chain appends with t-prefixed names to avoid the
+      // `pairs` collision
+      s"""WITH $sqlBandCtes,
+         |lcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |posting AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),
+         |dfreq AS (SELECT g, count(*) AS c FROM posting GROUP BY g),
+         |ranked AS (
+         |  SELECT p.doc_id, p.g, p.sz,
+         |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.c, p.g) AS rn
+         |  FROM posting p JOIN dfreq d USING (g)),
+         |tprefix AS (
+         |  SELECT doc_id, g, rn, sz FROM ranked
+         |  WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         |tpair AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tprefix a JOIN tprefix b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE 9 * (1 + least(a.sz - a.rn, b.sz - b.rn)) >= 4 * (a.sz + b.sz)),
+         |truth AS (
+         |  SELECT p.doc_a, p.doc_b FROM tpair p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $JAC_T),
+         |agg AS (
+         |  SELECT (SELECT count(*) FROM truth) AS n_true,
+         |    (SELECT count(*) FROM lcand) AS n_cand,
+         |    (SELECT count(*) FROM truth t JOIN lcand c
+         |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_true > 0 THEN
+         |    ${Fns.roundPSql("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)", 4)} END AS recall,
+         |  CASE WHEN n_cand > 0 THEN
+         |    ${Fns.roundPSql("CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)", 4)} END AS precision
+         |FROM agg""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $sqlShingles,
          |posting AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),

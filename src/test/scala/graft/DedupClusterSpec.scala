@@ -79,4 +79,23 @@ class DedupClusterSpec extends AnyFunSuite {
       assert(math.abs(rate - want) < 0.25, s"$src sampled at $rate, want ~$want")
     }
   }
+
+  test("q_lsh_quality counts are the exact set identities of the two index gates") {
+    // cand ∩ truth ≡ the minhash VERIFIED pairs (a candidate that is a
+    // true pair passes verify, and every verified pair is a banded
+    // candidate in the exact truth set), and truth ≡ the PPJoin gate's
+    // exact-recall output — so the eval's three counts are pinned by two
+    // independently-mirrored gates, not by re-running its own dataflow
+    val row = DedupOps.qLshQuality(spark, sfDir).collect().head
+    val (nTrue, nCand, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nTrue == DedupOps.qJaccardPairs(spark, sfDir).count(),
+      "n_true must equal the PPJoin exact gate")
+    assert(nHit == DedupOps.qMinhashDedup(spark, sfDir).count(),
+      "n_hit must equal the verified banded pairs")
+    assert(nHit <= nCand && nHit <= nTrue)
+    assert(nTrue > 0 && nCand > 0, "vacuous eval — no pairs on this corpus")
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(row.getDouble(3) == r4(nHit.toDouble / nTrue))
+    assert(row.getDouble(4) == r4(nHit.toDouble / nCand))
+  }
 }
