@@ -142,8 +142,11 @@ object ScaleProbe {
     "q_auc",                 // NB broadcast scoring + (class, score)
                              // count agg + distinct-score prefix window
                              // (documents)
-    "q_ann_recall")          // brute probe-set eval + cell-routed pruned
+    "q_ann_recall",          // brute probe-set eval + cell-routed pruned
                              // scan, both top-k as WindowGroupLimit
+                             // (embeddings)
+    "q_ann_recall_kmeans")   // same eval over the Lloyd-trained cells —
+                             // adds the probed q_kmeans training chain
                              // (embeddings)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set

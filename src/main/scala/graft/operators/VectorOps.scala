@@ -671,16 +671,13 @@ object VectorOps {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
       .sortBy(_._1)
 
-  /** The trained final assignment (vec_id, v, cid, dist) behind
-    * [[qKmeans]], factored out so composed consumers (q_topic_terms) run
-    * the IDENTICAL Lloyd iterations. Centroids live on the driver between
-    * rounds (k×dim values); each round is one (cid, pos)-keyed shuffle. */
-  private[graft] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  /** The trained centroids behind [[qKmeans]] — the full Lloyd loop,
+    * returning the final k×dim table (ascending cid). Exposed so
+    * [[qAnnRecallKmeans]] can route queries against the SAME trained
+    * quantizer the assignment gates use. */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
     val v = vecs(s, d).select(col("vec_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cents: cid → centroid, ascending cid, driver-side between rounds.
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
-      assignCells(v, cents)
     // one (cid, pos)-keyed shuffle; k×dim rows back to the driver.
     def recompute(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned.select(col("cid"), posexplode(col("v")))
@@ -693,8 +690,20 @@ object VectorOps {
         }.toSeq.sortBy(_._1)
     var cents: Seq[(Int, Seq[Double])] = seedCentroids(s, d)
     for (_ <- 1 to KM_ITERS)
-      cents = recompute(assign(cents))
-    assign(cents)
+      cents = recompute(assignCells(v, cents))
+    cents
+  }
+
+  /** The trained final assignment (vec_id, v, cid, dist) behind
+    * [[qKmeans]], factored out so composed consumers (q_topic_terms) run
+    * the IDENTICAL Lloyd iterations. Centroids live on the driver between
+    * rounds (k×dim values); each round is one (cid, pos)-keyed shuffle.
+    * (The persist inside [[kmeansCentroids]] and here canonicalize to the
+    * same cached plan, so the corpus is cached once.) */
+  private[graft] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assignCells(v, kmeansCentroids(s, d))
   }
 
   val qKmeans: Q = (s, d) =>
@@ -1062,21 +1071,38 @@ object VectorOps {
     * an uncapped probe set grows with the corpus and makes the brute
     * side quadratic (measured: 1.4/1.7/12.0 s at 1×/16×/64× uncapped;
     * a fixed budget keeps the eval one bounded-probe corpus scan). */
-  val qAnnRecall: Q = (s, d) => {
-    val v = vecs(s, d)
-    val probes = broadcast(v.filter(pmod(col("vec_id"), lit(KJ_MOD)) === 0)
+  /** The capped probe set, per-query top-k, and recall report shared by
+    * [[qAnnRecall]] (label cells) and [[qAnnRecallKmeans]] (trained
+    * cells) — only the routing differs between the two evals. */
+  private def recallProbes(v: DataFrame): DataFrame =
+    broadcast(v.filter(pmod(col("vec_id"), lit(KJ_MOD)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("pv"))
       .orderBy("query_id").limit(AR_QUERIES))
+
+  private def recallTopk(cands: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
-    def topk(cands: DataFrame): DataFrame = cands
+    cands
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TOPK)
       .select(col("query_id"), col("vec_id"))
-    val exact = topk(v.crossJoin(probes))
+  }
+
+  private def recallReport(exact: DataFrame, ann: DataFrame): DataFrame =
+    exact.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        Fns.roundP(col("n_hit").cast("double") / col("k").cast("double"), 4).as("recall"))
+      .orderBy("query_id")
+
+  val qAnnRecall: Q = (s, d) => {
+    val v = vecs(s, d)
+    val probes = recallProbes(v)
+    val exact = recallTopk(v.crossJoin(probes))
     val centLong = v.select(col("label"), posexplode(col("v")))
       .groupBy("label", "pos")
       .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
@@ -1091,13 +1117,36 @@ object VectorOps {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= NPROBE)
       .select(col("query_id"), col("label"))
-    val ann = topk(v.join(broadcast(route), "label").join(probes, "query_id"))
-    exact.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .select(col("query_id"), col("n_hit"),
-        Fns.roundP(col("n_hit").cast("double") / col("k").cast("double"), 4).as("recall"))
-      .orderBy("query_id")
+    val ann = recallTopk(v.join(broadcast(route), "label").join(probes, "query_id"))
+    recallReport(exact, ann)
+  }
+
+  /** [[qAnnRecall]] with the index REBUILT on [[kmeansCentroids]]'
+    * trained cells instead of the class labels — the follow-up the eval
+    * demands once q_ann_recall exposes label cells as geometric noise
+    * (measured 0.30 there): train the coarse quantizer with the gate's
+    * own Lloyd iterations, assign corpus vectors row-locally, route each
+    * probe to its 2 nearest trained centroids ([[assignCells]] with
+    * probes=2 — the NPROBE=2 convention as cid/cid2), and measure the
+    * same recall@[[TOPK]]. Together the two gates ARE the index
+    * decision: same eval, two quantizers, the better number wins.
+    * Scale posture identical to q_ann_recall plus the probed q_kmeans
+    * training chain. */
+  val qAnnRecallKmeans: Q = (s, d) => {
+    require(NPROBE == 2, "the kmeans route uses assignCells(probes = 2)")
+    val v = vecs(s, d)
+    val probes = recallProbes(v)
+    val exact = recallTopk(v.crossJoin(probes))
+    val cents = kmeansCentroids(s, d)
+    val assigned = assignCells(v.select(col("vec_id"), col("v")), cents)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val route = assignCells(
+        probes.select(col("query_id"), col("pv").as("v")), cents, probes = 2)
+      .select(col("query_id"),
+        explode(array(col("cid"), col("cid2"))).as("cid"))
+    val ann = recallTopk(
+      assigned.join(broadcast(route), "cid").join(probes, "query_id"))
+    recallReport(exact, ann)
   }
 
   /** Covariance report size. */
@@ -1387,6 +1436,7 @@ object VectorOps {
     "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
     "q_ann_recall"     -> qAnnRecall,
+    "q_ann_recall_kmeans" -> qAnnRecallKmeans,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_random_projection" -> qRandomProjection,
     "q_hybrid_search"  -> qHybridSearch,
@@ -1766,6 +1816,40 @@ object VectorOps {
          |  FROM e JOIN qc ON e.label = qc.label
          |  JOIN p ON p.query_id = qc.query_id
          |  WHERE e.vec_id <> qc.query_id),
+         |ann AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist2, vec_id) AS rn FROM annd)
+         |  WHERE rn <= $TOPK)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  ${Fns.roundPSql(
+             "CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS recall
+         |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id AND ex.vec_id = ann.vec_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
+    "q_ann_recall_kmeans" ->
+      s"""WITH $sqlKmeansCtes,
+         |p AS (SELECT vec_id AS query_id, v AS pv FROM e
+         |  WHERE vec_id % $KJ_MOD = 0 ORDER BY query_id LIMIT $AR_QUERIES),
+         |dists AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    ${Fns.roundPSql(sqlDist2("e.v", "p.pv"), 6)} AS dist2
+         |  FROM e, p WHERE e.vec_id <> p.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist2, vec_id) AS rn FROM dists)
+         |  WHERE rn <= $TOPK),
+         |qd AS (SELECT p.query_id, c.cid, ${sqlDist2("p.pv", "c.cv")} AS cd
+         |  FROM p CROSS JOIN c$KM_ITERS c),
+         |qc AS (SELECT query_id, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cd, cid) AS rn FROM qd)
+         |  WHERE rn <= $NPROBE),
+         |annd AS (
+         |  SELECT qc.query_id, a.vec_id,
+         |    ${Fns.roundPSql(sqlDist2("a.v", "p.pv"), 6)} AS dist2
+         |  FROM af a JOIN qc ON a.cid = qc.cid
+         |  JOIN p ON p.query_id = qc.query_id
+         |  WHERE a.vec_id <> qc.query_id),
          |ann AS (SELECT query_id, vec_id FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY query_id ORDER BY dist2, vec_id) AS rn FROM annd)

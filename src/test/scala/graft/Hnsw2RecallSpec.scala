@@ -88,4 +88,23 @@ class Hnsw2RecallSpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall $mean at the random-routing floor")
     info(f"mean IVF recall@${VectorOps.TOPK} over ${got.size} queries: $mean%.4f")
   }
+
+  test("q_ann_recall_kmeans: trained cells beat label cells, cells match q_kmeans") {
+    import SparkTestBase.sfDir
+    val km = VectorOps.qAnnRecallKmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val lb = VectorOps.qAnnRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(km.map(_._1).toSeq == lb.map(_._1).toSeq, "probe sets must be identical")
+    val (mKm, mLb) = (km.map(_._2).sum / km.length, lb.map(_._2).sum / lb.length)
+    // the eval pair's entire point: the trained quantizer routes better
+    // than class labels on this corpus (measured 0.53 vs 0.35 at sf0.01)
+    assert(mKm >= mLb, s"kmeans cells $mKm did not beat label cells $mLb")
+    info(f"mean recall@${VectorOps.TOPK}: kmeans $mKm%.4f vs labels $mLb%.4f")
+    // the routed index is the q_kmeans assignment itself
+    val cellSizes = VectorOps.qKmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cellSizes.values.sum == Tables.embeddings(spark, sfDir).count(),
+      "q_kmeans cells must partition the corpus the recall gate scans")
+  }
 }
