@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational query core — the Spark-native rendering of the reference's
@@ -437,7 +437,53 @@ object Relational {
           - (D("n_cust") + 1) / D("n_cust"), 6).as("gini"))
   }
 
+  /** Column-profiling spec for [[qProfile]]: (column, canonicalizer).
+    * min/max are computed on the NATIVE value (a lexicographic min over
+    * stringified numbers would rank '9' above '10') and only the final
+    * scalar is rendered cross-engine-canonically: longs/strings verbatim,
+    * doubles through the proven decimal(18,2) HALF_UP cast, timestamps at
+    * the date grain (UTC session) — every rendering byte-identical
+    * between Spark and DuckDB. */
+  private val profileSpec: Seq[(String, Column => Column)] = Seq(
+    ("o_orderkey",      (c: Column) => c.cast("string")),
+    ("o_custkey",       (c: Column) => c.cast("string")),
+    ("o_orderstatus",   (c: Column) => c),
+    ("o_totalprice",    (c: Column) => c.cast("decimal(18,2)").cast("string")),
+    ("o_orderdate",     (c: Column) => c.cast("date").cast("string")),
+    ("o_orderpriority", (c: Column) => c),
+  )
+
+  /** Data-quality COLUMN PROFILE of the orders table (the deequ/DESCRIBE
+    * surface every analytics engine ships — the first thing run against a
+    * new 100 TB delivery): per column, null count, exact distinct count,
+    * and canonical min/max. ONE pass over the table: all 6×4 aggregates
+    * in a single agg (Spark plans the multi-distinct via one Expand —
+    * rows duplicate ×(distinct groups+1), the standard exact-profile
+    * cost; at 100 TB swap countDistinct for approx_count_distinct or the
+    * gated KMV/HLL sketches, same dataflow), then the 1-row result
+    * unpivots to a row per column with a generator — no second scan. */
+  val qProfile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val aggs = profileSpec.flatMap { case (n, k) => Seq(
+      (count(lit(1)) - count(col(n))).as(s"${n}_nulls"),
+      countDistinct(col(n)).as(s"${n}_dist"),
+      k(min(col(n))).as(s"${n}_min"),
+      k(max(col(n))).as(s"${n}_max"))
+    }
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profileSpec.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"${n}_nulls").as("n_nulls"),
+          col(s"${n}_dist").as("n_distinct"),
+          col(s"${n}_min").as("vmin"), col(s"${n}_max").as("vmax"))
+      }: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n_nulls").as("n_nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.vmin").as("vmin"), col("p.vmax").as("vmax"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_profile"         -> qProfile,
     "q_gini"            -> qGini,
     "q_pareto"          -> qPareto,
     "q_cum_revenue"     -> qCumRevenue,
@@ -464,7 +510,34 @@ object Relational {
     "q_join_agg"        -> qJoinAgg,
   )
 
+  /** DuckDB canonicalizers mirroring [[profileSpec]] exactly. */
+  private val sqlProfile: String = {
+    val spec: Seq[(String, String => String)] = Seq(
+      ("o_orderkey",      (e: String) => s"CAST($e AS VARCHAR)"),
+      ("o_custkey",       (e: String) => s"CAST($e AS VARCHAR)"),
+      ("o_orderstatus",   (e: String) => e),
+      ("o_totalprice",    (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("o_orderdate",     (e: String) => s"CAST(CAST($e AS DATE) AS VARCHAR)"),
+      ("o_orderpriority", (e: String) => e))
+    val aggCols = spec.map { case (n, k) =>
+      s"""CAST(count(*) - count($n) AS BIGINT) AS ${n}_nulls,
+         |  CAST(count(DISTINCT $n) AS BIGINT) AS ${n}_dist,
+         |  ${k(s"min($n)")} AS ${n}_min, ${k(s"max($n)")} AS ${n}_max""".stripMargin
+    }.mkString(",\n  ")
+    val rows = spec.map { case (n, _) =>
+      s"""SELECT '$n' AS col_name, ${n}_nulls AS n_nulls, ${n}_dist AS n_distinct,
+         |    ${n}_min AS vmin, ${n}_max AS vmax FROM a""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH a AS (SELECT
+       |  $aggCols
+       |FROM orders)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_profile" -> sqlProfile,
     "q_gini" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -381,4 +381,12 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"exact distinct lost its partial stage:\n$p")
   }
+
+  test("q_profile is ONE table scan: multi-distinct via Expand, no per-column rescans") {
+    val p = plan("q_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must read the table once:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct lost its Expand rendering:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"profile needs no join:\n$p")
+  }
 }
