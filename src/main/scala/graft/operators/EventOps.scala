@@ -613,6 +613,61 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Holt smoothing coefficients — powers of two, so each blend is exact
+    * IEEE scaling. The sequential recurrence still rounds eventually, so
+    * correctness rests on BOTH engines executing the IDENTICAL operation
+    * sequence (driver fold here, recursive CTE in the twin, same literal
+    * expression trees) — bit-identical doubles at every step. */
+  val HOLT_ALPHA = 0.5
+  val HOLT_BETA = 0.25
+
+  /** Holt LINEAR double-exponential smoothing backtest (Holt 1957) — the
+    * level+trend forecaster one rung above [[qSeasonalError]]'s
+    * seasonal-naive baseline: per event type, one-step-ahead forecasts
+    * over the DENSE hourly count series (zero-filled across the global
+    * hour span, so silence is data, not a gap) with l₀=y₀, b₀=y₁−y₀ and
+    * the standard recurrences; reports per-type MAE and the final
+    * level/trend state a serving job would carry forward.
+    *
+    * Scale posture: the ONLY corpus-scale stage is the (hour, type)
+    * count agg; the series itself is CALENDAR-bounded (|types| × hours —
+    * thousands of rows at any corpus size, the q_changepoint /
+    * q_theil_sen tier), so the inherently sequential fold runs on the
+    * driver over that bounded collect, exactly like the PCA power
+    * iteration rides the D×D matrix. */
+  val qHoltForecast: Q = (s, d) => {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val h0 = rows.map(_._1).min
+    val h1 = rows.map(_._1).max
+    val out = rows.map(_._2).distinct.sorted.map { t =>
+      val m = rows.collect { case (h, `t`, n) => h -> n }.toMap
+      val y = (h0 to h1).map(h => m.getOrElse(h, 0L).toDouble)
+      var l = y(0)
+      var b = y(1) - y(0)
+      var sae = 0.0
+      var i = 1
+      while (i < y.length) {
+        sae += math.abs(y(i) - (l + b))
+        val lNew = HOLT_ALPHA * y(i) + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (lNew - l) + (1 - HOLT_BETA) * b
+        l = lNew
+        i += 1
+      }
+      (t, y.length.toLong, sae / (y.length - 1), l, b)
+    }
+    out.toSeq.toDF("event_type", "n_hours", "mae_raw", "l_raw", "b_raw")
+      .select(col("event_type"), col("n_hours"),
+        Fns.roundP(col("mae_raw"), 6).as("mae"),
+        Fns.roundP(col("l_raw"), 6).as("level"),
+        Fns.roundP(col("b_raw"), 6).as("trend"))
+      .orderBy("event_type")
+  }
+
   /** Journey-path prefix length for [[qEventPaths]]. */
   val PATH_LEN = 5
 
@@ -880,6 +935,7 @@ object EventOps {
     "q_funnel_time" -> qFunnelTime,
     "q_event_paths" -> qEventPaths,
     "q_seasonal_error" -> qSeasonalError,
+    "q_holt_forecast" -> qHoltForecast,
     "q_benford"    -> qBenford,
     "q_wilson_ctr" -> qWilsonCtr,
     "q_mad_outliers" -> qMadOutliers,
@@ -1062,6 +1118,48 @@ object EventOps {
          |FROM hourly a
          |JOIN hourly b ON a.event_type = b.event_type AND a.hr = b.hr + 24
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Holt recurrence: the recursive CTE's expression trees repeat the
+    // driver fold's literal op order exactly (f = l+b reused, lNew
+    // repeated verbatim inside bNew), so every intermediate double is
+    // bit-identical; base = state after step 1 with l0=y0, b0=y1-y0
+    "q_holt_forecast" -> {
+      val (a, a1, bc, b1) =
+        (HOLT_ALPHA, 1 - HOLT_ALPHA, HOLT_BETA, 1 - HOLT_BETA)
+      s"""WITH RECURSIVE
+         |h AS (SELECT event_type, $sqlWs // 3600 AS hr, CAST(count(*) AS BIGINT) AS n
+         |      FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+         |grid AS (SELECT t.event_type, g.hr
+         |  FROM (SELECT DISTINCT event_type FROM h) t,
+         |       (SELECT unnest(range((SELECT h0 FROM bounds),
+         |                            (SELECT h1 FROM bounds) + 1)) AS hr) g),
+         |y AS (SELECT grid.event_type,
+         |        row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.hr) - 1 AS i,
+         |        CAST(COALESCE(h.n, 0) AS DOUBLE) AS y
+         |  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.hr = grid.hr),
+         |ln AS (SELECT event_type, count(*) AS len FROM y GROUP BY 1),
+         |rec AS (
+         |  SELECT y0.event_type, 1 AS i,
+         |    abs(y1.y - (y0.y + (y1.y - y0.y))) AS sae,
+         |    $a::DOUBLE * y1.y + $a1::DOUBLE * (y0.y + (y1.y - y0.y)) AS l,
+         |    $bc::DOUBLE * (($a::DOUBLE * y1.y + $a1::DOUBLE * (y0.y + (y1.y - y0.y))) - y0.y)
+         |      + $b1::DOUBLE * (y1.y - y0.y) AS b
+         |  FROM (SELECT event_type, y FROM y WHERE i = 0) y0
+         |  JOIN (SELECT event_type, y FROM y WHERE i = 1) y1 USING (event_type)
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |    r.sae + abs(yy.y - (r.l + r.b)),
+         |    $a::DOUBLE * yy.y + $a1::DOUBLE * (r.l + r.b),
+         |    $bc::DOUBLE * (($a::DOUBLE * yy.y + $a1::DOUBLE * (r.l + r.b)) - r.l)
+         |      + $b1::DOUBLE * r.b
+         |  FROM rec r JOIN y yy ON yy.event_type = r.event_type AND yy.i = r.i + 1)
+         |SELECT r.event_type, ln.len AS n_hours,
+         |  ${Fns.roundPSql("r.sae / CAST(ln.len - 1 AS DOUBLE)", 6)} AS mae,
+         |  ${Fns.roundPSql("r.l", 6)} AS level,
+         |  ${Fns.roundPSql("r.b", 6)} AS trend
+         |FROM rec r JOIN ln USING (event_type)
+         |WHERE r.i = ln.len - 1 ORDER BY r.event_type""".stripMargin
+    },
     // Benford: integer leading digit, literal-baked expectations, decimal-
     // summed chi-square terms
     "q_benford" -> {

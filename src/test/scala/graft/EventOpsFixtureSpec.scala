@@ -101,4 +101,41 @@ class EventOpsFixtureSpec extends AnyFunSuite {
     assert(got(0).getAs[Double]("mean_c") == 3.5)
     assert(got(0).getAs[Double]("fano") == 1.0)
   }
+
+  test("q_holt_forecast agrees with the error-correction form of the recurrences") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventOps.{HOLT_ALPHA, HOLT_BETA}
+    // independent path: the ALGEBRAICALLY equivalent error-correction
+    // rendering (lNew = (l+b) + α·e, bNew = b + α·β·e) — different
+    // floating-point op order, so agreement within a drift tolerance is
+    // evidence the gate computes Holt's recurrence, not merely itself
+    val rows = Tables.events(SparkTestBase.spark, SparkTestBase.sfDir)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (h0, h1) = (rows.map(_._1).min, rows.map(_._1).max)
+    val got = graft.operators.EventOps.qHoltForecast(SparkTestBase.spark, SparkTestBase.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.values.map(_._1).toSet == Set(h1 - h0 + 1),
+      "dense fill must give every type the identical global span")
+    for (t <- rows.map(_._2).distinct) {
+      val m = rows.collect { case (h, `t`, n) => h -> n }.toMap
+      val y = (h0 to h1).map(h => m.getOrElse(h, 0L).toDouble)
+      var l = y(0); var b = y(1) - y(0); var sae = 0.0
+      for (i <- 1 until y.length) {
+        val e = y(i) - (l + b)
+        sae += math.abs(e)
+        l = (l + b) + HOLT_ALPHA * e
+        b = b + HOLT_ALPHA * HOLT_BETA * e
+      }
+      val (_, mae, lev, tr) = got(t)
+      val mMae = sae / (y.length - 1)
+      assert(math.abs(mae - mMae) < 1e-6 * (1 + mMae.abs), s"$t mae $mae vs $mMae")
+      assert(math.abs(lev - l) < 1e-6 * (1 + l.abs), s"$t level $lev vs $l")
+      assert(math.abs(tr - b) < 1e-6 * (1 + b.abs), s"$t trend $tr vs $b")
+    }
+  }
 }
