@@ -150,8 +150,10 @@ object ScaleProbe {
                              // (embeddings)
     "q_profile",             // one scan, Expand multi-distinct, 1-row agg
                              // unpivoted (orders)
-    "q_holt_forecast")       // (type×hour) count agg; the sequential fold
+    "q_holt_forecast",       // (type×hour) count agg; the sequential fold
                              // rides the calendar-bounded collect (events)
+    "q_holt_winters")        // same agg + fold with the 24-slot seasonal
+                             // state (events)
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

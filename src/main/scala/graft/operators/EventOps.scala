@@ -668,6 +668,75 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters coefficients — dyadic like [[HOLT_ALPHA]]/[[HOLT_BETA]],
+    * same op-order-identity discipline. */
+  val HW_ALPHA = 0.5
+  val HW_BETA = 0.25
+  val HW_GAMMA = 0.5
+  /** Season length: the daily cycle over hourly buckets. */
+  val HW_M = 24
+
+  /** Holt–Winters ADDITIVE seasonal backtest (Winters 1960) — the third
+    * rung of the forecasting ladder (seasonal-naive → Holt linear → HW),
+    * the model that actually fits traffic with a daily cycle: per event
+    * type, one-step-ahead forecasts f = l + b + s[t mod 24] over the
+    * dense hourly count series, standard first-day initialization
+    * (l₀ = day-1 mean, b₀ = (day-2 mean − day-1 mean)/24, s_j = y_j − l₀)
+    * with forecasting starting AFTER both init windows (t ≥ 48) so no
+    * forecast scores data its own initialization saw. Reports per-type
+    * MAE, final level/trend, and the seasonal profile's amplitude and
+    * peak hour — the state and shape a capacity planner reads.
+    *
+    * Scale posture identical to [[qHoltForecast]]: one corpus-scale
+    * (hour, type) count agg, then the sequential fold rides the
+    * calendar-bounded driver collect. Cross-engine exactness by op-order
+    * identity — the twin's recursive CTE repeats these expression trees
+    * verbatim, with the 24-slot seasonal state as a list column updated
+    * one slot per step. */
+  val qHoltWinters: Q = (s, d) => {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val h0 = rows.map(_._1).min
+    val h1 = rows.map(_._1).max
+    val out = rows.map(_._2).distinct.sorted.map { t =>
+      val byHr = rows.collect { case (h, `t`, n) => h -> n }.toMap
+      val y = (h0 to h1).map(h => byHr.getOrElse(h, 0L).toDouble)
+      require(y.length > 2 * HW_M, s"HW needs > ${2 * HW_M} hours, got ${y.length}")
+      val l0 = y.slice(0, HW_M).sum / 24.0
+      var l = l0
+      var b = (y.slice(HW_M, 2 * HW_M).sum / 24.0 - l0) / 24.0
+      val sArr = Array.tabulate(HW_M)(j => y(j) - l0)
+      var sae = 0.0
+      var i = 2 * HW_M
+      while (i < y.length) {
+        val idx = i % HW_M
+        sae += math.abs(y(i) - (l + b + sArr(idx)))
+        val lNew = HW_ALPHA * (y(i) - sArr(idx)) + (1 - HW_ALPHA) * (l + b)
+        val bNew = HW_BETA * (lNew - l) + (1 - HW_BETA) * b
+        sArr(idx) = HW_GAMMA * (y(i) - lNew) + (1 - HW_GAMMA) * sArr(idx)
+        l = lNew; b = bNew
+        i += 1
+      }
+      val n = y.length
+      (t, n.toLong, (n - 2 * HW_M).toLong, sae / (n - 2 * HW_M), l, b,
+        sArr.max - sArr.min, sArr.indexOf(sArr.max).toLong)
+    }
+    out.toSeq
+      .toDF("event_type", "n_hours", "n_forecasts", "mae_raw", "l_raw", "b_raw",
+        "amp_raw", "peak_hour")
+      .select(col("event_type"), col("n_hours"), col("n_forecasts"),
+        Fns.roundP(col("mae_raw"), 6).as("mae"),
+        Fns.roundP(col("l_raw"), 6).as("level"),
+        Fns.roundP(col("b_raw"), 6).as("trend"),
+        Fns.roundP(col("amp_raw"), 6).as("season_amp"),
+        col("peak_hour"))
+      .orderBy("event_type")
+  }
+
   /** Journey-path prefix length for [[qEventPaths]]. */
   val PATH_LEN = 5
 
@@ -936,6 +1005,7 @@ object EventOps {
     "q_event_paths" -> qEventPaths,
     "q_seasonal_error" -> qSeasonalError,
     "q_holt_forecast" -> qHoltForecast,
+    "q_holt_winters" -> qHoltWinters,
     "q_benford"    -> qBenford,
     "q_wilson_ctr" -> qWilsonCtr,
     "q_mad_outliers" -> qMadOutliers,
@@ -1157,6 +1227,63 @@ object EventOps {
          |  ${Fns.roundPSql("r.sae / CAST(ln.len - 1 AS DOUBLE)", 6)} AS mae,
          |  ${Fns.roundPSql("r.l", 6)} AS level,
          |  ${Fns.roundPSql("r.b", 6)} AS trend
+         |FROM rec r JOIN ln USING (event_type)
+         |WHERE r.i = ln.len - 1 ORDER BY r.event_type""".stripMargin
+    },
+    // Holt–Winters: same op-order-identity discipline as q_holt_forecast,
+    // with the 24-slot seasonal state carried as a DOUBLE list updated one
+    // slot per step; every expression tree repeats the driver fold's
+    // literal op order (lNew's tree verbatim inside bNew and the s update)
+    "q_holt_winters" -> {
+      val (a, a1, bc, b1, g, g1) = (HW_ALPHA, 1 - HW_ALPHA, HW_BETA,
+        1 - HW_BETA, HW_GAMMA, 1 - HW_GAMMA)
+      val m = HW_M
+      val idx = s"((r.i + 1) % $m) + 1"
+      val lNew = s"$a::DOUBLE * (yy.y - r.s[$idx]) + $a1::DOUBLE * (r.l + r.b)"
+      s"""WITH RECURSIVE
+         |h AS (SELECT event_type, $sqlWs // 3600 AS hr, CAST(count(*) AS BIGINT) AS n
+         |      FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+         |grid AS (SELECT t.event_type, g.hr
+         |  FROM (SELECT DISTINCT event_type FROM h) t,
+         |       (SELECT unnest(range((SELECT h0 FROM bounds),
+         |                            (SELECT h1 FROM bounds) + 1)) AS hr) g),
+         |y AS (SELECT grid.event_type,
+         |        row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.hr) - 1 AS i,
+         |        CAST(COALESCE(h.n, 0) AS DOUBLE) AS y
+         |  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.hr = grid.hr),
+         |ln AS (SELECT event_type, count(*) AS len FROM y GROUP BY 1),
+         |d1 AS (SELECT event_type, list(y ORDER BY i) AS ys FROM y WHERE i < $m GROUP BY 1),
+         |d2 AS (SELECT event_type, list(y ORDER BY i) AS ys FROM y
+         |       WHERE i >= $m AND i < ${2 * m} GROUP BY 1),
+         |init AS (SELECT d1.event_type,
+         |    list_sum(d1.ys) / 24.0::DOUBLE AS l0,
+         |    (list_sum(d2.ys) / 24.0::DOUBLE - list_sum(d1.ys) / 24.0::DOUBLE)
+         |      / 24.0::DOUBLE AS b0,
+         |    list_transform(range(1, ${m + 1}),
+         |      j -> d1.ys[j] - list_sum(d1.ys) / 24.0::DOUBLE) AS s0
+         |  FROM d1 JOIN d2 USING (event_type)),
+         |rec AS (
+         |  SELECT event_type, ${2 * m - 1} AS i, 0.0::DOUBLE AS sae,
+         |         l0 AS l, b0 AS b, s0 AS s
+         |  FROM init
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |    r.sae + abs(yy.y - (r.l + r.b + r.s[$idx])),
+         |    $lNew,
+         |    $bc::DOUBLE * (($lNew) - r.l) + $b1::DOUBLE * r.b,
+         |    list_transform(range(1, ${m + 1}), j -> CASE WHEN j = $idx
+         |      THEN $g::DOUBLE * (yy.y - ($lNew)) + $g1::DOUBLE * r.s[$idx]
+         |      ELSE r.s[j] END)
+         |  FROM rec r JOIN y yy ON yy.event_type = r.event_type AND yy.i = r.i + 1)
+         |SELECT r.event_type, ln.len AS n_hours,
+         |  CAST(ln.len - ${2 * m} AS BIGINT) AS n_forecasts,
+         |  ${Fns.roundPSql(s"r.sae / CAST(ln.len - ${2 * m} AS DOUBLE)", 6)} AS mae,
+         |  ${Fns.roundPSql("r.l", 6)} AS level,
+         |  ${Fns.roundPSql("r.b", 6)} AS trend,
+         |  ${Fns.roundPSql(
+             "list_aggregate(r.s, 'max') - list_aggregate(r.s, 'min')", 6)} AS season_amp,
+         |  CAST(list_position(r.s, list_aggregate(r.s, 'max')) - 1 AS BIGINT) AS peak_hour
          |FROM rec r JOIN ln USING (event_type)
          |WHERE r.i = ln.len - 1 ORDER BY r.event_type""".stripMargin
     },

@@ -138,4 +138,49 @@ class EventOpsFixtureSpec extends AnyFunSuite {
       assert(math.abs(tr - b) < 1e-6 * (1 + b.abs), s"$t trend $tr vs $b")
     }
   }
+
+  test("q_holt_winters agrees with the error-correction form of the recurrences") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventOps.{HW_ALPHA, HW_BETA, HW_GAMMA, HW_M}
+    // error-correction rendering: l += b + αe; b += αβe; s[i] += γ(1−α)e
+    // — algebraically equal, different op order, tolerance-compared
+    val rows = Tables.events(SparkTestBase.spark, SparkTestBase.sfDir)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (h0, h1) = (rows.map(_._1).min, rows.map(_._1).max)
+    val got = graft.operators.EventOps.qHoltWinters(SparkTestBase.spark, SparkTestBase.sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7)))
+      .toMap
+    for (t <- rows.map(_._2).distinct) {
+      val m = rows.collect { case (h, `t`, n) => h -> n }.toMap
+      val y = (h0 to h1).map(h => m.getOrElse(h, 0L).toDouble)
+      val l0 = y.take(HW_M).sum / 24.0
+      var l = l0
+      var b = (y.slice(HW_M, 2 * HW_M).sum / 24.0 - l0) / 24.0
+      val sA = Array.tabulate(HW_M)(j => y(j) - l0)
+      var sae = 0.0
+      for (i <- 2 * HW_M until y.length) {
+        val idx = i % HW_M
+        val e = y(i) - (l + b + sA(idx))
+        sae += math.abs(e)
+        l = (l + b) + HW_ALPHA * e
+        b = b + HW_ALPHA * HW_BETA * e
+        sA(idx) = sA(idx) + HW_GAMMA * (1 - HW_ALPHA) * e
+      }
+      val (nH, nF, mae, lev, tr, amp, peak) = got(t)
+      assert(nH == y.length && nF == y.length - 2 * HW_M)
+      val mMae = sae / (y.length - 2 * HW_M)
+      assert(math.abs(mae - mMae) < 1e-6 * (1 + mMae.abs), s"$t mae $mae vs $mMae")
+      assert(math.abs(lev - l) < 1e-6 * (1 + l.abs), s"$t level $lev vs $l")
+      assert(math.abs(tr - b) < 1e-6 * (1 + b.abs), s"$t trend $tr vs $b")
+      assert(math.abs(amp - (sA.max - sA.min)) < 1e-5, s"$t amp $amp")
+      assert(peak >= 0 && peak < HW_M)
+      assert(peak == sA.indexOf(sA.max).toLong, s"$t peak $peak vs mirror")
+    }
+  }
 }
