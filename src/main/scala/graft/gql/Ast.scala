@@ -84,6 +84,23 @@ object Ast {
   case class ImportPath(path: String) extends Stmt
   case class Query(target: QueryTarget, in: Option[String], where: Option[Pred]) extends Stmt
 
+  /** E10 inference (README §4.6 `query: hidden_variant`) — a hidden-state
+    * chain with weighted emission/transition arcs. The reference DECLARES
+    * this surface but never implements it (`src/Graph/DecisionNetwork.cpp`
+    * is 0 LoC, `test/decision.cpp` empty-bodied, and `src/gql.y` has no
+    * rule for it), so the executable semantics are defined here: see
+    * [[GqlEngine]]'s Viterbi evaluation and InferenceSpec. */
+  sealed trait InfWeight
+  case class WNum(v: Double) extends InfWeight
+  /** `gassian(mu, sigma)` (the README's spelling): evaluated as the
+    * normal density at the observation when it is numeric, at the mode
+    * (1/(σ√2π)) for symbolic observations. */
+  case class WGauss(mu: Double, sigma: Double) extends InfWeight
+  /** One `[from, {->: w}, to]` where-triple; from/to keep the raw
+    * identifiers (`hidden_variant.vK` or an event label). */
+  case class InfArc(from: String, weight: InfWeight, to: String)
+  case class Inference(events: Seq[(String, GVal)], arcs: Seq[InfArc]) extends Stmt
+
   sealed trait QueryTarget
   case class GroupTarget(name: String) extends QueryTarget
   case object AllGroups extends QueryTarget

@@ -123,6 +123,8 @@ class GqlEngine(spark: SparkSession, root: String,
         case r: RemoveVertex => removeVertex(r); Result("REMOVE SUCCESS")
         case r: RemoveEdge => removeEdge(r); Result("REMOVE SUCCESS")
         case q: Query => Result("QUERY SUCCESS", df = Some(runQuery(q)))
+        // E10: the declaration IS the model — no graph scan (Hmm scaladoc)
+        case inf: Inference => Result("INFER SUCCESS", df = Some(Hmm.run(spark, inf)))
       }
     } catch {
       case e: Exception => Result(s"error: ${e.getMessage}")

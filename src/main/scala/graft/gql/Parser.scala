@@ -258,6 +258,11 @@ class Parser(toks: Vector[Tok]) {
 
   // {query: 'g' | '*' | [g.prop...], in: 'db', where: ...}
   private def parseQuery(): Stmt = {
+    cur match {
+      // E10: `query: hidden_variant, event: [...], where: [[...], ...]`
+      case TIdent("hidden_variant") => advance(); return parseInference()
+      case _ =>
+    }
     val target: QueryTarget = cur match {
       case TStr("*") => advance(); AllGroups
       case TStr(_) => GroupTarget(str())
@@ -292,6 +297,55 @@ class Parser(toks: Vector[Tok]) {
       }
     }
     Query(target, in, where)
+  }
+
+  /** E10 inference body after `query: hidden_variant` — the `event:`
+    * observation list and the `where:` arc triples. */
+  private def parseInference(): Stmt = {
+    var events = Seq.empty[(String, GVal)]
+    var arcs = Seq.empty[InfArc]
+    while (isPunct(",")) {
+      advance()
+      ident() match {
+        case "event" =>
+          expect(":")
+          events = parseArray { () =>
+            expect("{"); val label = ident(); expect(":")
+            val v = parseValue(); expect("}")
+            (label, v)
+          }
+        case "where" =>
+          expect(":")
+          arcs = parseArray { () =>
+            expect("["); val from = ident(); expect(",")
+            expect("{"); expect("->"); expect(":")
+            val w = cur match {
+              case TIdent("gassian") | TIdent("gaussian") =>
+                advance(); expect("(")
+                val mu = parseValue(); expect(",")
+                val sigma = parseValue(); expect(")")
+                def num(v: GVal): Double = v match {
+                  case GNum(x) => x
+                  case GInt(x) => x.toDouble
+                  case other   => fail(s"gassian needs numeric args, got $other")
+                }
+                WGauss(num(mu), num(sigma))
+              case _ => parseValue() match {
+                case GNum(x) => WNum(x)
+                case GInt(x) => WNum(x.toDouble)
+                case other   => fail(s"arc weight must be numeric, got $other")
+              }
+            }
+            expect("}"); expect(",")
+            val to = ident(); expect("]")
+            InfArc(from, w, to)
+          }
+        case other => fail(s"unknown inference clause '$other'")
+      }
+    }
+    if (events.isEmpty) fail("inference needs an event: observation list")
+    if (arcs.isEmpty) fail("inference needs where: arcs")
+    Inference(events, arcs)
   }
 
   /** where: object predicate bank or edge pattern array. */
