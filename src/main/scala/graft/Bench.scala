@@ -155,9 +155,11 @@ object Bench {
     // LAST ~2000 chars of stdout, so a ~12 KB single line loses its front —
     // including the totals when they lead. Two lines go to stdout:
     //   1. the full line (queries + cold maps) for humans / logs,
-    //   2. a compact ≤500-char totals-only summary LAST, so it always sits
-    //      whole inside the tail window. The truncated front of line 1 is
-    //      not valid JSON, so any per-line parser lands on line 2.
+    //   2. a compact totals-only summary LAST (≤1500 chars even with
+    //      populated error maps — degraded to counts past that), so it
+    //      always sits whole inside the ~2000-char tail window. The
+    //      truncated front of line 1 is not valid JSON, so any per-line
+    //      parser lands on line 2.
     val line = s"""{$head,"queries":$qs,"cold":$coldJson,"errors":$errJson,"flaky":$flakyJson}"""
     val full = s"""{$head,"queries":$qs,"cold":$coldJson,"errors":$errJson,"flaky":$flakyJson,"passes":$passJson}"""
     // If mass failures inflate the error maps past the tail window, degrade

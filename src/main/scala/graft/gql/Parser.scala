@@ -329,7 +329,9 @@ class Parser(toks: Vector[Tok]) {
                   case GInt(x) => x.toDouble
                   case other   => fail(s"gassian needs numeric args, got $other")
                 }
-                WGauss(num(mu), num(sigma))
+                val sig = num(sigma)
+                if (sig <= 0) fail(s"gassian sigma must be > 0, got $sig")
+                WGauss(num(mu), sig)
               case _ => parseValue() match {
                 case GNum(x) => WNum(x)
                 case GInt(x) => WNum(x.toDouble)

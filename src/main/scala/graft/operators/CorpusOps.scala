@@ -119,9 +119,12 @@ object CorpusOps {
       .persist(StorageLevel.MEMORY_AND_DISK) // train + held-out consumers
     val train = grams.filter(col("split") === "train")
       .select(explode(col("gs")).as("gr")).distinct()
+    // inner explode: gs is never empty (shinglesOfTokens falls back to the
+    // whole text), the generate child is a bare persisted attribute, and
+    // the outer variant drops the corpus-scale stage out of codegen
+    // (CLAUDE.md generator rule; pos was unused)
     val held = grams.filter(col("split") =!= "train")
-      .select(col("doc_id"), col("split"), posexplode_outer(col("gs")))
-      .select(col("doc_id"), col("split"), col("col").as("gr"))
+      .select(col("doc_id"), col("split"), explode(col("gs")).as("gr"))
     val seen = held.join(train, Seq("gr"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
     val tot = held.groupBy("doc_id", "split").agg(count(lit(1)).as("n_grams"))

@@ -475,7 +475,14 @@ object DedupOps {
     * ~20% of postings, rarest-first ordering keeps hot shingles OUT of
     * prefixes so no posting list explodes (measured 436k → 12.8k
     * candidates at sf0.1 for 256 true pairs). */
-  val qJaccardPairs: Q = (s, d) => {
+  val qJaccardPairs: Q = (s, d) =>
+    jaccardPairsCore(s, d).orderBy("doc_a", "doc_b")
+
+  /** The PPJoin chain WITHOUT the reporting sort — consumed by
+    * [[qLshQuality]]'s truth aggregates, where an orderBy on top of the
+    * expensive uncached chain would execute it twice (RangePartitioning
+    * samples the child — the measured q_entity_match trap, CLAUDE.md). */
+  private def jaccardPairsCore(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = sh.select(col("doc_id"), size(col("sh")).as("sz"),
@@ -503,7 +510,6 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jac") >= JAC_T)
       .select(col("doc_a"), col("doc_b"), Fns.roundP(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** LSH INDEX QUALITY EVAL — recall and precision of the minhash
@@ -525,7 +531,7 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandCandidates(sig, sig, requireLess = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = qJaccardPairs(s, d).select("doc_a", "doc_b")
+    val truth = jaccardPairsCore(s, d).select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cand.agg(count(lit(1)).as("n_cand"))

@@ -642,8 +642,10 @@ object EventOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    require(rows.nonEmpty, "q_holt_forecast: events table is empty")
     val h0 = rows.map(_._1).min
     val h1 = rows.map(_._1).max
+    require(h1 > h0, s"q_holt_forecast: needs >= 2 hourly buckets, got ${h1 - h0 + 1}")
     val out = rows.map(_._2).distinct.sorted.map { t =>
       val m = rows.collect { case (h, `t`, n) => h -> n }.toMap
       val y = (h0 to h1).map(h => m.getOrElse(h, 0L).toDouble)
@@ -700,6 +702,7 @@ object EventOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    require(rows.nonEmpty, "q_holt_winters: events table is empty")
     val h0 = rows.map(_._1).min
     val h1 = rows.map(_._1).max
     val out = rows.map(_._2).distinct.sorted.map { t =>

@@ -839,19 +839,22 @@ object VectorOps {
   private def pqArtifacts(s: SparkSession, d: String)
       : (Array[Array[Array[Double]]], Array[Double], Array[Array[Double]]) = {
     import s.implicits._
-    val v = vecs(s, d)
-    val cbRows = v.filter(col("vec_id") =!= PROBE_ID).orderBy("vec_id")
-      .limit(PQ_K).select(col("v")).as[Seq[Double]].collect()
-    val cb = Array.tabulate(PQ_M, PQ_K, PQ_SUB)((m, k, j) => cbRows(k)(m * PQ_SUB + j))
-    val pv = v.filter(col("vec_id") === PROBE_ID)
+    val cb = trainPqCodebook(s, d)
+    val pv = vecs(s, d).filter(col("vec_id") === PROBE_ID)
       .select(col("v")).as[Seq[Double]].head().toArray
     (cb, pv, adcTable(cb, pv))
   }
 
   /** The trained PQ codebook alone (the driver-held artifact an ingest
-    * holds for its lifetime, like the coarse-quantizer centroids). */
-  def trainPqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    pqArtifacts(s, d)._1
+    * holds for its lifetime, like the coarse-quantizer centroids) —
+    * needs no probe vector, so ingest setups on probe-less vector sets
+    * train without the extra collect the query gates' probe lookup pays. */
+  def trainPqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val cbRows = vecs(s, d).filter(col("vec_id") =!= PROBE_ID).orderBy("vec_id")
+      .limit(PQ_K).select(col("v")).as[Seq[Double]].collect()
+    Array.tabulate(PQ_M, PQ_K, PQ_SUB)((m, k, j) => cbRows(k)(m * PQ_SUB + j))
+  }
 
   /** Probe→codeword ADC lookup table for a trained codebook — computed
     * with the same 0-seeded left-to-right fold as the SQL twin's
