@@ -50,6 +50,33 @@ object Ast {
   /** `{id: v, --: *, neighbor: 1}`. */
   case class Neighbor(key: GVal, dir: String, hops: Int) extends Pred
 
+  // ---- E3 multi-edge pattern match ----------------------------------------
+  /** One vertex slot of a multi-edge walk pattern. The reference grammar
+    * accepts multi-edge walks (gql.y:389-433 — `a_walk` chains and
+    * `'[' a_simple_graph ']'` walk lists) and routes them to
+    * `QueryType::Match` (ScanPlan.cpp:356-362), whose strategy is a stub
+    * (CTreeStrategy.cpp) — so, as with E10, the executable semantics are
+    * defined here and pinned by GqlSpec: within a MULTI-edge pattern an
+    * unquoted identifier is a binding VARIABLE (unified across every slot
+    * of the same name, one output column per variable), a quoted string or
+    * integer is a concrete vertex key, `*` is an anonymous wildcard, and a
+    * `{...}` object is an attribute condition on the vertex at that slot.
+    * (Single-edge `[a, ->, b]` keeps the existing [[EdgePattern]] semantics
+    * where bare identifiers fold to string keys.) */
+  sealed trait MotifV
+  case class MVar(name: String) extends MotifV
+  case class MKey(v: GVal) extends MotifV
+  case object MAny extends MotifV
+  case class MCond(pred: Pred) extends MotifV
+  /** One hop: `from dir to` with an optional edge-attribute condition
+    * (`->: {cost: {$gt: 2}}`). */
+  case class MotifEdge(from: MotifV, dir: String, to: MotifV, cond: Option[Pred])
+  /** The whole pattern — a conjunction of hops over one edge relation.
+    * Result = DISTINCT variable bindings (columns in first-appearance
+    * order, normalized string keys); with no variables, one row
+    * `(matched: count of walk combinations)`. */
+  case class Motif(edges: Seq[MotifEdge]) extends Pred
+
   // ---- statements ----------------------------------------------------------
   sealed trait Stmt
   /** Group declaration: name, declared props, index list, or edge triple. */

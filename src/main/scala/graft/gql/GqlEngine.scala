@@ -414,6 +414,13 @@ class GqlEngine(spark: SparkSession, root: String,
                 else lit(null).cast("double").as(c)): _*)
             }.reduce(_ unionByName _)
             minPathQuery(edges, mp)
+          case Some(mo: Motif) =>
+            // match over the union of every edge group
+            val eg = catalog.edgeGroups(db)
+            if (eg.isEmpty) throw new IllegalArgumentException(s"no edge groups in '$db'")
+            val edges = eg.map(catalog.read(db, _))
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+            motifQuery(db, edges, mo)
           case where =>
             val dfs = catalog.groups(db).map(g => catalog.read(db, g))
             val all = dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -425,6 +432,7 @@ class GqlEngine(spark: SparkSession, root: String,
           case Some(n: Neighbor) => neighborQuery(df, n)
           case Some(mp: MinPath) => minPathQuery(df, mp)
           case Some(knn: Knn) => knnQuery(db, g, df, knn)
+          case Some(mo: Motif) => motifQuery(db, df, mo)
           case Some(p) => df.filter(predColumn(df, p))
           case None => df
         }
@@ -675,7 +683,97 @@ class GqlEngine(spark: SparkSession, root: String,
         throw new IllegalArgumentException("knn predicate handled at query level")
       case m: MinPath =>
         throw new IllegalArgumentException("min-path walk handled at query level")
+      case m: Motif =>
+        throw new IllegalArgumentException("multi-edge match handled at query level")
     }
+  }
+
+  /** E3 multi-edge pattern match — the reference grammar accepts multi-edge
+    * walks (src/gql.y:389-433) and routes them to `QueryType::Match`
+    * (ScanPlan.cpp:356-362) whose strategy is a STUB
+    * (src/operand/match/CTreeStrategy.cpp), so the semantics are defined
+    * here, E10-style, and pinned by GqlSpec (see [[Ast.MotifV]]).
+    *
+    * Plan: one chain of equi-joins over the edge relation — each hop
+    * projects its (normalized string key) endpoints to the hop's variable
+    * names and joins the accumulated binding frame on the variables already
+    * bound (Catalyst picks broadcast/shuffle; hops with no shared variable
+    * cross-join, which is the definitional product of disconnected pattern
+    * components). Concrete keys filter before the join; `{...}` attribute
+    * slots semi-join against a broadcast frame of matching vertex keys;
+    * per-hop `distinct` keeps parallel edges from multiplying intermediate
+    * rows. Result: DISTINCT bindings, one string column per variable in
+    * first-appearance order; a pattern with no variables returns one row
+    * `(matched: combination count over distinct endpoint pairs per hop)`.
+    */
+  private def motifQuery(db: String, edges: DataFrame, m: Motif): DataFrame = {
+    require(m.edges.nonEmpty, "empty match pattern")
+    def keyStr(v: GVal): String = v match {
+      case GInt(l) => l.toString
+      case GStr(s) => s
+      case GDatetime(e) => e.toString
+      case other => throw new IllegalArgumentException(s"bad pattern key $other")
+    }
+    // vertex keys satisfying an attribute condition — a condition slot
+    // matches a vertex of ANY group whose attributes satisfy the predicate
+    // (missing attributes are null → no match, as everywhere else)
+    def condKeys(p: Pred): DataFrame = {
+      val vgs = catalog.groups(db)
+        .filter(g => catalog.groupKind(db, g).contains("vertex"))
+      if (vgs.isEmpty) throw new IllegalArgumentException(s"no vertex groups in '$db'")
+      val all = vgs.map(catalog.read(db, _))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      all.filter(predColumn(all, p))
+        .select(coalesce(col("key_s"), col("key_i").cast("string")).as("__ck"))
+        .distinct()
+    }
+    var acc: Option[DataFrame] = None
+    val varOrder = scala.collection.mutable.LinkedHashSet.empty[String]
+    m.edges.foreach { e =>
+      val base = e.cond.map(p => edges.filter(predColumn(edges, p))).getOrElse(edges)
+      val f = coalesce(col("src_s"), col("src_i").cast("string"))
+      val t = coalesce(col("dst_s"), col("dst_i").cast("string"))
+      var rel = e.dir match {
+        case "->" => base.filter(col("directed")).select(f.as("__f"), t.as("__t"))
+        case "<-" => base.filter(col("directed")).select(t.as("__f"), f.as("__t"))
+        case _ => // either endpoint order, directed or not (EdgePattern's `--`)
+          base.select(f.as("__f"), t.as("__t"))
+            .unionByName(base.select(t.as("__f"), f.as("__t")))
+      }
+      def bindEnd(v: MotifV, c: String): Option[String] = v match {
+        case MVar(n) => varOrder += n; Some(n)
+        case MAny => None
+        case MKey(k) => rel = rel.filter(col(c) === keyStr(k)); None
+        case MCond(p) =>
+          rel = rel.join(broadcast(condKeys(p).withColumnRenamed("__ck", c)),
+            Seq(c), "left_semi")
+          None
+      }
+      val fn = bindEnd(e.from, "__f")
+      val tn = bindEnd(e.to, "__t")
+      val proj = (fn, tn) match {
+        case (Some(a), Some(b)) if a == b => // self-loop slot `[a, ->, a]`
+          rel.filter(col("__f") === col("__t")).select(col("__f").as(a)).distinct()
+        case (Some(a), Some(b)) =>
+          rel.select(col("__f").as(a), col("__t").as(b)).distinct()
+        case (Some(a), None) => rel.select(col("__f").as(a)).distinct()
+        case (None, Some(b)) => rel.select(col("__t").as(b)).distinct()
+        // fully-anonymous hop: an existence × combination factor — a
+        // zero-column frame keeps one row per distinct matching pair
+        case (None, None) => rel.distinct().select()
+      }
+      acc = Some(acc match {
+        case None => proj
+        case Some(a) =>
+          val shared = a.columns.toSeq.intersect(proj.columns.toSeq)
+          if (shared.nonEmpty) a.join(proj, shared) else a.crossJoin(proj)
+      })
+    }
+    val out = acc.get
+    if (varOrder.isEmpty)
+      out.agg(count(lit(1)).as("matched"))
+    else
+      out.select(varOrder.toSeq.map(col): _*).distinct()
   }
 
   /** E4 — min-cost path walk `[a, ->: min('cost'), b]`: bounded

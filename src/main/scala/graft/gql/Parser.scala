@@ -350,8 +350,81 @@ class Parser(toks: Vector[Tok]) {
     Inference(events, arcs)
   }
 
+  /** E3: count direction tokens at depth 1 inside the bracket at `cur`
+    * (nested `{...}`/`[...]`/`(...)` raise the depth, so a connection
+    * condition object cannot miscount). ≥2 means the bracket is a
+    * multi-edge walk chain → Match semantics. */
+  private def edgesAhead(): Int = {
+    var i = pos
+    var depth = 0
+    var count = 0
+    var run = true
+    while (run && i < toks.length) {
+      toks(i) match {
+        case TPunct("[") | TPunct("{") | TPunct("(") => depth += 1
+        case TPunct("]") | TPunct("}") | TPunct(")") =>
+          depth -= 1; if (depth == 0) run = false
+        case TPunct("->") | TPunct("<-") | TPunct("--") if depth == 1 => count += 1
+        case _ =>
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** E3 vertex slot: bare identifier = binding variable, quoted string /
+    * int = concrete key, `*` = anonymous, `{...}` = attribute condition
+    * (see Ast.MotifV — semantics defined here, reference stubs Match). */
+  private def parseMotifVertex(): MotifV = cur match {
+    case TPunct("*") => advance(); MAny
+    case TPunct("{") => MCond(parseWhere())
+    case TIdent(_) => MVar(ident())
+    case _ => MKey(parseValue())
+  }
+
+  /** One bracketed walk `[v, d, v, d, v, ...]` (gql.y a_walk: a vertex
+    * chain alternating with connections; a connection may carry an edge
+    * condition `->: {prop: ...}`). */
+  private def parseMotifWalk(): Seq[MotifEdge] = {
+    expect("[")
+    val edges = Seq.newBuilder[MotifEdge]
+    var from = parseMotifVertex()
+    var done = false
+    while (!done) {
+      expect(",")
+      val dir = advance() match {
+        case TPunct(d @ ("--" | "->" | "<-")) => d
+        case other => fail(s"expected direction, got $other")
+      }
+      val cond = if (isPunct(":")) {
+        advance()
+        cur match {
+          case TPunct("{") => Some(parseWhere())
+          case _ => parseValue(); None // calls like min() — not a walk condition
+        }
+      } else None
+      expect(",")
+      val to = parseMotifVertex()
+      edges += MotifEdge(from, dir, to, cond)
+      from = to
+      if (isPunct("]")) { advance(); done = true }
+    }
+    edges.result()
+  }
+
   /** where: object predicate bank or edge pattern array. */
   def parseWhere(): Pred = cur match {
+    // E3 walk-list form `[[a,->,b],[b,->,c]]` (gql.y:451 '[' a_simple_graph ']')
+    case TPunct("[") if toks(pos + 1) == TPunct("[") =>
+      advance()
+      val walks = Seq.newBuilder[Seq[MotifEdge]]
+      walks += parseMotifWalk()
+      while (isPunct(",")) { advance(); walks += parseMotifWalk() }
+      expect("]")
+      Motif(walks.result().flatten)
+    // E3 single-walk chain `[a, ->, b, ->, c]` (≥2 connections)
+    case TPunct("[") if edgesAhead() >= 2 =>
+      Motif(parseMotifWalk())
     case TPunct("[") =>
       advance()
       val from = parseValue()

@@ -81,10 +81,24 @@ object GqlOps {
       .orderBy("n_nationkey")
   }
 
+  /** E3 through GQL: multi-edge pattern match `[a, ->, b, ->, c]` — all
+    * 2-hop directed paths along the per-region rings, compiled by
+    * [[GqlEngine]] to the hop-join chain (reference grammar gql.y:389-433
+    * routes this to the stubbed QueryType::Match — semantics ours, pinned
+    * by GqlSpec; the oracle is the definitional ring self-join). */
+  val qGqlMotif: Q = (s, d) => {
+    val e = sharedBuild(s, d)
+    e.query("{query: 'adj', in: 'tpch', where: [a, ->, b, ->, c]};")
+      .select(col("a").cast("int").as("a"), col("b").cast("int").as("b"),
+        col("c").cast("int").as("c"))
+      .orderBy("a", "b", "c")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gql_filter"    -> qGqlFilter,
     "q_gql_neighbors" -> qGqlNeighbors,
     "q_gql_mutate"    -> qGqlMutate,
+    "q_gql_motif"     -> qGqlMotif,
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +121,15 @@ object GqlOps {
       """SELECT n_nationkey,
         |  CASE WHEN n_regionkey = 0 THEN 'RENAMED' ELSE n_name END AS n_name
         |FROM nation WHERE n_regionkey <> 4 ORDER BY n_nationkey""".stripMargin,
+    "q_gql_motif" ->
+      """WITH ring AS (
+        |  SELECT n_nationkey AS src,
+        |    coalesce(lead(n_nationkey) OVER w,
+        |             min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+        |  FROM nation
+        |  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey))
+        |SELECT r1.src AS a, r1.dst AS b, r2.dst AS c
+        |FROM ring r1 JOIN ring r2 ON r1.dst = r2.src
+        |ORDER BY a, b, c""".stripMargin,
   )
 }

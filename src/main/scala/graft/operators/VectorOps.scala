@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.Tables
 import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -674,8 +676,98 @@ object VectorOps {
   /** The trained centroids behind [[qKmeans]] — the full Lloyd loop,
     * returning the final k×dim table (ascending cid). Exposed so
     * [[qAnnRecallKmeans]] can route queries against the SAME trained
-    * quantizer the assignment gates use. */
-  private[graft] def kmeansCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
+    * quantizer the assignment gates use.
+    *
+    * The result is a persisted TRAINED ARTIFACT (the HNSW-blob / PQ-code
+    * posture, r12 advice #2): training is deterministic, so the k×dim
+    * doubles are written once — raw IEEE bits, temp file + atomic move —
+    * under a fingerprint of the corpus files and the (K, iters, dim)
+    * geometry, and every later call (same JVM via the session-keyed map,
+    * later JVMs via the blob) RELOADS instead of re-running the
+    * KM_ITERS-shuffle Lloyd chain. A regenerated corpus changes the
+    * fingerprint, so stale centroids can't be served.
+    * VectorIngestSpec pins reload == retrain bit-for-bit. */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+    centroidCache.getOrElseUpdate((s, d), {
+      val blob = centroidBlobPath(d)
+      readCentroidBlob(blob).getOrElse {
+        val cents = trainKmeansCentroids(s, d)
+        writeCentroidBlob(blob, cents)
+        cents
+      }
+    })
+
+  /** JVM-wide trained-centroid cache (session-keyed like GqlOps'
+    * sharedBuilds — an engine captured from a stopped session must not
+    * leak into a later one). */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
+  /** Test hooks: drop the in-JVM cache / count actual Lloyd runs. */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+  private[graft] var kmeansTrainCount = 0
+
+  /** Corpus fingerprint for the centroid blob: canonical path + (name,
+    * size, mtime) of every file under embeddings.parquet + the trainer
+    * geometry. Any regeneration of the corpus changes this. */
+  private def centroidBlobPath(d: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(d, "embeddings.parquet")
+    val sig = new StringBuilder(src.toAbsolutePath.normalize.toString)
+    if (Files.isDirectory(src)) {
+      val st = Files.list(src)
+      try st.iterator().asScala.map(p =>
+          s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.foreach(l => sig.append('|').append(l))
+      finally st.close()
+    } else if (Files.exists(src)) // single-file table (small SFs)
+      sig.append('|').append(
+        s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}")
+    sig.append(s"|K=$KM_K|I=$KM_ITERS")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.map(b => f"$b%02x").mkString
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_artifacts")
+    Files.createDirectories(dir)
+    dir.resolve(s"kmeans_$hex.bin")
+  }
+
+  private def writeCentroidBlob(p: java.nio.file.Path,
+      cents: Seq[(Int, Seq[Double])]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = Files.createTempFile(p.getParent, "tmpkmeans", ".tmp")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(cents.size)
+      cents.foreach { case (cid, cv) =>
+        out.writeInt(cid); out.writeInt(cv.size)
+        cv.foreach(out.writeDouble) // raw IEEE bits — reload is bit-exact
+      }
+    } finally out.close()
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readCentroidBlob(p: java.nio.file.Path): Option[Seq[(Int, Seq[Double])]] = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) None
+    else try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(p)))
+      try {
+        val k = in.readInt()
+        Some(Seq.fill(k) {
+          val cid = in.readInt()
+          val dim = in.readInt()
+          cid -> Seq.fill(dim)(in.readDouble())
+        })
+      } finally in.close()
+    } catch { case _: java.io.IOException => None } // corrupt blob → retrain
+  }
+
+  /** The actual Lloyd chain (always retrains — [[kmeansCentroids]] is the
+    * cached/persisted entry point). */
+  private[graft] def trainKmeansCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
+    kmeansTrainCount += 1
     val v = vecs(s, d).select(col("vec_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one (cid, pos)-keyed shuffle; k×dim rows back to the driver.

@@ -429,4 +429,98 @@ class GqlSpec extends AnyFunSuite {
     assert(count(e, "{query: 'g', in: 'ga', where: {loc: 0h'9q8yyk'}};") == 1)
     assert(count(e, "{query: 'g', in: 'ga', where: {loc: '9q8yyk'}};") == 1)
   }
+
+  // ---- E3 multi-edge pattern match ----------------------------------------
+  // The reference grammar accepts these walk forms (gql.y:389-433) and
+  // routes them to QueryType::Match (ScanPlan.cpp:356-362) whose strategy
+  // is a stub — semantics defined here (homomorphism bindings: two
+  // variables MAY bind the same vertex; no implicit edge distinctness).
+
+  /** Triangle 1->2->3->1, tail 3->4->5, self-loop 6->6; ages 10·key;
+    * `likes` holds one extra directed edge 5->1 and an undirected 2--4. */
+  private def motifEngine(): GqlEngine = {
+    val e = freshEngine()
+    e.exec("{create: 'mg', group: [{p: ['age']}, ['p', 'knows', 'p'], ['p', 'likes', 'p']]};")
+    e.exec("{upset: 'p', vertex: [[1,{age:10}],[2,{age:20}],[3,{age:30}],[4,{age:40}],[5,{age:50}],[6,{age:60}]]};")
+    e.exec("{upset: 'knows', edge: [[1, ->: {w: 1}, 2], [2, ->: {w: 2}, 3], [3, ->: {w: 3}, 1], [3, ->: {w: 1}, 4], [4, ->: {w: 5}, 5], [6, ->: {w: 1}, 6]]};")
+    e.exec("{upset: 'likes', edge: [[5, ->, 1], [2, --, 4]]};")
+    e
+  }
+
+  private def rows(e: GqlEngine, gql: String): Set[Seq[String]] =
+    e.query(gql).collect().map(_.toSeq.map(String.valueOf)).toSet
+
+  test("motif: directed triangle — walk-list form binds rotations (E3)") {
+    val e = motifEngine()
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[a,->,b],[b,->,c],[c,->,a]]};") ==
+      Set(Seq("1", "2", "3"), Seq("2", "3", "1"), Seq("3", "1", "2"),
+        Seq("6", "6", "6"))) // the 6->6 self-loop is a homomorphic triangle
+  }
+
+  test("motif: single-bracket chain [a,->,b,->,c] = 2-hop paths (E3)") {
+    val e = motifEngine()
+    val got = rows(e, "{query: 'knows', in: 'mg', where: [a, ->, b, ->, c]};")
+    // 1-2-3, 2-3-1, 2-3-4, 3-1-2, 3-4-5 + self-loop combos 6-6-6
+    assert(got == Set(Seq("1","2","3"), Seq("2","3","1"), Seq("2","3","4"),
+      Seq("3","1","2"), Seq("3","4","5"), Seq("6","6","6")))
+    // reversed chain: [a,<-,b,<-,c] ≡ c->b->a
+    val rev = rows(e, "{query: 'knows', in: 'mg', where: [a, <-, b, <-, c]};")
+    assert(rev == got.map(_.reverse))
+  }
+
+  test("motif: shared-endpoint star is a homomorphism (b=c allowed) (E3)") {
+    val e = motifEngine()
+    val got = rows(e, "{query: 'knows', in: 'mg', where: [[a,->,b],[a,->,c]]};")
+    // out-neighbor pairs per source; 3 has {1,4} → 4 combos; 6 self-loop
+    assert(got == Set(
+      Seq("1","2","2"), Seq("2","3","3"), Seq("4","5","5"), Seq("6","6","6"),
+      Seq("3","1","1"), Seq("3","1","4"), Seq("3","4","1"), Seq("3","4","4")))
+  }
+
+  test("motif: literal anchors filter; all-literal pattern returns matched count (E3)") {
+    val e = motifEngine()
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[1,->,b],[b,->,c]]};") ==
+      Set(Seq("2", "3")))
+    val m = e.query("{query: 'knows', in: 'mg', where: [[1,->,2],[2,->,3]]};").collect()
+    assert(m.map(_.toSeq).toSeq == Seq(Seq(1L)) && m.head.schema.fieldNames.head == "matched")
+    // a literal that matches nothing empties the whole pattern
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[99,->,b],[b,->,c]]};").isEmpty)
+  }
+
+  test("motif: wildcard slots don't bind; self-loop var pattern (E3)") {
+    val e = motifEngine()
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [*, ->, b, ->, *]};") ==
+      Set(Seq("2"), Seq("3"), Seq("1"), Seq("4"), Seq("6")))
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[a,->,a]]};") == Set(Seq("6")))
+  }
+
+  test("motif: vertex attribute conditions and edge conditions (E3)") {
+    val e = motifEngine()
+    // sources with age>25 (3,4,6) → their out-edges
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[{age: {$gt: 25}}, ->, b]]};") ==
+      Set(Seq("1"), Seq("4"), Seq("5"), Seq("6")))
+    // first hop needs edge weight >= 2 (2->3 w2, 3->1 w3, 4->5 w5)
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[a, ->: {w: {$gte: 2}}, b], [b, ->, c]]};") ==
+      Set(Seq("2","3","1"), Seq("2","3","4"), Seq("3","1","2")))
+  }
+
+  test("motif: undirected hop, cross-group match via query '*' (E3)") {
+    val e = motifEngine()
+    // `--` matches either orientation: neighbors of 4 within knows
+    assert(rows(e, "{query: 'knows', in: 'mg', where: [[4, --, b], [b, --, 4]]};") ==
+      Set(Seq("3"), Seq("5")))
+    // across all edge groups: 2-hop paths through the likes edge 5->1
+    val all = rows(e, "{query: '*', in: 'mg', where: [[4,->,b],[b,->,c]]};")
+    assert(all == Set(Seq("5", "1")))
+  }
+
+  test("motif: disconnected components cross-join; ast renders Motif (E3)") {
+    val e = motifEngine()
+    // two independent one-edge components with variables (list form keeps
+    // Match semantics even at one edge per walk)
+    val got = rows(e, "{query: 'likes', in: 'mg', where: [[a,->,b],[c,--,4]]};")
+    assert(got == Set(Seq("5", "1", "2")))
+    val ast = e.exec("ast {query: 'knows', in: 'mg', where: [[a,->,b],[b,->,c]]};").head
+    assert(ast.text.get.contains("Motif") && ast.text.get.contains("MVar"))
+  }
 }

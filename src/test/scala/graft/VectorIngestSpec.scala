@@ -185,4 +185,22 @@ class VectorIngestSpec extends AnyFunSuite {
     assert(!ids.contains(9000002L), "within-batch near-pair: larger id must drop")
     assert(spark.read.parquet(store).count() == n + 1)
   }
+
+  test("trained k-means centroids persist as a blob: reload == retrain bit-for-bit (r12 advice)") {
+    // 1st call: trains (or reloads a blob an earlier suite/JVM left —
+    // either way the values must equal a fresh retrain)
+    VectorOps.clearCentroidCache()
+    val first = VectorOps.kmeansCentroids(spark, sfDir)
+    val trainsAfterFirst = VectorOps.kmeansTrainCount
+    // 2nd call, in-JVM cache dropped: must come from the DISK blob — no
+    // new Lloyd run — and reproduce the doubles exactly
+    VectorOps.clearCentroidCache()
+    val reloaded = VectorOps.kmeansCentroids(spark, sfDir)
+    assert(VectorOps.kmeansTrainCount == trainsAfterFirst,
+      "second call retrained instead of reloading the persisted blob")
+    assert(reloaded == first, "blob reload diverged from the trained centroids")
+    // and both match an explicit fresh retrain (blob wrote what training produced)
+    val retrained = VectorOps.trainKmeansCentroids(spark, sfDir)
+    assert(retrained == first, "persisted centroids diverge from a fresh Lloyd run")
+  }
 }
