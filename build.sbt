@@ -16,6 +16,8 @@ run / fork := true
 // which broke the parse two rounds running. StdoutOutput inherits the raw
 // stdout/stderr of the sbt process instead.
 Compile / run / outputStrategy := Some(StdoutOutput)
+// The interactive shell (graft.Shell) reads stdin from the forked JVM.
+connectInput := true
 // sun.jnu.encoding (filesystem path charset) follows the process locale on
 // Linux; the container default is POSIX, which breaks unicode group-name
 // directories in the graph catalog. Force a UTF-8 locale for forked JVMs.

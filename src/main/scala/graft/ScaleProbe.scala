@@ -163,6 +163,10 @@ object ScaleProbe {
     // q_fuzzy_decontaminate / q_lsh_quality: minhash family, deliberately
     // absent (header note); the eval gate's inputs are the banded join and
     // the PPJoin chain, both with their own scaling stories
+    // q_phash_near: replicated texts decode to IDENTICAL rasters → every
+    // cross-copy pair is a TRUE ham-0 near-dup, so replication manufactures
+    // Θ(mult²) real output pairs (the minhash argument in hash space); its
+    // scaling story is the 4×2^16 band-bucket candidate bound (PERF.md)
     // q_semantic_dedup / q_curation_funnel: replicated embeddings are IDENTICAL
     // vectors — every cross-copy pair is a true cos=1 near-dup, so replication
     // manufactures Θ(mult²) REAL pairs (the minhash argument, in vector space);

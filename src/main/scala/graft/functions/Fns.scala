@@ -57,7 +57,15 @@ object Fns {
     * Double.toString (BigDecimal.valueOf), so e.g. 189/40 = 4.7249999...996
     * prints "4.725" and rounds UP to 4.73, while DuckDB rounds the exact
     * binary value DOWN to 4.72. floor arithmetic on the identical input
-    * double gives the identical answer in both engines. */
+    * double gives the identical answer in both engines.
+    *
+    * On NEGATIVE inputs the formula still rounds halfway cases toward
+    * +inf (−1.5e-6 → −1e-6, i.e. toward zero magnitude), NOT
+    * half-away-from-zero. Every oracle-gated caller feeds non-negative
+    * values; the one negative-domain caller ([[graft.gql.Hmm]]'s
+    * ln-probabilities — a GQL surface with no oracle twin) uses the
+    * half-toward-+inf behavior DELIBERATELY, with InferenceSpec
+    * mirroring the identical formula. */
   def roundP(c: Column, n: Int): Column = {
     val p = math.pow(10.0, n)
     floor(c * lit(p) + lit(0.5)) / lit(p)

@@ -102,6 +102,10 @@ object Hmm {
       (t + 1, obs(t)._1, show(obs(t)._2), states(path(t)), delta(t)(path(t)))
     }.toDF("step", "event", "observation", "state", "lp")
       .select(col("step"), col("event"), col("observation"), col("state"),
+        // roundP over NEGATIVE ln-probabilities is half-toward-+inf at
+        // exact halfway points (documented on Fns.roundP) — deliberate:
+        // this GQL surface has no DuckDB twin and InferenceSpec mirrors
+        // the identical formula, so the contract is pinned, not assumed
         graft.functions.Fns.roundP(col("lp"), 6).as("ln_prob"))
       .orderBy("step")
   }

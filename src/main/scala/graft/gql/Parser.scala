@@ -787,4 +787,36 @@ object Parser {
     if (tail.nonEmpty) out += tail
     out.result()
   }
+
+  /** True when `script` ends INSIDE an unterminated statement — open
+    * bracket nesting, an open string literal, or non-comment content after
+    * the last top-level `;`. The interactive shell's continuation-prompt
+    * test (same scanner as [[splitStatements]], so the two can't disagree
+    * about where statements end). */
+  def incomplete(script: String): Boolean = {
+    var depth = 0
+    var inStr = false
+    var inComment = false
+    val tail = new StringBuilder
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (inComment) { if (c == '\n') inComment = false }
+      else if (inStr) {
+        if (c == '\\' && i + 1 < script.length) i += 1
+        else if (c == '\'') inStr = false
+        tail.append(c)
+      } else c match {
+        case '\'' => inStr = true; tail.append(c)
+        case '/' if i + 1 < script.length && script.charAt(i + 1) == '/' =>
+          inComment = true
+        case '{' | '[' | '(' => depth += 1; tail.append(c)
+        case '}' | ']' | ')' => depth -= 1; tail.append(c)
+        case ';' if depth == 0 => tail.clear()
+        case other => tail.append(other)
+      }
+      i += 1
+    }
+    depth > 0 || inStr || tail.toString.trim.nonEmpty
+  }
 }

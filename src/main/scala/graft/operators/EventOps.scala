@@ -642,27 +642,34 @@ object EventOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    require(rows.nonEmpty, "q_holt_forecast: events table is empty")
-    val h0 = rows.map(_._1).min
-    val h1 = rows.map(_._1).max
-    require(h1 > h0, s"q_holt_forecast: needs >= 2 hourly buckets, got ${h1 - h0 + 1}")
-    val out = rows.map(_._2).distinct.sorted.map { t =>
-      val m = rows.collect { case (h, `t`, n) => h -> n }.toMap
-      val y = (h0 to h1).map(h => m.getOrElse(h, 0L).toDouble)
-      var l = y(0)
-      var b = y(1) - y(0)
-      var sae = 0.0
-      var i = 1
-      while (i < y.length) {
-        sae += math.abs(y(i) - (l + b))
-        val lNew = HOLT_ALPHA * y(i) + (1 - HOLT_ALPHA) * (l + b)
-        b = HOLT_BETA * (lNew - l) + (1 - HOLT_BETA) * b
-        l = lNew
-        i += 1
+    // degenerate span (empty corpus / single hourly bucket): EMPTY result,
+    // matching the oracle CTE, whose recursion base needs an i=1 row — the
+    // r12 advice's engine-divergence fix (a require here threw where the
+    // oracle silently emitted nothing)
+    val out =
+      if (rows.isEmpty || rows.map(_._1).min == rows.map(_._1).max)
+        Seq.empty[(String, Long, Double, Double, Double)]
+      else {
+        val h0 = rows.map(_._1).min
+        val h1 = rows.map(_._1).max
+        rows.map(_._2).distinct.sorted.map { t =>
+          val m = rows.collect { case (h, `t`, n) => h -> n }.toMap
+          val y = (h0 to h1).map(h => m.getOrElse(h, 0L).toDouble)
+          var l = y(0)
+          var b = y(1) - y(0)
+          var sae = 0.0
+          var i = 1
+          while (i < y.length) {
+            sae += math.abs(y(i) - (l + b))
+            val lNew = HOLT_ALPHA * y(i) + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (lNew - l) + (1 - HOLT_BETA) * b
+            l = lNew
+            i += 1
+          }
+          (t, y.length.toLong, sae / (y.length - 1), l, b)
+        }.toSeq
       }
-      (t, y.length.toLong, sae / (y.length - 1), l, b)
-    }
-    out.toSeq.toDF("event_type", "n_hours", "mae_raw", "l_raw", "b_raw")
+    out.toDF("event_type", "n_hours", "mae_raw", "l_raw", "b_raw")
       .select(col("event_type"), col("n_hours"),
         Fns.roundP(col("mae_raw"), 6).as("mae"),
         Fns.roundP(col("l_raw"), 6).as("level"),
@@ -702,16 +709,27 @@ object EventOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    require(rows.nonEmpty, "q_holt_winters: events table is empty")
-    val h0 = rows.map(_._1).min
-    val h1 = rows.map(_._1).max
-    val out = rows.map(_._2).distinct.sorted.map { t =>
+    // degenerate span (≤ 2·HW_M hourly buckets — not enough for both init
+    // windows plus one forecast): EMPTY result, mirrored by the oracle's
+    // `ln.len > 2m` guard — engines must agree on degenerate corpora
+    // instead of one throwing while the other emits (r12 advice)
+    val span =
+      if (rows.isEmpty) 0L
+      else rows.map(_._1).max - rows.map(_._1).min + 1
+    val out =
+      if (span <= 2 * HW_M) Seq.empty[(String, Long, Long, Double, Double, Double, Double, Long)]
+      else {
+        val h0 = rows.map(_._1).min
+        val h1 = rows.map(_._1).max
+        rows.map(_._2).distinct.sorted.toSeq.map { t =>
       val byHr = rows.collect { case (h, `t`, n) => h -> n }.toMap
       val y = (h0 to h1).map(h => byHr.getOrElse(h, 0L).toDouble)
-      require(y.length > 2 * HW_M, s"HW needs > ${2 * HW_M} hours, got ${y.length}")
-      val l0 = y.slice(0, HW_M).sum / 24.0
+      // season-length-derived divisors (HW_M, not a 24.0 literal): a
+      // retuned season length cannot silently keep a stale init divisor
+      // in one engine (r12 advice; the oracle interpolates the same $m)
+      val l0 = y.slice(0, HW_M).sum / HW_M.toDouble
       var l = l0
-      var b = (y.slice(HW_M, 2 * HW_M).sum / 24.0 - l0) / 24.0
+      var b = (y.slice(HW_M, 2 * HW_M).sum / HW_M.toDouble - l0) / HW_M.toDouble
       val sArr = Array.tabulate(HW_M)(j => y(j) - l0)
       var sae = 0.0
       var i = 2 * HW_M
@@ -727,8 +745,9 @@ object EventOps {
       val n = y.length
       (t, n.toLong, (n - 2 * HW_M).toLong, sae / (n - 2 * HW_M), l, b,
         sArr.max - sArr.min, sArr.indexOf(sArr.max).toLong)
-    }
-    out.toSeq
+        }
+      }
+    out
       .toDF("event_type", "n_hours", "n_forecasts", "mae_raw", "l_raw", "b_raw",
         "amp_raw", "peak_hour")
       .select(col("event_type"), col("n_hours"), col("n_forecasts"),
@@ -1260,11 +1279,11 @@ object EventOps {
          |d2 AS (SELECT event_type, list(y ORDER BY i) AS ys FROM y
          |       WHERE i >= $m AND i < ${2 * m} GROUP BY 1),
          |init AS (SELECT d1.event_type,
-         |    list_sum(d1.ys) / 24.0::DOUBLE AS l0,
-         |    (list_sum(d2.ys) / 24.0::DOUBLE - list_sum(d1.ys) / 24.0::DOUBLE)
-         |      / 24.0::DOUBLE AS b0,
+         |    list_sum(d1.ys) / $m.0::DOUBLE AS l0,
+         |    (list_sum(d2.ys) / $m.0::DOUBLE - list_sum(d1.ys) / $m.0::DOUBLE)
+         |      / $m.0::DOUBLE AS b0,
          |    list_transform(range(1, ${m + 1}),
-         |      j -> d1.ys[j] - list_sum(d1.ys) / 24.0::DOUBLE) AS s0
+         |      j -> d1.ys[j] - list_sum(d1.ys) / $m.0::DOUBLE) AS s0
          |  FROM d1 JOIN d2 USING (event_type)),
          |rec AS (
          |  SELECT event_type, ${2 * m - 1} AS i, 0.0::DOUBLE AS sae,
@@ -1288,7 +1307,8 @@ object EventOps {
              "list_aggregate(r.s, 'max') - list_aggregate(r.s, 'min')", 6)} AS season_amp,
          |  CAST(list_position(r.s, list_aggregate(r.s, 'max')) - 1 AS BIGINT) AS peak_hour
          |FROM rec r JOIN ln USING (event_type)
-         |WHERE r.i = ln.len - 1 ORDER BY r.event_type""".stripMargin
+         |WHERE r.i = ln.len - 1 AND ln.len > ${2 * m}
+         |ORDER BY r.event_type""".stripMargin
     },
     // Benford: integer leading digit, literal-baked expectations, decimal-
     // summed chi-square terms

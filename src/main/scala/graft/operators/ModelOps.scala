@@ -505,6 +505,9 @@ object ModelOps {
 
   /** Max piece length admitted to the seed vocabulary. */
   val UNI_MAXLEN = 4
+  /** Hard cap on trainable word length — guards the oracle's enumeration
+    * CTE (exponential in word length; see the unigramLearn assert). */
+  val UNI_MAXWORD = 16
 
   /** Multi-char seed candidates kept (top by substring-occurrence count;
     * all single chars are always kept so every word stays segmentable). */
@@ -623,6 +626,18 @@ object ModelOps {
       .filter(col("f") >= UNI_MINFREQ) // policy bound on the driver collect
       .as[(String, Long)]
       .collect()
+    // loud bound on word length (r12 advice): the DuckDB twin's
+    // enumeration CTE grows as compositions into parts ≤ UNI_MAXLEN —
+    // exponential in word length (every single char is always in vocab).
+    // ≤ UNI_MAXWORD keeps that ≤ ~10k paths/word; a corpus past the bound
+    // must fail HERE, visibly, not melt the oracle (testdata max is 8,
+    // asserted like the ASCII-corpus checks elsewhere)
+    wf.find(_._1.length > UNI_MAXWORD).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"unigram trainer: word '$w' exceeds UNI_MAXWORD=$UNI_MAXWORD chars — " +
+          "the enumeration oracle is exponential in word length; raise the bound " +
+          "deliberately or pre-split long tokens")
+    }
     // seed: substring-occurrence counts, length 1..UNI_MAXLEN
     val cnt0 = scala.collection.mutable.HashMap.empty[String, Long]
     wf.foreach { case (w, f) =>

@@ -592,8 +592,109 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---- Hamming-radius image near-dup join (r12 advice #3) -----------------
+
+  /** Wide aHash geometry: 64 block bits carried as [[PH64_BANDS]] 16-bit
+    * band INTEGERS (never packed into one long — DuckDB 1.0 range-checks
+    * `1::BIGINT << 63`, and the banded join only ever needs band values). */
+  val PH64_BITS = 64
+  val PH64_BANDS = 4
+  val PH64_BAND_BITS = 16
+  /** Match radius: pairs within Hamming distance 3 of each other. */
+  val PH64_RADIUS = 3
+
+  case class MmPhash64(doc_id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** The 64-block aHash of a decoded raster, one 16-bit int per band —
+    * same cross-multiplied integer bit rule as [[qMmPhash]], widened so a
+    * few corrupted pixels flip FEW bits instead of few-of-32. */
+  private def phash64(raster: Array[Byte]): Array[Int] = {
+    val L = raster.length
+    var tot = 0L
+    var i = 0
+    while (i < L) { tot += raster(i) & 0xff; i += 1 }
+    val bands = new Array[Int](PH64_BANDS)
+    var c = 0
+    while (c < PH64_BITS) {
+      val p0 = (c.toLong * L / PH64_BITS).toInt
+      val p1 = ((c + 1).toLong * L / PH64_BITS).toInt
+      var s0 = 0L
+      var j = p0
+      while (j < p1) { s0 += raster(j) & 0xff; j += 1 }
+      if (s0 * L > tot * (p1 - p0))
+        bands(c / PH64_BAND_BITS) |= 1 << (c % PH64_BAND_BITS)
+      c += 1
+    }
+    bands
+  }
+
+  /** The per-doc 64-bit-as-4-bands hash frame behind [[qPhashNear]]
+    * (factored out so the spec can pin the pigeonhole guarantee on
+    * synthetic rasters). */
+  private[graft] def phash64Frame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.map { doc =>
+          val bs = phash64(Ppm.decode(ppmOf(doc)).raster)
+          MmPhash64(doc.doc_id, bs(0), bs(1), bs(2), bs(3))
+        }
+      }
+      .toDF()
+  }
+
+  /** Hamming-radius near-dup image join over the perceptual hash — the
+    * lane [[qMmPhash]] stops short of: identical 32-bit hashes only catch
+    * byte-stable rasters, while real image near-dups differ by a few
+    * bits. Pigeonhole banding (multi-index hashing, Norouzi et al. CVPR
+    * 2012): any pair within Hamming radius [[PH64_RADIUS]] = 3 differs in
+    * ≤ 3 of the [[PH64_BANDS]] = 4 bands, so at least one 16-bit band is
+    * IDENTICAL — a band-keyed equi-join generates every qualifying pair
+    * (completeness guaranteed, spec-pinned), and the exact
+    * `Σ bit_count(xor)` popcount verifies each candidate. The minhash-LSH
+    * posture rendered in hash space: band keys shuffle (5 ints/row, never
+    * rasters), candidate volume is Σ over 4×2^16 buckets of pop² — linear
+    * for hash distributions a corpus produces, and 2^16 values per band
+    * is the production bucket granularity (a 32-bit hash's 2^8-value
+    * bands would crowd ~N/256 rows per bucket). Hash frame persisted —
+    * it feeds both join sides and the verify (no cross-branch CSE), and
+    * the final orderBy would otherwise re-execute the join subtree for
+    * range-bound sampling (PERF.md). */
+  val qPhashNear: Q = (s, d) => {
+    val hashes = phash64Frame(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phashNearJoin(hashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("a", "b")
+  }
+
+  /** The banded candidate join + exact popcount verify over a
+    * (doc_id, h0..h3) hash frame — factored from [[qPhashNear]] so the
+    * spec can drive it with crafted band values (pigeonhole guarantee /
+    * beyond-radius rejection). */
+  private[graft] def phashNearJoin(hashes: DataFrame): DataFrame = {
+    val bandCols = (0 until PH64_BANDS).map(i => col(s"h$i"))
+    val banded = hashes.select(col("doc_id") +: bandCols :+
+      posexplode(array(bandCols: _*)).as(Seq("band", "bval")): _*)
+    def side(tag: String) = banded.select(col("band") +: col("bval") +:
+      col("doc_id").as(tag) +:
+      (0 until PH64_BANDS).map(i => col(s"h$i").as(s"$tag$i")): _*)
+    val ham = (0 until PH64_BANDS)
+      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+      .reduce(_ + _)
+    side("a").join(side("b"), Seq("band", "bval"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= PH64_RADIUS)
+      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mm_phash"    -> qMmPhash,
+    "q_phash_near"  -> qPhashNear,
     "q_mm_video"    -> qMmVideo,
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
@@ -740,6 +841,60 @@ object MultimodalOps {
          |SELECT doc_id, CAST(coalesce(phash, 0) AS BIGINT) AS phash,
          |  CAST(coalesce(n_ones, 0) AS INT) AS n_ones
          |FROM ph ORDER BY doc_id""".stripMargin,
+    "q_phash_near" -> {
+      // band h_k of the 64-block aHash, derived analytically (same raster
+      // model as q_mm_phash's oracle: byte i = ord(text[i]) under the
+      // length, 0 in the row padding); candidates from the same 4×16-bit
+      // pigeonhole band join, verified by per-band popcount of the xor
+      def bandSum(k: Int) =
+        s"""CAST(coalesce(sum(CASE WHEN c // $PH64_BAND_BITS = $k
+           |      AND s0 * L > tot * (b1 - b0)
+           |      THEN (1 << (c % $PH64_BAND_BITS)) ELSE 0 END), 0) AS INT) AS h$k"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    ((length(text) + ${ROW_BYTES - 1}) // $ROW_BYTES) * $ROW_BYTES AS L
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, text, n, L,
+         |    coalesce(list_sum(list_transform(range(1, n + 1),
+         |      i -> ord(text[i]))), 0) AS tot
+         |  FROM d),
+         |b AS (SELECT doc_id, text, n, L, tot,
+         |        unnest(range(0, $PH64_BITS)) AS c FROM t),
+         |cs AS (
+         |  SELECT doc_id, L, tot, c,
+         |    (c * L) // $PH64_BITS AS b0,
+         |    ((c + 1) * L) // $PH64_BITS AS b1,
+         |    coalesce(list_sum(list_transform(
+         |      range((c * L) // $PH64_BITS + 1,
+         |            least(((c + 1) * L) // $PH64_BITS, n) + 1),
+         |      i -> ord(text[i]))), 0) AS s0
+         |  FROM b),
+         |ph AS (
+         |  SELECT doc_id,
+         |    ${bandSum(0)},
+         |    ${bandSum(1)},
+         |    ${bandSum(2)},
+         |    ${bandSum(3)}
+         |  FROM cs GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+         |    unnest([h0, h1, h2, h3]) AS bval FROM ph),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id),
+         |ham AS (
+         |  SELECT cand.a, cand.b,
+         |    bit_count(xor(x.h0::BIGINT, y.h0::BIGINT)) +
+         |    bit_count(xor(x.h1::BIGINT, y.h1::BIGINT)) +
+         |    bit_count(xor(x.h2::BIGINT, y.h2::BIGINT)) +
+         |    bit_count(xor(x.h3::BIGINT, y.h3::BIGINT)) AS hm
+         |  FROM cand JOIN ph x ON cand.a = x.doc_id JOIN ph y ON cand.b = y.doc_id)
+         |SELECT a, b, CAST(hm AS INT) AS hamming FROM ham
+         |WHERE hm <= $PH64_RADIUS ORDER BY a, b""".stripMargin
+    },
     "q_mm_decode" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, length(text) AS n,

@@ -408,11 +408,23 @@ object EventStream {
     * math and estimator are the gate's own [[SketchOps.hllRegisters]] /
     * [[SketchOps.hllEstimate]], so monitor and gate cannot diverge.
     *
-    * Exactly-once: per-batch overwrite dirs + a read bounded at ≤ bid
-    * (the [[graft.streaming.CorpusIngest.startDriftMonitor]] protocol) —
-    * a replayed batch recomputes byte-identical registers and report.
+    * Exactly-once: per-batch overwrite dirs (the
+    * [[graft.streaming.CorpusIngest.startDriftMonitor]] protocol) — a
+    * replayed batch recomputes byte-identical registers and report.
     * State is bounded by construction: ≤ m=1024 rows per (group, batch),
-    * never keys. */
+    * never keys.
+    *
+    * Per-batch work is O(1) in delivered batches (r12 advice): each
+    * batch max-merges its registers into the PREVIOUS batch's cumulative
+    * register snapshot (`_cum/batch=N` — the `_` prefix keeps Spark's
+    * file listing from mixing snapshots into a wholesale read of the
+    * per-batch store) instead of re-aggregating every batch dir, so a
+    * long-lived stream reads two bounded frames per trigger, not O(B)
+    * dirs. HLL union is associative, so fold-forward ≡ max over all
+    * batches ≤ bid, and replay determinism holds: a re-delivered batch
+    * merges against the same finished prev snapshot (strictly < bid — a
+    * half-written own snapshot from a crashed attempt is skipped) and
+    * overwrites identical bytes. */
   def startCardinalityMonitor(s: SparkSession, srcDir: String, regDir: String,
                               reportDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -423,12 +435,23 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        SketchOps.hllRegisters(SketchOps.hllHashes(batch), "event_type")
-          .withColumn("batch_id", lit(bid))
+        val regs = SketchOps.hllRegisters(SketchOps.hllHashes(batch), "event_type")
+        regs.withColumn("batch_id", lit(bid))
           .write.mode("overwrite").parquet(s"$regDir/batch=$bid")
-        val merged = spark.read.parquet(regDir)
-          .filter(col("batch_id") <= bid)
-          .groupBy("event_type", "bucket").agg(max("r").as("r"))
+        // newest FINISHED cumulative snapshot strictly before this batch
+        val prevBid = Option(new java.io.File(s"$regDir/_cum").list()).toSeq
+          .flatten.filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong).filter(_ < bid)
+          .sorted.lastOption
+        val cum = prevBid match {
+          case Some(pb) =>
+            spark.read.parquet(s"$regDir/_cum/batch=$pb")
+              .unionByName(regs.select(col("event_type"), col("bucket"), col("r")))
+              .groupBy("event_type", "bucket").agg(max("r").as("r"))
+          case None => regs.select(col("event_type"), col("bucket"), col("r"))
+        }
+        cum.write.mode("overwrite").parquet(s"$regDir/_cum/batch=$bid")
+        val merged = spark.read.parquet(s"$regDir/_cum/batch=$bid")
         SketchOps.hllEstimate(merged, "event_type")
           .select(col("event_type"), col("v_zero"),
             graft.functions.Fns.roundP(col("hll_raw"), 4).as("hll_est"))

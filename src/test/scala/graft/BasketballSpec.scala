@@ -71,4 +71,65 @@ class BasketballSpec extends AnyFunSuite {
       .collect()(0)
     assert(q2.isNullAt(q2.fieldIndex("cost")))
   }
+
+  test("nGQL converter: the nebula basketballplayer dialect replays green (l2lite parity)") {
+    // the nebula-side statements the reference's converter consumed to
+    // produce expect.out's GQL (tool/converter/ngql.cpp regex classes),
+    // plus the read-side GO/FETCH/LOOKUP dialect
+    val ngql =
+      """# nebula basketballplayer subset
+        |create space basketballplayer(partition_num=1, replica_factor=1, vid_type=fixed_string(32));
+        |:sleep 10;
+        |use basketballplayer;
+        |create tag player(name string, age int);
+        |create tag team(name string);
+        |create edge follow(degree int);
+        |create edge serve(start_year int, end_year int);
+        |create tag index player_index_1 on player(name(20));
+        |insert vertex player(name, age) values "player100":("Tim Duncan", 42);
+        |insert vertex player(name, age) values "player101":("Tony Parker", 36), "player102":("LaMarcus Aldridge", 33);
+        |insert vertex team(name) values "team204":("Spurs");
+        |insert edge follow(degree) values "player101"->"player100"@0:(95);
+        |insert edge follow(degree) values "player101"->"player102":(90), "player102"->"player100":(75);
+        |insert edge serve(start_year, end_year) values "player101"->"team204":(1999, 2018);
+        |go from "player101" over follow;
+        |go from "player100" over follow reversely;
+        |fetch prop on player "player100";
+        |lookup on player where player.age > 35;
+        |lookup on player where player.name == "Tony Parker";
+        |""".stripMargin
+    val gqlScript = gql.Ngql.convertScript(ngql)
+    // the create flushes once, before the first insert, with props+index
+    assert(gqlScript.contains(
+      "{create: 'basketballplayer', group: [{player: ['name','age'], index: ['name']},{team: ['name']},{follow: ['degree']},{serve: ['start_year','end_year']}]};"),
+      s"unexpected create shape:\n$gqlScript")
+    assert(gqlScript.contains("{upset: 'player', vertex: [['player100', {name: 'Tim Duncan', age: 42}]]};"))
+    assert(gqlScript.contains("['player101', ->: {degree: 95}, 'player100']"))
+
+    val root = Files.createTempDirectory("ngql").toString
+    val engine = new GqlEngine(spark, root)
+    val results = engine.exec(gqlScript)
+    val bad = results.filter(_.status.startsWith("error"))
+    assert(bad.isEmpty, s"converted script errored: ${bad.map(_.status)}\n$gqlScript")
+
+    // converted reads answer correctly against the replayed catalog
+    val queries = results.filter(_.df.isDefined).map(_.df.get)
+    assert(queries.length == 5)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => Option(r.getAs[String]("key_s"))
+        .getOrElse(String.valueOf(r.getAs[Any]("neighbor_s")))).toSet
+    // go from player101 over follow -> {player100, player102}
+    assert(queries(0).collect().map(_.getAs[String]("neighbor_s")).toSet ==
+      Set("player100", "player102"))
+    // go from player100 over follow reversely -> followers of 100
+    assert(queries(1).collect().map(_.getAs[String]("neighbor_s")).toSet ==
+      Set("player101", "player102"))
+    // fetch prop on player "player100"
+    val fetched = queries(2).collect()
+    assert(fetched.length == 1 && fetched(0).getAs[String]("name") == "Tim Duncan")
+    // lookup age > 35 -> Duncan (42) + Parker (36)
+    assert(keys(queries(3)) == Set("player100", "player101"))
+    // lookup name == 'Tony Parker'
+    assert(keys(queries(4)) == Set("player101"))
+  }
 }

@@ -183,4 +183,19 @@ class EventOpsFixtureSpec extends AnyFunSuite {
       assert(peak == sA.indexOf(sA.max).toLong, s"$t peak $peak vs mirror")
     }
   }
+
+  test("Holt gates emit EMPTY frames on degenerate spans, matching the oracle (r12 advice)") {
+    // the E12 fixture spans ONE hourly bucket: the forecast oracle's
+    // recursion base needs an i=1 row (span >= 2) and the HW oracle now
+    // guards ln.len > 2*HW_M — the Spark side must return the same empty
+    // result instead of throwing
+    val hf = operators.EventOps.qHoltForecast(spark, dir)
+    assert(hf.collect().isEmpty)
+    assert(hf.columns.toSeq ==
+      Seq("event_type", "n_hours", "mae", "level", "trend"))
+    val hw = operators.EventOps.qHoltWinters(spark, dir)
+    assert(hw.collect().isEmpty)
+    assert(hw.columns.toSeq == Seq("event_type", "n_hours", "n_forecasts",
+      "mae", "level", "trend", "season_amp", "peak_hour"))
+  }
 }

@@ -124,5 +124,70 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(row.getLong(4) == 2L)          // zero crossings around the space
     assert(row.getLong(5) == 268763136L)  // energy
   }
+
+  test("phash near-dup pigeonhole: every <=3-bit flip leaves a shared band (exhaustive)") {
+    // 4 bands × 16 bits; flipping any 3 of the 64 bits must leave >=1 of
+    // the 4 bands untouched (pigeonhole) — the completeness guarantee the
+    // banded candidate join rests on. Exhaustive over all C(64,3) +
+    // C(64,2) + 64 flip sets against a fixed base hash.
+    val base = Array(0xBEEF, 0x1234, 0xF0F0, 0x0557) // arbitrary 16-bit bands
+    def flipped(bits: Seq[Int]): Array[Int] = {
+      val h = base.clone()
+      bits.foreach(b => h(b / 16) ^= 1 << (b % 16))
+      h
+    }
+    var checked = 0
+    for (i <- 0 until 64) {
+      assert(flipped(Seq(i)).zip(base).exists { case (x, y) => x == y }); checked += 1
+      for (j <- i + 1 until 64) {
+        assert(flipped(Seq(i, j)).zip(base).exists { case (x, y) => x == y }); checked += 1
+        for (k <- j + 1 until 64) {
+          assert(flipped(Seq(i, j, k)).zip(base).exists { case (x, y) => x == y })
+          checked += 1
+        }
+      }
+    }
+    assert(checked == 64 + 64 * 63 / 2 + 64 * 63 * 62 / 6)
+  }
+
+  test("phash near-dup join: radius semantics on crafted band values") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import SparkTestBase.spark
+    val schema = StructType(Seq("doc_id" -> LongType, "h0" -> IntegerType,
+      "h1" -> IntegerType, "h2" -> IntegerType, "h3" -> IntegerType)
+      .map { case (n, t) => StructField(n, t, nullable = false) })
+    // 1: base; 2: identical (ham 0); 3: one bit in band0 (ham 1);
+    // 4: three bits in band2 (ham 3); 5: four bits all in band1 (ham 4 —
+    // candidate shares 3 bands, exact verify must REJECT);
+    // 6: four bits spread 1-per-band (ham 4 — shares NO band, never a
+    // candidate; either path must leave ham-4 out of the result)
+    val rows = Seq(
+      Row(1L, 0xBEEF, 0x1234, 0xF0F0, 0x0557),
+      Row(2L, 0xBEEF, 0x1234, 0xF0F0, 0x0557),
+      Row(3L, 0xBEEE, 0x1234, 0xF0F0, 0x0557),
+      Row(4L, 0xBEEF, 0x1234, 0xF0F0 ^ 0x0111, 0x0557),
+      Row(5L, 0xBEEF, 0x1234 ^ 0x000F, 0xF0F0, 0x0557),
+      Row(6L, 0xBEEF ^ 1, 0x1234 ^ 2, 0xF0F0 ^ 4, 0x0557 ^ 8))
+    val hashes = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val got = graft.operators.MultimodalOps.phashNearJoin(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver-side brute force = the completeness contract: the banded
+    // join must return EXACTLY the <=radius pairs an all-pairs scan finds
+    val byId = rows.map(r => r.getLong(0) ->
+      (1 to 4).map(r.getInt)).toMap
+    val want = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      hm = byId(a).zip(byId(b)).map { case (x, y) =>
+        Integer.bitCount(x ^ y) }.sum
+      if hm <= 3
+    } yield (a, b, hm)).toSet
+    assert(want.contains((1L, 2L, 0)) && want.contains((3L, 6L, 3)),
+      "fixture must exercise ham-0 and a cross-band ham-3 pair")
+    assert(!want.exists(_._1 == 5L) && !want.exists(_._2 == 5L),
+      "fixture's in-band ham-4 row must be outside the radius")
+    assert(got == want)
+  }
 }
 
