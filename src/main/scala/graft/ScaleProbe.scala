@@ -150,6 +150,8 @@ object ScaleProbe {
                              // (embeddings)
     "q_profile",             // one scan, Expand multi-distinct, 1-row agg
                              // unpivoted (orders)
+    "q_profile_wide",        // 11-column lineitem profile + mode/null_frac,
+                             // same one-scan/one-Expand shape
     "q_holt_forecast",       // (type×hour) count agg; the sequential fold
                              // rides the calendar-bounded collect (events)
     "q_holt_winters")        // same agg + fold with the 24-slot seasonal

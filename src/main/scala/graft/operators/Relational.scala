@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Fns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -482,8 +483,61 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** [[qProfile]] widened to the intake surface a 100 TB delivery
+    * actually runs (r12 advice #7): the full 11-column lineitem schema
+    * (bigints, ints, doubles, strings, a timestamp), with NULL FRACTION
+    * and the TOP VALUE (mode) folded into the SAME one-scan dataflow —
+    * `mode(canonical, deterministic=true)` ties break to the lowest
+    * canonical string on both engines (the oracle twin is the
+    * `ORDER BY c DESC, v` rank), and it rides the multi-distinct Expand's
+    * base group, so the plan stays ONE parquet scan + ONE Expand + one
+    * agg (PlanSpec pins it). Null fraction is post-agg row-local
+    * arithmetic. At 100 TB: countDistinct → the gated sketches, mode →
+    * a CMS heavy-hitter, same dataflow. */
+  private val profileWideSpec: Seq[(String, Column => Column)] = Seq(
+    ("l_orderkey",      (c: Column) => c.cast("string")),
+    ("l_partkey",       (c: Column) => c.cast("string")),
+    ("l_suppkey",       (c: Column) => c.cast("string")),
+    ("l_linenumber",    (c: Column) => c.cast("string")),
+    ("l_quantity",      (c: Column) => c.cast("decimal(18,2)").cast("string")),
+    ("l_extendedprice", (c: Column) => c.cast("decimal(18,2)").cast("string")),
+    ("l_discount",      (c: Column) => c.cast("decimal(18,2)").cast("string")),
+    ("l_tax",           (c: Column) => c.cast("decimal(18,2)").cast("string")),
+    ("l_returnflag",    (c: Column) => c),
+    ("l_linestatus",    (c: Column) => c),
+    ("l_shipdate",      (c: Column) => c.cast("date").cast("string")),
+  )
+
+  val qProfileWide: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val aggs = profileWideSpec.flatMap { case (n, k) => Seq(
+      (count(lit(1)) - count(col(n))).as(s"${n}_nulls"),
+      count(lit(1)).as(s"${n}_rows"),
+      countDistinct(col(n)).as(s"${n}_dist"),
+      k(min(col(n))).as(s"${n}_min"),
+      k(max(col(n))).as(s"${n}_max"),
+      mode(k(col(n)), deterministic = true).as(s"${n}_top"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profileWideSpec.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"${n}_nulls").as("n_nulls"),
+          col(s"${n}_rows").as("n_rows"), col(s"${n}_dist").as("n_distinct"),
+          col(s"${n}_min").as("vmin"), col(s"${n}_max").as("vmax"),
+          col(s"${n}_top").as("top_value"))
+      }: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n_nulls").as("n_nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        graft.functions.Fns.roundP(
+          col("p.n_nulls").cast("double") / col("p.n_rows").cast("double"), 6)
+          .as("null_frac"),
+        col("p.vmin").as("vmin"), col("p.vmax").as("vmax"),
+        col("p.top_value").as("top_value"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile"         -> qProfile,
+    "q_profile_wide"    -> qProfileWide,
     "q_gini"            -> qGini,
     "q_pareto"          -> qPareto,
     "q_cum_revenue"     -> qCumRevenue,
@@ -536,8 +590,49 @@ object Relational {
        |) ORDER BY col_name""".stripMargin
   }
 
+  /** DuckDB twin of [[qProfileWide]]: same aggregates, with the
+    * deterministic mode rendered as an `ORDER BY c DESC, v` rank subquery
+    * per column (Spark's mode(deterministic=true) tie-breaks to the
+    * lowest canonical string; DuckDB's own mode() ties arbitrarily, so
+    * the twin spells the rank out). */
+  private val sqlProfileWide: String = {
+    val spec: Seq[(String, String => String)] = Seq(
+      ("l_orderkey",      (e: String) => s"CAST($e AS VARCHAR)"),
+      ("l_partkey",       (e: String) => s"CAST($e AS VARCHAR)"),
+      ("l_suppkey",       (e: String) => s"CAST($e AS VARCHAR)"),
+      ("l_linenumber",    (e: String) => s"CAST($e AS VARCHAR)"),
+      ("l_quantity",      (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("l_extendedprice", (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("l_discount",      (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("l_tax",           (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("l_returnflag",    (e: String) => e),
+      ("l_linestatus",    (e: String) => e),
+      ("l_shipdate",      (e: String) => s"CAST(CAST($e AS DATE) AS VARCHAR)"))
+    val aggCols = spec.map { case (n, k) =>
+      s"""CAST(count(*) - count($n) AS BIGINT) AS ${n}_nulls,
+         |  CAST(count(*) AS BIGINT) AS ${n}_rows,
+         |  CAST(count(DISTINCT $n) AS BIGINT) AS ${n}_dist,
+         |  ${k(s"min($n)")} AS ${n}_min, ${k(s"max($n)")} AS ${n}_max""".stripMargin
+    }.mkString(",\n  ")
+    val rows = spec.map { case (n, k) =>
+      s"""SELECT '$n' AS col_name, ${n}_nulls AS n_nulls, ${n}_dist AS n_distinct,
+         |    ${Fns.roundPSql(s"CAST(${n}_nulls AS DOUBLE) / CAST(${n}_rows AS DOUBLE)", 6)} AS null_frac,
+         |    ${n}_min AS vmin, ${n}_max AS vmax,
+         |    (SELECT v FROM (SELECT ${k(n)} AS v, count(*) AS c FROM lineitem
+         |       WHERE $n IS NOT NULL GROUP BY 1 ORDER BY c DESC, v LIMIT 1)) AS top_value
+         |  FROM a""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH a AS (SELECT
+       |  $aggCols
+       |FROM lineitem)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_profile" -> sqlProfile,
+    "q_profile_wide" -> sqlProfileWide,
     "q_gini" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -389,4 +389,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct lost its Expand rendering:\n$p")
     assert(!p.toLowerCase.contains("join"), s"profile needs no join:\n$p")
   }
+
+  test("q_profile_wide keeps the one-scan/one-Expand shape with mode + null_frac folded in") {
+    val p = plan("q_profile_wide")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"wide profile must read lineitem once:\n$p")
+    assert("Expand".r.findAllIn(p).length == 1,
+      s"exactly one Expand (the multi-distinct rendering):\n$p")
+    assert(!p.toLowerCase.contains("join"), s"mode must ride the agg, not a join:\n$p")
+  }
 }
