@@ -508,30 +508,66 @@ object Relational {
     ("l_shipdate",      (c: Column) => c.cast("date").cast("string")),
   )
 
+  /** Numeric sort key per column (NULL for string columns): the NATIVE
+    * ordering min/max must use — the canonical string is not orderable
+    * ("10" < "9" lexicographically). Date → epoch-day; integral/double →
+    * double (values ≤ 6e8 here, exact). */
+  private val profileWideNumKey: Map[String, Column => Column] = Map(
+    "l_orderkey"      -> ((c: Column) => c.cast("double")),
+    "l_partkey"       -> ((c: Column) => c.cast("double")),
+    "l_suppkey"       -> ((c: Column) => c.cast("double")),
+    "l_linenumber"    -> ((c: Column) => c.cast("double")),
+    "l_quantity"      -> ((c: Column) => c.cast("double")),
+    "l_extendedprice" -> ((c: Column) => c.cast("double")),
+    "l_discount"      -> ((c: Column) => c.cast("double")),
+    "l_tax"           -> ((c: Column) => c.cast("double")),
+    "l_shipdate"      -> ((c: Column) => unix_date(c.cast("date")).cast("double")),
+  )
+
   val qProfileWide: Q = (s, d) => {
+    // Dataflow (the deequ unpivot-count rendering, all codegen): one scan
+    // → one Generate unpivoting each row into 11 (col_id, canon, knum)
+    // slots → HashAggregate #1 on (col_id, canon, knum) with map-side
+    // combine (canon is a CANONICAL RENDERING, knum the native numeric
+    // key, so distinct (canon, knum) groups ≡ distinct native values) →
+    // HashAggregate #2 per column: nulls / rows / exact distinct =
+    // count of value groups, min/max via min_by/max_by on the native
+    // key (strings fall back to min/max of canon — their canon IS the
+    // native ordering), and the deterministic TOP VALUE as
+    // min_by(canon, struct(-cnt, canon)) (max count, ties → lowest
+    // canonical string; null sort key drops the null-value group). The
+    // first cut folded mode() into the q_profile Expand agg — mode is a
+    // TypedImperativeAggregate, which forced the ×12-duplicated Expand
+    // stream through a no-codegen ObjectHashAggregate: measured 38.8 s
+    // at sf0.1 vs ~3 s for this shape (PERF.md r13).
     val li = Tables.lineitem(s, d)
-    val aggs = profileWideSpec.flatMap { case (n, k) => Seq(
-      (count(lit(1)) - count(col(n))).as(s"${n}_nulls"),
-      count(lit(1)).as(s"${n}_rows"),
-      countDistinct(col(n)).as(s"${n}_dist"),
-      k(min(col(n))).as(s"${n}_min"),
-      k(max(col(n))).as(s"${n}_max"),
-      mode(k(col(n)), deterministic = true).as(s"${n}_top"))
+    val names = profileWideSpec.map(_._1)
+    val slots = profileWideSpec.zipWithIndex.map { case ((n, k), i) =>
+      struct(lit(i).as("cid"), k(col(n)).as("canon"),
+        profileWideNumKey.get(n).map(f => f(col(n)))
+          .getOrElse(lit(null).cast("double")).as("knum"))
     }
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(profileWideSpec.map { case (n, _) =>
-        struct(lit(n).as("col_name"), col(s"${n}_nulls").as("n_nulls"),
-          col(s"${n}_rows").as("n_rows"), col(s"${n}_dist").as("n_distinct"),
-          col(s"${n}_min").as("vmin"), col(s"${n}_max").as("vmax"),
-          col(s"${n}_top").as("top_value"))
-      }: _*)).as("p"))
-      .select(col("p.col_name").as("col_name"), col("p.n_nulls").as("n_nulls"),
-        col("p.n_distinct").as("n_distinct"),
+    val compact = li
+      .select(explode(array(slots: _*)).as("s"))
+      .select(col("s.cid").as("cid"), col("s.canon").as("canon"), col("s.knum").as("knum"))
+      .groupBy("cid", "canon", "knum")
+      .agg(count(lit(1)).as("cnt"))
+    val topKey = when(col("canon").isNotNull,
+      struct((-col("cnt")).as("nc"), col("canon").as("cv")))
+    val perCol = compact.groupBy("cid").agg(
+      coalesce(sum(when(col("canon").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      sum(col("cnt")).as("n_rows"),
+      count(col("canon")).as("n_distinct"),
+      coalesce(min_by(col("canon"), col("knum")), min(col("canon"))).as("vmin"),
+      coalesce(max_by(col("canon"), col("knum")), max(col("canon"))).as("vmax"),
+      min_by(col("canon"), topKey).as("top_value"))
+    perCol
+      .select(element_at(typedLit(names), col("cid") + 1).as("col_name"),
+        col("n_nulls"), col("n_distinct"),
         graft.functions.Fns.roundP(
-          col("p.n_nulls").cast("double") / col("p.n_rows").cast("double"), 6)
+          col("n_nulls").cast("double") / col("n_rows").cast("double"), 6)
           .as("null_frac"),
-        col("p.vmin").as("vmin"), col("p.vmax").as("vmax"),
-        col("p.top_value").as("top_value"))
+        col("vmin"), col("vmax"), col("top_value"))
       .orderBy("col_name")
   }
 

@@ -1229,7 +1229,14 @@ object VectorOps {
     * training chain. */
   val qAnnRecallKmeans: Q = (s, d) => {
     require(NPROBE == 2, "the kmeans route uses assignCells(probes = 2)")
-    val v = vecs(s, d)
+    // three consumers (probe fetch, brute side, assignment) and no
+    // cross-branch CSE: persist, or each branch re-scans the corpus.
+    // Before the centroid blob landed, the TRAINING chain persisted this
+    // same projection as a side effect and the eval silently rode those
+    // blocks — cached centroids removed the training, exposing the
+    // re-scans (measured 64 s at the 64× probe vs 39 s WITH training;
+    // persisted eval: see PERF.md r13)
+    val v = vecs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = recallProbes(v)
     val exact = recallTopk(v.crossJoin(probes))
     val cents = kmeansCentroids(s, d)

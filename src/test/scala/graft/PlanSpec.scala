@@ -390,12 +390,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("join"), s"profile needs no join:\n$p")
   }
 
-  test("q_profile_wide keeps the one-scan/one-Expand shape with mode + null_frac folded in") {
+  test("q_profile_wide is one scan + one Generate, codegen aggs — no Expand, no object agg") {
     val p = plan("q_profile_wide")
     assert("Scan parquet".r.findAllIn(p).length == 1,
       s"wide profile must read lineitem once:\n$p")
-    assert("Expand".r.findAllIn(p).length == 1,
-      s"exactly one Expand (the multi-distinct rendering):\n$p")
-    assert(!p.toLowerCase.contains("join"), s"mode must ride the agg, not a join:\n$p")
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"exactly one unpivot Generate:\n$p")
+    assert(!p.contains("Expand"),
+      s"the Expand multi-distinct form measured 38.8 s (mode() forced an " +
+        s"ObjectHashAggregate over the x12 stream) — must stay unpivot-count:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"aggregates must stay codegen HashAggregates:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"profile needs no join:\n$p")
   }
 }
