@@ -30,6 +30,10 @@ object Shell {
       |dot on | dot off render edge results as DOT (gqlcmd parity)
       |Statements end with ';' — input continues across lines until then.""".stripMargin
 
+  /** ctrl-c sentinel from the interactive reader: clears any partial
+    * statement instead of gluing the abort into the next input. */
+  private[graft] val INTERRUPT = ""
+
   /** The statement loop, factored from [[main]] so the spec can drive it:
     * `readLine(prompt)` returns None at EOF; meta-commands handle at a
     * FRESH prompt only (mid-statement they are statement text, as in any
@@ -45,6 +49,8 @@ object Shell {
     while (!done) {
       readLine(if (buf.isEmpty) PROMPT else CONT) match {
         case None => done = true // EOF (ctrl-d / pipe end)
+        case Some(INTERRUPT) => // ctrl-c: abandon any partial statement
+          if (buf.nonEmpty) { buf.clear(); out.println("^C (input cleared)") }
         case Some(line) =>
           val t = line.trim
           if (buf.isEmpty && (t == ".exit" || t == ".quit")) done = true
@@ -73,6 +79,10 @@ object Shell {
     }
   }
 
+  /** Edge-row display cap for dot mode — a terminal rendering, not an
+    * export; a multi-million-edge result must not collect unbounded. */
+  val DOT_CAP = 10000
+
   /** Result rendering: edge-shaped frames in dot mode print as a DOT
     * digraph (gqlcmd print_dot — `from -> to;` / `from -- to;` with the
     * string key when present); everything else prints as a header +
@@ -81,13 +91,20 @@ object Shell {
     val cols = df.columns
     if (dot && Seq("src_i", "src_s", "dst_i", "dst_s").forall(cols.contains)) {
       out.println("digraph G {")
-      df.collect().foreach { r =>
+      val rows = df.limit(DOT_CAP + 1).collect()
+      rows.take(DOT_CAP).foreach { r =>
         def k(i: String, s: String) = Option(r.getAs[Any](s))
-          .map(_.toString).getOrElse(String.valueOf(r.getAs[Any](i)))
+          .map(_.toString).orElse(Option(r.getAs[Any](i)).map(_.toString))
         val arrow =
-          if (cols.contains("directed") && r.getAs[Boolean]("directed")) "->" else "--"
-        out.println(s"  ${k("src_i", "src_s")} $arrow ${k("dst_i", "dst_s")};")
+          if (cols.contains("directed") && r.getAs[Any]("directed") == true) "->" else "--"
+        // mixed all-group results carry vertex rows with null endpoint
+        // twins — skip them rather than printing `null -- null;`
+        (k("src_i", "src_s"), k("dst_i", "dst_s")) match {
+          case (Some(f), Some(t)) => out.println(s"  $f $arrow $t;")
+          case _ =>
+        }
       }
+      if (rows.length > DOT_CAP) out.println(s"  // ... ($DOT_CAP-edge display cap)")
       out.println("}")
     } else {
       val rows = df.limit(101).collect()
@@ -128,7 +145,7 @@ object Shell {
         try Some(reader.readLine(prompt))
         catch {
           case _: org.jline.reader.EndOfFileException => None
-          case _: org.jline.reader.UserInterruptException => Some("") // ctrl-c clears
+          case _: org.jline.reader.UserInterruptException => Some(INTERRUPT)
         }
       try runLoop(engine, read, out)
       finally {
@@ -136,9 +153,16 @@ object Shell {
         term.close()
       }
     } else {
-      // pipe mode: same loop over raw stdin (prompts suppressed)
+      // pipe mode: same loop over raw stdin. Under `sbt runMain` the
+      // forked JVM's stdin is a PIPE even at a real terminal
+      // (connectInput pumps sbt's stdin through), so System.console() is
+      // null and this branch serves the sbt-interactive user too —
+      // prompts go to STDERR so they are visible there while a piped
+      // script's stdout stays clean. Full jline line editing/history
+      // needs a direct `java -cp target/...:/opt/spark/jars/* graft.Shell`
+      // launch.
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
-      runLoop(engine, _ => Option(in.readLine()), out)
+      runLoop(engine, p => { System.err.print(p); System.err.flush(); Option(in.readLine()) }, out)
     }
     spark.stop()
   }

@@ -494,6 +494,15 @@ object Relational {
     * agg (PlanSpec pins it). Null fraction is post-agg row-local
     * arithmetic. At 100 TB: countDistinct → the gated sketches, mode →
     * a CMS heavy-hitter, same dataflow. */
+  // Canonicalizer contract (shared with profileSpec): the decimal(18,2)
+  // rendering of a DOUBLE is engine-identical only while corpus doubles
+  // are ≤2-decimal exact (true of this TPC-H-shaped data; lineitem money
+  // columns are cents). On noisier data Spark's Double→Decimal goes
+  // through Double.toString (HALF_UP on the printed repr) while DuckDB
+  // rounds the exact binary value — the documented roundP divergence —
+  // and the gate would flip loudly. The production fix is canonicalizing
+  // via an explicit roundP before the cast; kept simple here because the
+  // gate pins the assumption.
   private val profileWideSpec: Seq[(String, Column => Column)] = Seq(
     ("l_orderkey",      (c: Column) => c.cast("string")),
     ("l_partkey",       (c: Column) => c.cast("string")),
@@ -552,14 +561,24 @@ object Relational {
       .select(col("s.cid").as("cid"), col("s.canon").as("canon"), col("s.knum").as("knum"))
       .groupBy("cid", "canon", "knum")
       .agg(count(lit(1)).as("cnt"))
+    // collapse to one row per CANONICAL string before ranking the top
+    // value: two distinct natives can share a rendering (e.g. two raw
+    // doubles → one decimal(18,2) string), and the oracle's top-value
+    // rank counts per rendering — nvals carries the native-distinct
+    // count, kmin/kmax the native ordering keys (review finding r13)
+    val perCanon = compact.groupBy("cid", "canon").agg(
+      count(lit(1)).as("nvals"),
+      sum(col("cnt")).as("ccnt"),
+      min(col("knum")).as("kmin"),
+      max(col("knum")).as("kmax"))
     val topKey = when(col("canon").isNotNull,
-      struct((-col("cnt")).as("nc"), col("canon").as("cv")))
-    val perCol = compact.groupBy("cid").agg(
-      coalesce(sum(when(col("canon").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
-      sum(col("cnt")).as("n_rows"),
-      count(col("canon")).as("n_distinct"),
-      coalesce(min_by(col("canon"), col("knum")), min(col("canon"))).as("vmin"),
-      coalesce(max_by(col("canon"), col("knum")), max(col("canon"))).as("vmax"),
+      struct((-col("ccnt")).as("nc"), col("canon").as("cv")))
+    val perCol = perCanon.groupBy("cid").agg(
+      coalesce(sum(when(col("canon").isNull, col("ccnt"))), lit(0L)).as("n_nulls"),
+      sum(col("ccnt")).as("n_rows"),
+      coalesce(sum(when(col("canon").isNotNull, col("nvals"))), lit(0L)).as("n_distinct"),
+      coalesce(min_by(col("canon"), col("kmin")), min(col("canon"))).as("vmin"),
+      coalesce(max_by(col("canon"), col("kmax")), max(col("canon"))).as("vmax"),
       min_by(col("canon"), topKey).as("top_value"))
     perCol
       .select(element_at(typedLit(names), col("cid") + 1).as("col_name"),

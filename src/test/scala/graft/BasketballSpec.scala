@@ -132,4 +132,29 @@ class BasketballSpec extends AnyFunSuite {
     // lookup name == 'Tony Parker'
     assert(keys(queries(4)) == Set("player101"))
   }
+
+  test("nGQL converter corners: quoted separators, multi-line wraps, comments, int vids") {
+    // a ','/')'/':' INSIDE a quoted nebula string must not split values;
+    // statements wrap across lines; '#' comments separate tokens; bare
+    // integer vids stay integer keys (review findings r13)
+    val ngql =
+      """create space s2(vid_type=int64);
+        |use s2;
+        |create tag p(name string, note string);
+        |insert vertex p(name, note) values # trailing comment
+        |  1:("Duncan, Tim (GOAT)", "a:b"),
+        |  2:("O'Neal", "x)y");
+        |""".stripMargin
+    val out = gql.Ngql.convertScript(ngql)
+    assert(out.contains("[1, {name: 'Duncan, Tim (GOAT)', note: 'a:b'}]"), out)
+    assert(out.contains("""[2, {name: 'O\'Neal', note: 'x)y'}]"""), out)
+    // and the converted script executes: quoted separators survive parsing
+    val root = Files.createTempDirectory("ngql2").toString
+    val engine = new GqlEngine(spark, root)
+    val bad = engine.exec(out).filter(_.status.startsWith("error"))
+    assert(bad.isEmpty, s"${bad.map(_.status)}\n$out")
+    val got = engine.query("{query: 'p', in: 's2'};").collect()
+      .map(r => (r.getAs[Long]("key_i"), r.getAs[String]("name"))).toSet
+    assert(got == Set((1L, "Duncan, Tim (GOAT)"), (2L, "O'Neal")))
+  }
 }

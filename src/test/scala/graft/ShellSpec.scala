@@ -78,6 +78,20 @@ class ShellSpec extends AnyFunSuite {
     assert(out.contains("CREATE SUCCESS"))
   }
 
+  test("ctrl-c sentinel clears a partial statement; blank continuation lines don't") {
+    val (out, _) = drive(freshEngine(), Seq(
+      "{create: 'garbage',",
+      Shell.INTERRUPT,                 // abort mid-statement
+      "{create: 'g', group: ['p']};",  // a fresh statement must now work
+      "{upset: 'p', vertex: [[1],",
+      "",                              // blank line mid-statement: continuation, not a clear
+      "  [2]]};"))
+    assert(out.contains("^C (input cleared)"))
+    assert(out.contains("CREATE SUCCESS"))
+    assert(out.contains("UPSET SUCCESS"), s"blank continuation line broke the statement:\n$out")
+    assert(!out.contains("garbage"), "aborted fragment must not execute")
+  }
+
   test("dot mode renders edge query results as a DOT digraph") {
     val e = freshEngine()
     val (out, _) = drive(e, Seq(
