@@ -1251,6 +1251,70 @@ object VectorOps {
     recallReport(exact, ann)
   }
 
+  /** Retrieval-eval cut: metrics over the top [[NDCG_K]] ranks. */
+  val NDCG_K = 10
+
+  /** IR-metric eval of embedding retrieval — the report card a retrieval
+    * pipeline publishes beside recall@k: per capped probe (the
+    * q_ann_recall budget), rank the corpus by exact distance and score
+    * graded relevance (same class label) as nDCG@[[NDCG_K]] and
+    * MRR@[[NDCG_K]]. Complements the recall pair: recall measures the
+    * INDEX against brute force, this measures the EMBEDDING against the
+    * labels (a representation whose neighbors are cross-class scores low
+    * here no matter how good the ANN index is).
+    *
+    * Cross-engine exactness: the 10 DCG gains (1/log2(rank+1)), the IDCG
+    * prefix table, and the 10 reciprocal ranks are PRECOMPUTED in Scala
+    * and embedded as identical double literals in both engines (no
+    * runtime log in either plan — shortest-repr round-trip makes the
+    * literals bit-identical); DCG sums the selected gain literals through
+    * the proven decimal(28,18) cast; ranks order by (rounded dist2,
+    * vec_id). Scale posture: capped probe fan (broadcast), one corpus
+    * scan, both rank windows are WindowGroupLimit; the label-count side
+    * is an O(|labels|) broadcast. */
+  val qRetrievalEval: Q = (s, d) => {
+    // three consumers (probes, rank scan, label counts) — persist or the
+    // corpus re-scans per branch (no cross-branch CSE)
+    val v = vecs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(v.filter(pmod(col("vec_id"), lit(KJ_MOD)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("pv"), col("label").as("qlabel"))
+      .orderBy("query_id").limit(AR_QUERIES))
+    val relCounts = v.groupBy(col("label").as("qlabel")).agg(count(lit(1)).as("lcnt"))
+    val gains = (1 to NDCG_K).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg = gains.scanLeft(0.0)(_ + _).tail
+    val rrs = (1 to NDCG_K).map(i => 1.0 / i)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
+    val top = v.crossJoin(probes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        Fns.roundP(VectorExprs.dist2(col("v"), col("pv")), 6).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NDCG_K)
+    val per = top
+      .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+      .groupBy("query_id")
+      .agg(
+        sum(col("rel")).cast("long").as("n_rel_top"),
+        sum(when(col("rel") === 1,
+          element_at(typedLit(gains), col("rn")).cast("decimal(28,18)")))
+          .cast("double").as("dcg"),
+        max(when(col("rel") === 1, element_at(typedLit(rrs), col("rn")))).as("rr"))
+    probes.select(col("query_id"), col("qlabel"))
+      .join(per, Seq("query_id"), "left")
+      .join(broadcast(relCounts), Seq("qlabel"), "left")
+      .select(col("query_id"),
+        (col("lcnt") - 1).cast("long").as("n_rel"),
+        coalesce(col("n_rel_top"), lit(0L)).as("n_rel_top"),
+        when(col("lcnt") > 1,
+          Fns.roundP(coalesce(col("dcg"), lit(0.0)) /
+            element_at(typedLit(idcg),
+              least(col("lcnt") - 1, lit(NDCG_K)).cast("int")), 4))
+          .otherwise(lit(0.0)).as("ndcg"),
+        Fns.roundP(coalesce(col("rr"), lit(0.0)), 4).as("mrr_at_k"))
+      .orderBy("query_id")
+  }
+
   /** Covariance report size. */
   val EC_TOPK = 50
 
@@ -1538,6 +1602,7 @@ object VectorOps {
     "q_embed_cov"      -> qEmbedCov,
     "q_knn_join"       -> qKnnJoin,
     "q_ann_recall"     -> qAnnRecall,
+    "q_retrieval_eval" -> qRetrievalEval,
     "q_ann_recall_kmeans" -> qAnnRecallKmeans,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_random_projection" -> qRandomProjection,
@@ -1887,6 +1952,44 @@ object VectorOps {
          |SELECT b.vec_id, ${Fns.roundPSql(sqlDist2("b.v", "p.pv"), 6)} AS dist2
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
+    "q_retrieval_eval" -> {
+      val gains = (1 to NDCG_K).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      val idcg = gains.scanLeft(0.0)(_ + _).tail
+      val rrs = (1 to NDCG_K).map(i => 1.0 / i)
+      // the metric constants embed as the SAME double literals the Spark
+      // plan bakes in (shortest-repr round-trip) — no runtime log2
+      val gArr = s"[${gains.map(_.toString).mkString(", ")}]"
+      val iArr = s"[${idcg.map(_.toString).mkString(", ")}]"
+      val rArr = s"[${rrs.map(_.toString).mkString(", ")}]"
+      s"""WITH e AS ($sqlVecs),
+         |p AS (SELECT vec_id AS query_id, v AS pv, label AS qlabel FROM e
+         |  WHERE vec_id % $KJ_MOD = 0 ORDER BY query_id LIMIT $AR_QUERIES),
+         |lc AS (SELECT label AS qlabel, count(*) AS lcnt FROM e GROUP BY 1),
+         |dists AS (
+         |  SELECT p.query_id, p.qlabel, e.vec_id, e.label,
+         |    ${Fns.roundPSql(sqlDist2("e.v", "p.pv"), 6)} AS dist2
+         |  FROM e, p WHERE e.vec_id <> p.query_id),
+         |topk AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist2, vec_id) AS rn FROM dists)
+         |  WHERE rn <= $NDCG_K),
+         |per AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top,
+         |    CAST(sum(CASE WHEN label = qlabel
+         |        THEN CAST(($gArr)[rn] AS DECIMAL(28,18)) END) AS DOUBLE) AS dcg,
+         |    max(CASE WHEN label = qlabel THEN ($rArr)[rn] END) AS rr
+         |  FROM topk GROUP BY 1)
+         |SELECT p.query_id,
+         |  CAST(lc.lcnt - 1 AS BIGINT) AS n_rel,
+         |  CAST(coalesce(per.n_rel_top, 0) AS BIGINT) AS n_rel_top,
+         |  CASE WHEN lc.lcnt > 1 THEN ${Fns.roundPSql(
+             s"coalesce(per.dcg, 0) / ($iArr)[CAST(least(lc.lcnt - 1, $NDCG_K) AS INTEGER)]", 4)}
+         |    ELSE 0.0 END AS ndcg,
+         |  ${Fns.roundPSql("coalesce(per.rr, 0)", 4)} AS mrr_at_k
+         |FROM p JOIN lc USING (qlabel) LEFT JOIN per USING (query_id)
+         |ORDER BY p.query_id""".stripMargin
+    },
     "q_ann_recall" ->
       s"""WITH e AS ($sqlVecs),
          |p AS (SELECT vec_id AS query_id, v AS pv FROM e

@@ -107,4 +107,49 @@ class Hnsw2RecallSpec extends AnyFunSuite {
     assert(cellSizes.values.sum == Tables.embeddings(spark, sfDir).count(),
       "q_kmeans cells must partition the corpus the recall gate scans")
   }
+
+  test("q_retrieval_eval matches a from-scratch nDCG/MRR mirror per probe") {
+    import SparkTestBase.sfDir
+    val vs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.get(2).toString))
+    def round(x: Double, p: Int) = { val m = math.pow(10, p); math.floor(x * m + 0.5) / m }
+    def d2(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val k = VectorOps.NDCG_K
+    val gains = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg = gains.scanLeft(0.0)(_ + _).tail
+    val labelCnt = vs.groupBy(_._3).map { case (l, r) => l -> r.length }
+    val probes = vs.filter(_._1 % VectorOps.KJ_MOD == 0)
+      .sortBy(_._1).take(VectorOps.AR_QUERIES)
+    val expect = probes.map { case (qid, qv, ql) =>
+      val top = vs.filter(_._1 != qid)
+        .map(t => ((round(d2(t._2, qv), 6), t._1), t._3))
+        .sortBy(_._1).take(k)
+      val relRns = top.zipWithIndex.collect { case ((_, l), i) if l == ql => i + 1 }
+      // the gate sums gain literals through decimal(28,18) — mirror that
+      val dcg = relRns.map(rn => BigDecimal(gains(rn - 1).toString).setScale(18))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+      val nRel = labelCnt(ql) - 1
+      val ndcg = if (nRel > 0) round(dcg / idcg(math.min(nRel, k) - 1), 4) else 0.0
+      val mrr = round(relRns.headOption.map(1.0 / _).getOrElse(0.0), 4)
+      (qid, nRel.toLong, relRns.size.toLong, ndcg, mrr)
+    }.toSeq
+    val got = VectorOps.qRetrievalEval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expect, s"retrieval eval mismatch:\n$got\nvs\n$expect")
+    // NO quality-floor assertion: on this synthetic corpus the measured
+    // mean nDCG (0.087 at sf0.001) sits AT the random-ranking expectation
+    // (avg n_rel/(|corpus|-1) = 0.102) — the class labels are not
+    // geometric clusters at top-10 granularity. That weakness is the
+    // exact signal the gate exists to REPORT (vs q_ann_recall, which
+    // scores the index); the spec pins the instrument, not the corpus.
+    val meanNdcg = got.map(_._4).sum / got.size
+    val randomFloor = expect.map(_._2.toDouble / (vs.length - 1)).sum / expect.size
+    info(f"mean nDCG@$k $meanNdcg%.4f vs random-ranking floor $randomFloor%.4f")
+    info(f"mean MRR@$k ${got.map(_._5).sum / got.size}%.4f")
+  }
 }
