@@ -590,9 +590,46 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** K-anonymity audit thresholds. */
+  val KANON_KS = Seq(2, 5, 10)
+
+  /** Privacy-side intake audit — k-anonymity over a quasi-identifier
+    * tuple (nation, market segment, account-balance kilo-bucket): for
+    * each k in [[KANON_KS]], how many QI equivalence classes fall below
+    * size k and what fraction of rows sits in a class of size ≥ k. The
+    * release-gating counterpart of [[qProfile]]'s quality profile (a
+    * training corpus that carries structured customer attributes must
+    * clear this before rows are shareable; Sweeney 2002 is the public
+    * framing). Scale posture: one scan, one partial-aggregated shuffle
+    * keyed on the QI tuple (the natural key at any SF); the per-k rollup
+    * runs over class SIZES (bounded by QI-space cardinality, not row
+    * count) exploded ×|KANON_KS|. */
+  val qKAnonymity: Q = (s, d) => {
+    val sizes = Tables.customer(s, d)
+      .groupBy(
+        col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal_kbucket"))
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .select(col("sz"), explode(typedLit(KANON_KS)).as("k"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("sz") < col("k"), lit(1L))), lit(0L)).as("n_groups_below"),
+        coalesce(sum(when(col("sz") < col("k"), col("sz"))), lit(0L)).as("n_rows_below"),
+        sum(col("sz")).as("n_rows"))
+      .select(col("k"), col("n_groups"), col("n_groups_below"), col("n_rows_below"),
+        graft.functions.Fns.roundP(
+          (col("n_rows") - col("n_rows_below")).cast("double") /
+            col("n_rows").cast("double"), 6).as("frac_rows_anon"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile"         -> qProfile,
     "q_profile_wide"    -> qProfileWide,
+    "q_k_anonymity"     -> qKAnonymity,
     "q_gini"            -> qGini,
     "q_pareto"          -> qPareto,
     "q_cum_revenue"     -> qCumRevenue,
@@ -688,6 +725,21 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_profile" -> sqlProfile,
     "q_profile_wide" -> sqlProfileWide,
+    "q_k_anonymity" ->
+      s"""WITH sizes AS (
+         |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_kbucket,
+         |    count(*) AS sz
+         |  FROM customer GROUP BY 1, 2, 3),
+         |ks(k) AS (VALUES (${KANON_KS.mkString("), (")}))
+         |SELECT k,
+         |  count(*) AS n_groups,
+         |  CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0) AS BIGINT) AS n_groups_below,
+         |  CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS BIGINT) AS n_rows_below,
+         |  ${Fns.roundPSql(
+             "CAST(sum(sz) - coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)",
+             6)} AS frac_rows_anon
+         |FROM sizes CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
     "q_gini" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

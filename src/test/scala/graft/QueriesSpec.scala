@@ -56,7 +56,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_asof_forward", "q_cohort_ltv", "q_ab_test", "q_pareto",
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
-    "q_phrase_search", "q_bitext_mine", "q_kneser_ney")
+    "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -110,6 +110,21 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
       assert(r.getAs[Double]("jaccard") >= operators.DedupOps.THRESHOLD)
     }
+  }
+
+  test("q_k_anonymity: one row per k, counts and fractions monotone in k") {
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, sfDir)
+      .orderBy("k").collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == operators.Relational.KANON_KS)
+    // the QI class set is k-independent, so n_groups must be constant
+    assert(rows.map(_.getAs[Long]("n_groups")).distinct.length == 1)
+    val below = rows.map(_.getAs[Long]("n_groups_below"))
+    assert(below.zip(below.tail).forall { case (a, b) => a <= b },
+      "groups below threshold must not shrink as k grows")
+    val frac = rows.map(_.getAs[Double]("frac_rows_anon"))
+    assert(frac.forall(f => f >= 0.0 && f <= 1.0))
+    assert(frac.zip(frac.tail).forall { case (a, b) => a >= b },
+      "anonymous-row fraction must not grow as k grows")
   }
 
   test("q_cms_topk estimates are one-sided (est >= exact, always)") {
