@@ -710,7 +710,85 @@ object ModelOps {
       .orderBy("lang")
   }
 
+  /** Bradley–Terry MM rounds. On this comparison density (every brand
+    * pair meets thousands of times, near-balanced wins) the fit moves
+    * < 1e-9 per round well before 20; the constant is part of the gate's
+    * definition, not a convergence test. */
+  val BT_ITERS = 20
+
+  /** Bradley–Terry preference-strength fit over pairwise item
+    * comparisons — the model an RLHF-style preference pipeline fits on
+    * A-beats-B data (Bradley & Terry 1952), via Hunter 2004's MM
+    * update p_i ← W_i / Σ_j n_ij/(p_i+p_j). Comparisons derive from
+    * order baskets: within one order, brand A beats brand B when A's
+    * total quantity exceeds B's (ties abstain), so every order is a
+    * small round-robin tournament among the brands it touches.
+    *
+    * Plan/scale: the ONLY corpus-scale work is deriving the wins
+    * matrix — brand dim broadcast into the lineitem scan, one
+    * orderkey-keyed shuffle for per-(order, brand) quantities (decimal-
+    * exact), a per-order self-join whose output is bounded by the
+    * square of basket size (≤ 7 lineitems/order at any SF), and a
+    * (winner, loser)-keyed count with map-side combine. The item-
+    * bounded matrix (≤ |brands|² cells, corpus-size-independent — the
+    * trained-artifact tier, same posture as [[qBpeMerges]] and PCA)
+    * collects to the driver for [[BT_ITERS]] MM rounds.
+    *
+    * Exactness: the matrix is all-integer, so both engines iterate from
+    * identical state; each round's denominator folds neighbor terms
+    * left-to-right in brand order — the DuckDB twin's
+    * `list_sum(list(term ORDER BY b))` per unrolled-CTE round — and the
+    * final normalizer folds in brand order, so all rounds are
+    * bit-identical doubles. */
+  val qBradleyTerry: Q = (s, d) => {
+    import s.implicits._
+    val ob = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"), col("l_quantity"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ok"), col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val a = ob.toDF("ok", "wb", "wq")
+    val b = ob.toDF("ok", "lb", "lq")
+    val comps: Array[(String, String, Long)] = a.join(b, Seq("ok"))
+      .filter(col("wb") =!= col("lb") && col("wq") > col("lq"))
+      .groupBy("wb", "lb").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .collect()
+    val wins: Map[String, Long] =
+      comps.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nMap: Map[(String, String), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      comps.foreach { case (w, l, n) =>
+        m.update((w, l), m.getOrElse((w, l), 0L) + n)
+        m.update((l, w), m.getOrElse((l, w), 0L) + n)
+      }
+      m.toMap
+    }
+    val brands: Array[String] =
+      comps.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val neighbors: Map[String, Array[String]] =
+      brands.map(i => i -> brands.filter(j => nMap.contains((i, j)))).toMap
+    var p: Map[String, Double] = brands.map(_ -> 1.0).toMap
+    for (_ <- 1 to BT_ITERS) {
+      p = brands.map { i =>
+        var denom = 0.0 // j-ascending fold = twin's list_sum(ORDER BY b)
+        neighbors(i).foreach(j => denom += nMap((i, j)).toDouble / (p(i) + p(j)))
+        i -> wins.getOrElse(i, 0L).toDouble / denom
+      }.toMap
+    }
+    var tot = 0.0 // brand-ascending fold = twin's list_sum(ORDER BY brand)
+    brands.foreach(b => tot += p(b))
+    brands.toSeq.map { b =>
+      val nc = neighbors(b).foldLeft(0L)((acc, j) => acc + nMap((b, j)))
+      (b, wins.getOrElse(b, 0L), nc,
+        math.floor(p(b) / tot * 1e6 + 0.5) / 1e6) // Fns.roundP twin
+    }.toDF("brand", "n_wins", "n_comps", "score")
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bradley_terry" -> qBradleyTerry,
     "q_nb_lang"      -> qNbLang,
     "q_nb_metrics"   -> qNbMetrics,
     "q_calibration"  -> qCalibration,
@@ -958,7 +1036,49 @@ object ModelOps {
        |  n_types
        |FROM prof JOIN types USING (lang) ORDER BY prof.lang""".stripMargin
 
+  /** Unrolled Bradley–Terry MM twin: one CTE per round, each folding the
+    * denominator left-to-right in neighbor-brand order (list_sum over an
+    * ORDER BY b list) — op-order identical to the driver fold. */
+  private def sqlBradleyTerry: String = {
+    val rounds = (1 to BT_ITERS).map { t =>
+      s"""|p$t AS MATERIALIZED (SELECT u.a AS brand,
+          |  coalesce(w.wn, 0) / list_sum(list(u.n / (pa.p + pb.p) ORDER BY u.b)) AS p
+          |  FROM und u JOIN p${t - 1} pa ON u.a = pa.brand
+          |  JOIN p${t - 1} pb ON u.b = pb.brand
+          |  LEFT JOIN wins w ON u.a = w.brand
+          |  GROUP BY u.a, w.wn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ob AS (
+       |  SELECT l_orderkey AS ok, p_brand AS brand,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |comps AS (
+       |  SELECT a.brand AS wb, b.brand AS lb, count(*) AS n
+       |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand AND a.qty > b.qty
+       |  GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM (
+       |    SELECT wb AS a, lb AS b, n FROM comps
+       |    UNION ALL SELECT lb, wb, n FROM comps)
+       |  GROUP BY 1, 2),
+       |wins AS MATERIALIZED (SELECT wb AS brand, CAST(sum(n) AS BIGINT) AS wn FROM comps GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT DISTINCT a AS brand, 1.0::DOUBLE AS p FROM und),
+       |$rounds
+       |SELECT f.brand,
+       |  CAST(coalesce(w.wn, 0) AS BIGINT) AS n_wins,
+       |  nc.n_comps,
+       |  ${Fns.roundPSql("f.p / t.tot", 6)} AS score
+       |FROM p$BT_ITERS f
+       |LEFT JOIN wins w ON f.brand = w.brand
+       |JOIN (SELECT a AS brand, CAST(sum(n) AS BIGINT) AS n_comps FROM und
+       |      GROUP BY 1) nc ON f.brand = nc.brand
+       |CROSS JOIN (SELECT list_sum(list(p ORDER BY brand)) AS tot FROM p$BT_ITERS) t
+       |ORDER BY f.brand""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bradley_terry" -> sqlBradleyTerry,
     "q_bpe_merges" -> bpeSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_unigram_lm" -> uniLmSql,

@@ -56,7 +56,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_asof_forward", "q_cohort_ltv", "q_ab_test", "q_pareto",
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
-    "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity")
+    "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
+    "q_bradley_terry")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -125,6 +126,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(frac.forall(f => f >= 0.0 && f <= 1.0))
     assert(frac.zip(frac.tail).forall { case (a, b) => a >= b },
       "anonymous-row fraction must not grow as k grows")
+  }
+
+  test("q_bradley_terry: scores form a normalized positive distribution") {
+    val rows = SparkEntry.queries("q_bradley_terry")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0), "MM fit must keep every strength positive")
+    // normalized then rounded to 1e-6 — sum can drift by at most n/2 ulps
+    assert(math.abs(scores.sum - 1.0) <= rows.length * 5e-7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_wins") <= r.getAs[Long]("n_comps"),
+        "a brand cannot win more comparisons than it participates in")
+    }
+    // total wins are half of total directed participations (each
+    // comparison contributes one win and appears in two brands' n_comps)
+    assert(2 * rows.map(_.getAs[Long]("n_wins")).sum ==
+      rows.map(_.getAs[Long]("n_comps")).sum)
   }
 
   test("q_cms_topk estimates are one-sided (est >= exact, always)") {
