@@ -1127,7 +1127,77 @@ object BigGraphOps {
       .orderBy("node")
   }
 
+  /** Betweenness estimator knobs: sampled roots, shortest-path horizon,
+    * report size. */
+  val BC_ROOTS = 8
+  val BC_HOPS = 4
+  val BC_TOP = 50
+
+  /** E11-family centrality at scale — approximate betweenness via
+    * sampled-source, bounded-horizon Brandes (Brandes 2001; source
+    * sampling per Brandes & Pich 2007): from [[BC_ROOTS]] deterministic
+    * roots (smallest source ids), a level-synchronous multi-root BFS
+    * carries shortest-path counts σ forward for [[BC_HOPS]] hops, then
+    * dependencies δ(v) = Σ_{w succ} (σv/σw)(1+δw) accumulate backward
+    * one level at a time; bc(v) sums δ over roots. Exact Brandes is
+    * O(V·E) — unrunnable at 100 TB; fixing roots and horizon makes each
+    * phase K·E-bounded per superstep, the standard estimator trade.
+    *
+    * Plan/scale: forward = [[BC_HOPS]] rounds of frontier⋈edges hash
+    * join + (root,node)-keyed count-sum with anti-join dedupe (exact
+    * longs); backward = one join + agg per level. Only frontiers/levels
+    * are localCheckpoint'ed (the PERF.md iterative-loop rule); edges
+    * persist once. Exactness: σ is all-integer; every δ and the final
+    * per-node sum aggregate decimal(28,18)-cast terms, so aggregation
+    * order cannot perturb a double — the oracle's unrolled MATERIALIZED
+    * CTE rounds hold bit-identical state. Report: top [[BC_TOP]] by
+    * (rounded bc desc, node) — deterministic under ties. */
+  val qBetweennessBig: Q = (s, d) => {
+    val edges = persisted(coEdges(s, d).select(col("src"), col("dst")))
+    val roots = edges.select(col("src")).distinct()
+      .orderBy("src").limit(BC_ROOTS).select(col("src").as("root"))
+    var frontier = roots
+      .select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var levels = Vector(frontier)
+    var reached = frontier.select("root", "node")
+    for (_ <- 1 to BC_HOPS) {
+      frontier = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .join(reached, Seq("root", "node"), "left_anti")
+        .groupBy("root", "node").agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      reached = reached.unionByName(frontier.select("root", "node"))
+      levels = levels :+ frontier
+    }
+    // backward sweep: deltas(0) always holds level l+1's δ frame
+    var deltas = Vector(levels(BC_HOPS).withColumn("delta", lit(0.0)))
+    for (l <- (BC_HOPS - 1) to 1 by -1) {
+      val contrib = levels(l).as("v")
+        .join(edges, col("v.node") === col("src"))
+        .join(deltas.head.as("w"),
+          col("v.root") === col("w.root") && col("dst") === col("w.node"))
+        .select(col("v.root").as("root"), col("v.node").as("node"),
+          ((col("v.sigma") / col("w.sigma")) * (lit(1.0) + col("w.delta")))
+            .cast("decimal(28,18)").as("t"))
+        .groupBy("root", "node").agg(sum(col("t")).as("ts"))
+      val dl = levels(l)
+        .join(contrib, Seq("root", "node"), "left")
+        .select(col("root"), col("node"), col("sigma"),
+          coalesce(col("ts").cast("double"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      deltas = dl +: deltas
+    }
+    deltas.reduce(_ unionByName _)
+      .groupBy("node")
+      .agg(sum(col("delta").cast("decimal(28,18)")).as("bcsum"))
+      .select(col("node"), Fns.roundP(col("bcsum").cast("double"), 6).as("bc"))
+      .orderBy(desc("bc"), col("node")).limit(BC_TOP)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_betweenness_big" -> qBetweennessBig,
     "q_katz"         -> qKatz,
     "q_hits"         -> qHits,
     "q_local_clustering" -> qLocalClustering,
@@ -1255,7 +1325,59 @@ object BigGraphOps {
          |    GROUP BY e.src) s ON s.src = n.node)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled Brandes twin: forward hops f1..fH carry σ with anti-join
+    * dedupe before the count-sum (exact BIGINT); backward levels
+    * d(H-1)..d1 fold successor terms through decimal(28,18) so the
+    * doubles match the Spark sweep bit-for-bit. All MATERIALIZED — the
+    * chain references each frame twice and DuckDB would otherwise
+    * inline it exponentially down to the parquet scans. */
+  private def sqlBetweenness: String = {
+    val fwd = (1 to BC_HOPS).map { h =>
+      s"""|f$h AS MATERIALIZED (
+          |  SELECT t.root, t.node, CAST(sum(t.sigma) AS BIGINT) AS sigma FROM (
+          |    SELECT f.root, e.dst AS node, f.sigma
+          |    FROM f${h - 1} f JOIN edges e ON f.node = e.src) t
+          |  LEFT JOIN r${h - 1} r ON t.root = r.root AND t.node = r.node
+          |  WHERE r.node IS NULL
+          |  GROUP BY 1, 2),
+          |r$h AS MATERIALIZED (
+          |  SELECT root, node FROM r${h - 1}
+          |  UNION ALL SELECT root, node FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BC_HOPS - 1) to 1 by -1).map { l =>
+      s"""|d$l AS MATERIALIZED (
+          |  SELECT v.root, v.node, v.sigma,
+          |    coalesce(CAST(c.ts AS DOUBLE), 0.0::DOUBLE) AS delta
+          |  FROM f$l v LEFT JOIN (
+          |    SELECT v.root, v.node,
+          |      sum(CAST((v.sigma / w.sigma) * (1.0::DOUBLE + w.delta)
+          |        AS DECIMAL(28,18))) AS ts
+          |    FROM f$l v JOIN edges e ON v.node = e.src
+          |    JOIN d${l + 1} w ON v.root = w.root AND e.dst = w.node
+          |    GROUP BY 1, 2) c ON v.root = c.root AND v.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlEdges,
+       |roots AS MATERIALIZED (SELECT src AS root FROM (
+       |  SELECT DISTINCT src FROM edges ORDER BY src LIMIT $BC_ROOTS)),
+       |f0 AS MATERIALIZED (
+       |  SELECT root, root AS node, CAST(1 AS BIGINT) AS sigma FROM roots),
+       |r0 AS MATERIALIZED (SELECT root, node FROM f0),
+       |$fwd,
+       |d$BC_HOPS AS MATERIALIZED (
+       |  SELECT root, node, sigma, 0.0::DOUBLE AS delta FROM f$BC_HOPS),
+       |$bwd
+       |SELECT node,
+       |  ${Fns.roundPSql(
+             "CAST(sum(CAST(delta AS DECIMAL(28,18))) AS DOUBLE)", 6)} AS bc
+       |FROM (SELECT node, delta FROM (
+       |  ${(1 to BC_HOPS).map(l => s"SELECT node, delta FROM d$l")
+             .mkString("\n|  UNION ALL ")}))
+       |GROUP BY node ORDER BY bc DESC, node LIMIT $BC_TOP""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_betweenness_big" -> sqlBetweenness,
     "q_katz" ->
       s"""WITH $sqlEdges,
          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),

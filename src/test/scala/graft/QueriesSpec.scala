@@ -57,7 +57,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
-    "q_bradley_terry")
+    "q_bradley_terry", "q_betweenness_big")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
