@@ -154,8 +154,17 @@ object ScaleProbe {
                              // same one-scan/one-Expand shape
     "q_holt_forecast",       // (type×hour) count agg; the sequential fold
                              // rides the calendar-bounded collect (events)
-    "q_holt_winters")        // same agg + fold with the 24-slot seasonal
+    "q_holt_winters",        // same agg + fold with the 24-slot seasonal
                              // state (events)
+    "q_bradley_terry",       // basket self-join + (winner,loser) count;
+                             // the MM fit rides the 25²-bounded driver
+                             // matrix at any mult (lineitem)
+    "q_betweenness_big")     // K fixed roots × bounded horizon: frontier
+                             // stays copy-0-sized while the edge build
+                             // side grows ×mult (orders)
+    // q_k_anonymity: customer is a 1× dim in this harness (the anti-join
+    // note above) — nothing to probe; the plan is one QI-keyed partial
+    // agg + a class-SIZE rollup, both self-evidently linear
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

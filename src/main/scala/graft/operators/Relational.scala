@@ -626,10 +626,45 @@ object Relational {
       .orderBy("k")
   }
 
+  /** l-diversity audit thresholds. */
+  val LDIV_LS = Seq(2, 3, 5)
+
+  /** The companion privacy audit to [[qKAnonymity]] — l-diversity
+    * (Machanavajjhala 2007): k-anonymity alone leaks when everyone in a
+    * QI class shares the sensitive value, so this measures, per QI class
+    * (nation, account-balance kilo-bucket), the number of DISTINCT
+    * sensitive values (market segment) and for each l in [[LDIV_LS]] how
+    * many classes and rows fall below it. All-integer (sizes + exact
+    * distinct counts), so no float parity care. Scale posture: one scan,
+    * one QI-keyed shuffle carrying count + count-distinct partials; the
+    * per-l rollup rides class summaries (QI-cardinality-bounded)
+    * exploded ×|LDIV_LS|. */
+  val qLDiversity: Q = (s, d) => {
+    val classes = Tables.customer(s, d)
+      .groupBy(
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal_kbucket"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("c_mktsegment")).as("ldiv"))
+    classes
+      .select(col("sz"), col("ldiv"), explode(typedLit(LDIV_LS)).as("l"))
+      .groupBy("l")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("ldiv") < col("l"), lit(1L))), lit(0L)).as("n_classes_below"),
+        coalesce(sum(when(col("ldiv") < col("l"), col("sz"))), lit(0L)).as("n_rows_below"),
+        sum(col("sz")).as("n_rows"))
+      .select(col("l"), col("n_classes"), col("n_classes_below"), col("n_rows_below"),
+        graft.functions.Fns.roundP(
+          (col("n_rows") - col("n_rows_below")).cast("double") /
+            col("n_rows").cast("double"), 6).as("frac_rows_diverse"))
+      .orderBy("l")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile"         -> qProfile,
     "q_profile_wide"    -> qProfileWide,
     "q_k_anonymity"     -> qKAnonymity,
+    "q_l_diversity"     -> qLDiversity,
     "q_gini"            -> qGini,
     "q_pareto"          -> qPareto,
     "q_cum_revenue"     -> qCumRevenue,
@@ -740,6 +775,21 @@ object Relational {
              "CAST(sum(sz) - coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)",
              6)} AS frac_rows_anon
          |FROM sizes CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q_l_diversity" ->
+      s"""WITH classes AS (
+         |  SELECT c_nationkey AS nat,
+         |    CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_kbucket,
+         |    count(*) AS sz, count(DISTINCT c_mktsegment) AS ldiv
+         |  FROM customer GROUP BY 1, 2),
+         |ls(l) AS (VALUES (${LDIV_LS.mkString("), (")}))
+         |SELECT l,
+         |  count(*) AS n_classes,
+         |  CAST(coalesce(sum(CASE WHEN ldiv < l THEN 1 END), 0) AS BIGINT) AS n_classes_below,
+         |  CAST(coalesce(sum(CASE WHEN ldiv < l THEN sz END), 0) AS BIGINT) AS n_rows_below,
+         |  ${Fns.roundPSql(
+             "CAST(sum(sz) - coalesce(sum(CASE WHEN ldiv < l THEN sz END), 0) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)",
+             6)} AS frac_rows_diverse
+         |FROM classes CROSS JOIN ls GROUP BY l ORDER BY l""".stripMargin,
     "q_gini" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -57,7 +57,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
-    "q_bradley_terry", "q_betweenness_big")
+    "q_bradley_terry", "q_betweenness_big", "q_l_diversity")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -126,6 +126,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(frac.forall(f => f >= 0.0 && f <= 1.0))
     assert(frac.zip(frac.tail).forall { case (a, b) => a >= b },
       "anonymous-row fraction must not grow as k grows")
+  }
+
+  test("q_l_diversity: one row per l, counts monotone, diversity bounded by segments") {
+    val rows = SparkEntry.queries("q_l_diversity")(spark, sfDir)
+      .orderBy("l").collect()
+    assert(rows.map(_.getAs[Int]("l")).toSeq == operators.Relational.LDIV_LS)
+    assert(rows.map(_.getAs[Long]("n_classes")).distinct.length == 1)
+    val below = rows.map(_.getAs[Long]("n_classes_below"))
+    assert(below.zip(below.tail).forall { case (a, b) => a <= b })
+    val frac = rows.map(_.getAs[Double]("frac_rows_diverse"))
+    assert(frac.forall(f => f >= 0.0 && f <= 1.0))
+    assert(frac.zip(frac.tail).forall { case (a, b) => a >= b })
   }
 
   test("q_bradley_terry: scores form a normalized positive distribution") {
