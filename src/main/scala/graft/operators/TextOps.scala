@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -557,7 +558,91 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Per-source distribution-drift test beside [[qSnapshotDrift]]'s KL
+    * readout — two-sample Kolmogorov–Smirnov of each source's doc-length
+    * ECDF against the whole corpus: D = max_x |F_src(x) − F(x)|, the
+    * standard "did this provider's crawl change shape" alarm. Exactness
+    * is total: both ECDFs are integer cumulative counts, the max runs
+    * over the cross-multiplied integers |cum_s·N − cum·n_s| (decimal-
+    * widened so 10¹⁰-doc corpora cannot overflow a long), and only the
+    * final max divides — one double op, then roundP.
+    *
+    * Scale shape: one corpus scan into (len) and (source, len) counts;
+    * everything downstream rides the distinct-length × sources grid,
+    * bounded by the length domain (doc lengths are capped), not by rows.
+    * The corpus-wide cumsum is a single-partition window over the
+    * bounded distinct-length frame — the q_gini posture. */
+  val qKsTest: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = docs.groupBy("x").agg(count(lit(1)).as("c"))
+    val tot = lens.agg(sum(col("c")).as("n"))
+    val call = lens.withColumn("cum",
+      sum(col("c")).over(Window.orderBy("x")))
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val sl = docs.groupBy("source", "x").agg(count(lit(1)).as("sc"))
+    val scum = lens.select("x").crossJoin(broadcast(srcs.select("source")))
+      .join(sl, Seq("source", "x"), "left")
+      .withColumn("scmn", sum(coalesce(col("sc"), lit(0L)))
+        .over(Window.partitionBy("source").orderBy("x")))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    scum
+      .join(call.select(col("x"), col("cum")), Seq("x"))
+      .join(broadcast(srcs), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("n")).as("n"),
+        max(abs(dec(col("scmn")) * dec(col("n")) -
+          dec(col("cum")) * dec(col("n_docs")))).as("num"))
+      .select(col("source"), col("n_docs"),
+        Fns.roundP(col("num").cast("double") /
+          (col("n_docs").cast("double") * col("n").cast("double")), 6)
+          .as("ks_d"))
+      .orderBy("source")
+  }
+
+  /** Chi-square test of independence on the lang × source contingency
+    * table — the one-number "is the language mix uniform across
+    * providers" check a corpus intake publishes beside the drift pair.
+    * Observed counts are exact integers; expected E = rowTot·colTot/N
+    * and each (O−E)²/E term are fixed double trees; terms sum through
+    * decimal(28,18) so the |langs|·|sources|-bounded aggregation order
+    * cannot perturb the statistic. Zero-observed grid cells (category
+    * cross present in margins but not jointly) contribute their full E,
+    * as the textbook statistic requires. Scale shape: one scan into a
+    * (lang, source)-keyed agg; the grid/margins/sum all ride
+    * category-bounded frames. */
+  val qChi2: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("lang", "source")
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val D = (c: Column) => c.cast("double")
+    rows.crossJoin(cols).crossJoin(broadcast(tot))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("e", D(col("rt")) * D(col("ct")) / D(col("n")))
+      .withColumn("t",
+        ((D(coalesce(col("o"), lit(0L))) - col("e")) *
+          (D(coalesce(col("o"), lit(0L))) - col("e")) / col("e"))
+          .cast("decimal(28,18)"))
+      .agg(
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        max(col("n")).as("n_docs"),
+        Fns.roundP(sum(col("t")).cast("double"), 6).as("chi2"))
+      .select(col("n_docs"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        col("chi2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ks_test"      -> qKsTest,
+    "q_chi2"         -> qChi2,
     "q_dup_ratio"    -> qDupRatio,
     "q_snapshot_drift" -> qSnapshotDrift,
     "q_len_histogram" -> qLenHistogram,
@@ -596,6 +681,51 @@ object TextOps {
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
 
   val oracles: Map[String, String] = Map(
+    "q_ks_test" ->
+      s"""WITH docs AS (SELECT source, n_chars AS x FROM documents),
+         |lens AS (SELECT x, count(*) AS c FROM docs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lens),
+         |call AS (SELECT x, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cum FROM lens),
+         |srcs AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1),
+         |sl AS (SELECT source, x, count(*) AS sc FROM docs GROUP BY 1, 2),
+         |scum AS (
+         |  SELECT g.source, g.x,
+         |    CAST(sum(coalesce(sl.sc, 0))
+         |      OVER (PARTITION BY g.source ORDER BY g.x) AS BIGINT) AS scmn
+         |  FROM (SELECT l.x, s.source FROM (SELECT x FROM lens) l
+         |        CROSS JOIN (SELECT source FROM srcs) s) g
+         |  LEFT JOIN sl ON g.source = sl.source AND g.x = sl.x),
+         |d AS (
+         |  SELECT s.source, max(r.n_docs) AS n_docs, max(t.n) AS n,
+         |    max(abs(CAST(s.scmn AS HUGEINT) * t.n
+         |          - CAST(a.cum AS HUGEINT) * r.n_docs)) AS num
+         |  FROM scum s JOIN call a ON s.x = a.x
+         |  JOIN srcs r ON s.source = r.source CROSS JOIN tot t
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  ${Fns.roundPSql(
+             "CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE))",
+             6)} AS ks_d
+         |FROM d ORDER BY source""".stripMargin,
+    "q_chi2" ->
+      s"""WITH cells AS (
+         |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |term AS (
+         |  SELECT r.lang, c.source, t.n, cells.o,
+         |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+         |  FROM r CROSS JOIN c CROSS JOIN t
+         |  LEFT JOIN cells ON r.lang = cells.lang AND c.source = cells.source)
+         |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+         |    AS BIGINT) AS dof,
+         |  ${Fns.roundPSql(
+             "CAST(sum(CAST((CAST(coalesce(o, 0) AS DOUBLE) - e) * " +
+               "(CAST(coalesce(o, 0) AS DOUBLE) - e) / e AS DECIMAL(28,18))) AS DOUBLE)",
+             6)} AS chi2
+         |FROM term""".stripMargin,
     "q_snapshot_drift" -> {
       def dimCtes(nm: String, catExpr: String) =
         s"""c_$nm AS (

@@ -57,7 +57,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_gini", "q_burstiness", "q_changepoint", "q_theil_sen", "q_mm_phash",
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
-    "q_bradley_terry", "q_betweenness_big", "q_l_diversity")
+    "q_bradley_terry", "q_betweenness_big", "q_l_diversity",
+    "q_ks_test", "q_chi2")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -126,6 +127,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(frac.forall(f => f >= 0.0 && f <= 1.0))
     assert(frac.zip(frac.tail).forall { case (a, b) => a >= b },
       "anonymous-row fraction must not grow as k grows")
+  }
+
+  test("q_ks_test matches a from-scratch ECDF max-gap mirror per source") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val xs = rows.map(_._2).distinct.sorted
+    val cumAll = xs.map(x => x -> rows.count(_._2 <= x).toLong).toMap
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val ns = rs.length.toLong
+      val num = xs.map(x =>
+        math.abs(rs.count(_._2 <= x).toLong * n - cumAll(x) * ns)).max
+      src -> math.floor(num.toDouble / (ns.toDouble * n.toDouble) * 1e6 + 0.5) / 1e6
+    }
+    val got = SparkEntry.queries("q_ks_test")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Double]("ks_d")))
+    assert(got.length == expect.size)
+    got.foreach { case (src, nd, d) =>
+      assert(nd == rows.count(_._1 == src))
+      assert(d >= 0.0 && d <= 1.0)
+      assert(d == expect(src), s"$src: gate $d vs mirror ${expect(src)}")
+    }
+  }
+
+  test("q_chi2 matches a from-scratch contingency mirror") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val langs = rows.map(_._1).distinct
+    val srcs = rows.map(_._2).distinct
+    val chi2 = (for (l <- langs; s <- srcs) yield {
+      val o = rows.count(r => r._1 == l && r._2 == s).toDouble
+      val e = rows.count(_._1 == l).toDouble * rows.count(_._2 == s).toDouble / n
+      (o - e) * (o - e) / e
+    }).sum
+    val r = SparkEntry.queries("q_chi2")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+    assert(r.getAs[Long]("dof") == (langs.length - 1).toLong * (srcs.length - 1))
+    // mirror sums doubles in arbitrary order vs the gate's exact decimal
+    // sum — compare at 1e-6 (values are O(100), noise is ~1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-6)
   }
 
   test("q_l_diversity: one row per l, counts monotone, diversity bounded by segments") {
