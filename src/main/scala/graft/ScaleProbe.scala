@@ -159,9 +159,15 @@ object ScaleProbe {
     "q_bradley_terry",       // basket self-join + (winner,loser) count;
                              // the MM fit rides the 25²-bounded driver
                              // matrix at any mult (lineitem)
-    "q_betweenness_big")     // K fixed roots × bounded horizon: frontier
+    "q_betweenness_big",     // K fixed roots × bounded horizon: frontier
                              // stays copy-0-sized while the edge build
                              // side grows ×mult (orders)
+    "q_ks_test",             // two keyed count aggs; ECDF windows ride the
+                             // bounded distinct-length × sources grid
+                             // (documents)
+    "q_chi2")                // one (lang,source) agg; the statistic rides
+                             // the category-bounded contingency grid
+                             // (documents)
     // q_k_anonymity: customer is a 1× dim in this harness (the anti-join
     // note above) — nothing to probe; the plan is one QI-keyed partial
     // agg + a class-SIZE rollup, both self-evidently linear
