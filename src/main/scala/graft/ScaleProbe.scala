@@ -165,8 +165,11 @@ object ScaleProbe {
     "q_ks_test",             // two keyed count aggs; ECDF windows ride the
                              // bounded distinct-length × sources grid
                              // (documents)
-    "q_chi2")                // one (lang,source) agg; the statistic rides
+    "q_chi2",                // one (lang,source) agg; the statistic rides
                              // the category-bounded contingency grid
+                             // (documents)
+    "q_ddsketch")            // one (lang,len)-keyed agg; buckets, windows
+                             // and rank picks all value-domain-bounded
                              // (documents)
     // q_k_anonymity: customer is a 1× dim in this harness (the anti-join
     // note above) — nothing to probe; the plan is one QI-keyed partial

@@ -253,14 +253,112 @@ object SketchOps {
       .orderBy(col("freq").desc, col("term"))
   }
 
+  /** DDSketch relative accuracy and the quantiles the gate reports. */
+  val DD_ALPHA = 0.01
+  val DD_GAMMA: Double = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+  val DD_QS = Seq(0.5, 0.9, 0.99)
+
+  /** DDSketch quantiles (Masson et al., VLDB 2019) — the relative-error
+    * quantile sketch completing the family beside KMV (distinct), HLL
+    * (registers), and CMS (frequency): per language, p50/p90/p99 of doc
+    * length from log-γ buckets i = ⌈ln x / ln γ⌉, estimate 2γ^i/(γ+1),
+    * guaranteed within [[DD_ALPHA]] relative error of the true rank
+    * value — which the gate computes exactly beside it, so the guarantee
+    * is regression-tested data, not a comment (the CMS/KMV/PQ
+    * error-pinning discipline).
+    *
+    * Scale shape: ONE corpus scan into the (lang, length)-keyed count
+    * agg; bucketing, both cumulative windows, and rank picks all ride
+    * value-domain-bounded frames (doc lengths are capped), and the
+    * sketch itself is O(log_γ range) counters per group — mergeable with
+    * plain + in any micro-batch or partition order, which is the whole
+    * point of shipping a sketch instead of a sorted sample. Exactness:
+    * counts/ranks are integers; the only doubles are ln/exp (runtime-
+    * probed bit-identical cross-engine, the q_calibration discipline)
+    * and the literal γ, embedded shortest-repr in both plans. */
+  val qDdsketch: Q = (s, d) => {
+    val g = lit(DD_GAMMA)
+    val lx = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("n_chars").as("x"))
+      .groupBy("lang", "x").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val skCum = lx
+      .select(col("lang"),
+        ceil(log(col("x").cast("double")) / log(g)).cast("int").as("i"),
+        col("c"))
+      .groupBy("lang", "i").agg(sum(col("c")).as("bc"))
+      .withColumn("cum", sum(col("bc")).over(w.orderBy("i")))
+    val exCum = lx.withColumn("cum", sum(col("c")).over(w.orderBy("x")))
+    val ranks = lx.groupBy("lang").agg(sum(col("c")).as("n"))
+      .select(col("lang"), col("n"), explode(typedLit(DD_QS)).as("q"))
+      .withColumn("r",
+        floor(col("q") * (col("n") - 1).cast("double")).cast("long") + 1)
+    val pickSk = ranks.join(skCum, Seq("lang"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("lang", "q").agg(min(col("i")).as("i"))
+    val pickEx = ranks.join(exCum, Seq("lang"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("lang", "q").agg(min(col("x")).as("exact"))
+    ranks.join(pickSk, Seq("lang", "q")).join(pickEx, Seq("lang", "q"))
+      .withColumn("est0",
+        (lit(2.0) / (lit(1.0) + g)) * exp(col("i").cast("double") * log(g)))
+      .select(col("lang"), col("q"), col("n").as("n_docs"),
+        col("i").as("bucket"),
+        Fns.roundP(col("est0"), 6).as("est"),
+        col("exact"),
+        Fns.roundP(abs(col("est0") - col("exact").cast("double")) /
+          col("exact").cast("double"), 6).as("rel_err"))
+      .orderBy("lang", "q")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap"  -> qKmvOverlap,
     "q_cms_topk"     -> qCmsTopk,
     "q_hll_distinct" -> qHllDistinct,
+    "q_ddsketch"     -> qDdsketch,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ddsketch" -> {
+      val g = s"$DD_GAMMA::DOUBLE"
+      val qArr = DD_QS.map(q => s"$q::DOUBLE").mkString("[", ", ", "]")
+      s"""WITH lx AS (
+         |  SELECT lang, n_chars AS x, count(*) AS c FROM documents
+         |  WHERE n_chars > 0 GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT lang, CAST(ceil(ln(CAST(x AS DOUBLE)) / ln($g)) AS INTEGER) AS i,
+         |    CAST(sum(c) AS BIGINT) AS bc
+         |  FROM lx GROUP BY 1, 2),
+         |skcum AS (SELECT lang, i,
+         |  CAST(sum(bc) OVER (PARTITION BY lang ORDER BY i) AS BIGINT) AS cum FROM sk),
+         |excum AS (SELECT lang, x,
+         |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY x) AS BIGINT) AS cum FROM lx),
+         |ranks AS (
+         |  SELECT lang, n, q,
+         |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS r
+         |  FROM (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM lx GROUP BY 1)
+         |  CROSS JOIN (SELECT unnest($qArr) AS q)),
+         |psk AS (SELECT r.lang, r.q, min(s.i) AS i
+         |  FROM ranks r JOIN skcum s ON r.lang = s.lang AND s.cum >= r.r
+         |  GROUP BY 1, 2),
+         |pex AS (SELECT r.lang, r.q, min(e.x) AS exact
+         |  FROM ranks r JOIN excum e ON r.lang = e.lang AND e.cum >= r.r
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT r.lang, r.q, r.n, psk.i,
+         |    (2.0::DOUBLE / (1.0::DOUBLE + $g)) * exp(CAST(psk.i AS DOUBLE) * ln($g)) AS est0,
+         |    pex.exact
+         |  FROM ranks r JOIN psk ON r.lang = psk.lang AND r.q = psk.q
+         |  JOIN pex ON r.lang = pex.lang AND r.q = pex.q)
+         |SELECT lang, q, n AS n_docs, i AS bucket,
+         |  ${Fns.roundPSql("est0", 6)} AS est,
+         |  exact,
+         |  ${Fns.roundPSql("abs(est0 - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE)", 6)} AS rel_err
+         |FROM est ORDER BY lang, q""".stripMargin
+    },
     "q_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

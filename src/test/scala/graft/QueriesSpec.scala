@@ -58,7 +58,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
     "q_bradley_terry", "q_betweenness_big", "q_l_diversity",
-    "q_ks_test", "q_chi2")
+    "q_ks_test", "q_chi2", "q_ddsketch")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -127,6 +127,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(frac.forall(f => f >= 0.0 && f <= 1.0))
     assert(frac.zip(frac.tail).forall { case (a, b) => a >= b },
       "anonymous-row fraction must not grow as k grows")
+  }
+
+  test("q_ddsketch: estimates honor the DDSketch relative-error guarantee " +
+      "and match a from-scratch mirror") {
+    val alpha = operators.SketchOps.DD_ALPHA
+    val gamma = operators.SketchOps.DD_GAMMA
+    val data = Tables.documents(spark, sfDir)
+      .filter(col("n_chars") > 0).select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = SparkEntry.queries("q_ddsketch")(spark, sfDir).collect()
+    assert(rows.length == data.map(_._1).distinct.length * operators.SketchOps.DD_QS.length)
+    rows.foreach { r =>
+      val (lang, q) = (r.getString(0), r.getDouble(1))
+      val sorted = data.filter(_._1 == lang).map(_._2).sorted
+      val rank = math.floor(q * (sorted.length - 1).toDouble).toLong + 1
+      // the gate's "exact" column must be the true rank-r value
+      assert(r.getAs[Long]("exact") == sorted((rank - 1).toInt),
+        s"$lang q=$q exact mismatch")
+      // DDSketch guarantee: the midpoint estimate is within alpha of the
+      // true quantile value (plus output-rounding noise)
+      assert(r.getAs[Double]("rel_err") <= alpha + 1e-6,
+        s"$lang q=$q rel_err ${r.getAs[Double]("rel_err")} > alpha")
+      // the reported bucket really contains the exact value
+      val i = r.getAs[Int]("bucket")
+      val x = r.getAs[Long]("exact").toDouble
+      assert(math.ceil(math.log(x) / math.log(gamma)).toInt == i,
+        s"$lang q=$q exact value not in reported bucket")
+    }
   }
 
   test("q_ks_test matches a from-scratch ECDF max-gap mirror per source") {
