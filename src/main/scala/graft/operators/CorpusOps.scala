@@ -863,6 +863,30 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Effective sample size of the DSIR importance weights — the health
+    * readout importance-sampling pipelines publish beside the weights
+    * themselves (Kong 1992's ESS = (Σw)²/Σw²; near n the reweighting is
+    * gentle, near 1 a handful of documents dominate the resampled
+    * corpus). Rides [[qDsirWeights]]'s exact per-doc logw (identical on
+    * both engines by that gate), w = exp(logw) (runtime exp parity, the
+    * q_calibration discipline), moments decimal(28,18)-summed so
+    * aggregation order cannot perturb the ratio. Scale shape: the dsir
+    * scoring chain plus ONE 1-row moment agg — nothing new touches the
+    * corpus. */
+  val qEss: Q = (s, d) => {
+    val logw = qDsirWeights(s, d).select(exp(col("logw")).as("w"))
+    logw
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("decimal(28,18)")).as("sw"),
+        sum((col("w") * col("w")).cast("decimal(28,18)")).as("sww"))
+      .select(col("n_docs"),
+        col("sw").cast("double").as("swd"), col("sww").cast("double").as("swwd"))
+      .withColumn("ess0", (col("swd") * col("swd")) / col("swwd"))
+      .select(col("n_docs"),
+        Fns.roundP(col("ess0"), 6).as("ess"),
+        Fns.roundP(col("ess0") / col("n_docs").cast("double"), 6).as("ess_frac"))
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al., LREC 2020) — split each
     * language's documents into head/middle/tail by LM score tertiles, the
     * curation step CCNet runs before choosing which thirds to keep. The
@@ -1057,6 +1081,7 @@ object CorpusOps {
     "q_vocab_growth"  -> qVocabGrowth,
     "q_pmi_collocations" -> qPmiCollocations,
     "q_dsir_weights"  -> qDsirWeights,
+    "q_ess"           -> qEss,
     "q_ppl_buckets"   -> qPplBuckets,
   )
 
@@ -1064,6 +1089,34 @@ object CorpusOps {
 
   private val sqlTokens = TextOps.sqlTokens
   private val sqlTokensLower = TextOps.sqlTokensLower
+
+  /** DSIR scoring chain down to the per-feature smoothed log-ratio table
+    * — shared by q_dsir_weights and q_ess so both engines derive ESS
+    * from the exact same weights. */
+  private def sqlDsirCtes: String =
+    s"""tk AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,
+       |            $sqlTokensLower AS tk FROM documents),
+       |rawf AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5('dsir_' || w1 || ' ' || w2), 1, 8) AS BIGINT)
+       |      % $DSIR_B AS f
+       |  FROM (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+       |        FROM tk WHERE split = 'train' AND len(tk) >= 2)),
+       |tgtf AS (SELECT
+       |    CAST('0x' || substr(md5('dsir_' || w1 || ' ' || w2), 1, 8) AS BIGINT)
+       |      % $DSIR_B AS f
+       |  FROM (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+       |        FROM tk WHERE split = 'valid' AND len(tk) >= 2)),
+       |ct AS (SELECT f, count(*) AS ct FROM tgtf GROUP BY 1),
+       |cr AS (SELECT f, count(*) AS cr FROM rawf GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
+       |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
+       |ratios AS (SELECT COALESCE(ct.f, cr.f) AS f,
+       |    CAST((ln(CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+       |          - ln(CAST(nt AS DOUBLE) + ${DSIR_B.toDouble}))
+       |       - (ln(CAST(COALESCE(cr.cr, 0) AS DOUBLE) + 1.0)
+       |          - ln(CAST(nr AS DOUBLE) + ${DSIR_B.toDouble}))
+       |      AS DECIMAL(28,18)) AS lt
+       |  FROM ct FULL OUTER JOIN cr ON ct.f = cr.f CROSS JOIN tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_phrase_search" -> {
@@ -1463,34 +1516,26 @@ object CorpusOps {
          |WHERE cb.cb >= $PMI_MIN_C
          |ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT $PMI_TOP""".stripMargin,
     "q_dsir_weights" ->
-      s"""WITH tk AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,
-         |            $sqlTokensLower AS tk FROM documents),
-         |rawf AS (SELECT doc_id,
-         |    CAST('0x' || substr(md5('dsir_' || w1 || ' ' || w2), 1, 8) AS BIGINT)
-         |      % $DSIR_B AS f
-         |  FROM (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
-         |        FROM tk WHERE split = 'train' AND len(tk) >= 2)),
-         |tgtf AS (SELECT
-         |    CAST('0x' || substr(md5('dsir_' || w1 || ' ' || w2), 1, 8) AS BIGINT)
-         |      % $DSIR_B AS f
-         |  FROM (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
-         |        FROM tk WHERE split = 'valid' AND len(tk) >= 2)),
-         |ct AS (SELECT f, count(*) AS ct FROM tgtf GROUP BY 1),
-         |cr AS (SELECT f, count(*) AS cr FROM rawf GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
-         |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
-         |ratios AS (SELECT COALESCE(ct.f, cr.f) AS f,
-         |    CAST((ln(CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
-         |          - ln(CAST(nt AS DOUBLE) + ${DSIR_B.toDouble}))
-         |       - (ln(CAST(COALESCE(cr.cr, 0) AS DOUBLE) + 1.0)
-         |          - ln(CAST(nr AS DOUBLE) + ${DSIR_B.toDouble}))
-         |      AS DECIMAL(28,18)) AS lt
-         |  FROM ct FULL OUTER JOIN cr ON ct.f = cr.f CROSS JOIN tot)
+      s"""WITH $sqlDsirCtes
          |SELECT doc_id, n_feats, logw, (logw > 0) AS keep FROM (
          |  SELECT doc_id, count(*) AS n_feats,
          |    ${Fns.roundPSql("CAST(sum(lt) AS DOUBLE)", 6)} AS logw
          |  FROM rawf JOIN ratios USING (f) GROUP BY 1)
          |ORDER BY doc_id""".stripMargin,
+    "q_ess" ->
+      s"""WITH $sqlDsirCtes,
+         |perdoc AS (
+         |  SELECT doc_id, ${Fns.roundPSql("CAST(sum(lt) AS DOUBLE)", 6)} AS logw
+         |  FROM rawf JOIN ratios USING (f) GROUP BY 1),
+         |wts AS (SELECT exp(logw) AS w FROM perdoc),
+         |m AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(CAST(w AS DECIMAL(28,18))) AS DOUBLE) AS swd,
+         |    CAST(sum(CAST(w * w AS DECIMAL(28,18))) AS DOUBLE) AS swwd
+         |  FROM wts),
+         |e AS (SELECT n_docs, (swd * swd) / swwd AS ess0 FROM m)
+         |SELECT n_docs, ${Fns.roundPSql("ess0", 6)} AS ess,
+         |  ${Fns.roundPSql("ess0 / CAST(n_docs AS DOUBLE)", 6)} AS ess_frac
+         |FROM e""".stripMargin,
     "q_ppl_buckets" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokensLower) AS w FROM documents),
          |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),

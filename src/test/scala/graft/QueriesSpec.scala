@@ -58,7 +58,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
     "q_bradley_terry", "q_betweenness_big", "q_l_diversity",
-    "q_ks_test", "q_chi2", "q_ddsketch")
+    "q_ks_test", "q_chi2", "q_ddsketch", "q_ess")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -155,6 +155,20 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.ceil(math.log(x) / math.log(gamma)).toInt == i,
         s"$lang q=$q exact value not in reported bucket")
     }
+  }
+
+  test("q_ess is Kong's (sum w)^2 / sum w^2 over the dsir gate's own weights") {
+    val ws = SparkEntry.queries("q_dsir_weights")(spark, sfDir).collect()
+      .map(r => math.exp(r.getAs[Double]("logw")))
+    val ess = ws.sum * ws.sum / ws.map(w => w * w).sum
+    val r = SparkEntry.queries("q_ess")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_docs") == ws.length.toLong)
+    // ESS is bounded by (1, n]; equality at n only for uniform weights
+    assert(r.getAs[Double]("ess") > 1.0 &&
+      r.getAs[Double]("ess") <= ws.length.toDouble)
+    // mirror sums doubles in arbitrary order vs the gate's decimal sums
+    assert(math.abs(r.getAs[Double]("ess") - ess) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ess_frac") - ess / ws.length) < 1e-6)
   }
 
   test("q_ks_test matches a from-scratch ECDF max-gap mirror per source") {
