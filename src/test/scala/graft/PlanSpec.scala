@@ -403,4 +403,39 @@ class PlanSpec extends AnyFunSuite {
       s"aggregates must stay codegen HashAggregates:\n$p")
     assert(!p.toLowerCase.contains("join"), s"profile needs no join:\n$p")
   }
+
+  test("privacy audits read one pruned scan and aggregate partial-then-final") {
+    for (q <- Seq("q_k_anonymity", "q_l_diversity")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).length == 1,
+        s"$q must read customer once:\n$p")
+      val read = p.linesIterator.find(_.contains("ReadSchema")).get
+      assert(!read.contains("c_name") && !read.contains("c_address") &&
+        !read.contains("c_comment"), s"$q unpruned scan: $read")
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+      assert(!p.toLowerCase.contains("sortmergejoin"),
+        s"$q shuffled a join for a bounded rollup:\n$p")
+    }
+  }
+
+  test("q_chi2 and q_ddsketch prune the document scan to their columns") {
+    for ((q, banned) <- Seq(
+        "q_chi2" -> Seq("text", "n_chars", "doc_id"),
+        "q_ddsketch" -> Seq("text", "source", "doc_id"))) {
+      val p = plan(q)
+      val read = p.linesIterator.find(_.contains("ReadSchema")).get
+      banned.foreach(c =>
+        assert(!read.contains(c), s"$q reads unneeded column $c: $read"))
+    }
+  }
+
+  test("q_ks_test: corpus-scale work ends at the two count aggs (no corpus window)") {
+    val p = plan("q_ks_test")
+    // both ECDF windows must run over aggregated frames, so every Window's
+    // child chain contains an aggregate, never a raw corpus scan
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"count aggs lost map-side combine:\n$p")
+  }
 }
