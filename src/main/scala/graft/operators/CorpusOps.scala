@@ -868,14 +868,19 @@ object CorpusOps {
     * themselves (Kong 1992's ESS = (Σw)²/Σw²; near n the reweighting is
     * gentle, near 1 a handful of documents dominate the resampled
     * corpus). Rides [[qDsirWeights]]'s exact per-doc logw (identical on
-    * both engines by that gate), w = exp(logw) (runtime exp parity, the
-    * q_calibration discipline), moments decimal(28,18)-summed so
-    * aggregation order cannot perturb the ratio. Scale shape: the dsir
-    * scoring chain plus ONE 1-row moment agg — nothing new touches the
-    * corpus. */
+    * both engines by that gate), w = exp(logw − max logw) — ESS is
+    * invariant to weight scaling, and anchoring at the max keeps every
+    * w ≤ 1 so the decimal(28,18) casts can never overflow no matter how
+    * skewed a corpus's log-weights get (exp parity is runtime, the
+    * q_calibration discipline); moments decimal-summed so aggregation
+    * order cannot perturb the ratio. Scale shape: the dsir scoring chain
+    * plus TWO 1-row aggs — nothing new touches the corpus. */
   val qEss: Q = (s, d) => {
-    val logw = qDsirWeights(s, d).select(exp(col("logw")).as("w"))
-    logw
+    val perdoc = qDsirWeights(s, d).select(col("logw"))
+    val w = perdoc
+      .crossJoin(broadcast(perdoc.agg(max(col("logw")).as("m"))))
+      .select(exp(col("logw") - col("m")).as("w"))
+    w
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w").cast("decimal(28,18)")).as("sw"),
         sum((col("w") * col("w")).cast("decimal(28,18)")).as("sww"))
@@ -1527,7 +1532,8 @@ object CorpusOps {
          |perdoc AS (
          |  SELECT doc_id, ${Fns.roundPSql("CAST(sum(lt) AS DOUBLE)", 6)} AS logw
          |  FROM rawf JOIN ratios USING (f) GROUP BY 1),
-         |wts AS (SELECT exp(logw) AS w FROM perdoc),
+         |wts AS (SELECT exp(logw - (SELECT max(logw) FROM perdoc)) AS w
+         |        FROM perdoc),
          |m AS (SELECT count(*) AS n_docs,
          |    CAST(sum(CAST(w AS DECIMAL(28,18))) AS DOUBLE) AS swd,
          |    CAST(sum(CAST(w * w AS DECIMAL(28,18))) AS DOUBLE) AS swwd

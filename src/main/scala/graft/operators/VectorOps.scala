@@ -1254,6 +1254,16 @@ object VectorOps {
   /** Retrieval-eval cut: metrics over the top [[NDCG_K]] ranks. */
   val NDCG_K = 10
 
+  /** The nDCG/MRR literal tables BOTH engine builders embed (qRetrievalEval
+    * and its oracle twin) — one definition, so an edit cannot silently
+    * desynchronize the "identical double literals" exactness argument.
+    * (Hnsw2RecallSpec re-derives them from scratch on purpose: a formula
+    * change there FAILS the spec instead of flipping the gate hash.) */
+  private[graft] val NDCG_GAINS: Seq[Double] =
+    (1 to NDCG_K).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private[graft] val NDCG_IDCG: Seq[Double] = NDCG_GAINS.scanLeft(0.0)(_ + _).tail
+  private[graft] val NDCG_RRS: Seq[Double] = (1 to NDCG_K).map(i => 1.0 / i)
+
   /** IR-metric eval of embedding retrieval — the report card a retrieval
     * pipeline publishes beside recall@k: per capped probe (the
     * q_ann_recall budget), rank the corpus by exact distance and score
@@ -1280,9 +1290,7 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("pv"), col("label").as("qlabel"))
       .orderBy("query_id").limit(AR_QUERIES))
     val relCounts = v.groupBy(col("label").as("qlabel")).agg(count(lit(1)).as("lcnt"))
-    val gains = (1 to NDCG_K).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
-    val idcg = gains.scanLeft(0.0)(_ + _).tail
-    val rrs = (1 to NDCG_K).map(i => 1.0 / i)
+    val (gains, idcg, rrs) = (NDCG_GAINS, NDCG_IDCG, NDCG_RRS)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
     val top = v.crossJoin(probes)
@@ -1953,9 +1961,7 @@ object VectorOps {
          |FROM e b, p WHERE b.vec_id <> $PROBE_ID
          |ORDER BY dist2, vec_id LIMIT $TOPK""".stripMargin,
     "q_retrieval_eval" -> {
-      val gains = (1 to NDCG_K).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
-      val idcg = gains.scanLeft(0.0)(_ + _).tail
-      val rrs = (1 to NDCG_K).map(i => 1.0 / i)
+      val (gains, idcg, rrs) = (NDCG_GAINS, NDCG_IDCG, NDCG_RRS)
       // the metric constants embed as the SAME double literals the Spark
       // plan bakes in (shortest-repr round-trip) — no runtime log2
       val gArr = s"[${gains.map(_.toString).mkString(", ")}]"

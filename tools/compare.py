@@ -8,7 +8,7 @@ loads the Spark result parquet the Verify main wrote, sorts columns by name
 (like the driver), and compares values. Dev tool only — the library itself
 has no Python dependency.
 """
-import json, sys, glob, math
+import json, os, sys, glob, math
 import duckdb
 import pandas as pd
 
@@ -35,7 +35,6 @@ def main():
     for t in TABLES:
         # driver testdata ships single files; Spark-written replicas
         # (ScaleProbe dirs) are part-file DIRECTORIES -> glob them
-        import os
         path = f"{sf_dir}/{t}.parquet"
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
@@ -48,7 +47,6 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        import os
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue  # filtered Verify run (dev iteration) — not a failure
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
