@@ -168,9 +168,11 @@ object ScaleProbe {
     "q_chi2",                // one (lang,source) agg; the statistic rides
                              // the category-bounded contingency grid
                              // (documents)
-    "q_ddsketch")            // one (lang,len)-keyed agg; buckets, windows
+    "q_ddsketch",            // one (lang,len)-keyed agg; buckets, windows
                              // and rank picks all value-domain-bounded
                              // (documents)
+    "q_hyperanf")            // per-round edge⋈register join with ≤m rows
+                             // of state per vertex (orders)
     // q_k_anonymity: customer is a 1× dim in this harness (the anti-join
     // note above) — nothing to probe; the plan is one QI-keyed partial
     // agg + a class-SIZE rollup, both self-evidently linear

@@ -1196,7 +1196,80 @@ object BigGraphOps {
       .orderBy(desc("bc"), col("node")).limit(BC_TOP)
   }
 
+  /** HyperANF geometry: 2^ANF_P registers per node, 4 ball-growing
+    * rounds. α_32 is Flajolet et al. 2007's tabulated constant (the
+    * m ≥ 128 closed form only applies above 128 registers). m=32 is the
+    * production HyperANF operating point — per-round join volume is
+    * E·m rows, so the counter width is THE cost knob (m=64 measured
+    * ~1.9× slower at 64× for accuracy the curve readout doesn't need:
+    * the mirror spec still sees ≤ ±8% per round at m=32). */
+  val ANF_P = 5
+  val ANF_M = 1 << ANF_P
+  val ANF_BITS = 32 - ANF_P
+  val ANF_ALPHA_M2: Double = 0.697 * ANF_M * ANF_M
+  val ANF_HOPS = 4
+
+  /** Neighborhood function / effective-diameter curve via HyperANF
+    * (Boldi, Rosa & Vigna, WWW 2011) — N(t) = Σ_v |ball(v, t)| estimated
+    * by one [[ANF_M]]-register HLL counter per vertex, grown per round
+    * by the element-wise max-merge of each vertex's own and neighbors'
+    * registers (HLL union ≡ register max, the same property the
+    * streaming cardinality monitor rides). THE at-scale answer to "how
+    * far apart is this graph": exact N(t) is all-pairs BFS (O(V·E),
+    * unrunnable at 100 TB), double-sweep (q_diameter) bounds only the
+    * max, while HyperANF costs [[ANF_HOPS]] rounds of an edge⋈register
+    * hash join with ≤ m rows of state per vertex — register math shared
+    * verbatim with [[SketchOps]] so sketch and graph gates cannot
+    * diverge.
+    *
+    * Exactness: registers are integer max-folds of a fixed md5 hash set
+    * (order/partition-free); the per-node estimate is the q_hll_distinct
+    * double tree (dyadic-exact indicator sums, α literal, ln parity);
+    * N(t) decimal-sums per-node estimates. Plan: und edges persist once;
+    * each round's register frame localCheckpoints (iterative-loop
+    * rule); every N(t) readout is an O(V·m)-bounded agg. */
+  val qHyperAnf: Q = (s, d) => {
+    import s.implicits._
+    val e = coEdges(s, d).select(col("src"), col("dst"))
+    val und = persisted(e.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct())
+    val nodes = und.select(col("a").as("node")).distinct()
+    // each round's V×m register frame persists only until the next round
+    // is materialized: the curve readout collects ONE row per round
+    // eagerly (the whole point of a sketch — the report is tiny), so no
+    // lazy plan keeps all ANF_HOPS frames alive at once (the first cut
+    // did, and OOM'd the 64× probe)
+    var regs = SketchOps.hllRegistersAt(
+      nodes.select(col("node"),
+        Fns.hash32(concat(lit("anf_"), col("node").cast("string"))).as("h")),
+      "node", ANF_BITS).persist(StorageLevel.MEMORY_AND_DISK)
+    def nOf(t: Int, r: DataFrame): (Int, Long, Double) = {
+      val row = SketchOps.hllEstimateAt(r, "node", ANF_M, ANF_ALPHA_M2)
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("hll_raw").cast("decimal(28,18)")).as("sp"))
+        .select(col("n_nodes"),
+          Fns.roundP(col("sp").cast("double"), 4).as("n_pairs"))
+        .head()
+      (t, row.getLong(0), row.getDouble(1))
+    }
+    val curve = scala.collection.mutable.ArrayBuffer(nOf(0, regs))
+    for (t <- 1 to ANF_HOPS) {
+      val next = regs
+        .unionByName(und.join(regs, col("b") === col("node"))
+          .select(col("a").as("node"), col("bucket"), col("r")))
+        .groupBy("node", "bucket").agg(max(col("r")).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      curve += nOf(t, next) // forces `next`; regs no longer needed
+      regs.unpersist()
+      regs = next
+    }
+    regs.unpersist()
+    curve.toSeq.toDF("t", "n_nodes", "n_pairs").orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hyperanf"        -> qHyperAnf,
     "q_betweenness_big" -> qBetweennessBig,
     "q_katz"         -> qKatz,
     "q_hits"         -> qHits,
@@ -1376,7 +1449,55 @@ object BigGraphOps {
        |GROUP BY node ORDER BY bc DESC, node LIMIT $BC_TOP""".stripMargin
   }
 
+  /** HyperANF twin: g0..gH register CTEs (MATERIALIZED — each round and
+    * its estimate reference the previous frame 3×), per-round estimates
+    * via the q_hll_distinct double tree at the ANF geometry. */
+  private def sqlHyperAnf: String = {
+    val mask = (1L << ANF_BITS) - 1
+    def estSel(t: Int) =
+      s"""|SELECT $t AS t, CAST(count(*) AS BIGINT) AS n_nodes,
+          |  ${Fns.roundPSql(
+               "CAST(sum(CAST(hll AS DECIMAL(28,18))) AS DOUBLE)", 4)} AS n_pairs
+          |FROM (
+          |  SELECT CASE WHEN e_raw <= ${2.5 * ANF_M} AND v_zero > 0
+          |      THEN ${ANF_M.toDouble} * ln(${ANF_M.toDouble} / CAST(v_zero AS DOUBLE))
+          |    WHEN e_raw > ${SketchOps.HLL_LARGE}
+          |      THEN -${graft.functions.Kmv.HASH_SPACE} * ln(1.0::DOUBLE - e_raw / ${graft.functions.Kmv.HASH_SPACE})
+          |    ELSE e_raw END AS hll
+          |  FROM (
+          |    SELECT node, CAST($ANF_M - npres AS BIGINT) AS v_zero,
+          |      $ANF_ALPHA_M2 / (psum + CAST($ANF_M - npres AS DOUBLE)) AS e_raw
+          |    FROM (SELECT node, count(*) AS npres,
+          |        sum(1.0::DOUBLE / CAST(1::BIGINT << r AS DOUBLE)) AS psum
+          |      FROM g$t GROUP BY 1)))""".stripMargin
+    val rounds = (1 to ANF_HOPS).map { t =>
+      s"""|g$t AS MATERIALIZED (
+          |  SELECT node, bucket, max(r) AS r FROM (
+          |    SELECT node, bucket, r FROM g${t - 1}
+          |    UNION ALL
+          |    SELECT u.a AS node, g.bucket, g.r
+          |    FROM und u JOIN g${t - 1} g ON u.b = g.node)
+          |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlEdges,
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+       |  UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT DISTINCT a AS node FROM und),
+       |h0 AS (SELECT node,
+       |  CAST('0x' || substr(md5('anf_' || CAST(node AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM nodes),
+       |g0 AS MATERIALIZED (
+       |  SELECT node, h >> $ANF_BITS AS bucket,
+       |    max(${ANF_BITS + 1} - length(ltrim(bin(h & $mask), '0'))) AS r
+       |  FROM h0 GROUP BY 1, 2),
+       |$rounds
+       |SELECT * FROM (
+       |${(0 to ANF_HOPS).map(estSel).mkString("\nUNION ALL\n")})
+       |ORDER BY t""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hyperanf" -> sqlHyperAnf,
     "q_betweenness_big" -> sqlBetweenness,
     "q_katz" ->
       s"""WITH $sqlEdges,

@@ -148,11 +148,18 @@ object SketchOps {
     * Shared by the gate and the streaming cardinality monitor so the
     * register math cannot diverge between them. */
   private[graft] def hllRegisters(h: DataFrame, group: String): DataFrame =
-    h.select(col(group), shiftright(col("h"), HLL_BITS).as("bucket"),
-        col("h").bitwiseAND(lit((1L << HLL_BITS) - 1)).as("w"))
-      // rank of the leftmost set bit of the 22-bit suffix, 1-based; w=0
-      // falls out naturally: ltrim(bin(0)) = "" on both engines → 23
-      .withColumn("r", lit(HLL_BITS + 1) - length(ltrim(bin(col("w")), "0")))
+    hllRegistersAt(h, group, HLL_BITS)
+
+  /** [[hllRegisters]] at an arbitrary precision split (32 − p rank
+    * bits) — shared with the graph HyperANF gate, whose per-node
+    * counters use a smaller m than the cardinality gate's 1024. */
+  private[graft] def hllRegistersAt(h: DataFrame, group: String,
+                                    bits: Int): DataFrame =
+    h.select(col(group), shiftright(col("h"), bits).as("bucket"),
+        col("h").bitwiseAND(lit((1L << bits) - 1)).as("w"))
+      // rank of the leftmost set bit of the suffix, 1-based; w=0 falls
+      // out naturally: ltrim(bin(0)) = "" on both engines → bits + 1
+      .withColumn("r", lit(bits + 1) - length(ltrim(bin(col("w")), "0")))
       .groupBy(col(group), col("bucket")).agg(max("r").as("r"))
 
   /** (group, v_zero, hll_raw) estimate from a register frame: Σ2^-r over
@@ -160,6 +167,13 @@ object SketchOps {
     * the Flajolet small/large-range corrections. Unrounded — callers
     * apply [[Fns.roundP]] at their reporting edge. */
   private[graft] def hllEstimate(regs: DataFrame, group: String): DataFrame =
+    hllEstimateAt(regs, group, HLL_M, HLL_ALPHA_M2)
+
+  /** [[hllEstimate]] at an arbitrary register count (with its matching
+    * α·m² literal) — the small-range threshold scales as 2.5·m, the
+    * large-range one is hash-space-fixed. */
+  private[graft] def hllEstimateAt(regs: DataFrame, group: String,
+                                   m: Int, alphaM2: Double): DataFrame =
     regs.groupBy(col(group))
       .agg(count(lit(1)).as("npres"),
         // 2^-r as exact integer shift + exact dyadic division (the
@@ -167,12 +181,12 @@ object SketchOps {
         sum(lit(1.0) /
           expr("cast(shiftleft(cast(1 as bigint), cast(r as int)) as double)"))
           .as("psum"))
-      .withColumn("v_zero", (lit(HLL_M.toLong) - col("npres")))
+      .withColumn("v_zero", (lit(m.toLong) - col("npres")))
       .withColumn("e_raw",
-        lit(HLL_ALPHA_M2) / (col("psum") + col("v_zero").cast("double")))
+        lit(alphaM2) / (col("psum") + col("v_zero").cast("double")))
       .withColumn("hll_raw",
-        when(col("e_raw") <= lit(HLL_SMALL) && col("v_zero") > 0,
-          lit(HLL_M.toDouble) * log(lit(HLL_M.toDouble) / col("v_zero").cast("double")))
+        when(col("e_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
         .when(col("e_raw") > lit(HLL_LARGE),
           lit(-Kmv.HASH_SPACE) * log(lit(1.0) - col("e_raw") / lit(Kmv.HASH_SPACE)))
         .otherwise(col("e_raw")))

@@ -58,7 +58,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
     "q_bradley_terry", "q_betweenness_big", "q_l_diversity",
-    "q_ks_test", "q_chi2", "q_ddsketch", "q_ess")
+    "q_ks_test", "q_chi2", "q_ddsketch", "q_ess", "q_hyperanf")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
