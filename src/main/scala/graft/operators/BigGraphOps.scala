@@ -1201,8 +1201,9 @@ object BigGraphOps {
     * m ≥ 128 closed form only applies above 128 registers). m=32 is the
     * production HyperANF operating point — per-round join volume is
     * E·m rows, so the counter width is THE cost knob (m=64 measured
-    * ~1.9× slower at 64× for accuracy the curve readout doesn't need:
-    * the mirror spec still sees ≤ ±8% per round at m=32). */
+    * ~2× slower at 64× for accuracy the curve readout doesn't need:
+    * the mirror spec measures ≤ ±10% per round at m=32 — σ for the
+    * estimator is 1.04/√32 ≈ 18%). */
   val ANF_P = 5
   val ANF_M = 1 << ANF_P
   val ANF_BITS = 32 - ANF_P
@@ -1226,8 +1227,13 @@ object BigGraphOps {
     * (order/partition-free); the per-node estimate is the q_hll_distinct
     * double tree (dyadic-exact indicator sums, α literal, ln parity);
     * N(t) decimal-sums per-node estimates. Plan: und edges persist once;
-    * each round's register frame localCheckpoints (iterative-loop
-    * rule); every N(t) readout is an O(V·m)-bounded agg. */
+    * each round's register frame persists, the next round is built over
+    * a lineage-truncating LogicalRDD view of it (so plans stay flat at
+    * any ANF_HOPS — the iterative-loop rule), and the previous round
+    * unpersists as soon as the readout forces the new frame. NOTE: the
+    * returned 5-row frame is a LocalTableScan (rounds execute eagerly),
+    * so plan pins don't see the joins — ScaleProbe is this gate's
+    * scaling net. */
   val qHyperAnf: Q = (s, d) => {
     import s.implicits._
     val e = coEdges(s, d).select(col("src"), col("dst"))
@@ -1253,6 +1259,10 @@ object BigGraphOps {
         .head()
       (t, row.getLong(0), row.getDouble(1))
     }
+    var handle = regs // the persisted frame the current view reads from
+    // lineage cut: a LogicalRDD over the persisted frame, so round t's
+    // plan references a flat scan instead of 2^t copies of round t-1
+    regs = s.createDataFrame(regs.rdd, regs.schema)
     val curve = scala.collection.mutable.ArrayBuffer(nOf(0, regs))
     for (t <- 1 to ANF_HOPS) {
       val next = regs
@@ -1260,11 +1270,12 @@ object BigGraphOps {
           .select(col("a").as("node"), col("bucket"), col("r")))
         .groupBy("node", "bucket").agg(max(col("r")).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      curve += nOf(t, next) // forces `next`; regs no longer needed
-      regs.unpersist()
-      regs = next
+      curve += nOf(t, next) // forces `next`; the previous frame can go
+      handle.unpersist()
+      handle = next
+      regs = s.createDataFrame(next.rdd, next.schema)
     }
-    regs.unpersist()
+    handle.unpersist()
     curve.toSeq.toDF("t", "n_nodes", "n_pairs").orderBy("t")
   }
 

@@ -876,7 +876,10 @@ object CorpusOps {
     * order cannot perturb the ratio. Scale shape: the dsir scoring chain
     * plus TWO 1-row aggs — nothing new touches the corpus. */
   val qEss: Q = (s, d) => {
+    // two consumers (max anchor + moment agg) — persist or the whole
+    // dsir scoring chain re-executes per branch (no cross-branch CSE)
     val perdoc = qDsirWeights(s, d).select(col("logw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val w = perdoc
       .crossJoin(broadcast(perdoc.agg(max(col("logw")).as("m"))))
       .select(exp(col("logw") - col("m")).as("w"))
@@ -1529,7 +1532,7 @@ object CorpusOps {
          |ORDER BY doc_id""".stripMargin,
     "q_ess" ->
       s"""WITH $sqlDsirCtes,
-         |perdoc AS (
+         |perdoc AS MATERIALIZED (
          |  SELECT doc_id, ${Fns.roundPSql("CAST(sum(lt) AS DOUBLE)", 6)} AS logw
          |  FROM rawf JOIN ratios USING (f) GROUP BY 1),
          |wts AS (SELECT exp(logw - (SELECT max(logw) FROM perdoc)) AS w
