@@ -185,6 +185,10 @@ object ScaleProbe {
     // q_fuzzy_decontaminate / q_lsh_quality: minhash family, deliberately
     // absent (header note); the eval gate's inputs are the banded join and
     // the PPJoin chain, both with their own scaling stories
+    // q_containment: same manufactured-pair geometry — every cross-copy
+    // text pair is a TRUE containment-1.0 pair, Θ(mult²) real output; its
+    // scaling story is the prefix-filter candidate bound
+    // Σ_g df_prefix(g)·df_full(g) with rarest-first prefixes (PERF.md)
     // q_phash_near: replicated texts decode to IDENTICAL rasters → every
     // cross-copy pair is a TRUE ham-0 near-dup, so replication manufactures
     // Θ(mult²) real output pairs (the minhash argument in hash space); its

@@ -920,6 +920,92 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment acceptance threshold as the rational 9/10 — like
+    * [[JAC_T]], kept rational so every pruning bound below is exact
+    * integer arithmetic. */
+  val CONT_T_NUM = 9
+  val CONT_T_DEN = 10
+  /** Minimum shingle-set size for a containment probe: a 1–4-shingle
+    * snippet is "contained" in half the corpus by accident; requiring ≥5
+    * makes the report meaningful. No true pair is lost on the container
+    * side either: C(A→B) ≥ 9/10 with |A| ≥ 5 forces |A∩B| ≥ ⌈0.9·5⌉ = 5,
+    * so |B| ≥ 5 holds for every reportable pair. */
+  val CONT_MIN_SH = 5
+
+  /** ASYMMETRIC CONTAINMENT near-dup pairs — C(A→B) = |A∩B|/|A| over the
+    * K-word shingle sets, the measure that catches what Jaccard
+    * structurally misses: a document substantially CONTAINED in a larger
+    * one (quoted articles, boilerplate-wrapped reposts, chunk-of-a-book
+    * training leaks). J(A,B) ≥ 0.8 requires |B| ≤ 1.25·|A|, so a 500-word
+    * article inside a 5000-word page scores J ≈ 0.1 and sails through
+    * [[qJaccardPairs]]; its containment is ≈ 1.0.
+    *
+    * Same exact-recall prefix-filter family as [[qJaccardPairs]], adapted
+    * to the asymmetric threshold: only the PROBE side (A) is prefix-
+    * pruned — overlap ≥ ⌈t·|A|⌉ depends on |A| alone, so A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (rarest-first canonical order) provably
+    * contain a shared shingle for every true pair, while the container
+    * side (B) must stay fully indexed (no |B|-only bound exists). The
+    * positional filter at a collision (i in A, j in B) upper-bounds the
+    * overlap by 1 + min(|A|−i, |B|−j); the pair's FIRST shared shingle in
+    * canonical order makes that bound ≥ the true overlap, so requiring
+    * 10·(1 + min) ≥ 9·|A| on the join keeps exact recall. Exact
+    * verification on survivors equalizes both engines' candidate sets.
+    *
+    * Scale shape: candidate volume is Σ_g df_prefix(g)·df_full(g) —
+    * rarest-first ordering keeps corpus-hot shingles out of every prefix,
+    * so the full-side posting lists that ARE long are joined against
+    * near-empty prefix lists. One window shuffle keyed by doc_id for the
+    * ranking, co-hashed join on the shingle, verify joins on candidate
+    * pairs only. `ranked` feeds both join sides (prefix filter + full) —
+    * persisted, since no cross-branch CSE exists (PERF.md). */
+  val qContainment: Q = (s, d) =>
+    // persist before the reporting sort: RangePartitioning samples its
+    // child, so an uncached chain under a global orderBy runs twice
+    // (the measured q_entity_match trap, CLAUDE.md)
+    containmentOf(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("doc_a", "doc_b")
+
+  /** The containment chain over an arbitrary (doc_id, text) frame —
+    * factored so specs can drive a constructed contained-in corpus. */
+  private[graft] def containmentOf(docs: DataFrame): DataFrame = {
+    // persist the UNFILTERED staged shingle set, filter behind the cache
+    // barrier: a size() filter directly over the projection collapses into
+    // it and re-evaluates the shingling HOF per element (the PERF.md
+    // staged-array trap — measured 10.3 s vs 1.2 s at sf0.1)
+    val shAll = shingleSetsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shAll.filter(size(col("sh")) >= CONT_MIN_SH)
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("g"))
+    val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("c"), col("g"))
+    val ranked = posting.join(dfreq, "g")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("g"), col("rn"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe prefix length |A| - ceil(t|A|) + 1 with ceil(9sz/10) = (9sz+9) div 10
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+    val pairs = prefix.as("a")
+      .join(ranked.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
+          lit(CONT_T_DEN) * (lit(1) + least(col("a.sz") - col("a.rn"),
+                                            col("b.sz") - col("b.rn"))) >=
+            lit(CONT_T_NUM) * col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") * CONT_T_DEN >= size(col("sh_a")) * CONT_T_NUM)
+      .select(col("doc_a"), col("doc_b"),
+        Fns.roundP(col("inter").cast("double") / size(col("sh_a")), 4)
+          .as("containment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_entity_match"      -> qEntityMatch,
@@ -935,6 +1021,7 @@ object DedupOps {
     "q_corpus_mix"        -> qCorpusMix,
     "q_temperature_sample" -> qTemperatureSample,
     "q_jaccard_pairs"     -> qJaccardPairs,
+    "q_containment"       -> qContainment,
     "q_lsh_quality"       -> qLshQuality,
     "q_simhash"           -> qSimhash,
     "q_hash_split"        -> qHashSplit,
@@ -1258,6 +1345,33 @@ object DedupOps {
          |  JOIN sh sb ON sb.doc_id = p.doc_b)
          |SELECT doc_a, doc_b, ${Fns.roundPSql("jac", 4)} AS jaccard
          |FROM verified WHERE jac >= $JAC_T ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment" ->
+      s"""WITH $sqlShingles,
+         |shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) >= $CONT_MIN_SH),
+         |posting AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM shf),
+         |dfreq AS (SELECT g, count(*) AS c FROM posting GROUP BY g),
+         |ranked AS (
+         |  SELECT p.doc_id, p.g, p.sz,
+         |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.c, p.g) AS rn
+         |  FROM posting p JOIN dfreq d USING (g)),
+         |prefix AS (
+         |  SELECT doc_id, g, rn, sz FROM ranked
+         |  WHERE rn <= sz - ($CONT_T_NUM * sz + $CONT_T_NUM) // $CONT_T_DEN + 1),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM prefix a JOIN ranked b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  WHERE $CONT_T_DEN * (1 + least(a.sz - a.rn, b.sz - b.rn))
+         |    >= $CONT_T_NUM * a.sz),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter, len(sa.sh) AS sz_a
+         |  FROM pairs p
+         |  JOIN shf sa ON sa.doc_id = p.doc_a
+         |  JOIN shf sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b,
+         |  ${Fns.roundPSql("CAST(inter AS DOUBLE) / sz_a", 4)} AS containment
+         |FROM verified WHERE inter * $CONT_T_DEN >= sz_a * $CONT_T_NUM
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> {
       val bits = (0 until 16).map { b =>
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
