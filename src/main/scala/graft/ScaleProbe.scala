@@ -173,9 +173,10 @@ object ScaleProbe {
                              // (documents)
     "q_hyperanf")            // per-round edge⋈register join with ≤m rows
                              // of state per vertex (orders)
-    // q_k_anonymity: customer is a 1× dim in this harness (the anti-join
-    // note above) — nothing to probe; the plan is one QI-keyed partial
-    // agg + a class-SIZE rollup, both self-evidently linear
+    // q_k_anonymity / q_t_closeness: customer is a 1× dim in this harness
+    // (the anti-join note above) — nothing to probe; the plans are one
+    // QI-keyed partial agg + class-SIZE/bounded-histogram rollups (the
+    // closeness joins are broadcast by construction), all linear
     // q_truss: each peel round IS q_clustering_big's ordered wedge join
     // (probed above via q_kcore_big/q_clustering_big family) over a set
     // that only shrinks — no separate probe

@@ -660,8 +660,75 @@ object Relational {
       .orderBy("l")
   }
 
+  /** t-closeness thresholds as /20 rationals (0.2, 0.35, 0.5). */
+  val TCLOSE_T20S = Seq(4, 7, 10)
+
+  /** The third classic privacy audit beside [[qKAnonymity]] and
+    * [[qLDiversity]] — t-closeness (Li, Li & Venkatasubramanian, ICDE
+    * 2007): l-diversity still leaks when a QI class's sensitive-value
+    * DISTRIBUTION is skewed far from the table's, so this measures, per
+    * QI class (nation, account-balance kilo-bucket), the variational
+    * distance (equal-ground EMD for a categorical sensitive attribute)
+    * between the class's market-segment distribution and the global one,
+    * and for each t in [[TCLOSE_T20S]]/20 how many classes and rows
+    * exceed it.
+    *
+    * Exactness: EMD_c = Σ_v |cnt_cv/sz_c − g_v/N| / 2 is evaluated
+    * WITHOUT any division — the violation test EMD_c > t20/20 is
+    * rewritten 10·Σ_v |cnt_cv·N − g_v·sz_c| > t20·sz_c·N, all-integer,
+    * with the absent-segment terms folded in closed form
+    * (Σ_absent g_v·sz = (N − Σ_present g_v)·sz). Only the reported
+    * fraction touches doubles, through roundP. (At a 10⁹-row customer
+    * dim the integer products approach int64 range — the decimal(38)
+    * widening is the documented knob there.)
+    *
+    * Scale posture: one scan collapses to (QI, seg) cells; class sizes
+    * and the |segments|-bounded global histogram derive from the cells
+    * (persisted — three consumers, no cross-branch CSE); everything after
+    * the first agg rides QI-space-bounded frames, exploded ×|ts|. */
+  val qTCloseness: Q = (s, d) => {
+    val cell = Tables.customer(s, d)
+      .groupBy(
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal_kbucket"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cell.groupBy("nat", "bal_kbucket").agg(sum("cnt").as("sz"))
+    val global = cell.groupBy("seg").agg(sum("cnt").as("g"))
+    val tot = cell.agg(sum("cnt").as("n"))
+    val perClass = cell
+      .join(broadcast(sizes), Seq("nat", "bal_kbucket"))
+      .join(broadcast(global), Seq("seg"))
+      .crossJoin(broadcast(tot))
+      .groupBy("nat", "bal_kbucket")
+      .agg(
+        max(col("sz")).as("sz"), max(col("n")).as("n"),
+        (sum(abs(col("cnt") * col("n") - col("g") * col("sz"))) +
+          (max(col("n")) - sum(col("g"))) * max(col("sz"))).as("num"))
+    perClass
+      .select(col("sz"), col("n"), col("num"),
+        explode(typedLit(TCLOSE_T20S)).as("t20"))
+      .groupBy("t20")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("num") * 10 > col("t20") * col("sz") * col("n"),
+          lit(1L))), lit(0L)).as("n_classes_above"),
+        coalesce(sum(when(col("num") * 10 > col("t20") * col("sz") * col("n"),
+          col("sz"))), lit(0L)).as("n_rows_above"),
+        sum(col("sz")).as("n_rows"))
+      .select(
+        (col("t20").cast("double") / lit(20.0)).as("t"),
+        col("n_classes"), col("n_classes_above"), col("n_rows_above"),
+        graft.functions.Fns.roundP(
+          (col("n_rows") - col("n_rows_above")).cast("double") /
+            col("n_rows").cast("double"), 6).as("frac_rows_close"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile"         -> qProfile,
+    "q_t_closeness"     -> qTCloseness,
     "q_profile_wide"    -> qProfileWide,
     "q_k_anonymity"     -> qKAnonymity,
     "q_l_diversity"     -> qLDiversity,
@@ -775,6 +842,35 @@ object Relational {
              "CAST(sum(sz) - coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)",
              6)} AS frac_rows_anon
          |FROM sizes CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q_t_closeness" ->
+      s"""WITH cell AS (
+         |  SELECT c_nationkey AS nat,
+         |    CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_kbucket,
+         |    c_mktsegment AS seg, count(*) AS cnt
+         |  FROM customer GROUP BY 1, 2, 3),
+         |sizes AS (SELECT nat, bal_kbucket, sum(cnt) AS sz FROM cell GROUP BY 1, 2),
+         |g AS (SELECT seg, sum(cnt) AS g FROM cell GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS n FROM cell),
+         |cls AS (
+         |  SELECT c.nat, c.bal_kbucket, max(s.sz) AS sz, max(t.n) AS n,
+         |    sum(abs(c.cnt * t.n - g.g * s.sz))
+         |      + (max(t.n) - sum(g.g)) * max(s.sz) AS num
+         |  FROM cell c
+         |  JOIN sizes s USING (nat, bal_kbucket)
+         |  JOIN g USING (seg)
+         |  CROSS JOIN tot t
+         |  GROUP BY c.nat, c.bal_kbucket),
+         |ts(t20) AS (VALUES (${TCLOSE_T20S.mkString("), (")}))
+         |SELECT CAST(t20 AS DOUBLE) / CAST(20 AS DOUBLE) AS t,
+         |  count(*) AS n_classes,
+         |  CAST(coalesce(sum(CASE WHEN num * 10 > t20 * sz * n THEN 1 END), 0) AS BIGINT)
+         |    AS n_classes_above,
+         |  CAST(coalesce(sum(CASE WHEN num * 10 > t20 * sz * n THEN sz END), 0) AS BIGINT)
+         |    AS n_rows_above,
+         |  ${Fns.roundPSql(
+             "CAST(sum(sz) - coalesce(sum(CASE WHEN num * 10 > t20 * sz * n THEN sz END), 0) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)",
+             6)} AS frac_rows_close
+         |FROM cls CROSS JOIN ts GROUP BY t20 ORDER BY t""".stripMargin,
     "q_l_diversity" ->
       s"""WITH classes AS (
          |  SELECT c_nationkey AS nat,

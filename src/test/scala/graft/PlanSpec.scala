@@ -35,7 +35,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("blocked pair scans contain no cartesian product") {
     for (q <- Seq("q_cosine_blocked", "q_jaccard_pairs", "q_minhash_dedup",
-      "q_entity_match", "q_hard_negatives", "q_bitext_mine")) {
+      "q_entity_match", "q_hard_negatives", "q_bitext_mine", "q_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went quadratic:\n$p")
     }
@@ -416,6 +416,13 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.toLowerCase.contains("sortmergejoin"),
         s"$q shuffled a join for a bounded rollup:\n$p")
     }
+    // t-closeness legitimately joins the cell frame against its own
+    // QI-bounded rollups — but only as broadcasts, never a shuffled join
+    val p = plan("q_t_closeness")
+    assert(!p.toLowerCase.contains("sortmergejoin") &&
+      !p.contains("CartesianProduct"),
+      s"q_t_closeness must join its bounded rollups broadcast-side:\n$p")
+    assert(p.contains("partial_"), s"q_t_closeness lost map-side combine:\n$p")
   }
 
   test("q_chi2 and q_ddsketch prune the document scan to their columns") {

@@ -58,7 +58,8 @@ class QueriesSpec extends AnyFunSuite {
     "q_dup_ratio", "q_len_histogram", "q_oov_rate", "q_snapshot_drift",
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
     "q_bradley_terry", "q_betweenness_big", "q_l_diversity",
-    "q_ks_test", "q_chi2", "q_ddsketch", "q_ess", "q_hyperanf")
+    "q_ks_test", "q_chi2", "q_ddsketch", "q_ess", "q_hyperanf",
+    "q_containment", "q_t_closeness")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -127,6 +128,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(frac.forall(f => f >= 0.0 && f <= 1.0))
     assert(frac.zip(frac.tail).forall { case (a, b) => a >= b },
       "anonymous-row fraction must not grow as k grows")
+  }
+
+  test("q_t_closeness: matches a from-scratch rational-arithmetic mirror") {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), floor(col("c_acctbal") / 1000.0).cast("int"),
+        col("c_mktsegment")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getString(2)))
+    val n = rows.length.toLong
+    val global = rows.groupBy(_._2).map { case (s, v) => s -> v.length.toLong }
+    val classes = rows.groupBy(_._1).toSeq.map { case (_, members) =>
+      val sz = members.length.toLong
+      // Σ over ALL segments of |cnt·N − g·sz| (absent segments included)
+      val present = members.groupBy(_._2).map { case (s, v) => s -> v.length.toLong }
+      val num = global.map { case (s, g) =>
+        math.abs(present.getOrElse(s, 0L) * n - g * sz)
+      }.sum
+      (sz, num)
+    }.toSeq
+    val gate = SparkEntry.queries("q_t_closeness")(spark, sfDir)
+      .orderBy("t").collect()
+    assert(gate.map(_.getAs[Double]("t")).toSeq ==
+      operators.Relational.TCLOSE_T20S.map(_ / 20.0))
+    gate.foreach { r =>
+      val t20 = math.round(r.getAs[Double]("t") * 20).toInt
+      val above = classes.filter { case (sz, num) => num * 10 > t20.toLong * sz * n }
+      assert(r.getAs[Long]("n_classes") == classes.length.toLong)
+      assert(r.getAs[Long]("n_classes_above") == above.length.toLong,
+        s"t20=$t20: ${r.getAs[Long]("n_classes_above")} != ${above.length}")
+      assert(r.getAs[Long]("n_rows_above") == above.map(_._1).sum)
+    }
+    // variational distance shrinks violations as t grows
+    val ab = gate.map(_.getAs[Long]("n_classes_above"))
+    assert(ab.zip(ab.tail).forall { case (a, b) => a >= b })
   }
 
   test("q_ddsketch: estimates honor the DDSketch relative-error guarantee " +
