@@ -173,6 +173,8 @@ object ScaleProbe {
                              // (documents)
     "q_hyperanf")            // per-round edge⋈register join with ≤m rows
                              // of state per vertex (orders)
+    // q_dp_release: shape is q_hash_split (probed) minus the split column —
+    // one partial+final agg to a bounded frame, then row-local algebra
     // q_k_anonymity / q_t_closeness: customer is a 1× dim in this harness
     // (the anti-join note above) — nothing to probe; the plans are one
     // QI-keyed partial agg + class-SIZE/bounded-histogram rollups (the

@@ -726,9 +726,45 @@ object Relational {
       .orderBy("t")
   }
 
+  /** Laplace-noise resolution space (2^20): u = (h mod 2^20 + 0.5)/2^20
+    * is an exact dyadic rational, so both engines feed `ln` bit-identical
+    * doubles and the inverse-CDF transform is deterministic. */
+  val DP_SPACE = 1048576L
+
+  /** Differentially-private histogram release (Dwork et al. 2006, the
+    * Laplace mechanism): per-source document counts + Laplace(Δ/ε) noise
+    * with sensitivity Δ = 1 (each document belongs to exactly one source,
+    * so adding/removing a document moves one bin by one) and ε = 1. The
+    * release-side counterpart of the audit gates ([[qKAnonymity]] /
+    * [[qLDiversity]] / [[qTCloseness]] measure risk; this is the
+    * mechanism that bounds it when aggregate stats leave the boundary).
+    * A production release drops the true `n_docs` column — it is emitted
+    * here because the gate is a correctness artifact.
+    *
+    * Determinism: noise is the Laplace inverse CDF
+    * −b·sgn(u−½)·ln(1−2|u−½|) driven by a hash-derived uniform (the
+    * seeded-sampling posture of q_temperature_sample). Every arithmetic
+    * step up to `ln` is exact dyadic-rational double math, and ln/exp
+    * parity across engines is measured precedent (q_link_predict,
+    * q_ess). Scale: one partial+final agg to |sources| rows; the noise
+    * is row-local column algebra on the bounded frame. */
+  val qDpRelease: Q = (s, d) => {
+    val u = (pmod(graft.functions.Fns.hash32(concat(lit("dp_"), col("source"))),
+      lit(DP_SPACE)).cast("double") + lit(0.5)) / lit(DP_SPACE.toDouble)
+    val noise = when(u < 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.Fns.roundP(col("n_docs").cast("double") + noise, 6)
+          .as("noisy_n_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_profile"         -> qProfile,
     "q_t_closeness"     -> qTCloseness,
+    "q_dp_release"      -> qDpRelease,
     "q_profile_wide"    -> qProfileWide,
     "q_k_anonymity"     -> qKAnonymity,
     "q_l_diversity"     -> qLDiversity,
@@ -842,6 +878,17 @@ object Relational {
              "CAST(sum(sz) - coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)",
              6)} AS frac_rows_anon
          |FROM sizes CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q_dp_release" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |n AS (SELECT source, n_docs,
+         |  (CAST(CAST('0x' || substr(md5('dp_' || source), 1, 8) AS BIGINT)
+         |     % $DP_SPACE AS DOUBLE) + 0.5) / CAST($DP_SPACE AS DOUBLE) AS u
+         |FROM c)
+         |SELECT source, n_docs,
+         |  ${Fns.roundPSql(
+             "CAST(n_docs AS DOUBLE) + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END) * ln(1 - 2 * abs(u - 0.5))",
+             6)} AS noisy_n_docs
+         |FROM n ORDER BY source""".stripMargin,
     "q_t_closeness" ->
       s"""WITH cell AS (
          |  SELECT c_nationkey AS nat,

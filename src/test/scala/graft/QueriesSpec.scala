@@ -59,7 +59,7 @@ class QueriesSpec extends AnyFunSuite {
     "q_phrase_search", "q_bitext_mine", "q_kneser_ney", "q_k_anonymity",
     "q_bradley_terry", "q_betweenness_big", "q_l_diversity",
     "q_ks_test", "q_chi2", "q_ddsketch", "q_ess", "q_hyperanf",
-    "q_containment", "q_t_closeness")
+    "q_containment", "q_t_closeness", "q_dp_release")
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -161,6 +161,32 @@ class QueriesSpec extends AnyFunSuite {
     // variational distance shrinks violations as t grows
     val ab = gate.map(_.getAs[Long]("n_classes_above"))
     assert(ab.zip(ab.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_dp_release: matches an independent Laplace inverse-CDF mirror") {
+    import java.security.MessageDigest
+    def hash32(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val truth = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q_dp_release")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == truth.keySet)
+    rows.foreach { r =>
+      val (src, n, noisy) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(n == truth(src))
+      val space = operators.Relational.DP_SPACE
+      val u = (hash32("dp_" + src) % space + 0.5) / space.toDouble
+      val noise = (if (u < 0.5) 1.0 else -1.0) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val want = math.floor((n + noise) * 1e6 + 0.5) / 1e6
+      assert(noisy == want, s"$src: $noisy != $want")
+      // Laplace(1) noise at 2^20 resolution is bounded by ln(2^21)
+      assert(math.abs(noisy - n) <= math.log(2.0 * space), s"$src noise out of range")
+      assert(noisy != n.toDouble, s"$src: noise must actually perturb the bin")
+    }
   }
 
   test("q_ddsketch: estimates honor the DDSketch relative-error guarantee " +
