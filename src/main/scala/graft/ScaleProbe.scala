@@ -47,6 +47,11 @@ object ScaleProbe {
     "q_inverted_index",      // term-keyed aggs + WindowGroupLimit cap (documents)
     "q_substring_dup",       // window-keyed agg + join-back (documents; dup SET
                              // saturates under replication but row flow is linear)
+    "q_suffix_dup",          // stride-1 digest agg + semi-join + per-doc island
+                             // window (documents; replication makes EVERY gram a
+                             // cross-copy dup so the hit stream saturates to the
+                             // full gram stream — worst case, still linear row
+                             // flow: the island window stays doc-keyed)
     "q_backoff_lm",          // n-gram count tables + keyed left joins (documents)
     "q_pq_adc",              // literal-codebook codegen scan + top-k (embeddings)
     "q_ann_ivfpq",           // cell prune + ADC + exact re-rank (embeddings)

@@ -650,6 +650,91 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Minimum duplicated-run length (chars) for [[qSuffixDup]] — tied to
+    * [[SUB_W]] so the exact gate and the stride-window approximation report
+    * the same duplication grain and their `dup_frac` columns are directly
+    * comparable. */
+  val SUF_K = SUB_W
+
+  /** EXACT substring-level duplication — the alignment-independent
+    * guarantee [[qSubstringDup]]'s stride-[[SUB_S]] windows cannot give
+    * (a duplicated span offset <[[SUB_S]] chars from a window boundary is
+    * missed there). This is the Lee et al. 2022 suffix-array signal
+    * rendered distributed as stride-1 fingerprinting: a character position
+    * p of doc A lies inside a cross-document duplicated span of length
+    * ≥[[SUF_K]] IFF some [[SUF_K]]-gram window [j, j+K) covering p also
+    * occurs in another document — every shared run of length L ≥ K
+    * contains, for each of its positions, a fully-interior K-gram, and any
+    * shared K-gram IS a length-K shared run. So the union of the [j, j+K)
+    * intervals of cross-doc-recurring K-grams is EXACTLY the covered set,
+    * regardless of where the span starts (SuffixDupSpec proves this against
+    * a from-scratch brute-force mirror and at deliberately stride-misaligned
+    * offsets). Per doc: maximal merged spans, covered chars, dup fraction.
+    *
+    * Grams travel as 128-bit md5 fingerprints, never text (collision
+    * probability ~n²/2^129 — at 10^12 grams still <10^-14; a paranoid
+    * verify would join raw grams back on the flagged spans only). Recurring
+    * grams need only min≠max of doc_id — one codegen hash agg, no
+    * countDistinct Expand. Islands merge with one per-doc sort window over
+    * the HIT grams only (post-semi-join, ~O(dups)), the classic
+    * gaps-and-islands rendering, so the heavy stream is never globally
+    * sorted. Row flow is linear in corpus size: fingerprint extraction is
+    * row-local, the two shuffles are keyed by digest (agg + semi-join) and
+    * the island window is keyed by doc_id over hits only. */
+  val qSuffixDup: Q = (s, d) =>
+    // persist before the reporting sort: RangePartitioning samples its
+    // child, so an uncached chain under a global orderBy runs twice
+    // (the measured q_entity_match trap, CLAUDE.md)
+    suffixDupOf(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("doc_id")
+
+  /** The exact-substring-dup chain over an arbitrary (doc_id, text,
+    * n_chars) frame — factored so SuffixDupSpec can drive constructed
+    * corpora with planted spans at arbitrary offsets. */
+  private[graft] def suffixDupOf(docs: DataFrame): DataFrame = {
+    val eligible = docs.filter(col("n_chars") >= SUF_K)
+    // explode the cheap INT sequence, hash after: md5-inside-a-transform
+    // would run interpreted per element (HOFs have no codegen), while here
+    // the per-gram md5(substr) is an ordinary projected expression inside
+    // whole-stage codegen. Inner posexplode keeps the Generate in codegen
+    // too (outer drops out, CLAUDE.md); InferFiltersFromGenerate's cloned
+    // size(sequence)>0 filter costs one int-array alloc per ROW — noise
+    // next to the per-ELEMENT work it would clone under the transform form.
+    val grams = eligible
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), col("n_chars") - lit(SUF_K))))
+      .select(col("doc_id"), col("pos").as("j"),
+        md5(col("text").substr(col("pos") + lit(1), lit(SUF_K))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cross-doc recurrence without a countDistinct Expand: min ≠ max doc_id
+    val dup = grams.groupBy("h")
+      .agg(min("doc_id").as("d1"), max("doc_id").as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .select("h")
+    // gaps-and-islands over the duplicated gram positions: a new maximal
+    // span starts when this gram's interval [j, j+K) is disjoint from and
+    // non-adjacent to everything before it (stride-1 ⇒ positions sorted
+    // ascending ⇒ running max end = lag(j) + K)
+    val w = Window.partitionBy("doc_id").orderBy("j")
+    val spans = grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("nw",
+        when(col("j") - coalesce(lag("j", 1).over(w), lit(-SUF_K - 1)) > SUF_K,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("isl", sum("nw").over(w))
+      .groupBy("doc_id", "isl")
+      .agg((max("j") - min("j") + lit(SUF_K)).as("len"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum("len").as("dup_chars"), count(lit(1)).as("n_spans"))
+    eligible.select(col("doc_id"), col("n_chars"),
+        (col("n_chars") - lit(SUF_K) + lit(1)).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_chars", "n_spans"))
+      .select(col("doc_id"), col("n_grams"), col("n_spans"), col("dup_chars"),
+        Fns.roundP(col("dup_chars").cast("double") / col("n_chars"), 4)
+          .as("dup_frac"))
+  }
+
   /** Paragraph size in words for [[qParagraphDedup]]. The corpus carries no
     * newlines, so "paragraph" is the fixed non-overlapping word block — on a
     * real web corpus the split key would be `\n\n` with the identical
@@ -985,9 +1070,14 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("g"), col("rn"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe prefix length |A| - ceil(t|A|) + 1 with ceil(9sz/10) = (9sz+9) div 10
+    // probe prefix length |A| - ceil(t|A|) + 1, with the integer ceiling
+    // ceil(num·sz/den) = (num·sz + den−1) div den derived from the
+    // threshold constants — retuning CONT_T_* moves prefix, join bound and
+    // verify together (a hardcoded 9/10 here would silently shorten the
+    // prefix below the exact-recall requirement for any lower threshold)
     val prefix = ranked
-      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .filter(col("rn") <=
+        col("sz") - expr(s"($CONT_T_NUM * sz + ${CONT_T_DEN - 1}) div $CONT_T_DEN") + 1)
     val pairs = prefix.as("a")
       .join(ranked.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
@@ -1026,6 +1116,7 @@ object DedupOps {
     "q_simhash"           -> qSimhash,
     "q_hash_split"        -> qHashSplit,
     "q_substring_dup"     -> qSubstringDup,
+    "q_suffix_dup"        -> qSuffixDup,
     "q_paragraph_dedup"   -> qParagraphDedup,
   )
 
@@ -1356,7 +1447,7 @@ object DedupOps {
          |  FROM posting p JOIN dfreq d USING (g)),
          |prefix AS (
          |  SELECT doc_id, g, rn, sz FROM ranked
-         |  WHERE rn <= sz - ($CONT_T_NUM * sz + $CONT_T_NUM) // $CONT_T_DEN + 1),
+         |  WHERE rn <= sz - ($CONT_T_NUM * sz + ${CONT_T_DEN - 1}) // $CONT_T_DEN + 1),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM prefix a JOIN ranked b ON a.g = b.g AND a.doc_id <> b.doc_id
@@ -1397,6 +1488,29 @@ object DedupOps {
          |  ${Fns.roundPSql("CAST(count(*) FILTER (WHERE d.w IS NOT NULL) AS DOUBLE) / count(*)", 4)} AS dup_frac
          |FROM wins LEFT JOIN dup d ON wins.w = d.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_suffix_dup" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, j, md5(substr(text, CAST(j + 1 AS INT), $SUF_K)) AS h
+         |  FROM (SELECT doc_id, text, unnest(range(n_chars - ${SUF_K - 1})) AS j
+         |        FROM documents WHERE n_chars >= $SUF_K)),
+         |dup AS (SELECT h FROM grams GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |hits AS (SELECT doc_id, j FROM grams WHERE h IN (SELECT h FROM dup)),
+         |isl AS (SELECT doc_id, j,
+         |  CASE WHEN j - coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j),
+         |                         ${-SUF_K - 1}) > $SUF_K THEN 1 ELSE 0 END AS nw
+         |  FROM hits),
+         |isl2 AS (SELECT doc_id, j,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY j) AS isl FROM isl),
+         |spans AS (SELECT doc_id, max(j) - min(j) + $SUF_K AS len
+         |  FROM isl2 GROUP BY doc_id, isl),
+         |per_doc AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars,
+         |  count(*) AS n_spans FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.n_chars - ${SUF_K - 1} AS BIGINT) AS n_grams,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.dup_chars, 0) AS dup_chars,
+         |  ${Fns.roundPSql(s"CAST(coalesce(p.dup_chars, 0) AS DOUBLE) / d.n_chars", 4)} AS dup_frac
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |WHERE d.n_chars >= $SUF_K ORDER BY d.doc_id""".stripMargin,
     "q_paragraph_dedup" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |expl AS (SELECT doc_id, ws,
