@@ -731,6 +731,10 @@ object Relational {
     * doubles and the inverse-CDF transform is deterministic. */
   val DP_SPACE = 1048576L
 
+  /** Default noise seed for [[qDpRelease]] — a plan literal, pinned so the
+    * gate is reproducible across engines and rounds. */
+  val DP_SEED = "dp"
+
   /** Differentially-private histogram release (Dwork et al. 2006, the
     * Laplace mechanism): per-source document counts + Laplace(Δ/ε) noise
     * with sensitivity Δ = 1 (each document belongs to exactly one source,
@@ -741,19 +745,35 @@ object Relational {
     * A production release drops the true `n_docs` column — it is emitted
     * here because the gate is a correctness artifact.
     *
-    * Determinism: noise is the Laplace inverse CDF
-    * −b·sgn(u−½)·ln(1−2|u−½|) driven by a hash-derived uniform (the
-    * seeded-sampling posture of q_temperature_sample). Every arithmetic
-    * step up to `ln` is exact dyadic-rational double math, and ln/exp
-    * parity across engines is measured precedent (q_link_predict,
-    * q_ess). Scale: one partial+final agg to |sources| rows; the noise
-    * is row-local column algebra on the bounded frame. */
-  val qDpRelease: Q = (s, d) => {
-    val u = (pmod(graft.functions.Fns.hash32(concat(lit("dp_"), col("source"))),
+    * Determinism vs privacy — read before reusing: noise is the Laplace
+    * inverse CDF −b·sgn(u−½)·ln(1−2|u−½|) driven by a uniform derived from
+    * hash32(seed‖bin). That hash-seeded u exists ONLY for cross-engine gate
+    * reproducibility; with a seed an adversary knows (or can guess), the
+    * noise is a deterministic function of the public bin label and can be
+    * recomputed and subtracted exactly — the release then provides NO ε-DP
+    * guarantee at all, even after dropping `n_docs`. A production release
+    * must draw u from cryptographic randomness; the minimum viable form is
+    * this same construction with [[DP_SEED]] replaced by a high-entropy
+    * per-release SECRET seed (never reused, never logged), which makes the
+    * mechanism a keyed PRF — the standard seedable-DP deployment shape.
+    * QueriesSpec pins that changing the seed moves every noisy count.
+    *
+    * Every arithmetic step up to `ln` is exact dyadic-rational double
+    * math, and ln/exp parity across engines is measured precedent
+    * (q_link_predict, q_ess). Scale: one partial+final agg to |sources|
+    * rows; the noise is row-local column algebra on the bounded frame. */
+  val qDpRelease: Q = (s, d) => dpReleaseOf(Tables.documents(s, d), DP_SEED)
+
+  /** The release chain with an explicit noise seed — the production entry
+    * point (pass a per-release secret), factored so QueriesSpec can prove
+    * seed-sensitivity. */
+  private[graft] def dpReleaseOf(docs: DataFrame, seed: String): DataFrame = {
+    val u = (pmod(graft.functions.Fns.hash32(
+        concat(lit(s"${seed}_"), col("source"))),
       lit(DP_SPACE)).cast("double") + lit(0.5)) / lit(DP_SPACE.toDouble)
     val noise = when(u < 0.5, lit(1.0)).otherwise(lit(-1.0)) *
       log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
-    Tables.documents(s, d)
+    docs
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .select(col("source"), col("n_docs"),
         graft.functions.Fns.roundP(col("n_docs").cast("double") + noise, 6)

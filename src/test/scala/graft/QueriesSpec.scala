@@ -189,6 +189,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dp_release: a different seed moves every noisy count (keyed-PRF posture)") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = operators.Relational.dpReleaseOf(docs, operators.Relational.DP_SEED)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val reseeded = operators.Relational.dpReleaseOf(docs, "release-secret-7f3a")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(base.keySet == reseeded.keySet)
+    // with label-keyed deterministic noise, a seed change must re-draw the
+    // uniform for EVERY bin — a bin whose noise survives a reseed would mean
+    // the seed is not actually mixed into the hash
+    base.foreach { case (src, v) =>
+      assert(reseeded(src) != v, s"$src: noise did not move under a new seed")
+    }
+    // the default-seed run is the gate: unchanged by the factoring
+    val gate = SparkEntry.queries("q_dp_release")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gate == base)
+  }
+
   test("q_ddsketch: estimates honor the DDSketch relative-error guarantee " +
       "and match a from-scratch mirror") {
     val alpha = operators.SketchOps.DD_ALPHA
