@@ -500,6 +500,152 @@ object ModelOps {
   }
 
   // --------------------------------------------------------------------
+  // Logistic-regression quality classifier (the fastText-shaped filter)
+  // --------------------------------------------------------------------
+
+  /** Batch-gradient rounds for the LR quality fit. On this feature scale
+    * (all features O(1)) the loss plateau is reached well before 20; the
+    * constant is part of the gate's definition, like [[BT_ITERS]]. */
+  val LR_ITERS = 20
+  /** Learning rate — 2.0 reaches accuracy ≈ 0.97 / AUC ≈ 0.99 on the
+    * shipped corpus in [[LR_ITERS]] rounds (measured; see ModelOpsSpec). */
+  val LR_RATE = 2.0
+
+  /** Per-document LR feature/label frame: label y = the Gopher-rule keep
+    * flag (the [[TextOps.qGopherRules]] conjunction, integer/IEEE-exact on
+    * both engines), features all O(1)-scaled deterministic doubles —
+    * bias handled implicitly, f1 = words/64 (dyadic), f2 = stopword ratio,
+    * f3 = mean word length / 8. One corpus scan, zero shuffle. */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame = {
+    val nw = size(Fns.tokens(col("text"))).cast("double")
+    val nns = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    val nSym = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    val nStop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("double")
+    val nc = length(col("text")).cast("double")
+    docs.select(col("doc_id"), nw.as("nw"), nns.as("nns"), nSym.as("nsym"),
+        nStop.as("nstop"), nc.as("nc"))
+      .select(col("doc_id"),
+        ((col("nw") >= 50 && col("nw") <= 100000) &&
+          (col("nns") / col("nw") >= 3.0 && col("nns") / col("nw") <= 10.0) &&
+          (col("nsym") / col("nc") < 0.1) && (col("nstop") >= 2))
+          .cast("int").as("y"),
+        (col("nw") / lit(64.0)).as("f1"),
+        (col("nstop") / col("nw")).as("f2"),
+        ((col("nns") / col("nw")) / lit(8.0)).as("f3"))
+  }
+
+  /** The per-row sigmoid score under weights w — the exact op order the
+    * DuckDB twin repeats per unrolled round: z left-folds
+    * ((w0 + w1·f1) + w2·f2) + w3·f3, p = 1/(1+exp(−z)). */
+  private def lrP(w: Array[Double]) = {
+    val z = lit(w(0)) + lit(w(1)) * col("f1") +
+      lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Distributed batch-gradient logistic regression (the trained quality
+    * filter every production corpus pipeline runs — fastText-shaped, here
+    * on interpretable features): w ← w − η/n · Σᵢ (σ(wᵀxᵢ) − yᵢ)·xᵢ for
+    * [[LR_ITERS]] rounds from w = 0.
+    *
+    * Scale/exactness posture: the ONLY corpus-scale work is one feature
+    * scan (persisted) plus one partial+final aggregation per round
+    * producing FOUR decimal sums — model state is 4 doubles carried as
+    * plan literals (the q_kmeans posture; the per-round collect is one
+    * row). Each per-row gradient term is a double cast to decimal(28,18)
+    * BEFORE the sum, so aggregation order cannot move the result and both
+    * engines iterate from bit-identical state; the driver's weight update
+    * repeats the twin's literal expression op-for-op (w − η·(g/n)). exp
+    * parity across engines is measured precedent (q_ess, q_calibration).
+    * At 100 TB: features are a projection of corpus stats the scan already
+    * computes; 20 passes over a persisted 4-column double frame, gradient
+    * partials map-side combined — no shuffle grows with the corpus. */
+  private[graft] def lrTrainOf(docs: DataFrame): (DataFrame, Array[Double]) = {
+    val feats = lrFeatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to LR_ITERS) {
+      val p = lrP(w)
+      val row = feats.agg(
+        sum((p - col("y")).cast("decimal(28,18)")).as("g0"),
+        sum(((p - col("y")) * col("f1")).cast("decimal(28,18)")).as("g1"),
+        sum(((p - col("y")) * col("f2")).cast("decimal(28,18)")).as("g2"),
+        sum(((p - col("y")) * col("f3")).cast("decimal(28,18)")).as("g3"),
+        count(lit(1)).as("n")).head()
+      val n = row.getLong(4).toDouble
+      for (j <- 0 to 3)
+        w(j) = w(j) - LR_RATE * (row.getDecimal(j).doubleValue / n)
+    }
+    (feats, w)
+  }
+
+  /** LR feature names in gate order (alphabetical = report order). */
+  private val LR_FEATS = Seq("bias", "nw_64", "stop_ratio", "wl_8")
+
+  /** Trained LR weights — the model artifact a curation run ships. */
+  val qLrQuality: Q = (s, d) => {
+    import s.implicits._
+    val (_, w) = lrTrainOf(Tables.documents(s, d))
+    LR_FEATS.zip(w.toSeq)
+      .map { case (f, v) => (f, math.floor(v * 1e6 + 0.5) / 1e6) } // roundP twin
+      .toDF("feature", "weight")
+      .orderBy("feature")
+  }
+
+  /** Threshold + ranking + probability quality of the trained LR filter in
+    * one row: accuracy at p ≥ 0.5, tie-corrected Mann–Whitney AUC (the
+    * [[qAuc]] integer-exact U2 chain over distinct scores), and the Brier
+    * score (decimal-exact sum of squared residuals). */
+  val qLrMetrics: Q = (s, d) => {
+    val (feats, w) = lrTrainOf(Tables.documents(s, d))
+    val scored = feats.select(col("y"), lrP(w).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = scored.agg(
+      count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+      sum(when((col("p") >= 0.5) === (col("y") === 1), 1L).otherwise(0L))
+        .as("correct"),
+      sum(((col("p") - col("y")) * (col("p") - col("y")))
+        .cast("decimal(28,18)")).as("sq"))
+    val counts = scored.groupBy("p")
+      .agg(sum(col("y")).cast("long").as("pos_n"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("neg_n"))
+    val wP = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    val auc = counts
+      .withColumn("neg_below", coalesce(sum(col("neg_n")).over(wP), lit(0L)))
+      .agg(sum(lit(2L) * col("neg_below") * col("pos_n") +
+        col("pos_n") * col("neg_n")).as("u2"),
+        sum(col("pos_n")).as("tp"), sum(col("neg_n")).as("tn"))
+    stats.crossJoin(auc).select(
+      col("n"), col("n_pos"),
+      Fns.roundP(col("correct").cast("double") / col("n").cast("double"), 6)
+        .as("accuracy"),
+      when(col("tp") > 0 && col("tn") > 0,
+        Fns.roundP(col("u2").cast("double") /
+          (lit(2.0) * col("tp").cast("double") * col("tn").cast("double")), 6))
+        .as("auc"),
+      Fns.roundP(col("sq").cast("double") / col("n").cast("double"), 6)
+        .as("brier"))
+  }
+
+  /** Reliability deciles of the trained LR filter — the [[qCalibration]]
+    * readout for the quality model: per confidence decile, mean predicted
+    * p vs realized positive fraction and their gap. */
+  val qLrCalibration: Q = (s, d) => {
+    val (feats, w) = lrTrainOf(Tables.documents(s, d))
+    feats.select(col("y"), lrP(w).as("p"))
+      .withColumn("bucket", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(28,18)")).as("ps"),
+        sum(col("y")).cast("long").as("pos"))
+      .select(col("bucket"), col("n"),
+        Fns.roundP(col("ps").cast("double") / col("n"), 6).as("mean_p"),
+        Fns.roundP(col("pos").cast("double") / col("n"), 6).as("frac_pos"))
+      .withColumn("gap", Fns.roundP(abs(col("mean_p") - col("frac_pos")), 6))
+      .orderBy("bucket")
+  }
+
+  // --------------------------------------------------------------------
   // Unigram-LM tokenizer training (Kudo 2018 — SentencePiece's other half)
   // --------------------------------------------------------------------
 
@@ -789,6 +935,9 @@ object ModelOps {
 
   val queries: Map[String, Q] = Map(
     "q_bradley_terry" -> qBradleyTerry,
+    "q_lr_quality"   -> qLrQuality,
+    "q_lr_metrics"   -> qLrMetrics,
+    "q_lr_calibration" -> qLrCalibration,
     "q_nb_lang"      -> qNbLang,
     "q_nb_metrics"   -> qNbMetrics,
     "q_calibration"  -> qCalibration,
@@ -1077,8 +1226,107 @@ object ModelOps {
        |ORDER BY f.brand""".stripMargin
   }
 
+  /** Unrolled batch-gradient LR twin down to the trained-weights CTE `wf`
+    * plus the per-doc scored frame `lrsc` — shared by the three LR oracles
+    * so all derive from the identical fit. Each round repeats the driver
+    * fold's literal expression trees op-for-op: z left-folds
+    * ((w0 + w1·f1) + w2·f2) + w3·f3, gradient terms cast decimal(28,18)
+    * BEFORE the sum, update w − rate·(CAST(g AS DOUBLE)/n). Every CTE that
+    * a later round references more than once is MATERIALIZED (the DuckDB
+    * CTE-inlining trap, q_bradley_terry). */
+  private def sqlLrChain: String = {
+    val rounds = (1 to LR_ITERS).map { r =>
+      s"""|gr$r AS MATERIALIZED (SELECT
+          |    sum(CAST(p - y AS DECIMAL(28,18))) AS g0,
+          |    sum(CAST((p - y) * f1 AS DECIMAL(28,18))) AS g1,
+          |    sum(CAST((p - y) * f2 AS DECIMAL(28,18))) AS g2,
+          |    sum(CAST((p - y) * f3 AS DECIMAL(28,18))) AS g3
+          |  FROM (SELECT y, f1, f2, f3,
+          |    1.0::DOUBLE / (1.0::DOUBLE + exp(-(((w0 + w1 * f1) + w2 * f2) + w3 * f3))) AS p
+          |    FROM lrfeats, wr${r - 1})),
+          |wr$r AS MATERIALIZED (SELECT
+          |    w0 - $LR_RATE * (CAST(g0 AS DOUBLE) / n) AS w0,
+          |    w1 - $LR_RATE * (CAST(g1 AS DOUBLE) / n) AS w1,
+          |    w2 - $LR_RATE * (CAST(g2 AS DOUBLE) / n) AS w2,
+          |    w3 - $LR_RATE * (CAST(g3 AS DOUBLE) / n) AS w3
+          |  FROM wr${r - 1}, gr$r, lrn)""".stripMargin
+    }.mkString(",\n")
+    s"""lrfeats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(((nw >= 50 AND nw <= 100000)
+       |      AND (nns / nw >= 3.0 AND nns / nw <= 10.0)
+       |      AND (nsym / nc < 0.1) AND (nstop >= 2)) AS INT) AS y,
+       |    nw / 64.0 AS f1, nstop / nw AS f2, (nns / nw) / 8.0 AS f3
+       |  FROM (SELECT doc_id,
+       |    CAST(len($sqlToks) AS DOUBLE) AS nw,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nns,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS nsym,
+       |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS DOUBLE) AS nstop,
+       |    CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents)),
+       |lrn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM lrfeats),
+       |wr0 AS MATERIALIZED (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+       |  0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3),
+       |$rounds,
+       |wf AS MATERIALIZED (SELECT * FROM wr$LR_ITERS),
+       |lrsc AS MATERIALIZED (SELECT y,
+       |  1.0::DOUBLE / (1.0::DOUBLE + exp(-(((w0 + w1 * f1) + w2 * f2) + w3 * f3))) AS p
+       |  FROM lrfeats, wf)""".stripMargin
+  }
+
+  private def sqlLrQuality: String =
+    s"""WITH $sqlLrChain
+       |SELECT feature, weight FROM (
+       |  SELECT 'bias' AS feature, ${Fns.roundPSql("w0", 6)} AS weight FROM wf
+       |  UNION ALL SELECT 'nw_64', ${Fns.roundPSql("w1", 6)} FROM wf
+       |  UNION ALL SELECT 'stop_ratio', ${Fns.roundPSql("w2", 6)} FROM wf
+       |  UNION ALL SELECT 'wl_8', ${Fns.roundPSql("w3", 6)} FROM wf)
+       |ORDER BY feature""".stripMargin
+
+  private def sqlLrMetrics: String =
+    s"""WITH $sqlLrChain,
+       |st AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       |    sum(CAST((p - y) * (p - y) AS DECIMAL(28,18))) AS sq
+       |  FROM lrsc),
+       |cnts AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos_n,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS neg_n
+       |  FROM lrsc GROUP BY p),
+       |ranked AS (SELECT pos_n, neg_n,
+       |    coalesce(sum(neg_n) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM cnts),
+       |a AS (SELECT CAST(sum(2 * neg_below * pos_n + pos_n * neg_n) AS BIGINT) AS u2,
+       |    CAST(sum(pos_n) AS BIGINT) AS tp, CAST(sum(neg_n) AS BIGINT) AS tn
+       |  FROM ranked)
+       |SELECT st.n, st.n_pos,
+       |  ${Fns.roundPSql("CAST(st.correct AS DOUBLE) / CAST(st.n AS DOUBLE)", 6)} AS accuracy,
+       |  CASE WHEN a.tp > 0 AND a.tn > 0 THEN
+       |    ${Fns.roundPSql("CAST(a.u2 AS DOUBLE) / (2.0 * CAST(a.tp AS DOUBLE) * CAST(a.tn AS DOUBLE))", 6)}
+       |  END AS auc,
+       |  ${Fns.roundPSql("CAST(st.sq AS DOUBLE) / CAST(st.n AS DOUBLE)", 6)} AS brier
+       |FROM st, a""".stripMargin
+
+  private def sqlLrCalibration: String =
+    s"""WITH $sqlLrChain,
+       |bk AS (SELECT CAST(least(floor(p * 10), 9.0::DOUBLE) AS INTEGER) AS bucket, p, y
+       |  FROM lrsc),
+       |rep AS (SELECT bucket, count(*) AS n,
+       |    sum(CAST(p AS DECIMAL(28,18))) AS ps, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM bk GROUP BY bucket),
+       |r2 AS (SELECT bucket, n,
+       |    ${Fns.roundPSql("CAST(ps AS DOUBLE) / n", 6)} AS mean_p,
+       |    ${Fns.roundPSql("CAST(pos AS DOUBLE) / n", 6)} AS frac_pos
+       |  FROM rep)
+       |SELECT bucket, n, mean_p, frac_pos,
+       |  ${Fns.roundPSql("abs(mean_p - frac_pos)", 6)} AS gap
+       |FROM r2 ORDER BY bucket""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bradley_terry" -> sqlBradleyTerry,
+    "q_lr_quality" -> sqlLrQuality,
+    "q_lr_metrics" -> sqlLrMetrics,
+    "q_lr_calibration" -> sqlLrCalibration,
     "q_bpe_merges" -> bpeSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_unigram_lm" -> uniLmSql,

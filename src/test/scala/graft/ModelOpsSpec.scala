@@ -320,6 +320,66 @@ class ModelOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Double → decimal(28,18) exactly as the LR gradient cast executes it. */
+  private def dec28(x: Double): JBigDecimal = {
+    val d = org.apache.spark.sql.types.Decimal(x)
+    require(d.changePrecision(28, 18))
+    d.toJavaBigDecimal
+  }
+
+  test("q_lr_quality: gate weights equal a from-scratch batch-GD mirror on a fixture") {
+    import spark.implicits._
+    // evens are >=50-word keepers, odds are short rejects; every doc has
+    // >=2 stopwords and mean word length inside the Gopher window, so the
+    // label is driven by the word-count rule and the fit is separable
+    val docs = (1 to 14).map { i =>
+      val nWords = if (i % 2 == 0) 50 + i else 10 + i
+      val words = (1 to nWords).map { j =>
+        if (j % 7 == 0) "the" else if (j % 11 == 0) "of" else s"w${i}x$j"
+      }
+      (i.toLong, words.mkString(" "))
+    }
+    val (_, w) = operators.ModelOps.lrTrainOf(docs.toDF("doc_id", "text"))
+    // independent mirror, straight from the update rule's definition
+    val feats = docs.map { case (_, text) =>
+      val nw = toks(text).length.toDouble
+      val nns = text.count(!_.isWhitespace).toDouble
+      val nstop = "\\b(the|a|of|and|to|in)\\b".r.findAllIn(text).length.toDouble
+      val nsym = text.count(c => !c.isLetterOrDigit && !c.isWhitespace).toDouble
+      val nc = text.length.toDouble
+      val y = if (nw >= 50 && nw <= 100000 && nns / nw >= 3.0 && nns / nw <= 10.0 &&
+        nsym / nc < 0.1 && nstop >= 2) 1 else 0
+      (Array(1.0, nw / 64.0, nstop / nw, (nns / nw) / 8.0), y)
+    }
+    assert(feats.count(_._2 == 1) == 7, "fixture must be half keepers")
+    val n = feats.length.toDouble
+    val wm = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to operators.ModelOps.LR_ITERS) {
+      val g = Array.fill(4)(JBigDecimal.ZERO)
+      feats.foreach { case (x, y) =>
+        val z = ((wm(0) + wm(1) * x(1)) + wm(2) * x(2)) + wm(3) * x(3)
+        val p = 1.0 / (1.0 + math.exp(-z))
+        for (j <- 0 to 3) g(j) = g(j).add(dec28((p - y) * x(j)))
+      }
+      for (j <- 0 to 3)
+        wm(j) = wm(j) - operators.ModelOps.LR_RATE * (g(j).doubleValue / n)
+    }
+    assert(w.toSeq == wm.toSeq, s"gate ${w.toSeq} != mirror ${wm.toSeq}")
+    // and the fit learned the rule: word count separates, so its weight
+    // dominates and is positive while the bias is negative
+    assert(wm(1) > 0 && wm(0) < 0, s"unexpected weight signs: ${wm.toSeq}")
+  }
+
+  test("q_lr_metrics: the trained filter actually ranks gopher-keep (AUC/accuracy)") {
+    val row = SparkEntry.queries("q_lr_metrics")(spark, sfDir).head()
+    val n = row.getAs[Long]("n")
+    val nPos = row.getAs[Long]("n_pos")
+    assert(n > 0 && nPos > 0 && nPos < n, s"degenerate label split: $nPos/$n")
+    assert(row.getAs[Double]("accuracy") > 0.9, s"accuracy ${row.getAs[Double]("accuracy")}")
+    assert(row.getAs[Double]("auc") > 0.95, s"auc ${row.getAs[Double]("auc")}")
+    assert(row.getAs[Double]("brier") < 0.15, s"brier ${row.getAs[Double]("brier")}")
+  }
+
   test("winnowing guarantee: a shared run of WIN_W + WIN_K - 1 tokens shares a fingerprint") {
     import spark.implicits._
     // 6 shared tokens (= 4 windows of 3-shingles → ≥1 common selected min)
