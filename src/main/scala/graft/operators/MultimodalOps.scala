@@ -504,6 +504,38 @@ object MultimodalOps {
     * thresholds for frame sampling). One typed mapPartitions scan,
     * 1:VID_FRAMES row shape, zero shuffles; the oracle derives every
     * byte analytically and never sees a container. */
+  /** Decode one doc's clip and return (frame, checksum, motion) per frame
+    * — the shared per-clip kernel of [[qMmVideo]] and [[qMmKeyframes]]
+    * (each frame through the REAL Ppm encode+decode pass; motion diffs
+    * against the previous DECODED raster, frame −1 = black). */
+  private def clipMotions(doc: MmDoc): Array[(Int, Long, Long)] = {
+    val len = doc.payload.length
+    val chunk = (len + VID_FRAMES - 1) / VID_FRAMES
+    val rlen = ((chunk + ROW_BYTES - 1) / ROW_BYTES) * ROW_BYTES
+    var prev = new Array[Byte](rlen) // frame -1 = black
+    Array.tabulate(VID_FRAMES) { f =>
+      if (rlen == 0) (f, 0L, 0L)
+      else {
+        val raw = new Array[Byte](rlen)
+        var i = 0
+        while (i < chunk && f * chunk + i < len) {
+          raw(i) = doc.payload(f * chunk + i); i += 1
+        }
+        val img = Ppm.decode(Ppm.encode(MM_W, rlen / ROW_BYTES, raw,
+          s"graft clip ${doc.doc_id} frame $f"))
+        var cs = 0L; var mo = 0L; var j = 0
+        while (j < rlen) {
+          val b = img.raster(j) & 0xff
+          cs += b
+          mo += math.abs(b - (prev(j) & 0xff))
+          j += 1
+        }
+        prev = img.raster
+        (f, cs, mo)
+      }
+    }
+  }
+
   val qMmVideo: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -511,30 +543,61 @@ object MultimodalOps {
       .as[MmDoc]
       .mapPartitions { docs =>
         docs.flatMap { doc =>
-          val len = doc.payload.length
-          val chunk = (len + VID_FRAMES - 1) / VID_FRAMES
-          val rlen = ((chunk + ROW_BYTES - 1) / ROW_BYTES) * ROW_BYTES
-          var prev = new Array[Byte](rlen) // frame -1 = black
-          (0 until VID_FRAMES).iterator.map { f =>
-            if (rlen == 0) MmVideoFrame(doc.doc_id, f, 0L, 0L)
-            else {
-            val raw = new Array[Byte](rlen)
-            var i = 0
-            while (i < chunk && f * chunk + i < len) {
-              raw(i) = doc.payload(f * chunk + i); i += 1
-            }
-            val img = Ppm.decode(Ppm.encode(MM_W, rlen / ROW_BYTES, raw,
-              s"graft clip ${doc.doc_id} frame $f"))
-            var cs = 0L; var mo = 0L; var j = 0
-            while (j < rlen) {
-              val b = img.raster(j) & 0xff
-              cs += b
-              mo += math.abs(b - (prev(j) & 0xff))
-              j += 1
-            }
-            prev = img.raster
+          clipMotions(doc).iterator.map { case (f, cs, mo) =>
             MmVideoFrame(doc.doc_id, f, cs, mo)
-            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame")
+  }
+
+  /** Keyframe threshold as the rational [[KF_NUM]]/[[KF_DEN]] of the clip's
+    * mean INTER-frame motion (6/5 = "1.2× the average change between
+    * consecutive frames"). The baseline excludes frame 0: its motion is the
+    * diff against black (the scene-cut convention), an order of magnitude
+    * above real inter-frame deltas, and a mean polluted by it makes every
+    * threshold unreachable (measured: 1/500 clips selected at sf0.001 with
+    * the naive mean vs 49/500 with the inter-frame mean). Rational so the
+    * test `motion·(VID_FRAMES−1)·KF_DEN > KF_NUM·(Σmotion − motion₀)` is
+    * all-integer on both engines. */
+  val KF_NUM = 6
+  val KF_DEN = 5
+
+  case class MmKeyframe(doc_id: Long, frame: Int, motion: Long, kf_rank: Int)
+
+  /** Shot detection on the video lane — per-clip KEYFRAME selection at
+    * motion-threshold boundaries, the frame-sampling stage a multimodal
+    * training pipeline runs before captioning (sample one frame per shot
+    * instead of a fixed stride). Frame 0 is always a keyframe (scene
+    * start); frame f ≥ 1 is one iff its motion exceeds [[KF_NUM]]/[[KF_DEN]]
+    * of the clip's mean inter-frame motion — the integer cross-multiplied
+    * test above, exact on both engines. `kf_rank` is the keyframe's ordinal
+    * within its clip (the caption-batch index).
+    *
+    * Scale shape: the clip's [[VID_FRAMES]] frames are decoded per doc in
+    * the SAME flatMap, so the clip total is local state — selection costs
+    * zero shuffles at any corpus size (only the reporting sort ranges).
+    * The oracle derives every byte analytically (q_mm_video's chain) and
+    * applies the identical integer threshold. */
+  val qMmKeyframes: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MmDoc]
+      .mapPartitions { docs =>
+        docs.flatMap { doc =>
+          val frames = clipMotions(doc)
+          // inter-frame baseline: clip total minus the scene-start frame
+          var tot = 0L
+          frames.foreach { case (f, _, mo) => if (f > 0) tot += mo }
+          var rank = 0
+          frames.iterator.collect {
+            case (f, _, mo)
+                if f == 0 ||
+                  mo * (VID_FRAMES - 1) * KF_DEN > KF_NUM * tot =>
+              rank += 1
+              MmKeyframe(doc.doc_id, f, mo, rank)
           }
         }
       }
@@ -696,6 +759,7 @@ object MultimodalOps {
     "q_mm_phash"    -> qMmPhash,
     "q_phash_near"  -> qPhashNear,
     "q_mm_video"    -> qMmVideo,
+    "q_mm_keyframes" -> qMmKeyframes,
     "q_mm_meta"     -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
     "q_mm_decode"   -> qMmDecode,
@@ -755,6 +819,39 @@ object MultimodalOps {
          |      CASE WHEN fr = 0 THEN 0 ELSE ${byteAt("(fr - 1)")} END))), 0) AS BIGINT)
          |    AS motion
          |FROM f ORDER BY doc_id, frame""".stripMargin
+    },
+    // keyframes: q_mm_video's analytic motion chain + the integer
+    // cross-multiplied clip-mean threshold; frame 0 always kept
+    "q_mm_keyframes" -> {
+      def byteAt(frame: String) =
+        s"""CASE WHEN i <= chunk AND $frame * chunk + i <= len
+           |  THEN ord(text[CAST($frame * chunk + i AS INT)]) ELSE 0 END""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    (length(text) + ${VID_FRAMES - 1}) // $VID_FRAMES AS chunk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, text, len, chunk,
+         |    ((chunk + ${ROW_BYTES - 1}) // $ROW_BYTES) * $ROW_BYTES AS rlen
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, text, len, chunk, rlen, unnest(range($VID_FRAMES)) AS fr
+         |  FROM g),
+         |m AS (
+         |  SELECT doc_id, CAST(fr AS INT) AS frame,
+         |    CAST(coalesce(list_sum(list_transform(range(1, rlen + 1),
+         |      i -> abs(${byteAt("fr")} -
+         |        CASE WHEN fr = 0 THEN 0 ELSE ${byteAt("(fr - 1)")} END))), 0) AS BIGINT)
+         |      AS motion
+         |  FROM f),
+         |t AS (SELECT doc_id, frame, motion,
+         |    sum(CASE WHEN frame > 0 THEN motion ELSE 0 END)
+         |      OVER (PARTITION BY doc_id) AS tot FROM m),
+         |k AS (SELECT doc_id, frame, motion FROM t
+         |  WHERE frame = 0 OR motion * ${(VID_FRAMES - 1) * KF_DEN} > $KF_NUM * tot)
+         |SELECT doc_id, frame, motion,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS INT) AS kf_rank
+         |FROM k ORDER BY doc_id, frame""".stripMargin
     },
     // short-time frames: slice the analytic sample list into 64-sample
     // runs; within-frame zero crossings only (adjacent pairs of the slice)

@@ -189,5 +189,35 @@ class MultimodalCodecSpec extends AnyFunSuite {
       "fixture's in-band ham-4 row must be outside the radius")
     assert(got == want)
   }
+
+  test("q_mm_keyframes selects exactly the above-threshold frames of q_mm_video") {
+    import SparkTestBase._
+    import graft.operators.MultimodalOps
+    // mirror from the sibling gate's output: collect the clip motions and
+    // re-apply the integer rule independently
+    val motions = SparkEntry.queries("q_mm_video")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Long]("motion")))
+      .groupBy(_._1)
+    val want = motions.toSeq.flatMap { case (_, fs) =>
+      val tot = fs.filter(_._2 > 0).map(_._3).sum
+      fs.sortBy(_._2).filter { case (_, f, mo) =>
+        f == 0 || mo * (MultimodalOps.VID_FRAMES - 1) * MultimodalOps.KF_DEN >
+          MultimodalOps.KF_NUM * tot
+      }.zipWithIndex.map { case ((d, f, mo), i) => (d, f, mo, i + 1) }
+    }.toSet
+    val got = SparkEntry.queries("q_mm_keyframes")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want, s"diff: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // structural invariants: every clip opens with keyframe 0 / rank 1, and
+    // the fixture corpus actually exercises a non-trivial selection
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == motions.keySet, "every clip must keep >= 1 keyframe")
+    byDoc.foreach { case (doc, ks) =>
+      assert(ks.exists(k => k._2 == 0 && k._4 == 1), s"clip $doc must open with frame 0")
+    }
+    assert(got.size < motions.size * MultimodalOps.VID_FRAMES,
+      "threshold must actually drop frames on the real corpus")
+    assert(got.exists(_._2 > 0), "some clip must have a mid-clip shot boundary")
+  }
 }
 
