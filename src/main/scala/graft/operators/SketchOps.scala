@@ -327,6 +327,47 @@ object SketchOps {
       .orderBy("lang", "q")
   }
 
+  /** DDSketch REGISTERS of a positive value column: (key, bucket i) counts
+    * with i = ⌈ln x / ln γ⌉ — the mergeable form ([[qDdsketch]]'s first
+    * agg, factored for the streaming latency monitor): registers from any
+    * partition/micro-batch union-merge by plain SUM, the property that
+    * makes the sketch shippable where a sorted sample is not. Rows with
+    * value ≤ 0 are outside the sketch's domain and dropped identically
+    * everywhere. */
+  def ddBuckets(df: DataFrame, key: String, value: String): DataFrame =
+    df.filter(col(value) > 0)
+      .select(col(key),
+        ceil(log(col(value).cast("double")) / log(lit(DD_GAMMA))).cast("int").as("i"))
+      .groupBy(key, "i").agg(count(lit(1)).as("bc"))
+
+  /** Quantile report from (possibly merged) DDSketch registers: per key,
+    * the [[DD_QS]] estimates 2γ^i/(γ+1) at rank ⌊q·(n−1)⌋+1 via the
+    * cumulative bucket walk — [[qDdsketch]]'s pick chain over an arbitrary
+    * register frame. All frames are value-domain-bounded. */
+  def ddReport(buckets: DataFrame, key: String): DataFrame = {
+    val g = lit(DD_GAMMA)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val cum = buckets.withColumn("cum", sum(col("bc")).over(w.orderBy("i")))
+    val ranks = buckets.groupBy(key).agg(sum(col("bc")).as("n"))
+      .select(col(key), col("n"), explode(typedLit(DD_QS)).as("q"))
+      .withColumn("r",
+        floor(col("q") * (col("n") - 1).cast("double")).cast("long") + 1)
+    ranks.join(cum, Seq(key))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col(key), col("q"))
+      .agg(max(col("n")).as("n"), min(col("i")).as("bucket"))
+      .select(col(key), col("q"), col("n"),
+        col("bucket"),
+        graft.functions.Fns.roundP(
+          (lit(2.0) / (lit(1.0) + g)) *
+            exp(col("bucket").cast("double") * log(g)), 6).as("est"))
+  }
+
+  /** One-shot batch twin of the streaming latency monitor: sketch + report
+    * over a static frame (StreamingSpec proves stream ≡ batch through it). */
+  def ddsketchOf(df: DataFrame, key: String, value: String): DataFrame =
+    ddReport(ddBuckets(df, key, value), key)
+
   val queries: Map[String, Q] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
     "q_kmv_overlap"  -> qKmvOverlap,

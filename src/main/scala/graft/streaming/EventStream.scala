@@ -425,6 +425,53 @@ object EventStream {
     * merges against the same finished prev snapshot (strictly < bid — a
     * half-written own snapshot from a crashed attempt is skipped) and
     * overwrites identical bytes. */
+  /** Streaming latency-quantile monitor — the p50/p90/p99 dashboard a
+    * serving pipeline keeps over a latency-like measure (`value` here),
+    * riding the SAME mergeable-register discipline as
+    * [[startCardinalityMonitor]]: per batch, the events collapse to
+    * DDSketch log-γ bucket COUNTS per event_type
+    * ([[graft.operators.SketchOps.ddBuckets]]); the cumulative sketch
+    * folds forward by plain SUM (counts are sum-mergeable exactly as HLL
+    * registers are max-mergeable), and each trigger emits the quantile
+    * report from the merged registers. State is O(types × log_γ range)
+    * rows regardless of stream length; a long-lived stream reads two
+    * bounded frames per trigger, not O(B) batch dirs. Replay determinism:
+    * a re-delivered batch merges against the newest FINISHED snapshot
+    * strictly before it and overwrites identical bytes (StreamingSpec
+    * proves stream ≡ batch and byte-identical crash replay). */
+  def startLatencyMonitor(s: SparkSession, srcDir: String, bucketDir: String,
+                          reportDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SketchOps
+    rawEvents(s, srcDir, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val regs = SketchOps.ddBuckets(batch, "event_type", "value")
+        regs.withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$bucketDir/batch=$bid")
+        val prevBid = Option(new java.io.File(s"$bucketDir/_cum").list()).toSeq
+          .flatten.filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong).filter(_ < bid)
+          .sorted.lastOption
+        val cum = prevBid match {
+          case Some(pb) =>
+            spark.read.parquet(s"$bucketDir/_cum/batch=$pb")
+              .unionByName(regs.select(col("event_type"), col("i"), col("bc")))
+              .groupBy("event_type", "i").agg(sum("bc").as("bc"))
+          case None => regs.select(col("event_type"), col("i"), col("bc"))
+        }
+        cum.write.mode("overwrite").parquet(s"$bucketDir/_cum/batch=$bid")
+        val merged = spark.read.parquet(s"$bucketDir/_cum/batch=$bid")
+        SketchOps.ddReport(merged, "event_type")
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$bid")
+      }
+      .start()
+  }
+
   def startCardinalityMonitor(s: SparkSession, srcDir: String, regDir: String,
                               reportDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

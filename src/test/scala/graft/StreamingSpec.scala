@@ -399,4 +399,64 @@ class StreamingSpec extends AnyFunSuite {
     val after = spark.read.parquet(report).collect().map(_.toString).sorted
     assert(before.sameElements(after), "replay must recompute identical reports")
   }
+
+  test("streaming latency monitor: quantiles converge to the batch sketch, bounded state, exact replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-latmon")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val (bucks, report) = (s"$root/bucks", s"$root/report")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def writeAsFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      val part = Iterator.continually(f).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    // two half-corpus deliveries; the cumulative report after the second
+    // must equal the one-shot batch sketch over the whole table — bucket
+    // counts are sum-mergeable, so the split is invisible
+    writeAsFile(raw.filter(col("event_id") % 2 === 0), "b0.parquet")
+    writeAsFile(raw.filter(col("event_id") % 2 === 1), "b1.parquet")
+    def run(ck: String): Unit = {
+      val q = EventStream.startLatencyMonitor(spark, src, bucks, report, ck)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    run(s"$root/ckpt")
+    val rep = spark.read.parquet(report).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("q"), r.getAs[Long]("n"), r.getAs[Int]("bucket"),
+        r.getAs[Double]("est")))
+    assert(rep.map(_._1).toSet == Set(0L, 1L), s"two batches expected: ${rep.map(_._1).toSet}")
+    val lastRep = rep.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5, t._6)).sorted.toSeq
+    val batchTwin = operators.SketchOps
+      .ddsketchOf(Tables.events(spark, sfDir), "event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).sorted.toSeq
+    assert(lastRep == batchTwin,
+      s"cumulative streamed sketch must equal the batch twin:\n$lastRep\nvs\n$batchTwin")
+    // and the estimates honor the DDSketch guarantee against exact ranks
+    val vals = Tables.events(spark, sfDir).filter(col("value") > 0)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    batchTwin.foreach { case (et, q, n, _, est) =>
+      val sorted = vals.filter(_._1 == et).map(_._2).sorted
+      assert(n == sorted.length)
+      val exact = sorted((math.floor(q * (n - 1)).toLong).toInt)
+      assert(math.abs(est - exact) / exact <= operators.SketchOps.DD_ALPHA + 1e-9,
+        s"$et q=$q est=$est exact=$exact breaks the relative-error guarantee")
+    }
+    // register store is sketch-bounded per (batch, type): O(log_gamma range)
+    val bCounts = spark.read.parquet(bucks)
+      .groupBy("batch_id", "event_type").count().collect().map(_.getLong(2))
+    assert(bCounts.forall(_ <= 2048),
+      "bucket store exceeded the log-range bound — storing values, not buckets?")
+    // exact replay: wipe ONLY the checkpoint
+    val before = spark.read.parquet(report).collect().map(_.toString).sorted
+    run(s"$root/ckpt2")
+    val after = spark.read.parquet(report).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "replay must recompute identical reports")
+  }
 }
