@@ -64,6 +64,9 @@ object ScaleProbe {
                              // (documents; replicated texts push shared fps past the
                              // df cap — the boilerplate guard absorbs dup manufacture)
     "q_nb_lang",             // (doc,token,tf) collapse + vocab×classes broadcast (documents)
+    "q_lr_quality",          // LR_ITERS gradient aggs over the persisted
+                             // 4-column feature scan; model state is 4 plan
+                             // literals at any corpus size (documents)
     "q_bpe_merges",          // corpus word-freq agg + vocab-bounded merge loop (documents)
     "q_scc_big",             // GraphX Pregel coloring SCC, SCC_ITERS-bounded (orders)
     "q_link_predict",        // wedge join keyed on middle vertex + top-K (orders)
