@@ -179,8 +179,27 @@ object ScaleProbe {
     "q_ddsketch",            // one (lang,len)-keyed agg; buckets, windows
                              // and rank picks all value-domain-bounded
                              // (documents)
-    "q_hyperanf")            // per-round edge⋈register join with ≤m rows
+    "q_hyperanf",            // per-round edge⋈register join with ≤m rows
                              // of state per vertex (orders)
+    "q_cdc_chunks",          // stride-1 boundary scan (the q_suffix_dup
+                             // extraction shape) + digest-keyed recurrence
+                             // agg; same saturating-dup-set posture as
+                             // q_substring_dup under replication (documents)
+    "q_bleu",                // source-partitioned lag pairing + (pair,n,gram)
+                             // count aggs; the 20-key source window is the
+                             // q_decile posture (per-reducer volume ×mult)
+                             // but the gram aggs after it stay hash-keyed
+                             // (documents)
+    "q_quality_ensemble")    // digest-keyed keeper agg + join-back, signals
+                             // row-local codegen, (source × 4)-bounded final
+                             // agg (documents)
+    // q_gapfill: one filtered (user,day) agg, then everything rides the
+    // (cohort × days)-bounded grid — the stride keeps the cohort a fixed
+    // FRACTION of users, so the grid grows ×mult but each user's window
+    // stays days-long; same bounded-window posture as q_sliding_features
+    // (probed) with a far smaller stream — no separate probe
+    // q_dataset_card: ONE source-keyed scan agg with row-local signal
+    // columns + the q_dup_ratio digest distinct (probed) — no separate probe
     // q_dp_release: shape is q_hash_split (probed) minus the split column —
     // one partial+final agg to a bounded frame, then row-local algebra
     // q_k_anonymity / q_t_closeness: customer is a 1× dim in this harness

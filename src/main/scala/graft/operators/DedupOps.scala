@@ -780,6 +780,95 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Content-defined-chunking window width (chars) and boundary divisor.
+    * A chunk boundary is any position j ≥ 2 whose [[CDC_W]]-char content
+    * window hashes to 0 mod [[CDC_D]], so the expected chunk length is
+    * ~[[CDC_D]] chars and — the property fixed-size chunking lacks — cut
+    * points move WITH the content: shifting a shared span by any prefix
+    * insertion leaves the span's window contents, hence its interior cut
+    * points, untouched, so the span's interior chunks digest identically
+    * in both copies regardless of alignment. */
+  val CDC_W = 16
+  val CDC_D = 64
+
+  /** Content-defined chunking + chunk-level exact dedup — the backup-
+    * dedup/rsync chunk grain applied to corpus curation: the segment
+    * level between [[qParagraphDedup]] (fixed word blocks, alignment-
+    * sensitive) and [[qSuffixDup]] (every stride-1 window, exact but
+    * gram-dense). Per doc: chunk count, chunks recurring in ≥2 docs, the
+    * duplicated chars those cover, and the duplicated fraction.
+    *
+    * Scale shape: the boundary scan is the measured q_suffix_dup
+    * extraction shape (explode the cheap INT positions, md5(substr) as an
+    * ordinary codegen projection — md5 inside a HOF runs interpreted per
+    * element); everything after the scan shuffles 16-byte digests and
+    * ~n_chars/[[CDC_D]] boundary ints per doc, never text. The recurrence
+    * agg is the min≠max doc_id trick (no countDistinct Expand). */
+  val qCdcChunks: Q = (s, d) =>
+    // persist before the reporting sort (RangePartitioning samples its
+    // child — the measured q_entity_match double-execution trap)
+    cdcChunksOf(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("doc_id")
+
+  /** The per-doc exploded (doc_id, chunk) frame — factored so
+    * CdcChunkSpec can assert lossless reassembly and alignment
+    * independence on constructed corpora. Chunk starts are {1} ∪ content
+    * boundaries; each chunk runs to the next start (doc end for the
+    * last), so concatenating a doc's chunks in order reproduces the doc
+    * byte-for-byte. */
+  private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame = {
+    val bnd = docs.filter(col("n_chars") >= CDC_W + 1)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(2L), col("n_chars") - lit(CDC_W - 1))))
+      .select(col("doc_id"), col("col").as("j"),
+        Fns.hash32(col("text").substr(col("col").cast("int"), lit(CDC_W)))
+          .as("h"))
+      .filter(col("h") % CDC_D === 0)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("j"))).as("bs"))
+    docs.join(bnd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        concat(array(lit(1L)),
+          coalesce(col("bs"), array().cast("array<bigint>"))).as("ss"))
+      .select(col("doc_id"),
+        // ~n_chars/CDC_D elements per doc: the HOF's interpreted eval is
+        // noise here, and every lambda child is a materialized attribute.
+        // Staged as a column so the Generate child below is a bare
+        // attribute — InferFiltersFromGenerate's cloned size()>0 guard
+        // then costs an array-length read, not a re-run of the transform.
+        transform(sequence(lit(1), size(col("ss"))),
+          i => col("text").substr(
+            element_at(col("ss"), i).cast("int"),
+            (coalesce(try_element_at(col("ss"), i + 1), col("n_chars") + lit(1L))
+              - element_at(col("ss"), i)).cast("int"))).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("chunk"))
+  }
+
+  /** The reporting chain over an arbitrary (doc_id, text, n_chars) frame. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val ch = cdcChunkFrame(docs)
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = ch.groupBy("h")
+      .agg(min("doc_id").as("d1"), max("doc_id").as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .select("h")
+    val per = ch.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"), sum("len").as("dup_chars"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_chunks", "dup_chars"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chars"),
+        Fns.roundP(col("dup_chars").cast("double") / col("n_chars"), 4)
+          .as("dup_frac"))
+  }
+
   /** Exact per-group sample size for [[qGroupK]]. */
   val GROUP_K = 20
 
@@ -1118,6 +1207,7 @@ object DedupOps {
     "q_substring_dup"     -> qSubstringDup,
     "q_suffix_dup"        -> qSuffixDup,
     "q_paragraph_dedup"   -> qParagraphDedup,
+    "q_cdc_chunks"        -> qCdcChunks,
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -1525,5 +1615,32 @@ object DedupOps {
          |  ${Fns.roundPSql(s"CAST(count(rec.keeper) AS DOUBLE) / count(*)", 4)} AS dup_para_frac
          |FROM paras LEFT JOIN rec ON paras.h = rec.h
          |GROUP BY paras.doc_id ORDER BY paras.doc_id""".stripMargin,
+    "q_cdc_chunks" ->
+      s"""WITH bnd AS (
+         |  SELECT doc_id, j
+         |  FROM (SELECT doc_id, text, unnest(range(2, n_chars - ${CDC_W - 2})) AS j
+         |        FROM documents WHERE n_chars >= ${CDC_W + 1})
+         |  WHERE CAST('0x' || substr(md5(substr(text, CAST(j AS INT), $CDC_W)), 1, 8)
+         |          AS BIGINT) % $CDC_D = 0),
+         |starts AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS s FROM documents
+         |  UNION ALL SELECT doc_id, j FROM bnd),
+         |chunks AS (
+         |  SELECT st.doc_id, substr(d.text, CAST(st.s AS INT),
+         |    CAST(coalesce(lead(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+         |                  d.n_chars + 1) - st.s AS INT)) AS c
+         |  FROM starts st JOIN documents d USING (doc_id)),
+         |ch AS (SELECT doc_id, md5(c) AS h, CAST(length(c) AS BIGINT) AS len
+         |       FROM chunks),
+         |dup AS (SELECT h FROM ch GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |per AS (
+         |  SELECT ch.doc_id, count(*) AS n_chunks,
+         |    CAST(count(dup.h) AS BIGINT) AS n_dup_chunks,
+         |    CAST(coalesce(sum(CASE WHEN dup.h IS NOT NULL THEN len END), 0)
+         |      AS BIGINT) AS dup_chars
+         |  FROM ch LEFT JOIN dup USING (h) GROUP BY ch.doc_id)
+         |SELECT p.doc_id, p.n_chunks, p.n_dup_chunks, p.dup_chars,
+         |  ${Fns.roundPSql("CAST(p.dup_chars AS DOUBLE) / d.n_chars", 4)} AS dup_frac
+         |FROM per p JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

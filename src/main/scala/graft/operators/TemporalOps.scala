@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,10 +124,78 @@ object TemporalOps {
       .orderBy("event_id")
   }
 
+  /** Microseconds per day (the timezone-free integer-day convention the
+    * event family uses — EventOps.DAY_US twin, duplicated as a literal so
+    * the two files stay independently readable). */
+  val GAP_DAY_US = 86400000000L
+
+  /** User-id stride selecting the gap-fill cohort — purchases are 1/5 of
+    * events, so a stride-37 user cohort leaves real day gaps to fill at
+    * every SF while the output stays (cohort × days)-bounded. */
+  val GAP_STRIDE = 37
+
+  /** Time-series regularization — resample each cohort user's purchase
+    * stream onto the common daily grid and fill the gaps BOTH ways a
+    * feature pipeline needs: forward-fill (last observation carried
+    * forward) and linear interpolation between the surrounding
+    * observations (null at the edges, where no anchor exists). This is
+    * the gap-fill pass that turns irregular event streams into the
+    * fixed-step series the temporal family (EWMA/Holt/autocorr) assumes.
+    *
+    * Exactness: day keys are integer epoch-day buckets (timezone-free on
+    * both engines); daily values are decimal(18,2) sums cast to double;
+    * the interpolation is a fixed double expression over those exact
+    * anchors with integer day distances. Scale shape: one filtered scan
+    * into a (user, day)-keyed agg, a bounds agg broadcast into the
+    * calendar explode, and two passes of a user-partitioned window — the
+    * grid is (cohort × days)-bounded, never event-bounded, and the
+    * cohort stride keeps per-reducer volume flat as the corpus grows. */
+  val qGapfill: Q = (s, d) => gapfillOf(Tables.events(s, d))
+
+  /** The regularization chain over an arbitrary (user_id, event_type, ts,
+    * value) frame — factored so GapfillSpec can drive constructed series
+    * with known gap geometry. */
+  private[graft] def gapfillOf(events: DataFrame): DataFrame = {
+    val obs = events
+      .filter(col("event_type") === "purchase" &&
+        col("user_id") % GAP_STRIDE === 0)
+      .groupBy(col("user_id"),
+        expr(s"unix_micros(ts) div $GAP_DAY_US").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = obs.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = obs.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wb = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("day"),
+        Fns.roundP(col("v"), 6).as("v"),
+        Fns.roundP(col("fv"), 6).as("ffill_v"),
+        Fns.roundP(
+          when(col("v").isNotNull, col("v"))
+            .otherwise(when(col("pd").isNotNull && col("nd").isNotNull,
+              col("fv") + (col("nv") - col("fv")) *
+                ((col("day") - col("pd")).cast("double") /
+                  (col("nd") - col("pd")).cast("double")))),
+          6).as("interp_v"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_asof_join"  -> qAsofJoin,
     "q_asof_forward" -> qAsofForward,
     "q_range_join" -> qRangeJoin,
+    "q_gapfill"    -> qGapfill,
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +249,45 @@ object TemporalOps {
          |  AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))) <= $RANGE_US
          |WHERE e.event_type = 'error'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gapfill" ->
+      s"""WITH obs AS (
+         |  SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // $GAP_DAY_US AS day,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND user_id % $GAP_STRIDE = 0
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+         |grid AS (
+         |  SELECT u.user_id, g.day
+         |  FROM (SELECT DISTINCT user_id FROM obs) u
+         |  CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day FROM b) g),
+         |j AS (SELECT grid.user_id, grid.day, obs.v
+         |      FROM grid LEFT JOIN obs USING (user_id, day)),
+         |w AS (
+         |  SELECT user_id, day, v,
+         |    last_value(v IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY day
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY day
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(v IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY day
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY day
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j)
+         |SELECT user_id, day,
+         |  ${Fns.roundPSql("v", 6)} AS v,
+         |  ${Fns.roundPSql("fv", 6)} AS ffill_v,
+         |  ${Fns.roundPSql(
+            """CASE WHEN v IS NOT NULL THEN v
+              |       WHEN pd IS NOT NULL AND nd IS NOT NULL
+              |       THEN fv + (nv - fv) * (CAST(day - pd AS DOUBLE)
+              |                              / CAST(nd - pd AS DOUBLE))
+              |       END""".stripMargin, 6)} AS interp_v
+         |FROM w ORDER BY user_id, day""".stripMargin,
   )
 }

@@ -155,20 +155,44 @@ object TextOps {
     * tie-break preference (en > de > es > fr > zh). CJK codepoint presence
     * drives zh. Runs as one scan; the per-language scores are codegen'd
     * regexp counts. */
-  val qLangId: Q = (s, d) => {
-    def score(lang: String) =
-      size(regexp_extract_all(col("text"), lit("\\b" + stop(lang) + "\\b"), lit(0)))
-    val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val (en, de, fr, es) = (score("en"), score("de"), score("fr"), score("es"))
-    val pred =
-      when(zh > 0, "zh")
-        .when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es")
-        .otherwise("fr")
+  val qLangId: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .select(col("doc_id"), col("lang"), predLang.as("pred_lang"))
       .orderBy("doc_id")
+
+  /** Curation decision board — the single keep/drop verdict a corpus
+    * intake publishes per document, combining the pipeline's independent
+    * signals under a FIXED precedence: exact-duplicate copies drop first
+    * (the min-doc_id keeper election on the md5(text) content key —
+    * [[qDupRatio]]'s digest), then Gopher quality failures, then
+    * language-metadata mismatches (stopword-profile prediction vs the
+    * declared lang). Reported as survival counts per source × decision —
+    * the corpus-card table that says where each provider's docs go.
+    *
+    * The signal definitions are shared column builders ([[gopherFlags]],
+    * [[predLang]]), so this gate CANNOT drift from q_gopher_rules /
+    * q_langid. Scale shape: one digest-keyed keeper agg joined back on
+    * 16-byte digests, every signal a row-local codegen expression, and a
+    * (source × ≤4 decisions)-bounded final agg. */
+  val qQualityEnsemble: Q = (s, d) => ensembleOf(Tables.documents(s, d))
+
+  /** The decision chain over an arbitrary (doc_id, source, lang, text)
+    * frame — factored so EnsembleSpec can pin the precedence order. */
+  private[graft] def ensembleOf(docs: DataFrame): DataFrame = {
+    val keeper = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keeper"))
+    val (wordsOk, wlOk, symOk, stopOk) = gopherFlags
+    docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        md5(col("text")).as("h"))
+      .join(keeper, Seq("h"))
+      .withColumn("decision",
+        when(col("doc_id") =!= col("keeper"), "drop_duplicate")
+          .when(!(wordsOk && wlOk && symOk && stopOk), "drop_gopher")
+          .when(predLang =!= col("lang"), "drop_lang_mismatch")
+          .otherwise("keep"))
+      .groupBy("source", "decision")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "decision")
   }
 
   /** E13 — edit distance (reference stub EditDistance.cpp): levenshtein of
@@ -365,16 +389,37 @@ object TextOps {
     * stopword presence; `keep` is their conjunction. Every rule is the
     * same arithmetic on both engines (integer counts, one division per
     * ratio), so the boolean flags gate exactly. */
-  val qGopherRules: Q = (s, d) => {
+  /** The four Gopher flags over the `text` column — ONE definition shared
+    * by [[qGopherRules]] and [[qQualityEnsemble]] so the reported flags
+    * and the ensemble's drop decision cannot diverge. */
+  private[operators] def gopherFlags: (Column, Column, Column, Column) = {
     val nWords = size(Fns.tokens(col("text"))).cast("double")
     val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
     val nSym = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
     val nStop = size(regexp_extract_all(col("text"), lit("\\b" + stop("en") + "\\b"), lit(0)))
     val meanWl = nNonSpace / nWords
-    val wordsOk = nWords >= 50 && nWords <= 100000
-    val wlOk = meanWl >= 3.0 && meanWl <= 10.0
-    val symOk = nSym / length(col("text")).cast("double") < 0.1
-    val stopOk = nStop >= 2
+    (nWords >= 50 && nWords <= 100000,
+      meanWl >= 3.0 && meanWl <= 10.0,
+      nSym / length(col("text")).cast("double") < 0.1,
+      nStop >= 2)
+  }
+
+  /** The stopword-profile language prediction over `text` — shared by
+    * [[qLangId]] and [[qQualityEnsemble]] (same single-definition rule). */
+  private[operators] def predLang: Column = {
+    def score(lang: String) =
+      size(regexp_extract_all(col("text"), lit("\\b" + stop(lang) + "\\b"), lit(0)))
+    val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val (en, de, fr, es) = (score("en"), score("de"), score("fr"), score("es"))
+    when(zh > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  val qGopherRules: Q = (s, d) => {
+    val (wordsOk, wlOk, symOk, stopOk) = gopherFlags
     Tables.documents(s, d)
       .select(col("doc_id"), wordsOk.as("words_ok"), wlOk.as("word_len_ok"),
         symOk.as("symbol_ok"), stopOk.as("stopword_ok"),
@@ -640,7 +685,116 @@ object TextOps {
         col("chi2"))
   }
 
+  /** Max n-gram order for [[qBleu]] (the standard BLEU-4). */
+  val BLEU_N = 4
+
+  /** BLEU-4 + ROUGE-2 over adjacent same-source doc pairs — the reference-
+    * based text-similarity metrics an LLM-data pipeline runs to score
+    * paraphrase/near-dup candidates and generation evals. Candidate = each
+    * doc, reference = the previous doc_id in its source (a deterministic
+    * pairing that needs no side table; swap in any (cand_id, ref_id) frame
+    * and the metric chain is unchanged). Pairs where either side has
+    * < [[BLEU_N]] tokens are excluded so every order n has ≥ 1 n-gram.
+    *
+    * BLEU = BP · exp(¼·Σₙ ln pₙ) with add-one smoothing pₙ = (mₙ+1)/(tₙ+1)
+    * (mₙ = clipped n-gram matches, tₙ = candidate n-gram count) and
+    * BP = min(1, exp(1 − |r|/|c|)); ROUGE-2 = m₂/(|r|−1), the bigram
+    * recall. Exactness: mₙ/tₙ are exact integers, every ratio is an
+    * int→double cast division, the 4-term ln sum is written in fixed
+    * left-to-right order on both engines, and per-source means ride
+    * decimal(28,18) sums (the q_nb_lang exp/ln parity precedent).
+    *
+    * Scale shape: pairing is one lag window per source partition; gram
+    * counting shuffles (pair, n, gram) keys — grams, never documents —
+    * and the clipped join is gram-keyed with both sides pre-aggregated;
+    * output is |sources| rows. */
+  val qBleu: Q = (s, d) => bleuOf(Tables.documents(s, d))
+
+  /** The metric chain over an arbitrary (doc_id, source, text) frame —
+    * factored so BleuSpec can drive hand-computable fixtures. */
+  private[graft] def bleuOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = docs
+      .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("toks"))
+      .withColumn("rt", lag("toks", 1).over(w))
+      .filter(col("rt").isNotNull &&
+        size(col("toks")) >= BLEU_N && size(col("rt")) >= BLEU_N)
+      .select(col("doc_id").as("pair_id"), col("source"),
+        col("toks").as("ct"), col("rt"),
+        size(col("toks")).as("len_c"), size(col("rt")).as("len_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per (pair, n, gram) counts for one side: explode n first, then gram
+    // start positions (a generator cannot nest inside another expression)
+    def counts(tcol: String, cnt: String): DataFrame = pairs
+      .select(col("pair_id"), col(tcol).as("t"),
+        explode(array((1 to BLEU_N).map(lit): _*)).as("n"))
+      .select(col("pair_id"), col("n"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - col("n") + 1)).as("j"))
+      .select(col("pair_id"), col("n"),
+        concat_ws(" ", slice(col("t"), col("j"), col("n"))).as("g"))
+      .groupBy("pair_id", "n", "g").agg(count(lit(1)).as(cnt))
+    val m = counts("ct", "cc")
+      .join(counts("rt", "rc"), Seq("pair_id", "n", "g"), "left")
+      .groupBy("pair_id", "n")
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"))
+    val mOf = (n: Int) => max(when(col("n") === n, col("m"))).as(s"m$n")
+    val piv = m.groupBy("pair_id")
+      .agg(mOf(1), (2 to BLEU_N).map(mOf): _*)
+    val D = (c: Column) => c.cast("double")
+    val scored = pairs.join(piv, Seq("pair_id"))
+      .withColumn("bp", when(col("len_c") >= col("len_r"), lit(1.0))
+        .otherwise(exp(lit(1.0) - D(col("len_r")) / D(col("len_c")))))
+      .withColumn("bleu", col("bp") * exp(
+        (1 to BLEU_N).map(n =>
+            log(D(col(s"m$n") + lit(1)) / D(col("len_c") - lit(n) + lit(2))))
+          .reduce(_ + _) * lit(0.25)))
+      .withColumn("rouge2", D(col("m2")) / D(col("len_r") - lit(1)))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("bleu").cast("decimal(28,18)")).as("bs"),
+        sum(col("rouge2").cast("decimal(28,18)")).as("rs"))
+      .select(col("source"), col("n_pairs"),
+        Fns.roundP(col("bs").cast("double") / col("n_pairs"), 6).as("bleu_mean"),
+        Fns.roundP(col("rs").cast("double") / col("n_pairs"), 6).as("rouge2_mean"))
+      .orderBy("source")
+  }
+
+  /** Dataset card — the per-source summary table a corpus release ships
+    * (HuggingFace dataset-card "data statistics" section): volume (docs,
+    * whitespace tokens, median length), exact-dup ratio ([[qDupRatio]]'s
+    * md5 content key), Gopher pass rate and declared-vs-predicted language
+    * agreement (the shared [[gopherFlags]]/[[predLang]] builders, so the
+    * card cannot disagree with the gates it summarizes).
+    *
+    * All ratios are exact integer counts divided once at the end; the
+    * median rides the same `percentile`/`quantile_cont` twin as
+    * [[qLengthPercentiles]]. Scale shape: ONE corpus scan into a
+    * source-keyed agg (every signal row-local codegen) — the digest
+    * distinct is the only re-shuffle and it moves 16-byte digests. */
+  val qDatasetCard: Q = (s, d) => {
+    val (wordsOk, wlOk, symOk, stopOk) = gopherFlags
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(Fns.tokens(col("text"))).cast("long")).as("n_tokens"),
+        Fns.roundP(expr("percentile(length(text), 0.5)"), 6).as("p50_len"),
+        countDistinct(md5(col("text"))).as("nd"),
+        count(when(wordsOk && wlOk && symOk && stopOk, 1)).as("ng"),
+        count(when(predLang === col("lang"), 1)).as("nl"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p50_len"),
+        Fns.roundP(lit(1.0) - col("nd").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_ratio"),
+        Fns.roundP(col("ng").cast("double") / col("n_docs").cast("double"), 6)
+          .as("gopher_rate"),
+        Fns.roundP(col("nl").cast("double") / col("n_docs").cast("double"), 6)
+          .as("lang_match_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bleu"         -> qBleu,
+    "q_dataset_card" -> qDatasetCard,
     "q_ks_test"      -> qKsTest,
     "q_chi2"         -> qChi2,
     "q_dup_ratio"    -> qDupRatio,
@@ -663,6 +817,7 @@ object TextOps {
     "q_fingerprint"  -> qFingerprint,
     "q_corpus_stats" -> qCorpusStats,
     "q_length_percentiles" -> qLengthPercentiles,
+    "q_quality_ensemble" -> qQualityEnsemble,
   )
 
   // regexp whitespace trim (SQL trim strips only spaces — must match
@@ -679,6 +834,32 @@ object TextOps {
     "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
   private[operators] val sqlTokensLower =
     s"CASE WHEN length($sqlWsTrimLower) = 0 THEN [] ELSE regexp_split_to_array($sqlWsTrimLower, '\\s+') END"
+
+  /** DuckDB twins of [[gopherFlags]] / [[predLang]] — the raw-signal
+    * columns and the decision expressions over them, shared by the
+    * q_gopher_rules / q_langid / q_quality_ensemble oracles (the same
+    * single-definition rule as the Spark side). */
+  private[operators] val sqlGopherCols =
+    s"""CAST(len($sqlTokens) AS DOUBLE) AS nw,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nns,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS nsym,
+       |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS nstop,
+       |    CAST(length(text) AS DOUBLE) AS nc""".stripMargin
+  private[operators] val sqlGopherKeep =
+    """((nw >= 50 AND nw <= 100000) AND (nns / nw >= 3.0 AND nns / nw <= 10.0)
+      |    AND (nsym / nc < 0.1) AND (nstop >= 2))""".stripMargin
+  private[operators] val sqlLangScoreCols =
+    """len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b', 0)) AS en,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b', 0)) AS de,
+      |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b', 0)) AS fr,
+      |    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b', 0)) AS es,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]', 0)) AS zh""".stripMargin
+  private[operators] val sqlPredLang =
+    """CASE WHEN zh > 0 THEN 'zh'
+      |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+      |       WHEN de >= es AND de >= fr THEN 'de'
+      |       WHEN es >= fr THEN 'es'
+      |       ELSE 'fr' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ks_test" ->
@@ -917,19 +1098,14 @@ object TextOps {
     "q_gopher_rules" ->
       s"""WITH b AS (
          |  SELECT doc_id,
-         |    CAST(len($sqlTokens) AS DOUBLE) AS nw,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nns,
-         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS nsym,
-         |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS nstop,
-         |    CAST(length(text) AS DOUBLE) AS nc
+         |    $sqlGopherCols
          |  FROM documents)
          |SELECT doc_id,
          |  (nw >= 50 AND nw <= 100000) AS words_ok,
          |  (nns / nw >= 3.0 AND nns / nw <= 10.0) AS word_len_ok,
          |  (nsym / nc < 0.1) AS symbol_ok,
          |  (nstop >= 2) AS stopword_ok,
-         |  ((nw >= 50 AND nw <= 100000) AND (nns / nw >= 3.0 AND nns / nw <= 10.0)
-         |    AND (nsym / nc < 0.1) AND (nstop >= 2)) AS keep
+         |  $sqlGopherKeep AS keep
          |FROM b ORDER BY doc_id""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH kept AS (
@@ -969,21 +1145,50 @@ object TextOps {
          |  ${Fns.roundPSql("least(1.0, n_words / 50.0) * (1.0 - n_punct / n_chars)", 4)} AS quality
          |FROM b ORDER BY doc_id""".stripMargin,
     "q_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id, lang,
-        |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b', 0)) AS en,
-        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b', 0)) AS de,
-        |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b', 0)) AS fr,
-        |    len(regexp_extract_all(text, '\b(el|los|las|y|es)\b', 0)) AS es,
-        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]', 0)) AS zh
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN zh > 0 THEN 'zh'
-        |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
-        |       WHEN de >= es AND de >= fr THEN 'de'
-        |       WHEN es >= fr THEN 'es'
-        |       ELSE 'fr' END AS pred_lang
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    $sqlLangScoreCols
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  $sqlPredLang AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dataset_card" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, lang, text, md5(text) AS h,
+         |    CAST(len($sqlTokens) AS BIGINT) AS ntok,
+         |    $sqlGopherCols,
+         |    $sqlLangScoreCols
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  ${Fns.roundPSql("quantile_cont(length(text), 0.5)", 6)} AS p50_len,
+         |  ${Fns.roundPSql(
+            "1.0::DOUBLE - CAST(count(DISTINCT h) AS DOUBLE) / count(*)", 6)}
+         |    AS dup_ratio,
+         |  ${Fns.roundPSql(
+            s"CAST(count(CASE WHEN $sqlGopherKeep THEN 1 END) AS DOUBLE) / count(*)",
+            6)} AS gopher_rate,
+         |  ${Fns.roundPSql(
+            s"CAST(count(CASE WHEN ($sqlPredLang) = lang THEN 1 END) AS DOUBLE) / count(*)",
+            6)} AS lang_match_rate
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
+    "q_quality_ensemble" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, lang, md5(text) AS h,
+         |    $sqlGopherCols,
+         |    $sqlLangScoreCols
+         |  FROM documents),
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+         |      FROM documents GROUP BY 1),
+         |dec AS (
+         |  SELECT b.source,
+         |    CASE WHEN b.doc_id <> k.keeper THEN 'drop_duplicate'
+         |         WHEN NOT $sqlGopherKeep THEN 'drop_gopher'
+         |         WHEN ($sqlPredLang) <> b.lang THEN 'drop_lang_mismatch'
+         |         ELSE 'keep' END AS decision
+         |  FROM b JOIN k USING (h))
+         |SELECT source, decision, count(*) AS n_docs
+         |FROM dec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_levenshtein" ->
       """SELECT p_partkey, CAST(levenshtein(p_name, 'small gizmo') AS INT) AS dist
         |FROM part WHERE levenshtein(p_name, 'small gizmo') <= 7 ORDER BY p_partkey""".stripMargin,
@@ -1006,5 +1211,56 @@ object TextOps {
          |    g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT))) AS fingerprint,
          |  CAST(len(grams) AS BIGINT) AS n_grams
          |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_bleu" ->
+      s"""WITH toks AS (SELECT doc_id, source, $sqlTokens AS ws FROM documents),
+         |lagd AS (
+         |  SELECT doc_id AS pair_id, source, ws AS ct,
+         |    lag(ws) OVER (PARTITION BY source ORDER BY doc_id) AS rt
+         |  FROM toks),
+         |p AS (SELECT pair_id, source, ct, rt,
+         |        len(ct) AS len_c, len(rt) AS len_r
+         |      FROM lagd
+         |      WHERE rt IS NOT NULL AND len(ct) >= $BLEU_N AND len(rt) >= $BLEU_N),
+         |cpos AS (SELECT pair_id, n, ct, unnest(range(1, len(ct) - n + 2)) AS j
+         |         FROM p CROSS JOIN (VALUES (1),(2),(3),(4)) ns(n)),
+         |cg AS (SELECT pair_id, n, array_to_string(ct[j:j+n-1], ' ') AS g,
+         |         count(*) AS cc
+         |       FROM cpos GROUP BY 1, 2, 3),
+         |rpos AS (SELECT pair_id, n, rt, unnest(range(1, len(rt) - n + 2)) AS j
+         |         FROM p CROSS JOIN (VALUES (1),(2),(3),(4)) ns(n)),
+         |rg AS (SELECT pair_id, n, array_to_string(rt[j:j+n-1], ' ') AS g,
+         |         count(*) AS rc
+         |       FROM rpos GROUP BY 1, 2, 3),
+         |m AS (SELECT cg.pair_id, cg.n,
+         |        CAST(sum(least(cg.cc, coalesce(rg.rc, 0))) AS BIGINT) AS m
+         |      FROM cg LEFT JOIN rg
+         |        ON cg.pair_id = rg.pair_id AND cg.n = rg.n AND cg.g = rg.g
+         |      GROUP BY 1, 2),
+         |piv AS (SELECT pair_id,
+         |    max(CASE WHEN n = 1 THEN m END) AS m1,
+         |    max(CASE WHEN n = 2 THEN m END) AS m2,
+         |    max(CASE WHEN n = 3 THEN m END) AS m3,
+         |    max(CASE WHEN n = 4 THEN m END) AS m4
+         |  FROM m GROUP BY 1),
+         |sc AS (
+         |  SELECT p.source,
+         |    CASE WHEN p.len_c >= p.len_r THEN CAST(1.0 AS DOUBLE)
+         |         ELSE exp(CAST(1.0 AS DOUBLE)
+         |           - CAST(p.len_r AS DOUBLE) / CAST(p.len_c AS DOUBLE)) END
+         |      * exp((ln(CAST(m1 + 1 AS DOUBLE) / CAST(p.len_c + 1 AS DOUBLE))
+         |           + ln(CAST(m2 + 1 AS DOUBLE) / CAST(p.len_c AS DOUBLE))
+         |           + ln(CAST(m3 + 1 AS DOUBLE) / CAST(p.len_c - 1 AS DOUBLE))
+         |           + ln(CAST(m4 + 1 AS DOUBLE) / CAST(p.len_c - 2 AS DOUBLE)))
+         |          * CAST(0.25 AS DOUBLE)) AS bleu,
+         |    CAST(m2 AS DOUBLE) / CAST(p.len_r - 1 AS DOUBLE) AS rouge2
+         |  FROM p JOIN piv ON p.pair_id = piv.pair_id)
+         |SELECT source, count(*) AS n_pairs,
+         |  ${Fns.roundPSql(
+             "CAST(sum(CAST(bleu AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)}
+         |    AS bleu_mean,
+         |  ${Fns.roundPSql(
+             "CAST(sum(CAST(rouge2 AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)}
+         |    AS rouge2_mean
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
   )
 }
