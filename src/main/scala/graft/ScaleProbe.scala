@@ -190,9 +190,12 @@ object ScaleProbe {
                              // q_decile posture (per-reducer volume ×mult)
                              // but the gram aggs after it stay hash-keyed
                              // (documents)
-    "q_quality_ensemble")    // digest-keyed keeper agg + join-back, signals
+    "q_quality_ensemble",    // digest-keyed keeper agg + join-back, signals
                              // row-local codegen, (source × 4)-bounded final
                              // agg (documents)
+    "q_mst")                 // Borůvka: log-V rounds of component-keyed
+                             // min-edge aggs + pointer-doubling joins on
+                             // component-count-sized frames (orders)
     // q_gapfill: one filtered (user,day) agg, then everything rides the
     // (cohort × days)-bounded grid — the stride keeps the cohort a fixed
     // FRACTION of users, so the grid grows ×mult but each user's window

@@ -1279,7 +1279,147 @@ object BigGraphOps {
     curve.toSeq.toDF("t", "n_nodes", "n_pairs").orderBy("t")
   }
 
+  /** Unrolled Borůvka round budget for the q_mst ORACLE — component count
+    * at least halves per round, so 16 rounds are exact for any vertex set
+    * ≤ 2^16 = 65536 (sf1's co-purchase graph has ~15k; raise alongside a
+    * bigger self-generated SF). The Spark side needs no such constant —
+    * its driver loop runs until the cross-edge set drains. */
+  val MST_ROUNDS = 16
+
+  /** Pointer-doubling depth inside each oracle round (contraction trees
+    * ≤ 2^16 deep — V-bounded, so the same 65536 budget). */
+  val MST_DOUBLE = 16
+
+  /** Minimum spanning forest at data scale — distributed Borůvka over the
+    * weighted co-purchase graph ([[coEdges]]' deterministic w ∈ {1,2,3};
+    * ties broken by (src, dst), so edge keys are a TOTAL order and the
+    * MSF is unique — both engines must produce the identical edge list).
+    * The backbone extraction a similarity graph gets before taxonomy /
+    * blocking passes, and THE textbook log-V-round distributed MST:
+    * each round every component picks its minimum outgoing edge (one
+    * keyed agg), the chosen-edge pseudo-forest star-contracts (2-cycle
+    * break at the mutual-min pair, then pointer doubling to the root —
+    * all node-keyed joins on component-count-sized frames), and the edge
+    * set relabels. Component count at least halves per round, so rounds
+    * = O(log V) at ANY scale; per-round state is one (node → component)
+    * frame, localCheckpoint'ed (the iterative-loop lineage rule).
+    *
+    * Oracle: the same algorithm unrolled [[MST_ROUNDS]]× with
+    * MATERIALIZED per-round CTEs (each is referenced 2-3×; a plain CTE
+    * chain would expand exponentially — the q_bradley_terry trap). */
+  val qMst: Q = (s, d) => msfOf(coEdges(s, d)).orderBy("src", "dst")
+
+  /** Borůvka over an arbitrary (src, dst, w) frame (src < dst, unique
+    * pairs) — factored so MstSpec can drive constructed graphs and the
+    * Kruskal mirror. */
+  /** Parent maps at or below this row count contract in a single task
+    * (union-find over one partition — the multi-level design every
+    * production CC/MST runs: distributed supersteps while the state is
+    * huge, local finish once it fits an executor). 4M rows ≈ 64 MB. */
+  val MST_LOCAL_CAP = 4L * 1024 * 1024
+
+  private[graft] def msfOf(edges0: DataFrame,
+      localCap: Long = MST_LOCAL_CAP): DataFrame = {
+    val sess = edges0.sparkSession
+    import sess.implicits._
+    val edges = persisted(edges0.select(col("src"), col("dst"), col("w")))
+    var comp = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("c")).localCheckpoint()
+    var forest: DataFrame = sess.emptyDataFrame
+      .select(lit(0L).as("src"), lit(0L).as("dst"), lit(0L).as("w")).limit(0)
+    val keepAlive = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 64) { // safety rail only; Borůvka halves components
+      val ec = edges
+        .join(comp.select(col("node").as("src"), col("c").as("ca")), Seq("src"))
+        .join(comp.select(col("node").as("dst"), col("c").as("cb")), Seq("dst"))
+        .filter(col("ca") =!= col("cb"))
+      val cand = ec.select(col("ca").as("comp"), col("w"), col("src"),
+          col("dst"), col("cb").as("other"))
+        .unionByName(ec.select(col("cb").as("comp"), col("w"), col("src"),
+          col("dst"), col("ca").as("other")))
+      // min outgoing edge per component; (w, src, dst) is already unique,
+      // `other` rides along without affecting the struct order. Persisted
+      // lazily — the count below materializes it once, every later
+      // consumer (forest, parent map) reads the cache.
+      val chosen = cand.groupBy(col("comp"))
+        .agg(min(struct(col("w"), col("src"), col("dst"), col("other"))).as("m"))
+        .select(col("comp"), col("m.w").as("w"), col("m.src").as("src"),
+          col("m.dst").as("dst"), col("m.other").as("other"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nPar = chosen.count() // termination probe + cache materialization
+      if (nPar == 0) { chosen.unpersist(false); done = true }
+      else {
+        keepAlive += chosen // the forest plan reads it until the final checkpoint
+        forest = forest
+          .unionByName(chosen.select(col("src"), col("dst"), col("w")).distinct())
+        // star contraction: parent = other-endpoint component; the chosen
+        // pseudo-forest has exactly one mutual-min 2-cycle per tree — break
+        // it to a root at the smaller id
+        val par = chosen
+          .join(chosen.select(col("comp").as("other"), col("other").as("pp")),
+            Seq("other"), "left")
+          .select(col("comp").as("c"),
+            when(col("pp") === col("comp"), least(col("comp"), col("other")))
+              .otherwise(col("other")).as("p"))
+        // Contract to roots. Small maps (≤ localCap) finish in ONE task —
+        // memoized pointer chasing, deterministic because the root of a
+        // tree is unique. Huge maps pointer-double distributed, one
+        // localCheckpoint per step: a LAZY doubling chain references its
+        // predecessor twice per level, and Spark traverses plans as TREES
+        // — the 2^depth plan string OOM'd the first cut (PERF.md); the
+        // per-step lineage cut is what keeps the plan linear.
+        val roots: DataFrame =
+          if (nPar <= localCap) {
+            par.select(col("c"), col("p")).as[(Long, Long)]
+              .repartition(1)
+              .mapPartitions { it =>
+                val p = new scala.collection.mutable.HashMap[Long, Long]()
+                it.foreach { case (c, pp) => p(c) = pp }
+                val root = new scala.collection.mutable.HashMap[Long, Long]()
+                def find(x: Long): Long = { // iterative: chains can be map-deep
+                  var cur = x
+                  val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+                  while (!root.contains(cur) && p.getOrElse(cur, cur) != cur) {
+                    path += cur
+                    cur = p(cur)
+                  }
+                  val r = root.getOrElse(cur, cur)
+                  path.foreach(root(_) = r)
+                  r
+                }
+                p.keysIterator.map(c => (c, find(c))).toList.iterator
+              }
+              .toDF("c", "p")
+          } else {
+            var ptr = par.localCheckpoint()
+            var depth = 1L
+            while (depth < nPar) { // 2^k covers the longest possible chain
+              ptr = ptr
+                .join(ptr.select(col("c").as("p"), col("p").as("p2")),
+                  Seq("p"), "left")
+                .select(col("c"), coalesce(col("p2"), col("p")).as("p"))
+                .localCheckpoint()
+              depth *= 2
+            }
+            ptr
+          }
+        comp = comp.join(roots, Seq("c"), "left")
+          .select(col("node"), coalesce(col("p"), col("c")).as("c"))
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    val out = forest.localCheckpoint() // eager — materialize before unpersist
+    keepAlive.foreach(_.unpersist(false))
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mst"             -> qMst,
     "q_hyperanf"        -> qHyperAnf,
     "q_betweenness_big" -> qBetweennessBig,
     "q_katz"         -> qKatz,
@@ -1694,6 +1834,53 @@ object BigGraphOps {
         |GROUP BY n.node ORDER BY node""".stripMargin,
     // ground truth, not an algorithm mirror: undirected reachability
     // closure seeded with every node's own id, min label per node
+    "q_mst" -> {
+      // one unrolled Borůvka round: relabel → per-component min edge →
+      // 2-cycle break → MST_DOUBLE pointer doublings → component relabel.
+      // Every CTE referenced more than once is MATERIALIZED (the
+      // q_bradley_terry exponential-inline trap).
+      def round(r: Int): String = {
+        val doublings = (1 to MST_DOUBLE).map { k =>
+          s"""d${r}_$k AS MATERIALIZED (
+             |  SELECT a.c, coalesce(b.p, a.p) AS p
+             |  FROM d${r}_${k - 1} a LEFT JOIN d${r}_${k - 1} b ON a.p = b.c)""".stripMargin
+        }.mkString(",\n")
+        s"""ec$r AS MATERIALIZED (
+           |  SELECT ca.c AS ca, cb.c AS cb, e.w, e.src, e.dst
+           |  FROM wedges e
+           |  JOIN comp${r - 1} ca ON e.src = ca.node
+           |  JOIN comp${r - 1} cb ON e.dst = cb.node
+           |  WHERE ca.c <> cb.c),
+           |cand$r AS (
+           |  SELECT ca AS comp, w, src, dst, cb AS other FROM ec$r
+           |  UNION ALL SELECT cb AS comp, w, src, dst, ca AS other FROM ec$r),
+           |ch$r AS MATERIALIZED (
+           |  SELECT comp, w, src, dst, other FROM (
+           |    SELECT comp, w, src, dst, other,
+           |      row_number() OVER (PARTITION BY comp ORDER BY w, src, dst) AS rn
+           |    FROM cand$r) WHERE rn = 1),
+           |d${r}_0 AS MATERIALIZED (
+           |  SELECT a.comp AS c,
+           |    CASE WHEN b.other = a.comp THEN least(a.comp, a.other)
+           |         ELSE a.other END AS p
+           |  FROM ch$r a LEFT JOIN ch$r b ON a.other = b.comp),
+           |$doublings,
+           |comp$r AS MATERIALIZED (
+           |  SELECT p0.node, coalesce(dd.p, p0.c) AS c
+           |  FROM comp${r - 1} p0 LEFT JOIN d${r}_$MST_DOUBLE dd ON p0.c = dd.c)""".stripMargin
+      }
+      val rounds = (1 to MST_ROUNDS).map(round).mkString(",\n")
+      val picks = (1 to MST_ROUNDS)
+        .map(r => s"SELECT src, dst, w FROM ch$r").mkString(" UNION ALL ")
+      s"""WITH $sqlEdges,
+         |wedges AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM edges),
+         |comp0 AS MATERIALIZED (
+         |  SELECT node, node AS c FROM
+         |    (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+         |$rounds,
+         |mst AS (SELECT DISTINCT src, dst, w FROM ($picks))
+         |SELECT src, dst, CAST(w AS BIGINT) AS w FROM mst ORDER BY src, dst""".stripMargin
+    },
     "q_wcc_big" ->
       """WITH RECURSIVE memb AS (
         |  SELECT DISTINCT date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
