@@ -307,14 +307,25 @@ object EventOps {
   def ewmaCore(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
+    // ALL-INTEGER rendering: Σ value/2^k = (Σ cents·2^(W−k)) / (100·2^W).
+    // The first cut cast each value/2^k term to decimal(28,18) — but the
+    // exact sum is a rational over 100·2^W, so sum·10^6 lands EXACTLY on
+    // roundP's .5 boundaries for a structural fraction of users, and
+    // there the engines' 1e-18-level term-cast disagreements (Spark
+    // rounds the double's SHORTEST string, DuckDB rounds the binary
+    // value) decided the floor differently — caught by the sf1 sweep
+    // (1 user in 15k; sf0.01's 150 users never hit a boundary). Integer
+    // terms + ONE final IEEE division are bit-identical at any SF.
     events
       .withColumn("k", row_number().over(w))
+      .withColumn("cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         Fns.roundP(
-          sum(when(col("k") <= EWMA_W,
-            (col("value") / pow(lit(2.0), col("k"))).cast("decimal(28,18)")))
-            .cast("double"), 6).as("ewma"))
+          sum(when(col("k") <= EWMA_W, expr(s"shiftleft(cents, $EWMA_W - k)")))
+            .cast("double") / lit((100L * (1L << EWMA_W)).toDouble), 6)
+          .as("ewma"))
       .orderBy("user_id")
   }
 
@@ -1478,7 +1489,8 @@ object EventOps {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  ${Fns.roundPSql(
             s"CAST(sum(CASE WHEN k <= $EWMA_W THEN " +
-              "CAST(value / pow(2.0, k) AS DECIMAL(28,18)) END) AS DOUBLE)", 6)} AS ewma
+              s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) << ($EWMA_W - k) " +
+              s"END) AS DOUBLE) / CAST(${100L * (1L << EWMA_W)} AS DOUBLE)", 6)} AS ewma
          |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -248,10 +248,10 @@ object EventStream {
     * carries the newest [[graft.operators.EventOps.EWMA_W]] (ts, event_id,
     * value) triples plus a running event count; each batch merges its
     * arrivals and re-emits the user's current smoothed value with the
-    * batch gate's EXACT arithmetic (value/2^k is IEEE-exact scaling; terms
-    * quantized to 18 decimals via the double's decimal rendering — the
-    * same semantics as Spark's double→decimal(28,18) cast — then summed,
-    * so stream and batch agree to the last rounded digit).
+    * batch gate's EXACT arithmetic (integer cents shifted by 2^(W−k) and
+    * ONE final IEEE division — the all-integer rendering the sf1 sweep
+    * forced on the batch gate, see ewmaCore — so stream and batch agree
+    * to the last rounded digit at any scale).
     *
     * The keep-newest-W merge is order-correct across any batch split: the
     * state always holds the top-W of everything seen (a discarded event is
@@ -280,17 +280,18 @@ object EventStream {
             .take(W)
           val n = n0 + incoming.length
           state.update((n, merged))
-          val sum = merged.zipWithIndex
+          val sumInt = merged.zipWithIndex
             .map { case ((_, _, v), i) =>
-              // v / 2^(k) is exact; valueOf goes through Double.toString —
-              // the same digits Spark's cast to decimal(28,18) rounds
-              java.math.BigDecimal.valueOf(v / math.pow(2.0, i + 1))
-                .setScale(18, java.math.RoundingMode.HALF_UP)
-            }
-            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
-          // the batch gate's roundP: floor(x·10^6 + 0.5)/10^6
-          Iterator(EwmaUpdate(uid, n,
-            math.floor(sum.doubleValue * 1e6 + 0.5) / 1e6))
+              // cents via Double.toString + HALF_UP — the exact twin of
+              // Spark's cast(value as decimal(18,2)) in the batch gate
+              val cents = java.math.BigDecimal.valueOf(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              cents << (W - (i + 1))
+            }.sum
+          // the batch gate's division + roundP: floor(x·10^6 + 0.5)/10^6
+          val x = sumInt.toDouble / (100L * (1L << W)).toDouble
+          Iterator(EwmaUpdate(uid, n, math.floor(x * 1e6 + 0.5) / 1e6))
       }
       .toDF()
   }

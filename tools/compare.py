@@ -8,9 +8,16 @@ loads the Spark result parquet the Verify main wrote, sorts columns by name
 (like the driver), and compares values. Dev tool only — the library itself
 has no Python dependency.
 """
-import json, os, sys, glob, math
+import json, os, sys, glob, math, time, threading
 import duckdb
 import pandas as pd
+
+# Optional per-oracle wall budget (seconds). 0 = unlimited. Self-generated
+# big-SF confidence sweeps set this so an oracle whose SQL rendering is
+# super-linear (e.g. within-cell pair expansion) reports ORACLE_TIMEOUT and
+# the sweep keeps moving — the Spark side has its own timings; this budget
+# bounds only the DuckDB mirror.
+ORACLE_TIMEOUT = float(os.environ.get("COMPARE_ORACLE_TIMEOUT", "0"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -40,15 +47,36 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    timeouts = []
     for name, sql in sorted(oracle.items()):
+        # filtered Verify run (dev iteration): skip BEFORE paying the
+        # oracle's execution cost, not after
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        t0 = time.time()
+        watchdog = None
+        fired = threading.Event()
+        if ORACLE_TIMEOUT > 0:
+            def interrupt():
+                fired.set()
+                con.interrupt()
+            watchdog = threading.Timer(ORACLE_TIMEOUT, interrupt)
+            watchdog.start()
         try:
             want = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
+            if watchdog: watchdog.cancel()
+            if fired.is_set():
+                print(f"ORACLE_TIMEOUT {name}: oracle exceeded {ORACLE_TIMEOUT:.0f}s "
+                      f"(DuckDB mirror cost, not an engine failure)")
+                timeouts.append(name)
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                n_fail += 1
             continue
-        if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # filtered Verify run (dev iteration) — not a failure
+        finally:
+            if watchdog: watchdog.cancel()
+        dt = time.time() - t0
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -102,9 +130,12 @@ def main():
             print(f"FAIL {name}: value mismatch col={col} row={i}: spark={g!r} oracle={w!r}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, oracle {dt:.1f}s)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    tm = f", {len(timeouts)} oracle-timeout" if timeouts else ""
+    print(f"== {n_pass} pass, {n_fail} fail{tm} ==")
+    if timeouts:
+        print("oracle timeouts:", " ".join(timeouts))
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
