@@ -1280,15 +1280,16 @@ object BigGraphOps {
   }
 
   /** Unrolled Borůvka round budget for the q_mst ORACLE — component count
-    * at least halves per round, so 16 rounds are exact for any vertex set
-    * ≤ 2^16 = 65536 (sf1's co-purchase graph has ~15k; raise alongside a
-    * bigger self-generated SF). The Spark side needs no such constant —
-    * its driver loop runs until the cross-edge set drains. */
-  val MST_ROUNDS = 16
+    * at least halves per round, so 18 rounds are exact for any vertex set
+    * ≤ 2^18 = 262144 (sf1's co-purchase graph touches ~150k custkeys;
+    * raise alongside a bigger self-generated SF). The Spark side needs no
+    * such constant — its driver loop runs until the cross-edge set
+    * drains. */
+  val MST_ROUNDS = 18
 
   /** Pointer-doubling depth inside each oracle round (contraction trees
-    * ≤ 2^16 deep — V-bounded, so the same 65536 budget). */
-  val MST_DOUBLE = 16
+    * ≤ 2^18 deep — V-bounded, so the same 262144 budget). */
+  val MST_DOUBLE = 18
 
   /** Minimum spanning forest at data scale — distributed Borůvka over the
     * weighted co-purchase graph ([[coEdges]]' deterministic w ∈ {1,2,3};
