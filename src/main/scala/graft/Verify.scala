@@ -20,6 +20,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // q_mst's DuckDB oracle unrolls MST_ROUNDS Borůvka rounds (each with
+    // MST_DOUBLE pointer doublings) — exact only while the co-purchase
+    // vertex count ≤ 2^MST_ROUNDS. The Spark side converges at any scale,
+    // so an undersized constant would otherwise surface as a confusing
+    // hash mismatch. Make the bound violation explicit here, where the
+    // oracle is about to be compared (the bench/ScaleProbe paths have no
+    // oracle and must not pay or trip this check).
+    if (only.forall(_.contains("q_mst"))) {
+      import operators.BigGraphOps
+      val v = BigGraphOps.coEdges(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("src").as("n"))
+        .unionByName(BigGraphOps.coEdges(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("dst").as("n")))
+        .distinct().count()
+      require(v <= (1L << BigGraphOps.MST_ROUNDS),
+        s"q_mst oracle bound violated: co-purchase graph has $v vertices > " +
+        s"2^${BigGraphOps.MST_ROUNDS}; raise BigGraphOps.MST_ROUNDS / " +
+        s"MST_DOUBLE (oracle unroll depth) to cover this SF")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -48,34 +48,67 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     timeouts = []
+    # Watchdog race guard: a Timer can fire AFTER its query completes but
+    # BEFORE the finally-cancel; that con.interrupt() then lands on the NEXT
+    # oracle, whose own fresh `fired` flag is unset -> spurious FAIL. Two
+    # defenses: (a) the interrupt callback only interrupts while this query's
+    # `running` flag is still set (lock-atomic with the clear); (b) if a
+    # fired-but-late timer is detected (fired set, query succeeded), mark
+    # `stale_interrupt` and retry the next failing query once.
+    wd_lock = threading.Lock()
+    stale_interrupt = False
     for name, sql in sorted(oracle.items()):
         # filtered Verify run (dev iteration): skip BEFORE paying the
         # oracle's execution cost, not after
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
         t0 = time.time()
-        watchdog = None
-        fired = threading.Event()
-        if ORACLE_TIMEOUT > 0:
-            def interrupt():
-                fired.set()
-                con.interrupt()
-            watchdog = threading.Timer(ORACLE_TIMEOUT, interrupt)
-            watchdog.start()
-        try:
-            want = canon(con.sql(sql).df())
-        except Exception as e:
-            if watchdog: watchdog.cancel()
+        want = None
+        attempts = 0
+        while want is None:
+            attempts += 1
+            watchdog = None
+            fired = threading.Event()
+            state = {"running": True}
+            if ORACLE_TIMEOUT > 0:
+                def interrupt(fired=fired, state=state):
+                    with wd_lock:
+                        if state["running"]:
+                            fired.set()
+                            con.interrupt()
+                watchdog = threading.Timer(ORACLE_TIMEOUT, interrupt)
+                watchdog.start()
+            err = None
+            try:
+                res = canon(con.sql(sql).df())
+            except Exception as e:
+                err = e
+            finally:
+                with wd_lock:
+                    state["running"] = False
+                if watchdog: watchdog.cancel()
+            if err is None:
+                if fired.is_set() and ORACLE_TIMEOUT > 0 \
+                        and time.time() - t0 >= ORACLE_TIMEOUT:
+                    # timer fired but the query still finished: its interrupt
+                    # may be pending against the connection
+                    stale_interrupt = True
+                want = res
+                break
             if fired.is_set():
                 print(f"ORACLE_TIMEOUT {name}: oracle exceeded {ORACLE_TIMEOUT:.0f}s "
                       f"(DuckDB mirror cost, not an engine failure)")
                 timeouts.append(name)
-            else:
-                print(f"FAIL {name}: oracle error: {e}")
-                n_fail += 1
+                break
+            if stale_interrupt and attempts == 1:
+                # likely killed by the previous query's late interrupt: retry
+                stale_interrupt = False
+                continue
+            print(f"FAIL {name}: oracle error: {err}")
+            n_fail += 1
+            break
+        if want is None:
             continue
-        finally:
-            if watchdog: watchdog.cancel()
         dt = time.time() - t0
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
