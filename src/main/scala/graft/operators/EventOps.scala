@@ -1027,7 +1027,71 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Right-censoring horizon for [[qKaplanMeier]]: a user whose last event
+    * falls within this many days of the corpus end is censored (still
+    * alive), not churned. */
+  val KM_CENSOR_DAYS = 7
+
+  /** Kaplan–Meier survival curve over per-user purchase lifetimes — the
+    * churn estimator an events pipeline publishes beside the day-over-day
+    * [[qRetention]] rate. Cohort = users with ≥ 1 purchase; lifetime =
+    * days from a user's first event (any type) to their last purchase
+    * ([[DAY_US]] epoch-day indexes, timezone-free); users whose last
+    * purchase falls within [[KM_CENSOR_DAYS]] of the cohort's last
+    * purchase day are right-censored (still buying), the rest churned.
+    * At each churn time t: n_risk = users with lifetime ≥ t, d = churns
+    * at t, Ŝ(t) = Π(1 − d/n_risk).
+    *
+    * Exactness: d/n are exact integers; each ln(1 − d/n) is one fixed
+    * double tree; the cumulative product runs as a decimal(28,18) ln-sum
+    * window (the q_surprisal exp/ln parity posture) so term order cannot
+    * perturb it; the final-row d = n_risk case (survival exactly 0) is
+    * emitted as a literal instead of exp(ln 0) = exp(−∞), which a decimal
+    * cast would NULL on Spark and error on DuckDB.
+    *
+    * Scale shape: one (user)-keyed partial+final agg to lifetimes, one
+    * day-keyed agg, then all windows ride the day-keyed frame — bounded
+    * by the corpus calendar span (the q_changepoint hourly precedent),
+    * never by users. */
+  val qKaplanMeier: Q = (s, d) => {
+    val spans = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $DAY_US").as("di"))
+      .groupBy("user_id").agg(
+        min(col("di")).as("d0"),
+        max(when(col("event_type") === "purchase", col("di"))).as("d1"))
+      .filter(col("d1").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hz = spans.agg(max(col("d1")).as("dmax"), count(lit(1)).as("n_total"))
+    val lif = spans.crossJoin(broadcast(hz))
+      .select((col("d1") - col("d0")).as("dur"),
+        when(col("dmax") - col("d1") >= KM_CENSOR_DAYS, lit(1L))
+          .otherwise(lit(0L)).as("churn"),
+        col("n_total"))
+    val byT = lif.groupBy("dur")
+      .agg(sum(col("churn")).as("d"), count(lit(1)).as("ended"),
+        max(col("n_total")).as("n_total"))
+    val wOrd = Window.orderBy("dur")
+    val risk = byT
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("ended")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("lt",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+            .cast("decimal(28,18)")))
+    risk
+      .withColumn("cl", sum(col("lt")).over(wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .select(col("dur").as("t_days"), col("n_risk"), col("d").as("d_events"),
+        Fns.roundP(when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(exp(col("cl").cast("double"))), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kaplan_meier" -> qKaplanMeier,
     "q_changepoint" -> qChangepoint,
     "q_theil_sen"   -> qTheilSen,
     "q_burstiness"  -> qBurstiness,
@@ -1068,6 +1132,38 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_kaplan_meier" ->
+      s"""WITH sp AS (
+         |  SELECT user_id,
+         |    min(epoch_us(CAST(ts AS TIMESTAMP)) // $DAY_US) AS d0,
+         |    max(CASE WHEN event_type = 'purchase'
+         |        THEN epoch_us(CAST(ts AS TIMESTAMP)) // $DAY_US END) AS d1
+         |  FROM events GROUP BY 1 HAVING d1 IS NOT NULL),
+         |hz AS (SELECT max(d1) AS dmax, count(*) AS n_total FROM sp),
+         |lif AS (
+         |  SELECT d1 - d0 AS dur,
+         |    CASE WHEN dmax - d1 >= $KM_CENSOR_DAYS THEN 1 ELSE 0 END AS churn
+         |  FROM sp CROSS JOIN hz),
+         |byt AS (SELECT dur, CAST(sum(churn) AS BIGINT) AS d,
+         |    count(*) AS ended FROM lif GROUP BY 1),
+         |rk AS (
+         |  SELECT dur, d,
+         |    CAST(hz.n_total - coalesce(sum(ended) OVER (ORDER BY dur
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+         |  FROM byt CROSS JOIN hz),
+         |km AS (
+         |  SELECT dur, d, n_risk,
+         |    CASE WHEN d < n_risk THEN CAST(ln(1.0::DOUBLE - CAST(d AS DOUBLE) / n_risk)
+         |      AS DECIMAL(28,18)) END AS lt
+         |  FROM rk WHERE d > 0),
+         |cum AS (
+         |  SELECT dur, d, n_risk,
+         |    sum(lt) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cl
+         |  FROM km)
+         |SELECT dur AS t_days, n_risk, d AS d_events,
+         |  ${Fns.roundPSql(
+             "CASE WHEN d = n_risk THEN 0.0::DOUBLE ELSE exp(CAST(cl AS DOUBLE)) END", 6)} AS survival
+         |FROM cum ORDER BY t_days""".stripMargin,
     "q_changepoint" ->
       s"""WITH hourly AS (
          |  SELECT event_type, $sqlWs // 3600 AS hr,

@@ -704,34 +704,62 @@ object TextOps {
     * left-to-right order on both engines, and per-source means ride
     * decimal(28,18) sums (the q_nb_lang exp/ln parity precedent).
     *
-    * Scale shape: pairing is one lag window per source partition; gram
-    * counting shuffles (pair, n, gram) keys — grams, never documents —
-    * and the clipped join is gram-keyed with both sides pre-aggregated;
-    * output is |sources| rows. */
+    * Scale shape: pairing is a TWO-LEVEL window — a lag inside each
+    * (source, ⌊doc_id/[[BLEU_BKT]]⌋) bucket plus a bucket-tails frame
+    * (one row per non-empty bucket) that restores the cross-boundary
+    * pair, so no reducer ever sorts a whole source (corpus/|sources|
+    * rows — the q_suffix_dup-class fix); gram counting shuffles
+    * (pair, n, xxhash64(gram)) keys — 8-byte digests, never gram text
+    * (collisions only matter within one pair's ≤|doc| grams: P ≈
+    * tokens²/2⁶⁵ per pair, negligible, same concession as q_suffix_dup's
+    * md5 fingerprints) — and the clipped join is digest-keyed with both
+    * sides pre-aggregated; output is |sources| rows. */
   val qBleu: Q = (s, d) => bleuOf(Tables.documents(s, d))
+
+  /** Pairing-window bucket width: reducers see ≤ BLEU_BKT docs in the
+    * within-bucket lag and one tail row per non-empty bucket in the
+    * boundary-repair window (N/BLEU_BKT per source). */
+  val BLEU_BKT = 1024L
 
   /** The metric chain over an arbitrary (doc_id, source, text) frame —
     * factored so BleuSpec can drive hand-computable fixtures. */
   private[graft] def bleuOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    val pairs = docs
+    val toks0 = docs
       .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("toks"))
-      .withColumn("rt", lag("toks", 1).over(w))
+      .withColumn("bkt", floor(col("doc_id") / BLEU_BKT))
+    // within-bucket predecessor; bucket-first rows (lag null) get the tail
+    // of the previous NON-EMPTY bucket (tails frame is bucket-sized, so
+    // its per-source window is N/BLEU_BKT rows, not N)
+    val wIn = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    val inb = toks0.withColumn("rt", lag("toks", 1).over(wIn))
+    val wB = Window.partitionBy("source").orderBy("bkt")
+    val tails = toks0
+      .groupBy("source", "bkt")
+      .agg(max(struct(col("doc_id"), col("toks"))).as("m"))
+      .withColumn("pt", lag(col("m.toks"), 1).over(wB))
+      .select(col("source"), col("bkt"), col("pt"))
+    val paired = inb.filter(col("rt").isNotNull)
+      .unionByName(inb.filter(col("rt").isNull).drop("rt")
+        .join(tails, Seq("source", "bkt"))
+        .withColumnRenamed("pt", "rt"))
+    val pairs = paired
       .filter(col("rt").isNotNull &&
         size(col("toks")) >= BLEU_N && size(col("rt")) >= BLEU_N)
       .select(col("doc_id").as("pair_id"), col("source"),
         col("toks").as("ct"), col("rt"),
         size(col("toks")).as("len_c"), size(col("rt")).as("len_r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per (pair, n, gram) counts for one side: explode n first, then gram
-    // start positions (a generator cannot nest inside another expression)
+    // per (pair, n, gram-digest) counts for one side: explode n first,
+    // then gram start positions (a generator cannot nest inside another
+    // expression); the gram text collapses to a 64-bit digest BEFORE the
+    // exchange so the shuffle moves fixed 8-byte keys
     def counts(tcol: String, cnt: String): DataFrame = pairs
       .select(col("pair_id"), col(tcol).as("t"),
         explode(array((1 to BLEU_N).map(lit): _*)).as("n"))
       .select(col("pair_id"), col("n"), col("t"),
         explode(sequence(lit(1), size(col("t")) - col("n") + 1)).as("j"))
       .select(col("pair_id"), col("n"),
-        concat_ws(" ", slice(col("t"), col("j"), col("n"))).as("g"))
+        xxhash64(concat_ws(" ", slice(col("t"), col("j"), col("n")))).as("g"))
       .groupBy("pair_id", "n", "g").agg(count(lit(1)).as(cnt))
     val m = counts("ct", "cc")
       .join(counts("rt", "rc"), Seq("pair_id", "n", "g"), "left")

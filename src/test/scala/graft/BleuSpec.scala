@@ -114,6 +114,18 @@ class BleuSpec extends AnyFunSuite {
     assert(got == mirror(docs))
   }
 
+  test("pairing survives BLEU_BKT bucket boundaries (two-level window repair)") {
+    // doc_ids straddle the ⌊doc_id/BLEU_BKT⌋ boundary at 1024 (and an
+    // EMPTY bucket gap before 3072): the bucket-first rows must pair with
+    // the tail of the previous NON-EMPTY bucket, exactly like the single
+    // global lag would
+    val ids = Seq(1022L, 1023L, 1024L, 1025L, 3072L)
+    val docs = ids.map(i => (i, "a", s"token one two three four id$i"))
+    val got = run(docs)
+    assert(got("a")._1 == 4L, s"all 4 adjacent pairs must survive: $got")
+    assert(got == mirror(docs))
+  }
+
   test("gate equals the scalar mirror on the real sf0.001 corpus") {
     val corpus = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text").collect()
