@@ -1090,7 +1090,63 @@ object EventOps {
       .orderBy("t_days")
   }
 
+  /** PAA word length for [[qSax]]. */
+  val SAX_SEGS = 8
+
+  /** N(0,1) quartile breakpoints for the 4-letter SAX alphabet —
+    * literal constants on both engines (the standard published table,
+    * Lin et al. 2003), never computed. */
+  val SAX_BP = 0.6745
+
+  /** SAX symbolization (Lin et al., DMKD 2003) of each event type's
+    * hourly value series — the discretization step motif/anomaly mining
+    * runs before comparing series symbolically. Pipeline: hourly decimal
+    * value sums (the q_changepoint frame) → per-type series stats
+    * (n, Σv, Σv² through exact decimals; v is a 2-dp-exact decimal so
+    * v·v stays exact at scale 12) → PAA segments by integer index split
+    * ⌊idx·SEGS/n⌋ → per-segment mean z-scored with the population μ/σ as
+    * one fixed double tree → symbol by [[SAX_BP]] breakpoint CASE.
+    * Identical double trees on identical decimal-exact inputs ⇒ the
+    * symbols match engine-for-engine (boundary hits behave the same
+    * because both evaluate the same comparison on the same double).
+    *
+    * Scale shape: one scan into the (type, hour)-keyed agg; everything
+    * downstream rides calendar-bounded frames (hours × types), the
+    * q_changepoint posture. */
+  val qSax: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+    val st = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("s1"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("s2"))
+    val wT = Window.partitionBy("event_type").orderBy("hr")
+    val D = (c: org.apache.spark.sql.Column) => c.cast("double")
+    hourly
+      .withColumn("idx", row_number().over(wT).cast("long") - 1)
+      .join(broadcast(st), Seq("event_type"))
+      .withColumn("seg", expr(s"(idx * $SAX_SEGS) div n"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n_hours"),
+        (sum(col("v")).cast("double") / count(lit(1))).as("paa"),
+        max(col("n")).as("n"), max(col("s1")).as("s1"), max(col("s2")).as("s2"))
+      .withColumn("mu", col("s1") / D(col("n")))
+      .withColumn("sd", sqrt(col("s2") / D(col("n")) - col("mu") * col("mu")))
+      .withColumn("z", (col("paa") - col("mu")) / col("sd"))
+      .select(col("event_type"), col("seg"), col("n_hours"),
+        Fns.roundP(col("paa"), 6).as("paa"),
+        Fns.roundP(col("z"), 6).as("z"),
+        when(col("z") < -SAX_BP, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < SAX_BP, lit("c"))
+          .otherwise(lit("d")).as("sym"))
+      .orderBy("event_type", "seg")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sax" -> qSax,
     "q_kaplan_meier" -> qKaplanMeier,
     "q_changepoint" -> qChangepoint,
     "q_theil_sen"   -> qTheilSen,
@@ -1132,6 +1188,37 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_sax" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(v) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2
+         |  FROM hourly GROUP BY 1),
+         |ix AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hr) - 1 AS idx
+         |  FROM hourly),
+         |pa AS (
+         |  SELECT i.event_type, (idx * $SAX_SEGS) // n AS seg,
+         |    count(*) AS n_hours, CAST(sum(v) AS DOUBLE) / count(*) AS paa,
+         |    max(n) AS n, max(s1) AS s1, max(s2) AS s2
+         |  FROM ix i JOIN st USING (event_type) GROUP BY 1, 2),
+         |zz AS (
+         |  SELECT event_type, seg, n_hours, paa,
+         |    (paa - s1 / CAST(n AS DOUBLE)) /
+         |      sqrt(s2 / CAST(n AS DOUBLE)
+         |        - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS z
+         |  FROM pa)
+         |SELECT event_type, seg, n_hours,
+         |  ${Fns.roundPSql("paa", 6)} AS paa, ${Fns.roundPSql("z", 6)} AS z,
+         |  CASE WHEN z < -$SAX_BP THEN 'a' WHEN z < 0 THEN 'b'
+         |       WHEN z < $SAX_BP THEN 'c' ELSE 'd' END AS sym
+         |FROM zz ORDER BY event_type, seg""".stripMargin,
     "q_kaplan_meier" ->
       s"""WITH sp AS (
          |  SELECT user_id,
