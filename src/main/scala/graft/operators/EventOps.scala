@@ -1145,7 +1145,57 @@ object EventOps {
       .orderBy("event_type", "seg")
   }
 
+  /** Mann–Whitney U rank-sum test of purchase vs click event values —
+    * the nonparametric complement to [[qAbTest]]'s Welch t (heavy-tailed
+    * revenue metrics violate the t-test's normality premise; the U test
+    * compares distributions by rank only). Tie-corrected normal
+    * approximation: with per-distinct-value tie counts t,
+    * U = R_A − n_A(n_A+1)/2,  μ = n_A·n_B/2,
+    * σ² = n_A·n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1))),  z = (U − μ)/σ.
+    *
+    * Exactness: ranks never materialize per event — average ranks come
+    * from cumulative tie counts over the DISTINCT-value frame, and
+    * 2·R_A = Σ cntA·(2c+t+1) stays an exact BIGINT (every term integer;
+    * ≤ 2N² ≪ 2⁶³); Σ(t³−t) rides decimal(38,0) (t³ would overflow long
+    * at t > 2 M); the final μ/σ²/z are one fixed double tree over those
+    * exact integers, identical on both engines.
+    *
+    * Scale shape: one scan into a (value)-keyed agg; every later frame
+    * is value-DOMAIN-bounded (2-dp grid — the q_decile posture), so the
+    * no-partition cumulative window never sees event-stream cardinality. */
+  val qMannWhitney: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("isA"), col("value").as("v"))
+    val byV = ev.groupBy("v").agg(
+      sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+      count(lit(1)).as("t"))
+    val wv = Window.orderBy("v")
+    val D = (c: org.apache.spark.sql.Column) => c.cast("double")
+    byV
+      .withColumn("c", coalesce(sum(col("t")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(
+        sum(col("ca")).as("na"),
+        sum(col("t") - col("ca")).as("nb"),
+        sum(col("ca") * (lit(2L) * col("c") + col("t") + lit(1L))).as("r2a"),
+        sum(col("t").cast("decimal(12,0)") * col("t").cast("decimal(12,0)")
+          * col("t").cast("decimal(12,0)")
+          - col("t").cast("decimal(12,0)")).as("tie3"))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("ua", D(col("r2a")) / lit(2.0)
+        - D(col("na")) * (D(col("na")) + lit(1.0)) / lit(2.0))
+      .withColumn("mu", D(col("na")) * D(col("nb")) / lit(2.0))
+      .withColumn("va", D(col("na")) * D(col("nb")) / lit(12.0)
+        * ((D(col("n")) + lit(1.0))
+          - D(col("tie3")) / (D(col("n")) * (D(col("n")) - lit(1.0)))))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("ua").as("u_a"),
+        Fns.roundP((col("ua") - col("mu")) / sqrt(col("va")), 6).as("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mann_whitney" -> qMannWhitney,
     "q_sax" -> qSax,
     "q_kaplan_meier" -> qKaplanMeier,
     "q_changepoint" -> qChangepoint,
@@ -1188,6 +1238,39 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q_mann_whitney" ->
+      s"""WITH ev AS (
+         |  SELECT event_type = 'purchase' AS isa, value AS v FROM events
+         |  WHERE event_type IN ('purchase', 'click')),
+         |byv AS (
+         |  SELECT v, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    count(*) AS t
+         |  FROM ev GROUP BY 1),
+         |cw AS (
+         |  SELECT ca, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+         |  FROM byv),
+         |ag AS (
+         |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(t - ca) AS BIGINT) AS nb,
+         |    CAST(sum(ca * (2 * c + t + 1)) AS BIGINT) AS r2a,
+         |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+         |      * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))) AS tie3
+         |  FROM cw),
+         |fx AS (
+         |  SELECT na, nb, na + nb AS n,
+         |    CAST(r2a AS DOUBLE) / 2.0
+         |      - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0 AS ua,
+         |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mu,
+         |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+         |      * ((CAST(na + nb AS DOUBLE) + 1.0)
+         |        - CAST(tie3 AS DOUBLE) / (CAST(na + nb AS DOUBLE)
+         |          * (CAST(na + nb AS DOUBLE) - 1.0))) AS va
+         |  FROM ag)
+         |SELECT na AS n_a, nb AS n_b, ua AS u_a,
+         |  ${Fns.roundPSql("(ua - mu) / sqrt(va)", 6)} AS z
+         |FROM fx""".stripMargin,
     "q_sax" ->
       s"""WITH hourly AS (
          |  SELECT event_type,
