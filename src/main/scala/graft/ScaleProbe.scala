@@ -185,17 +185,25 @@ object ScaleProbe {
                              // extraction shape) + digest-keyed recurrence
                              // agg; same saturating-dup-set posture as
                              // q_substring_dup under replication (documents)
-    "q_bleu",                // source-partitioned lag pairing + (pair,n,gram)
-                             // count aggs; the 20-key source window is the
-                             // q_decile posture (per-reducer volume ×mult)
-                             // but the gram aggs after it stay hash-keyed
+    "q_bleu",                // two-level (source, doc-bucket) lag pairing +
+                             // (pair, n, gram-digest) count aggs — reducers
+                             // see ≤BLEU_BKT docs or N/BLEU_BKT tails, and
+                             // the gram shuffle moves 8-byte xxhash64 keys
                              // (documents)
+    "q_mann_whitney",        // one value-keyed agg over the event stream;
+                             // every later frame value-DOMAIN-bounded (2-dp
+                             // grid), so ×mult only grows the scan (events)
+    "q_kaplan_meier",        // user-keyed span agg; all KM windows ride the
+                             // calendar-bounded day frame (events)
     "q_quality_ensemble",    // digest-keyed keeper agg + join-back, signals
                              // row-local codegen, (source × 4)-bounded final
                              // agg (documents)
     "q_mst")                 // Borůvka: log-V rounds of component-keyed
                              // min-edge aggs + pointer-doubling joins on
                              // component-count-sized frames (orders)
+    // q_sax: rides the q_changepoint (type, hour) frame — calendar-bounded
+    // downstream by construction; the scan is the only ×mult term and that
+    // shape is probed via q_window_agg-family gates everywhere above
     // q_gapfill: one filtered (user,day) agg, then everything rides the
     // (cohort × days)-bounded grid — the stride keeps the cohort a fixed
     // FRACTION of users, so the grid grows ×mult but each user's window

@@ -26,13 +26,13 @@ object Verify {
     // so an undersized constant would otherwise surface as a confusing
     // hash mismatch. Make the bound violation explicit here, where the
     // oracle is about to be compared (the bench/ScaleProbe paths have no
-    // oracle and must not pay or trip this check).
-    if (only.forall(_.contains("q_mst"))) {
+    // oracle and must not pay or trip this check). Runs inside q_mst's own
+    // try so a violation fails THAT gate loudly, never the whole dump.
+    def mstOracleBoundCheck(): Unit = {
       import operators.BigGraphOps
-      val v = BigGraphOps.coEdges(spark, sfDir)
-        .select(org.apache.spark.sql.functions.col("src").as("n"))
-        .unionByName(BigGraphOps.coEdges(spark, sfDir)
-          .select(org.apache.spark.sql.functions.col("dst").as("n")))
+      val e = BigGraphOps.coEdges(spark, sfDir)
+      val v = e.select(org.apache.spark.sql.functions.col("src").as("n"))
+        .unionByName(e.select(org.apache.spark.sql.functions.col("dst").as("n")))
         .distinct().count()
       require(v <= (1L << BigGraphOps.MST_ROUNDS),
         s"q_mst oracle bound violated: co-purchase graph has $v vertices > " +
@@ -42,9 +42,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        if (name == "q_mst") mstOracleBoundCheck()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -726,7 +726,7 @@ object TextOps {
   private[graft] def bleuOf(docs: DataFrame): DataFrame = {
     val toks0 = docs
       .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("toks"))
-      .withColumn("bkt", floor(col("doc_id") / BLEU_BKT))
+      .withColumn("bkt", expr(s"doc_id div $BLEU_BKT")) // integer div: exact past 2^53
     // within-bucket predecessor; bucket-first rows (lag null) get the tail
     // of the previous NON-EMPTY bucket (tails frame is bucket-sized, so
     // its per-source window is N/BLEU_BKT rows, not N)
