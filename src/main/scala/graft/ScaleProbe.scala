@@ -195,6 +195,11 @@ object ScaleProbe {
                              // grid), so ×mult only grows the scan (events)
     "q_kaplan_meier",        // user-keyed span agg; all KM windows ride the
                              // calendar-bounded day frame (events)
+    "q_kcenter",             // K−1 broadcast-literal scans into
+                             // TakeOrdered(1); centers driver-side
+                             // (embeddings)
+    "q_mmd_drift",           // one ⌊id/4⌋-keyed agg + row-local kernels
+                             // (embeddings)
     "q_quality_ensemble",    // digest-keyed keeper agg + join-back, signals
                              // row-local codegen, (source × 4)-bounded final
                              // agg (documents)

@@ -805,6 +805,105 @@ object VectorOps {
         Fns.roundP(sum(col("dist").cast("decimal(28,12)")).cast("double"), 4).as("inertia"))
       .orderBy("cluster")
 
+  /** Coreset size for [[qKcenter]]. */
+  val KC_K = 8
+
+  /** RBF bandwidth for [[qMmdDrift]] — 1/dim as an exact dyadic literal
+    * (0.015625 prints identically on both engines). */
+  val MMD_GAMMA = 0.015625
+
+  /** Embedding-distribution drift via a group-sampled linear-time MMD²
+    * (Gretton et al., JMLR 2012 §6 lemma 14's streaming estimator, with
+    * a deterministic sampler): snapshots A/B come from the q_snapshot_drift
+    * content hash; consecutive-id groups g = ⌊vec_id/4⌋ that hold exactly
+    * two A and two B members contribute one quadruple
+    * h = k(a₁,a₂) + k(b₁,b₂) − k(a₁,b₂) − k(a₂,b₁), k = exp(−γ‖·‖²);
+    * MMD² = mean h. The categorical KL (q_snapshot_drift) and scalar KS
+    * (q_ks_test) monitors can't see vector-space drift — this is the
+    * embedding-side member of the drift family.
+    *
+    * Exactness: group membership is integer hashing; the two members per
+    * side come from min/max over (vec_id, v) structs (id-ordered, never
+    * compares the array); each h is a fixed exp/dist² double tree
+    * (q_nb_lang exp parity precedent) summed through decimal(28,18)
+    * (h ∈ [−2, 2], far inside scale 18).
+    *
+    * Scale shape: one scan into a ⌊vec_id/4⌋-keyed agg with map-side
+    * combine, then row-local kernel algebra and a single global mean —
+    * no pair join, no window, no rank shuffle (the rank-zip linear MMD
+    * needs a global per-side ordering; the group sampler trades ~5/8 of
+    * groups for shuffle-free determinism). */
+  val qMmdDrift: Q = (s, d) => {
+    val D = (c: Column) => c.cast("double")
+    val mem = vecs(s, d)
+      .withColumn("snap",
+        Fns.hash32(concat(lit("snap_"), col("vec_id").cast("string"))) % 2)
+      .withColumn("g", expr("vec_id div 4"))
+    def side(sn: Int, nm: String, agg: Column => Column) =
+      agg(when(col("snap") === sn, struct(col("vec_id"), col("v")))).as(nm)
+    val quads = mem.groupBy("g").agg(
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("nb"),
+        side(0, "a1", min), side(0, "a2", max),
+        side(1, "b1", min), side(1, "b2", max))
+      .filter(col("na") === 2 && col("nb") === 2)
+    def k(p: String, q: String): Column =
+      exp(lit(-MMD_GAMMA) * VectorExprs.dist2(col(s"$p.v"), col(s"$q.v")))
+    quads
+      .withColumn("h", (k("a1", "a2") + k("b1", "b2")
+        - k("a1", "b2") - k("a2", "b1")).cast("decimal(28,18)"))
+      .agg(count(lit(1)).as("n_quads"),
+        Fns.roundP(D(sum(col("h"))) / count(lit(1)), 6).as("mmd2"))
+  }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —
+    * the diversity-maximizing selection a curation pipeline runs to pick
+    * K maximally-spread exemplars (coreset sampling, dedup review
+    * candidates, labeling budgets). Seed = the min vec_id; each step
+    * picks argmax over the corpus of min-dist²-to-chosen (ties → min
+    * vec_id), emitting (step, vec_id, r2) where r2 is the picked point's
+    * distance — i.e. the EXACT k-center coverage radius² after the
+    * previous step, so the output doubles as the radius-vs-K curve.
+    *
+    * Exactness: each candidate's dmin is a `least` over per-center dist²
+    * columns against PLAN-LITERAL center vectors ([[assignCells]]'
+    * geometry, proven dist2-parity under q_kmeans), and the argmax
+    * compares those exact doubles with an integer tie-break — identical
+    * on both engines; only the EMITTED r2 is rounded. The oracle unrolls
+    * the K−1 picks as MATERIALIZED 1-row CTEs (each step references every
+    * previous pick — plain CTEs would re-expand the chain per reference,
+    * the q_bradley_terry trap).
+    *
+    * Scale shape: the q_kmeans posture — K−1 full scans, each one
+    * broadcast-literal column algebra into a TakeOrdered(1); centers live
+    * on the driver between rounds (k×dim doubles, the scalar-aggregate
+    * tier); corpus persisted once. */
+  val qKcenter: Q = (s, d) => {
+    val se = s
+    import se.implicits._
+    val v = vecs(s, d).select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = v.orderBy("vec_id").limit(1).collect().head
+    var centers = Seq((seed.getLong(0), seed.getSeq[Double](1)))
+    var out = Seq((0, seed.getLong(0), 0.0))
+    for (step <- 1 until KC_K) {
+      val staged = v.select(col("vec_id") +: col("v") +:
+        centers.zipWithIndex.map { case ((_, cv), i) =>
+          VectorExprs.dist2(col("v"), array(cv.map(lit): _*)).as(s"d_$i")
+        }: _*)
+      val pick = staged
+        .withColumn("dm",
+          if (centers.size == 1) col("d_0")
+          else least(centers.indices.map(i => col(s"d_$i")): _*))
+        .orderBy(col("dm").desc, col("vec_id"))
+        .limit(1).select("vec_id", "v", "dm").collect().head
+      centers = centers :+ ((pick.getLong(0), pick.getSeq[Double](1)))
+      out = out :+ ((step, pick.getLong(0),
+        math.floor(pick.getDouble(2) * 1e6 + 0.5) / 1e6))
+    }
+    out.toDF("step", "vec_id", "r2").orderBy("step")
+  }
+
   /** Terms kept per topic by [[qTopicTerms]]. */
   val TT_TOP = 5
 
@@ -1617,6 +1716,8 @@ object VectorOps {
     "q_hybrid_search"  -> qHybridSearch,
     "q_semantic_search" -> qSemanticSearch,
     "q_kmeans"         -> qKmeans,
+    "q_kcenter"        -> qKcenter,
+    "q_mmd_drift"      -> qMmdDrift,
     "q_topic_terms"    -> qTopicTerms,
     "q_knn"            -> qKnn,
     "q_knn_cosine"     -> qKnnCosine,
@@ -1939,6 +2040,63 @@ object VectorOps {
          |FROM documents d JOIN nn ON d.doc_id = nn.vec_id
          |ORDER BY nn.cos_sim DESC, d.doc_id""".stripMargin,
     "q_kmeans" -> sqlKmeans,
+    "q_mmd_drift" -> {
+      def k(p: String, q: String) =
+        s"exp(-$MMD_GAMMA * ${sqlDist2(p, q)})"
+      s"""WITH e AS ($sqlVecs),
+         |m AS (
+         |  SELECT vec_id,
+         |    CAST('0x' || substr(md5('snap_' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS snap,
+         |    vec_id // 4 AS g
+         |  FROM e),
+         |q AS (
+         |  SELECT g,
+         |    min(CASE WHEN snap = 0 THEN vec_id END) AS a1i,
+         |    max(CASE WHEN snap = 0 THEN vec_id END) AS a2i,
+         |    min(CASE WHEN snap = 1 THEN vec_id END) AS b1i,
+         |    max(CASE WHEN snap = 1 THEN vec_id END) AS b2i
+         |  FROM m GROUP BY 1
+         |  HAVING sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) = 2
+         |     AND sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) = 2),
+         |j AS (
+         |  SELECT ea1.v AS a1, ea2.v AS a2, eb1.v AS b1, eb2.v AS b2
+         |  FROM q JOIN e ea1 ON ea1.vec_id = q.a1i
+         |         JOIN e ea2 ON ea2.vec_id = q.a2i
+         |         JOIN e eb1 ON eb1.vec_id = q.b1i
+         |         JOIN e eb2 ON eb2.vec_id = q.b2i),
+         |h AS (
+         |  SELECT CAST(${k("a1", "a2")} + ${k("b1", "b2")}
+         |    - ${k("a1", "b2")} - ${k("a2", "b1")} AS DECIMAL(28,18)) AS h
+         |  FROM j)
+         |SELECT count(*) AS n_quads,
+         |  ${Fns.roundPSql("CAST(sum(h) AS DOUBLE) / count(*)", 6)} AS mmd2
+         |FROM h""".stripMargin
+    },
+    // Gonzalez picks as MATERIALIZED 1-row CTEs: step k cross-joins e to
+    // every previous pick (the chain is referenced multiply — plain CTEs
+    // would re-expand it per reference, the q_bradley_terry trap)
+    "q_kcenter" -> {
+      def distTo(i: Int) = sqlDist2("e.v", s"p$i.v")
+      val steps = (1 until KC_K).map { k =>
+        val dm = if (k == 1) distTo(0)
+                 else s"least(${(0 until k).map(distTo).mkString(",\n      ")})"
+        val froms = (0 until k).map(i => s"p$i").mkString(", ")
+        s"""p$k AS MATERIALIZED (
+           |  SELECT e.vec_id, e.v, $dm AS dm
+           |  FROM e, $froms
+           |  ORDER BY dm DESC, e.vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 until KC_K).map(k =>
+        s"SELECT $k AS step, vec_id, ${Fns.roundPSql("dm", 6)} AS r2 FROM p$k")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS ($sqlVecs),
+         |p0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |$steps
+         |SELECT CAST(step AS INT) AS step, vec_id, r2 FROM (
+         |  SELECT 0 AS step, vec_id, 0.0::DOUBLE AS r2 FROM p0
+         |  UNION ALL $rows)
+         |ORDER BY step""".stripMargin
+    },
     "q_topic_terms" ->
       s"""WITH $sqlKmeansCtes,
          |asg AS (SELECT vec_id AS doc_id, cid AS cluster FROM af),
