@@ -200,6 +200,9 @@ object ScaleProbe {
                              // (embeddings)
     "q_mmd_drift",           // one ⌊id/4⌋-keyed agg + row-local kernels
                              // (embeddings)
+    "q_conformal",           // split scan + moment agg + |types|-reducer
+                             // calibration rank — the q_decile posture
+                             // (events)
     "q_quality_ensemble",    // digest-keyed keeper agg + join-back, signals
                              // row-local codegen, (source × 4)-bounded final
                              // agg (documents)

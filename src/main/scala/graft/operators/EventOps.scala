@@ -1194,7 +1194,78 @@ object EventOps {
         Fns.roundP((col("ua") - col("mu")) / sqrt(col("va")), 6).as("z"))
   }
 
+  /** Split-conformal target coverage 1−α = CONF_NUM/CONF_DEN (90%). */
+  val CONF_NUM = 9
+  val CONF_DEN = 10
+
+  /** Split conformal prediction intervals (Papadopoulos et al. 2002;
+    * Lei et al., JASA 2018) over the q_regression hour→value model — the
+    * distribution-free uncertainty quantification a scoring pipeline
+    * attaches to any point predictor. Three disjoint hash splits per
+    * event type: TRAIN fits the OLS (the q_regression moment sums,
+    * decimal-exact), CAL takes q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest
+    * absolute residual (integer-exact rank arithmetic, the finite-sample
+    * correction), TEST reports empirical coverage of ŷ ± q̂ — the
+    * theorem says ≥ 90% in expectation, and the gate pins the realized
+    * number as data.
+    *
+    * Exactness: coefficients come from exact decimal moment sums;
+    * per-row residuals are one fixed double tree; the rank-k order
+    * statistic is well-defined under ties (equal doubles occupy the tied
+    * ranks); coverage compares the UNROUNDED q̂ against exact residuals
+    * and only the outputs are rounded.
+    *
+    * Scale shape: one scan into the persisted split frame; the fit is a
+    * partial+final moment agg; the only sort is the per-type calibration
+    * rank (the q_decile documented posture — |types| reducers; bucket
+    * two-level like q_bleu if types are few and CAL is huge). */
+  val qConformal: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (expr("unix_micros(ts) div 3600000000") % 24).cast("double").as("x"),
+        col("value").as("y"))
+      .withColumn("split",
+        Fns.hash32(concat(lit("cal_"), col("event_id").cast("string"))) % 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = base.filter(col("split") === 0)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,6)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(18,6)")).cast("double").as("sxx"))
+      .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_type"), col("n").cast("long").as("n_train"),
+        col("b"), ((col("sy") - col("b") * col("sx")) / col("n")).as("a"))
+    val resid = base.filter(col("split") =!= 0)
+      .join(broadcast(fit), Seq("event_type"))
+      .withColumn("r", abs(col("y") - (col("a") + col("b") * col("x"))))
+    val cal = resid.filter(col("split") === 1)
+    val ncal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+    val wr = Window.partitionBy("event_type").orderBy("r")
+    val qhat = cal
+      .join(broadcast(ncal), Seq("event_type"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") ===
+        expr(s"($CONF_NUM * (n_cal + 1) + $CONF_DEN - 1) div $CONF_DEN"))
+      .select(col("event_type"), col("n_cal"), col("r").as("qh"))
+    resid.filter(col("split") === 2)
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qh"), 1L).otherwise(0L)).as("n_cov"),
+        max(col("qh")).as("qh"))
+      .select(col("event_type"), col("n_train"), col("n_cal"), col("n_test"),
+        Fns.roundP(col("qh"), 6).as("qhat"),
+        Fns.roundP(col("n_cov").cast("double") / col("n_test"), 4).as("coverage"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_conformal" -> qConformal,
     "q_mann_whitney" -> qMannWhitney,
     "q_sax" -> qSax,
     "q_kaplan_meier" -> qKaplanMeier,
@@ -1238,6 +1309,48 @@ object EventOps {
     "epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // the b expression is repeated verbatim inside a (op-order identity:
+    // Spark names the column and reuses it; the same deterministic tree
+    // evaluates to the same double)
+    "q_conformal" ->
+      s"""WITH e0 AS (
+         |  SELECT event_type, event_id,
+         |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS DOUBLE) AS x,
+         |    value AS y,
+         |    CAST('0x' || substr(md5('cal_' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 3 AS split
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+         |  FROM e0 WHERE split = 0 GROUP BY 1),
+         |ab AS (
+         |  SELECT event_type, CAST(n AS BIGINT) AS n_train,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS a
+         |  FROM m),
+         |rs AS (
+         |  SELECT e0.event_type, split, abs(y - (a + b * x)) AS r
+         |  FROM e0 JOIN ab USING (event_type) WHERE split <> 0),
+         |nc AS (SELECT event_type, count(*) AS n_cal FROM rs WHERE split = 1 GROUP BY 1),
+         |qh AS (
+         |  SELECT event_type, n_cal, r AS qh FROM (
+         |    SELECT rs.event_type, nc.n_cal, r,
+         |      row_number() OVER (PARTITION BY rs.event_type ORDER BY r) AS rk
+         |    FROM rs JOIN nc USING (event_type) WHERE split = 1)
+         |  WHERE rk = ($CONF_NUM * (n_cal + 1) + $CONF_DEN - 1) // $CONF_DEN),
+         |tc AS (
+         |  SELECT rs.event_type, count(*) AS n_test,
+         |    CAST(sum(CASE WHEN rs.r <= q.qh THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+         |  FROM rs JOIN qh q USING (event_type) WHERE rs.split = 2 GROUP BY 1)
+         |SELECT q.event_type, ab.n_train, q.n_cal, tc.n_test,
+         |  ${Fns.roundPSql("q.qh", 6)} AS qhat,
+         |  ${Fns.roundPSql("CAST(tc.n_cov AS DOUBLE) / tc.n_test", 4)} AS coverage
+         |FROM qh q JOIN ab USING (event_type) JOIN tc USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     "q_mann_whitney" ->
       s"""WITH ev AS (
          |  SELECT event_type = 'purchase' AS isa, value AS v FROM events
