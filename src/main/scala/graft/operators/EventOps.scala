@@ -1118,10 +1118,15 @@ object EventOps {
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("hr"))
       .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+    // v is bounded well inside (18,6) (hourly 2-dp sums), so the re-cast is
+    // lossless and makes the square type decimal(37,12) on BOTH engines:
+    // without it Spark's allowPrecisionLoss types (28,6)×(28,6) as (38,6),
+    // rounding the product at 6 dp while DuckDB keeps 12.
+    val v18 = col("v").cast("decimal(18,6)")
     val st = hourly.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("v")).cast("double").as("s1"),
-      sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("s2"))
+      sum((v18 * v18).cast("decimal(38,12)")).cast("double").as("s2"))
     val wT = Window.partitionBy("event_type").orderBy("hr")
     val D = (c: org.apache.spark.sql.Column) => c.cast("double")
     hourly
@@ -1165,7 +1170,10 @@ object EventOps {
     * no-partition cumulative window never sees event-stream cardinality. */
   val qMannWhitney: Q = (s, d) => {
     val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "click"))
+      .filter(col("event_type").isin("purchase", "click")
+        && col("value").isNotNull) // no-op on shipped data; pins the contract
+      // (a NULL group would otherwise enter the rank math, and Spark's
+      // NULLS FIRST ascending window order diverges from DuckDB's NULLS LAST)
       .select((col("event_type") === "purchase").as("isA"), col("value").as("v"))
     val byV = ev.groupBy("v").agg(
       sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
@@ -1354,7 +1362,7 @@ object EventOps {
     "q_mann_whitney" ->
       s"""WITH ev AS (
          |  SELECT event_type = 'purchase' AS isa, value AS v FROM events
-         |  WHERE event_type IN ('purchase', 'click')),
+         |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
          |byv AS (
          |  SELECT v, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
          |    count(*) AS t
@@ -1393,7 +1401,8 @@ object EventOps {
          |st AS (
          |  SELECT event_type, count(*) AS n,
          |    CAST(sum(v) AS DOUBLE) AS s1,
-         |    CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2
+         |    CAST(sum(CAST(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS s2
          |  FROM hourly GROUP BY 1),
          |ix AS (
          |  SELECT event_type, v,

@@ -62,11 +62,12 @@ def main():
         # oracle's execution cost, not after
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
-        t0 = time.time()
         want = None
         attempts = 0
+        tq = time.time()
         while want is None:
             attempts += 1
+            t0 = time.time()
             watchdog = None
             fired = threading.Event()
             state = {"running": True}
@@ -88,10 +89,11 @@ def main():
                     state["running"] = False
                 if watchdog: watchdog.cancel()
             if err is None:
-                if fired.is_set() and ORACLE_TIMEOUT > 0 \
-                        and time.time() - t0 >= ORACLE_TIMEOUT:
-                    # timer fired but the query still finished: its interrupt
-                    # may be pending against the connection
+                if fired.is_set():
+                    # timer fired but the query still finished (fired+success
+                    # already implies the interrupt landed late — even under
+                    # scheduling jitter just below the timeout): its
+                    # con.interrupt() may be pending against the connection
                     stale_interrupt = True
                 want = res
                 break
@@ -109,7 +111,7 @@ def main():
             break
         if want is None:
             continue
-        dt = time.time() - t0
+        dt = time.time() - tq
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
