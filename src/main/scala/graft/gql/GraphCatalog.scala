@@ -134,6 +134,55 @@ class GraphCatalog(spark: SparkSession, val root: String) {
   def versionOf(db: String, group: String): Int =
     readMeta(db).groups.get(group).map(_.version).getOrElse(0)
 
+  /** Right-to-be-forgotten vacuum. The MVCC write path deliberately keeps
+    * every prior version directory (readers of an old version are never
+    * disturbed), and [[GqlEngine]]'s KNN scatter sweeps a group's stale
+    * `.hnswp_*` index blobs only lazily, at the NEXT indexed query — so
+    * after a `remove`, the removed row's bytes survive in superseded
+    * version dirs and superseded index generations until someone happens
+    * to query. An erasure obligation can't wait on that: vacuum deletes
+    * every non-current version directory and every index blob (or temp
+    * blob) of a non-current version, for one group or (default) all of a
+    * db's groups, and evicts the deleted blobs' resident JVM cache
+    * entries. Run with exclusive access, like any maintenance pass —
+    * in-flight readers of old versions lose their files.
+    *
+    * After `remove` + `vacuum`, a removed row's bytes exist NOWHERE under
+    * the catalog root: the current version was written without it, prior
+    * versions are gone, and every index generation that contained its
+    * vector is gone (the next indexed query rebuilds from the current
+    * version). GqlSpec pins this end to end. */
+  def vacuum(db: String, group: String = ""): Unit = {
+    val meta = readMeta(db)
+    val targets =
+      if (group.nonEmpty) meta.groups.get(group).toSeq else meta.groups.values.toSeq
+    for (g <- targets) {
+      val gdir = dbPath(db).resolve(g.name)
+      if (Files.isDirectory(gdir)) {
+        val cur = s"v${g.version}"
+        val curTag = s"_v${g.version}_"
+        val st = Files.list(gdir)
+        val stale = try st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          (n.matches("v\\d+") && n != cur) ||
+            ((n.startsWith(".hnswp_") || n.startsWith("tmp.hnswp_")) &&
+              !n.contains(curTag))
+        }.toSeq finally st.close()
+        stale.foreach { p =>
+          if (Files.isDirectory(p)) {
+            val w = Files.walk(p)
+            try w.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.deleteIfExists(_))
+            finally w.close()
+          } else {
+            Files.deleteIfExists(p)
+            graft.vector.Hnsw.evictCached(p.toString)
+          }
+        }
+      }
+    }
+  }
+
   /** Edge groups of a db (for cascade delete). */
   def edgeGroups(db: String): Seq[String] =
     readMeta(db).groups.collect { case (n, g) if g.kind == "edge" => n }.toSeq.sorted

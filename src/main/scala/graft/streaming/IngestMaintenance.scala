@@ -231,6 +231,111 @@ object IngestMaintenance {
     deleted
   }
 
+  /** Right-to-be-forgotten deletion for the VECTOR store
+    * ([[VectorIngest]]'s `batch=<b>/cell=<c>` layout): erase every row
+    * whose `vec_id` is in `ids`, rewriting ONLY the (batch, cell) LEAF
+    * partitions that contain a victim — the IVF cell layout makes an
+    * erasure request a handful-of-leaves rewrite at any store size, one
+    * level finer than [[deleteDocs]]' per-batch grain. With `indexDir`
+    * set, the per-cell HNSW blobs ([[VectorIngest.buildCellIndexes]]) of
+    * affected cells are erased too: tombstoned FIRST, then rebuilt from
+    * the survivors. Returns deleted row count.
+    *
+    * Ordering is the privacy argument. Blobs tombstone before the store
+    * rewrite, so no crash window leaves an index serving vectors the
+    * completed erasure removes: die before the rewrite and the store
+    * still holds the row (the erasure simply hasn't happened — rerun is
+    * idempotent); die between rewrite and rebuild and
+    * [[VectorIngest.searchHnsw]] falls back to the exact scan of the
+    * REWRITTEN store for the blob-less cells — recall cost, never
+    * erased-data exposure. The stale-candidate direction is covered by
+    * searchHnsw's store-backed re-rank.
+    *
+    * The seen-ledger stays untouched for the same reason as
+    * [[deleteDocs]]: a re-delivery of erased content must not silently
+    * resurrect it. Crash safety mirrors deleteDocs at leaf grain —
+    * survivors stage outside the store (`<dir>.delstage`), each leaf
+    * swaps via move-aside (`<dir>.delold`), and every run begins by
+    * restoring leaves stranded between the two moves. */
+  def deleteVecs(s: SparkSession, storeDir: String, ids: Seq[Long],
+                 indexDir: Option[String] = None,
+                 idCol: String = "vec_id"): Long = {
+    repairSwap(storeDir)
+    val src = Paths.get(storeDir)
+    if (!Files.exists(src) || ids.isEmpty) return 0L
+    val stage = Paths.get(storeDir + ".delstage")
+    val aside = Paths.get(storeDir + ".delold")
+    // restore leaves stranded between the two moves of a crashed run: the
+    // aside copy is the complete pre-delete original — prefer it and let
+    // this run re-delete from identical inputs
+    if (Files.exists(aside)) {
+      val bs = Files.list(aside)
+      try bs.iterator().asScala.filter(Files.isDirectory(_)).foreach { b =>
+        val cs = Files.list(b)
+        try cs.iterator().asScala.filter(Files.isDirectory(_)).foreach { c =>
+          val live = src.resolve(b.getFileName.toString)
+            .resolve(c.getFileName.toString)
+          if (!Files.exists(live)) {
+            Files.createDirectories(live.getParent)
+            Files.move(c, live, StandardCopyOption.ATOMIC_MOVE)
+          }
+        } finally cs.close()
+      } finally bs.close()
+    }
+    deleteTree(aside)
+    deleteTree(stage)
+    val df = s.read.parquet(storeDir)
+    require(df.columns.contains("batch") && df.columns.contains("cell"),
+      s"$storeDir is not a batch/cell-partitioned vector store")
+    val victims = col(idCol).isin(ids: _*)
+    // pushed-down id predicate: a pruned read finds the affected leaves
+    val affected: Array[(Long, Long)] = df.filter(victims)
+      .select(col("batch").cast("long"), col("cell").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cellsHit = affected.map(_._2).distinct.sorted
+    // 1. tombstone affected cells' blobs (see ordering note above)
+    for (dir <- indexDir; c <- cellsHit) {
+      val file = Paths.get(dir, s"cell=$c.hnsw")
+      Files.deleteIfExists(file)
+      graft.vector.Hnsw.evictCached(file.toString)
+    }
+    // 2. rewrite affected leaves with survivors
+    var deleted = 0L
+    for ((b, c) <- affected.sortBy(identity)) {
+      val leaf = src.resolve(s"batch=$b").resolve(s"cell=$c")
+      val part = s.read.parquet(leaf.toString)
+      val surv = part.filter(!victims)
+      val (nAll, nSurv) = (part.count(), surv.count())
+      deleted += nAll - nSurv
+      val staged = stage.resolve(s"batch=$b").resolve(s"cell=$c")
+      if (nSurv > 0) surv.write.mode("overwrite").parquet(staged.toString)
+      val asideLeaf = aside.resolve(s"batch=$b").resolve(s"cell=$c")
+      Files.createDirectories(asideLeaf.getParent)
+      Files.move(leaf, asideLeaf, StandardCopyOption.ATOMIC_MOVE)
+      if (nSurv > 0) {
+        Files.createDirectories(leaf.getParent)
+        Files.move(staged, leaf, StandardCopyOption.ATOMIC_MOVE)
+      } else if (isEmptyDir(leaf.getParent)) {
+        // a batch whose last cell was fully erased leaves an empty
+        // batch=<b> shell — remove it or partition discovery chokes
+        Files.deleteIfExists(leaf.getParent)
+      }
+    }
+    deleteTree(aside)
+    deleteTree(stage)
+    // 3. rebuild affected cells' blobs from the erased store (cells now
+    // empty get their blob deleted by the restricted build's manifest)
+    for (dir <- indexDir if cellsHit.nonEmpty)
+      VectorIngest.buildCellIndexes(s, storeDir, dir, cellsHit)
+    deleted
+  }
+
+  private def isEmptyDir(p: Path): Boolean =
+    Files.isDirectory(p) && {
+      val st = Files.list(p)
+      try !st.iterator().hasNext finally st.close()
+    }
+
   /** Restore a complete store if a previous swap died between its moves:
     * the staged copy is only ever moved aside once COMPLETE, so prefer
     * it, then the old dir. */

@@ -157,6 +157,103 @@ object VectorIngest {
       .start()
   }
 
+  /** Build (or refresh) one persisted [[graft.vector.Hnsw]] blob per IVF
+    * cell of the store — the fine-grained serving index over the ingest
+    * layout ([[graft.gql.GqlEngine]]'s `.hnswp_*` scatter, re-keyed to the
+    * cell partitions so each blob covers exactly the rows one probed
+    * partition serves). `cells = Nil` builds every cell; a non-empty list
+    * restricts the build to those cells (the erase path's rebuild, where
+    * only affected cells change — at 100 TB an erasure touches a handful
+    * of blobs, never the index). Blob per cell at `indexDir/cell=<c>.hnsw`,
+    * written tmp + atomic move so a reader can never observe a
+    * half-written index; insertion order sorted by vec_id so the graph is
+    * reproducible from the cell's contents. Cells restricted-to but ABSENT
+    * from the store get their blob DELETED (a fully-erased cell must not
+    * keep serving from a stale blob).
+    *
+    * Scale posture: one cell = one task's rows (the repartition below);
+    * per-cell population is bounded by the coarse quantizer's design (the
+    * [[graft.operators.VectorOps.CELL_CAP]] discipline — hot cells split
+    * upstream), so a blob always fits its executor. Run with the ingest
+    * stopped, like [[IngestMaintenance]]. */
+  def buildCellIndexes(s: SparkSession, storeDir: String, indexDir: String,
+                       cells: Seq[Long] = Nil): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import s.implicits._
+    Files.createDirectories(Paths.get(indexDir))
+    val all = s.read.parquet(storeDir)
+      .select(col("cell").cast("long"), col("vec_id"), col("v"))
+    val scoped = if (cells.isEmpty) all else all.filter(col("cell").isin(cells: _*))
+    val built: Set[Long] = scoped
+      .as[(Long, Long, Seq[Double])]
+      .repartition(col("cell"))
+      .mapPartitions { it =>
+        val byCell = it.toArray.groupBy(_._1)
+        byCell.iterator.map { case (cell, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val h = new graft.vector.Hnsw(sorted.head._3.length)
+          sorted.foreach { case (_, id, vec) => h.add(id, vec.toArray) }
+          val file = Paths.get(indexDir, s"cell=$cell.hnsw")
+          val tmp = Files.createTempFile(Paths.get(indexDir), s"tmpcell$cell", ".tmp")
+          h.save(tmp.toString)
+          Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING)
+          graft.vector.Hnsw.cachePut(file.toString, h)
+          cell
+        }
+      }.collect().toSet // ≤ |cells| longs — the bounded build manifest
+    // tombstone blobs of restricted-to cells that no longer exist
+    for (c <- cells if !built.contains(c)) {
+      val file = Paths.get(indexDir, s"cell=$c.hnsw")
+      Files.deleteIfExists(file)
+      graft.vector.Hnsw.evictCached(file.toString)
+    }
+  }
+
+  /** ANN serving read over the cell-blob index: per probed cell, the
+    * resident ([[graft.vector.Hnsw.loadCached]]) blob surrenders its local
+    * top-(k·[[HNSW_SERVE_OVER]]) ids; the exact re-rank reads ONLY the
+    * probed cells' store partitions (partition pruning) and keeps k.
+    *
+    * Two properties the erase path leans on:
+    *   - a probed cell with NO blob (tombstoned by an in-flight
+    *     [[IngestMaintenance.deleteVecs]], or never built) falls back to
+    *     the exact scan of that cell's pruned partitions — slower, never
+    *     wrong;
+    *   - candidates re-rank against the STORE, so even a stale blob's
+    *     candidate list cannot resurrect an erased id (the store row is
+    *     gone; the join drops it). The failure direction of every crash
+    *     window is recall loss, never erased-data exposure.
+    * Driver work is bounded by nprobe (a handful of blob searches), not
+    * store size — the embedded-serving tier. */
+  def searchHnsw(s: SparkSession, storeDir: String, indexDir: String,
+                 cells: Seq[Long], probe: Array[Double], k: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.functions.VectorExprs
+    require(cells.nonEmpty, "searchHnsw needs at least one probe cell")
+    val want = math.max(k * HNSW_SERVE_OVER, 64)
+    val (indexed, missing) = cells.partition(c =>
+      Files.exists(Paths.get(indexDir, s"cell=$c.hnsw")))
+    val cands: Seq[Long] = indexed.flatMap { c =>
+      graft.vector.Hnsw.loadCached(s"$indexDir/cell=$c.hnsw")
+        .search(probe, want, ef = math.max(4 * want, 256)).map(_._1)
+    }
+    val pruned = s.read.parquet(storeDir)
+      .filter(col("cell").isin(cells: _*)) // partition-pruned scan
+    val candidateRows =
+      if (missing.isEmpty) pruned.filter(col("vec_id").isin(cands: _*))
+      else pruned.filter(col("vec_id").isin(cands: _*) ||
+        col("cell").isin(missing: _*)) // exact fallback for blob-less cells
+    candidateRows
+      .select(col("vec_id"),
+        graft.functions.Fns.roundP(
+          VectorExprs.dist2(col("v"), array(probe.map(lit): _*)), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-cell candidate over-fetch factor for [[searchHnsw]] (×k). */
+  val HNSW_SERVE_OVER = 4
+
   /** IVFADC serving read over a codes-bearing store: rank the given probe
     * cells' vectors by ADC distance computed from the STORED `codes`
     * column — the raw `v` column is never read (column pruning) and only

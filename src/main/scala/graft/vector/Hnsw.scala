@@ -212,4 +212,15 @@ object Hnsw {
   /** Register a just-built-and-saved index under its blob path. */
   def cachePut(path: String, h: Hnsw): Unit =
     install(path, cacheKey(path), h)
+
+  /** Drop a path's resident index (right-to-be-forgotten hygiene: after
+    * an erase tombstones or rebuilds a blob, the superseded deserialized
+    * index must not keep answering from JVM memory — the mtime/size cache
+    * key usually invalidates it anyway, but a same-millisecond same-size
+    * rebuild would not). */
+  def evictCached(path: String): Unit =
+    loadCache.synchronized {
+      val old = pathKey.remove(path)
+      if (old != null) loadCache.remove(old)
+    }
 }

@@ -270,6 +270,51 @@ class GqlSpec extends AnyFunSuite {
     assert(topk2() == after, "wrong-dimension probe poisoned the index cache")
   }
 
+  test("vacuum: after remove, the erased row's bytes exist nowhere under the root") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val e = freshEngine()
+    e.exec("{create: 'vdb', group: [{vg: ['v'], index: ['v']}]};")
+    val rows = (0 until 30)
+      .map(i => s"[$i, {v: [${i % 6}.5, ${i / 6}.5]}]").mkString(", ")
+    e.exec(s"{upset: 'vg', vertex: [$rows]};")
+    // build the v1 index generation, then mutate: v1 data + blobs are stale
+    e.query("{query: 'vg', in: 'vdb', where: {v: {limit: 3, $near: [1.0, 1.0]}}};").collect()
+    e.exec("{remove: 'vg', vertex: [7]};")
+
+    val gdir = Paths.get(e.catalog.root, "vdb", "vg")
+    def entries(): Set[String] = {
+      val st = Files.list(gdir)
+      try st.iterator().asScala.map(_.getFileName.toString).toSet
+      finally st.close()
+    }
+    // pre-vacuum: the superseded version dir (and its copy of vertex 7)
+    // still exists — the lazy sweep hasn't run
+    assert(entries().exists(n => n.matches("v\\d+") && n != s"v${e.catalog.versionOf("vdb", "vg")}"),
+      s"expected a stale version dir, got ${entries()}")
+
+    e.catalog.vacuum("vdb")
+
+    val cur = e.catalog.versionOf("vdb", "vg")
+    val left = entries()
+    assert(left.filter(_.matches("v\\d+")) == Set(s"v$cur"),
+      s"non-current version dirs survived vacuum: $left")
+    assert(!left.exists(n => n.startsWith(".hnswp_") && !n.contains(s"_v${cur}_")),
+      s"stale index blobs survived vacuum: $left")
+    // the erased key is gone from every remaining parquet file
+    val remaining = SparkTestBase.spark.read
+      .parquet(gdir.resolve(s"v$cur").toString)
+    assert(remaining.filter(org.apache.spark.sql.functions.col("key_i") === 7L).isEmpty,
+      "erased vertex present in the current version")
+    // and KNN (index route, rebuilt from the current version) never
+    // returns it — probe at the erased vertex's own coordinates
+    val knn = e.query(
+      "{query: 'vg', in: 'vdb', where: {v: {limit: 3, $near: [1.5, 1.5]}}};")
+      .select("key_i").collect().map(_.getLong(0))
+    assert(!knn.contains(7L), s"KNN served the erased vertex: ${knn.toSeq}")
+    assert(knn.nonEmpty)
+  }
+
   test("index generations count separately per group, even for same-named props") {
     val e = freshEngine()
     e.exec("{create: 'vdb', group: [{g1: ['v'], index: ['v']}, {g2: ['v'], index: ['v']}]};")

@@ -204,4 +204,135 @@ class IngestMaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(asideRoot))
     assert(rows().count(_._4 == 1L) == 98) // 100 minus 1003 (earlier) and 1005
   }
+
+  test("deleteVecs: leaf-pruned erasure, blob rebuild, KNN never returns an erased id") {
+    val root = Files.createTempDirectory("graft-delvec")
+    val (src, store, ckpt, seen, idx) =
+      (s"$root/src", s"$root/store", s"$root/ckpt", s"$root/seen", s"$root/idx")
+    Files.createDirectories(Paths.get(src))
+    val cents = VectorOps.seedCentroids(spark, sfDir)
+    def deliver(name: String, idOffset: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(idOffset))
+        .coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      val pf = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      Files.copy(pf, Paths.get(s"$src/$name.parquet"))
+    }
+    deliver("v1", 0L)
+    deliver("v2", 1000000L)
+    val q = VectorIngest.start(spark, src, store, ckpt, seen, cents)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    VectorIngest.buildCellIndexes(spark, store, idx)
+
+    def rows() = spark.read.parquet(store)
+      .select(col("vec_id"), col("cell").cast("long"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = rows()
+    assert(before.nonEmpty)
+
+    // victims: one id per batch, sharing a known cell each; their own
+    // vectors as probes make the strongest possible KNN witness (the
+    // erased id would be the EXACT nearest neighbor of its probe)
+    val store0 = spark.read.parquet(store)
+    val victimRows = store0
+      .filter(col("vec_id").isin(7L, 1000011L))
+      .select(col("vec_id"), col("cell").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    assert(victimRows.length == 2, "victim ids must exist in the store")
+    val victims = victimRows.map(_._1).toSeq
+    val victimCells = victimRows.map(_._2).distinct.toSeq
+
+    // pre-delete: the index path finds each victim as its own nearest
+    for ((id, cell, v) <- victimRows) {
+      val got = VectorIngest.searchHnsw(spark, store, idx, Seq(cell), v, 3)
+        .select("vec_id").collect().map(_.getLong(0))
+      // the offset twin ties at distance 0, so "in top-3", not "first"
+      assert(got.contains(id), s"victim $id not in top-3 of its own vector: ${got.toSeq}")
+    }
+
+    val untouchedCell = before.map(_._2).find(!victimCells.contains(_))
+      .getOrElse(fail("need a cell with no victims"))
+    val untouchedBlobM = Files.getLastModifiedTime(
+      Paths.get(idx, s"cell=$untouchedCell.hnsw")).toMillis
+    // keep a pre-delete copy of a victim cell's blob for the stale-blob case
+    val staleCopy = Paths.get(s"$root/stale.hnsw")
+    Files.copy(Paths.get(idx, s"cell=${victimCells.head}.hnsw"), staleCopy)
+
+    val n = IngestMaintenance.deleteVecs(spark, store, victims, Some(idx))
+    assert(n == 2, s"deleted $n rows")
+    assert(rows() == before.filterNot(r => victims.contains(r._1)),
+      "survivors must be exactly the originals minus victims")
+    // unaffected cells' blobs were not rebuilt
+    assert(Files.getLastModifiedTime(
+      Paths.get(idx, s"cell=$untouchedCell.hnsw")).toMillis == untouchedBlobM,
+      "unaffected cell blob was rewritten")
+
+    // post-delete: KNN never returns an erased id, even probing the
+    // victim's own vector — and the survivors' answers stay exact
+    for ((id, cell, v) <- victimRows) {
+      val got = VectorIngest.searchHnsw(spark, store, idx, Seq(cell), v, 5)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(!got.contains(id), s"erased id $id served by the index path")
+      assert(got.nonEmpty, "survivors must still answer")
+    }
+
+    // idempotent rerun
+    assert(IngestMaintenance.deleteVecs(spark, store, victims, Some(idx)) == 0L)
+
+    // stale-blob defense: restore the PRE-DELETE blob (a crash that
+    // somehow resurrected it) — the store-backed re-rank must still
+    // never surface the erased id
+    Files.copy(staleCopy, Paths.get(idx, s"cell=${victimCells.head}.hnsw"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.vector.Hnsw.evictCached(s"$idx/cell=${victimCells.head}.hnsw")
+    val (sid, scell, sv) = victimRows.head
+    val staleGot = VectorIngest.searchHnsw(spark, store, idx, Seq(scell), sv, 5)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(!staleGot.contains(sid), "stale blob resurrected an erased id")
+
+    // tombstone window: a missing blob (crash between tombstone and
+    // rebuild) falls back to the exact scan — correct, never empty
+    Files.delete(Paths.get(idx, s"cell=$scell.hnsw"))
+    graft.vector.Hnsw.evictCached(s"$idx/cell=$scell.hnsw")
+    val fallback = VectorIngest.searchHnsw(spark, store, idx, Seq(scell), sv, 5)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(fallback.nonEmpty && !fallback.contains(sid),
+      "blob-less cell fallback wrong")
+    // exact fallback ≡ brute force over the pruned cell
+    val brute = spark.read.parquet(store).filter(col("cell") === scell)
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.dist2(col("v"), array(sv.map(lit): _*)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(fallback.toSeq == brute.toSeq, "fallback diverged from brute force")
+
+    // leaf-level crash repair: strand a leaf aside, next run restores it
+    val someLeaf = {
+      val b = rows().head._3; val c = rows().head._2
+      (b, c)
+    }
+    val asideRoot = Paths.get(store + ".delold")
+    Files.createDirectories(asideRoot.resolve(s"batch=${someLeaf._1}"))
+    Files.move(
+      Paths.get(store, s"batch=${someLeaf._1}", s"cell=${someLeaf._2}"),
+      asideRoot.resolve(s"batch=${someLeaf._1}").resolve(s"cell=${someLeaf._2}"))
+    val preRepair = rows()
+    assert(IngestMaintenance.deleteVecs(spark, store, Seq(-1L), Some(idx)) == 0L)
+    assert(!Files.exists(asideRoot))
+    assert(rows().size > preRepair.size, "stranded leaf was not restored")
+
+    // erasing a whole cell tombstones its blob for good
+    val (wipeCell, wipeIds) = {
+      val byCell = rows().groupBy(_._2).minBy(_._2.size)
+      (byCell._1, byCell._2.map(_._1).toSeq)
+    }
+    IngestMaintenance.deleteVecs(spark, store, wipeIds, Some(idx))
+    assert(!Files.exists(Paths.get(idx, s"cell=$wipeCell.hnsw")),
+      "fully-erased cell kept a stale blob")
+    assert(rows().forall(_._2 != wipeCell))
+  }
 }
