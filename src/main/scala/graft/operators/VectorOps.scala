@@ -1273,7 +1273,7 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("v").as("pv"))
       .orderBy("query_id").limit(AR_QUERIES))
 
-  private def recallTopk(cands: DataFrame): DataFrame = {
+  private[graft] def recallTopk(cands: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist2"), col("vec_id"))
     cands
@@ -1285,7 +1285,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"))
   }
 
-  private def recallReport(exact: DataFrame, ann: DataFrame): DataFrame =
+  private[graft] def recallReport(exact: DataFrame, ann: DataFrame): DataFrame =
     exact.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

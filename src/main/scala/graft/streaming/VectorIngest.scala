@@ -157,6 +157,88 @@ object VectorIngest {
       .start()
   }
 
+  /** Streaming ANN RECALL MONITOR — the online counterpart of the
+    * q_ann_recall batch eval: without it, index decay in a live ingest
+    * (fixed coarse-quantizer centroids routing a drifting corpus worse
+    * and worse) is invisible until someone remembers to run the batch
+    * eval. Per micro-batch `bid` over the SAME source stream the ingest
+    * reads:
+    *   1. probe set = the batch's vectors with `vec_id % KJ_MOD == 0`,
+    *      smallest ids first, CAPPED at [[graft.operators.VectorOps.AR_QUERIES]]
+    *      — the q_ann_recall fixed-budget discipline; the cap IS the
+    *      scale posture (an uncapped probe set makes the exact side
+    *      quadratic, PERF.md);
+    *   2. exact side: brute-force top-[[graft.operators.VectorOps.TOPK]]
+    *      of each probe over the store restricted to `batch <= bid` — the
+    *      store a query at this point in the stream could see (and a
+    *      DETERMINISTIC frame: later ingest batches only add higher ids,
+    *      so replay recomputes identical registers);
+    *   3. ANN side: each probe routed to its 2 nearest centroids with the
+    *      ingest's own [[graft.operators.VectorOps.assignCells]] argmin,
+    *      candidates read from ONLY the routed cells' partitions
+    *      (driver-collected cell list → isin pushdown → partition-pruned
+    *      scan), same top-k window;
+    *   4. per-query recall report lands at `monitorDir/batch=<bid>` via
+    *      the per-batch-id overwrite protocol — crash replay and
+    *      re-delivery rewrite byte-identical registers.
+    * Run the monitor AT OR BEHIND the ingest (batch `bid`'s store prefix
+    * must exist when the monitor scores it — the spec runs ingest to
+    * completion first; a live deployment chains it after the ingest's
+    * own foreachBatch or on a lagged trigger).
+    *
+    * Scale: both sides are one scan each of a bounded-probe corpus
+    * (exact: crossJoin with ≤ AR_QUERIES broadcast probes; ANN: pruned
+    * cells only), per batch. Alert wiring reads the register stream —
+    * a dropping per-batch mean recall is the decay signal. */
+  def startRecallMonitor(s: SparkSession, srcDir: String, storeDir: String,
+                         monitorDir: String, checkpointDir: String,
+                         centroids: Seq[(Int, Seq[Double])]): StreamingQuery = {
+    require(centroids.size >= 2, "recall monitor needs >= 2 centroids (2-probe)")
+    import graft.operators.VectorOps
+    s.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val probes = broadcast(batch.dropDuplicates("vec_id")
+          .filter(pmod(col("vec_id"), lit(VectorOps.KJ_MOD)) === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("pv"))
+          .orderBy("query_id").limit(VectorOps.AR_QUERIES))
+        val out = s"$monitorDir/batch=$bid"
+        if (!Ledger.exists(spark, storeDir)) {
+          // store not yet started: an empty register keeps the batch-id
+          // sequence replayable instead of leaving a hole
+          probes.limit(0)
+            .select(col("query_id"), lit(0L).as("n_hit"), lit(0.0).as("recall"))
+            .coalesce(1).write.mode("overwrite").parquet(out)
+        } else {
+          val visible = spark.read.parquet(storeDir)
+            .filter(col("batch") <= bid)
+            .select(col("vec_id"), col("v"), col("cell").cast("long"))
+          val exact = VectorOps.recallTopk(visible.crossJoin(probes))
+          // routing: the ingest's own 2-probe argmin over the probe set
+          val route = VectorOps.assignCells(
+              probes.select(col("query_id"), col("pv").as("v")), centroids, probes = 2)
+            .select(col("query_id"), col("v").as("pv"),
+              explode(array(col("cid"), col("cid2"))).as("cell"))
+          // ≤ 2·AR_QUERIES cell ids to the driver → partition-pruned scan
+          val cellIds = route.select("cell").distinct().collect().map(_.getLong(0))
+          val ann = VectorOps.recallTopk(
+            visible.filter(col("cell").isin(cellIds: _*))
+              .join(broadcast(route.drop("pv")), "cell")
+              .join(probes, "query_id"))
+          VectorOps.recallReport(exact, ann)
+            .coalesce(1).write.mode("overwrite").parquet(out)
+        }
+      }
+      .start()
+  }
+
   /** Build (or refresh) one persisted [[graft.vector.Hnsw]] blob per IVF
     * cell of the store — the fine-grained serving index over the ingest
     * layout ([[graft.gql.GqlEngine]]'s `.hnswp_*` scatter, re-keyed to the

@@ -59,4 +59,53 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
+
+  test("graft_query table function: headline reports SQL ≡ DataFrame, composable") {
+    GraftExtensions.register(spark)
+    // the four headline pipeline reports the SQL surface must reach
+    for (name <- Seq("q_dedup_clusters", "q_quality_ensemble", "q_bm25", "q_mmd_drift")) {
+      val viaSql = spark.sql(
+        s"SELECT * FROM graft_query('$name', '$sfDir')")
+        .collect().map(_.toString).sorted
+      val viaDf = SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted
+      assert(viaSql.sameElements(viaDf), s"$name: SQL route diverged from DataFrame route")
+      assert(viaSql.nonEmpty, s"$name returned no rows")
+    }
+    // the TVF result is a real relation: composable with WHERE/agg
+    val kept = spark.sql(
+      s"""SELECT sum(n_docs) AS n FROM graft_query('q_quality_ensemble', '$sfDir')
+         |WHERE decision = 'keep'""".stripMargin).head().getLong(0)
+    val keptDf = SparkEntry.queries("q_quality_ensemble")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("decision") === "keep")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(kept == keptDf && kept > 0, s"composed TVF aggregate: $kept vs $keptDf")
+    // registry listing covers every queries() entry
+    val listed = spark.sql("SELECT name FROM graft_queries()")
+      .collect().map(_.getString(0)).toSet
+    assert(listed == SparkEntry.queries.keySet, "graft_queries() diverged from the registry")
+    // unknown name fails at analysis with a pointer to the listing
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_query('q_no_such', '$sfDir')").head()
+    }
+    assert(err.getMessage.contains("graft_queries"), err.getMessage)
+  }
+
+  test("registerViews: plain SQL over the loaded SF dir, schema-adaptive") {
+    GraftExtensions.register(spark)
+    GraftExtensions.registerViews(spark, sfDir)
+    val nDocs = spark.sql("SELECT count(*) AS n FROM documents").head().getLong(0)
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+    // events must come through the adaptive loader: ts is a usable timestamp
+    val hours = spark.sql(
+      "SELECT count(DISTINCT date_trunc('hour', ts)) AS h FROM events").head().getLong(0)
+    assert(hours > 0)
+    // views + kernels compose
+    val d0 = spark.sql(
+      """SELECT graft_dist2(cast(a.embedding AS array<double>),
+        |                   cast(b.embedding AS array<double>)) AS d
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 1 AND b.vec_id = 1
+        |""".stripMargin).head().getDouble(0)
+    assert(d0 === 0.0)
+  }
 }

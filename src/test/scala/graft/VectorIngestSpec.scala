@@ -203,4 +203,94 @@ class VectorIngestSpec extends AnyFunSuite {
     val retrained = VectorOps.trainKmeansCentroids(spark, sfDir)
     assert(retrained == first, "persisted centroids diverge from a fresh Lloyd run")
   }
+
+  test("recall monitor: stream matches a from-scratch batch mirror, replay identical") {
+    val root = Files.createTempDirectory("graft-recmon")
+    val (src, store, ckpt, seen, mon, mckpt) =
+      (s"$root/src", s"$root/store", s"$root/ckpt", s"$root/seen",
+        s"$root/mon", s"$root/mckpt")
+    Files.createDirectories(Paths.get(src))
+    val cents = VectorOps.seedCentroids(spark, sfDir)
+
+    // two-file split with DISTINCT mtimes so both streaming queries see
+    // the same file order (FileStreamSource orders by timestamp)
+    def deliver(name: String, idOffset: Long, mtime: Long): Unit = {
+      val stage = s"$root/stage_$name"
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(idOffset))
+        .coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      val pf = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      val dst = Paths.get(s"$src/$name.parquet")
+      Files.copy(pf, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    deliver("v1", 0L, t0 - 60000)
+    deliver("v2", 1000000L, t0 - 30000)
+    // ingest first (the monitor runs at-or-behind the ingest)
+    val qi = VectorIngest.start(spark, src, store, ckpt, seen, cents)
+    try qi.awaitTermination() finally if (qi.isActive) qi.stop()
+    def runMonitor(c: String): Unit = {
+      val qm = VectorIngest.startRecallMonitor(spark, src, store, mon, c, cents)
+      try qm.awaitTermination() finally if (qm.isActive) qm.stop()
+    }
+    runMonitor(mckpt)
+
+    // ---- from-scratch mirror (the Hnsw2RecallSpec discipline) ----
+    def round(x: Double, p: Int) = { val m = math.pow(10, p); math.floor(x * m + 0.5) / m }
+    def d2(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val file0 = base // mtime order: v1 (offset 0) is batch 0
+    val file1 = base.map { case (id, v) => (id + 1000000L, v) }
+    val cellOf: Array[Double] => Int = v =>
+      cents.map { case (cid, cv) => (d2(v, cv.toArray), cid) }.minBy(identity)._2
+    def topk(qid: Long, qv: Array[Double],
+             pool: Seq[(Long, Array[Double])]): Set[Long] =
+      pool.filter(_._1 != qid).map(t => (round(d2(t._2, qv), 6), t._1))
+        .sortBy(identity).take(VectorOps.TOPK).map(_._2).toSet
+    def mirror(batchRows: Seq[(Long, Array[Double])],
+               visible: Seq[(Long, Array[Double])]): Seq[(Long, Long, Double)] = {
+      val probes = batchRows.filter(_._1 % VectorOps.KJ_MOD == 0)
+        .sortBy(_._1).take(VectorOps.AR_QUERIES)
+      probes.map { case (qid, qv) =>
+        val exact = topk(qid, qv, visible)
+        val routed = cents.map { case (cid, cv) => (d2(qv, cv.toArray), cid) }
+          .sortBy(identity).take(2).map(_._2).toSet
+        val ann = topk(qid, qv, visible.filter(t => routed.contains(cellOf(t._2))))
+        val hit = exact.count(ann.contains).toLong
+        (qid, hit, round(hit.toDouble / exact.size, 4))
+      }
+    }
+    def register(b: Long): Seq[(Long, Long, Double)] =
+      spark.read.parquet(s"$mon/batch=$b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val want0 = mirror(file0.toSeq, file0.toSeq)
+    val want1 = mirror(file1.toSeq, (file0 ++ file1).toSeq)
+    assert(want0.nonEmpty && want1.nonEmpty, "mirror selected no probes")
+    assert(register(0) == want0, s"batch-0 register diverged:\n${register(0)}\nvs\n$want0")
+    assert(register(1) == want1, s"batch-1 register diverged:\n${register(1)}\nvs\n$want1")
+
+    // crash replay: wipe ONLY the checkpoint — both files re-deliver with
+    // the same batch ids and must overwrite identical registers
+    val before = spark.read.parquet(mon)
+      .collect().map(_.toString).sorted
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm); Files.delete(p)
+    }
+    rm(Paths.get(mckpt))
+    runMonitor(s"$root/mckpt2")
+    val after = spark.read.parquet(mon)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "replay must recompute identical registers")
+  }
 }
