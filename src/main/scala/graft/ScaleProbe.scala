@@ -282,6 +282,11 @@ object ScaleProbe {
     val results = mults.map { m =>
       val dir = s"/tmp/graft_scale_v2_${srcTag}_$m"
       if (!Files.exists(Paths.get(dir, "_built"))) build(spark, sfDir, m, dir)
+      // SF-scaled AQE fan-out, re-pointed at THIS multiple's replica dir
+      // (runtime SQLConf — the probe's whole point is partition posture
+      // that tracks input size; see Tables.scaledInitialPartitions)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Tables.scaledInitialPartitions(dir, cpus.toInt).toString)
       // warm every table through the noop sink (parquet footers + codegen)
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings")
@@ -404,6 +409,8 @@ object PairScaleProbe {
     val results = mults.map { m =>
       val dir = s"/tmp/graft_pair_v1_${srcTag}_$m"
       if (!Files.exists(Paths.get(dir, "_built"))) build(spark, sfDir, m, dir)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Tables.scaledInitialPartitions(dir, cpus.toInt).toString)
       Seq("customer", "documents", "embeddings", "nation")
         .foreach(t => noop(spark.read.parquet(s"$dir/$t.parquet")))
       val times = probes.map { name =>

@@ -77,4 +77,30 @@ object Tables {
     if (withVec.schema("vec_id").dataType == LongType) withVec
     else withVec.withColumn("vec_id", col("vec_id").cast(LongType))
   }
+
+  /** AQE initial shuffle-partition count scaled with the SF dir's on-disk
+    * bytes. The fixed dev `shuffle.partitions = 32` was the one superlinear
+    * curve in the sf10 cold sweep (q_suffix_dup 12.1× for 10× data,
+    * PERF.md): an 83 M-gram shuffle over 32 reducers pays n·log n sort +
+    * spill per reducer as SF grows. On a real cluster partitions scale with
+    * input; this mirrors that by feeding
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` — AQE then
+    * coalesces SMALL shuffles back down (parallelismFirst keeps the
+    * default-parallelism floor), so only the genuinely large exchanges fan
+    * out. ~8 MB of INPUT bytes per initial partition (shuffle volume runs
+    * 10–50× input for the gram/wedge families, so this lands near the
+    * 64–128 MB-per-reducer cluster rule of thumb); floor = cpus (dev dirs
+    * keep today's exact plans and gate hashes), cap = 4096 (local[32]
+    * task-launch sanity). */
+  def scaledInitialPartitions(sfDir: String, cpus: Int): Int = {
+    import java.nio.file.{Files, Paths}
+    val bytes =
+      try {
+        val s = Files.walk(Paths.get(sfDir))
+        try s.filter(p => Files.isRegularFile(p)).mapToLong(p => Files.size(p)).sum
+        finally s.close()
+      } catch { case _: Throwable => 0L }
+    val perPart = 8L << 20
+    math.min(4096L, math.max(cpus.toLong, (bytes + perPart - 1) / perPart)).toInt
+  }
 }

@@ -14,6 +14,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SF-scaled AQE fan-out (PERF.md: q_suffix_dup's sf10 curve) —
+      // floor = cpus, so dev-SF dirs keep today's exact partitioning and
+      // gate hashes; only large dirs (sf1+) raise the initial count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Tables.scaledInitialPartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")

@@ -1232,8 +1232,24 @@ object BigGraphOps {
     * any ANF_HOPS — the iterative-loop rule), and the previous round
     * unpersists as soon as the readout forces the new frame. NOTE: the
     * returned 5-row frame is a LocalTableScan (rounds execute eagerly),
-    * so plan pins don't see the joins — ScaleProbe is this gate's
-    * scaling net. */
+    * so the returned plan doesn't show the joins — the round shape is
+    * pinned statically via [[anfRound]] (PlanSpec) and a runtime
+    * QueryExecutionListener pin; ScaleProbe is the scaling net. */
+  /** One HyperANF ball-growing round — the element-wise max-merge of each
+    * vertex's own and in-neighbors' registers. Factored so PlanSpec can
+    * pin the join+agg shape statically: [[qHyperAnf]]'s rounds execute
+    * EAGERLY (the curve readout forces each frame), so the gate's returned
+    * 5-row LocalTableScan never exposes this subtree to a plan assert
+    * (open item since r13, closed r16). Shape contract: an equi-join of
+    * the undirected edge frame against the register frame on b = node
+    * (never a nested-loop), then a (node, bucket)-keyed partial+final max
+    * aggregate — E·m rows in flight, ≤ m rows of state per vertex. */
+  private[graft] def anfRound(und: DataFrame, regs: DataFrame): DataFrame =
+    regs
+      .unionByName(und.join(regs, col("b") === col("node"))
+        .select(col("a").as("node"), col("bucket"), col("r")))
+      .groupBy("node", "bucket").agg(max(col("r")).as("r"))
+
   val qHyperAnf: Q = (s, d) => {
     import s.implicits._
     val e = coEdges(s, d).select(col("src"), col("dst"))
@@ -1265,10 +1281,7 @@ object BigGraphOps {
     regs = s.createDataFrame(regs.rdd, regs.schema)
     val curve = scala.collection.mutable.ArrayBuffer(nOf(0, regs))
     for (t <- 1 to ANF_HOPS) {
-      val next = regs
-        .unionByName(und.join(regs, col("b") === col("node"))
-          .select(col("a").as("node"), col("bucket"), col("r")))
-        .groupBy("node", "bucket").agg(max(col("r")).as("r"))
+      val next = anfRound(und, regs)
         .persist(StorageLevel.MEMORY_AND_DISK)
       curve += nOf(t, next) // forces `next`; the previous frame can go
       handle.unpersist()

@@ -136,6 +136,99 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Good–Turing gram width and reported count ceiling. Trigrams, not
+    * unigrams: the synthetic corpus draws from a ~31-word vocabulary
+    * whose every unigram count is ≥ 26 (measured) — the count-of-counts
+    * regime GT prices (hapaxes, doubletons) only exists at the n-gram
+    * level (9,424 trigram hapaxes at sf0.01). Rows above r = 10 hit
+    * N_{r+1} gaps where the raw estimator is undefined (the Gale–Sampson
+    * smoothing regime); the pipeline use is the low-r mass anyway. */
+  val GT_N = 3
+  val GT_MAX = 10
+
+  /** Simple Good–Turing frequency smoothing (Good 1953; Gale & Sampson
+    * 1995) over corpus trigram counts: N_r = |{g : c(g) = r}|, smoothed
+    * count r_star = (r+1)·N_{r+1}/N_r, smoothed probability r_star/N.
+    * The r = 1 row IS the missing-mass estimate (P₀ = N₁/N — the
+    * probability the next trigram drawn is unseen), which prices
+    * [[qNgramNovelty]]'s novelty rate from inside the corpus instead of
+    * against a held-out split, and completes the LM-smoothing family
+    * beside stupid backoff (q_backoff_lm) and Kneser–Ney (q_kneser_ney).
+    *
+    * Exactness: every count is an integer (long) end-to-end; r_star and p_gt
+    * are single double divisions of integer-valued operands, written as
+    * the identical expression tree in the oracle. Scale: corpus → gram
+    * counts (gram-keyed agg, the q_decontaminate stream shape), grams →
+    * count-of-counts (≤ distinct-count-values rows), then a GT_MAX-row
+    * self-join + 1-row total broadcast — bounded. */
+  val qGoodTuring: Q = (s, d) => {
+    // stage the gram array as an attribute, then explode the bare column
+    // (generator rule: an inline transform(...) child would be cloned
+    // into the inferred filter)
+    val gs = Tables.documents(s, d)
+      .select(Fns.tokens(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= GT_N)
+      .select(transform(sequence(lit(1), size(col("w")) - (GT_N - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(GT_N)))).as("gs"))
+    val nr = gs.select(explode(col("gs")).as("gr"))
+      .groupBy("gr").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val tot = nr.agg(sum(col("r") * col("n_r")).as("n_tokens"))
+    val nr1 = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    val rstar = (col("r") + 1).cast("double") *
+      col("n_r1").cast("double") / col("n_r").cast("double")
+    nr.join(nr1, Seq("r"), "left")
+      .filter(col("r") <= GT_MAX)
+      .withColumn("n_r1", coalesce(col("n_r1"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_r1"), col("n_tokens"),
+        Fns.roundP(rstar, 6).as("r_star"),
+        Fns.roundP(rstar / col("n_tokens").cast("double"), 9).as("p_gt"))
+      .orderBy("r")
+  }
+
+  /** Annotator thresholds for [[qCohensKappa]] — both sit at the corpus
+    * medians (n_chars ≈ 306, tokens ≈ 56 at sf0.01, measured), so the
+    * 2×2 table is balanced and the off-diagonal disagreement cells are
+    * populated at every SF. */
+  val KAPPA_CHARS = 300L
+  val KAPPA_TOKS = 55
+
+  /** Cohen's kappa inter-annotator agreement (Cohen 1960) between two
+    * deterministic quality raters — rater A keeps docs with n_chars ≥
+    * [[KAPPA_CHARS]], rater B keeps docs with ≥ [[KAPPA_TOKS]] whitespace
+    * tokens. The labeling-pipeline QA statistic: raw agreement p_o
+    * overstates consensus when the base rate is skewed; kappa discounts
+    * the agreement p_e expected from the raters' marginals alone. (Here
+    * the raters are correlated length heuristics, so the gate doubles as
+    * a regression pin on the tokenizer↔n_chars relationship.)
+    *
+    * Exactness: the 2×2 confusion counts are exact longs from ONE
+    * conditional-count aggregate; p_o, p_e, and kappa are double trees
+    * over those integers written identically in the oracle. Scale: one
+    * corpus scan → one 1-row agg; the kappa algebra is plan-literal. */
+  val qCohensKappa: Q = (s, d) => {
+    val x = Tables.documents(s, d).select(
+      (col("n_chars") >= KAPPA_CHARS).as("a"),
+      (size(Fns.tokens(col("text"))) >= KAPPA_TOKS).as("b"))
+    val m = x.agg(count(lit(1)).as("n"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    val D = (n: String) => col(n).cast("double")
+    m.withColumn("po_raw", (D("n11") + D("n00")) / D("n"))
+      .withColumn("pa", (D("n11") + D("n10")) / D("n"))
+      .withColumn("pb", (D("n11") + D("n01")) / D("n"))
+      .withColumn("pe_raw",
+        col("pa") * col("pb") + (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        Fns.roundP(col("po_raw"), 6).as("po"),
+        Fns.roundP(col("pe_raw"), 6).as("pe"),
+        Fns.roundP((col("po_raw") - col("pe_raw")) / (lit(1.0) - col("pe_raw")), 6)
+          .as("kappa"))
+  }
+
   /** End-to-end curation funnel — the composed "what survives each
     * filter" report a training-data pipeline publishes with every corpus
     * release. Five cumulative stages, each the conjunction of the prior
@@ -1073,6 +1166,8 @@ object CorpusOps {
     "q_zipf_slope"    -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
     "q_ngram_novelty" -> qNgramNovelty,
+    "q_good_turing"   -> qGoodTuring,
+    "q_cohens_kappa"  -> qCohensKappa,
     "q_curation_funnel" -> qCurationFunnel,
     "q_surprisal"     -> qSurprisal,
     "q_bigram_surprisal" -> qBigramSurprisal,
@@ -1223,6 +1318,40 @@ object CorpusOps {
          |  ${Fns.roundPSql("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams", 4)} AS overlap_frac,
          |  (COALESCE(h.n_hit, 0) >= 1) AS contaminated
          |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_good_turing" ->
+      s"""WITH toks AS (SELECT $sqlTokensLower AS w FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(w) - ${GT_N - 2}),
+         |    i -> array_to_string(w[i:i+${GT_N - 1}], ' '))) AS gr
+         |  FROM toks WHERE len(w) >= $GT_N),
+         |f AS (SELECT gr, count(*) AS r FROM g GROUP BY 1),
+         |nr AS (SELECT CAST(r AS BIGINT) AS r, count(*) AS n_r FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM nr),
+         |j AS (SELECT a.r, a.n_r, CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1
+         |  FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 WHERE a.r <= $GT_MAX)
+         |SELECT j.r, j.n_r, j.n_r1, t.n_tokens,
+         |  ${Fns.roundPSql("CAST(j.r + 1 AS DOUBLE) * CAST(j.n_r1 AS DOUBLE) / CAST(j.n_r AS DOUBLE)", 6)} AS r_star,
+         |  ${Fns.roundPSql("(CAST(j.r + 1 AS DOUBLE) * CAST(j.n_r1 AS DOUBLE) / CAST(j.n_r AS DOUBLE)) / CAST(t.n_tokens AS DOUBLE)", 9)} AS p_gt
+         |FROM j CROSS JOIN tot t ORDER BY r""".stripMargin,
+    "q_cohens_kappa" ->
+      s"""WITH x AS (SELECT (n_chars >= $KAPPA_CHARS) AS a,
+         |    (len($sqlTokens) >= $KAPPA_TOKS) AS b FROM documents),
+         |m AS (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |  CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM x),
+         |p AS (SELECT n, n11, n10, n01, n00,
+         |  (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE) AS po_raw,
+         |  (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) / CAST(n AS DOUBLE) AS pa,
+         |  (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) / CAST(n AS DOUBLE) AS pb
+         |  FROM m),
+         |q AS (SELECT p.*, pa * pb + (1.0::DOUBLE - pa) * (1.0::DOUBLE - pb) AS pe_raw FROM p)
+         |SELECT n, n11, n10, n01, n00,
+         |  ${Fns.roundPSql("po_raw", 6)} AS po,
+         |  ${Fns.roundPSql("pe_raw", 6)} AS pe,
+         |  ${Fns.roundPSql("(po_raw - pe_raw) / (1.0::DOUBLE - pe_raw)", 6)} AS kappa
+         |FROM q""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlWsTrim} AS t, $sqlTokens AS w FROM documents),
          |g AS (SELECT doc_id, ${DedupOps.sqlSplitOf("doc_id")} AS split,

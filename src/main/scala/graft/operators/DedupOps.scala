@@ -342,6 +342,49 @@ object DedupOps {
       .select(col("doc_id"), col("source"), col("w"),
         Fns.roundP(col("es_key"), 6).as("es_key"))
 
+  /** Exact sample size for [[qPrioritySample]]. */
+  val PRI_K = 100
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    * ESTIMATOR-carrying cousin of [[qWeightedSample]]: each doc draws
+    * priority w/u (u the deterministic hash-uniform), the top-K
+    * priorities are the sample, τ is the (K+1)-th priority, and every
+    * sampled item carries the Horvitz–Thompson weight ŵ = max(w, τ) —
+    * so Σŵ over ANY sampled subset is an unbiased estimate of that
+    * subset's total weight. That subset-sum property is what a corpus
+    * audit needs ("how many bytes does source X contribute?" answered
+    * from the sample alone), and ES sampling does not provide it.
+    * Weight = n_chars (byte budget), deliberately distinct from the ES
+    * gate's token budget.
+    *
+    * Scale posture: one zero-shuffle scan into TakeOrderedAndProject
+    * (per-partition (K+1)-heaps, a (K+1)-row driver merge); the 101-row
+    * top frame persists for its two bounded consumers (τ agg + report) —
+    * never a global sort, never a second corpus scan. Exactness: priority
+    * and ŵ are double ops on integer-valued inputs written as identical
+    * trees in both engines; comparisons/top-K order on the raw doubles. */
+  val qPrioritySample: Q = (s, d) => {
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((Fns.hash32(concat(lit("pri_"), col("doc_id").cast("string")))
+          .cast("double") + lit(0.5)) / lit(graft.functions.Kmv.HASH_SPACE)).as("u"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars").cast("double") / col("u")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PRI_K + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tau = top.agg(min(col("priority")).as("tau"))
+    top.crossJoin(broadcast(tau))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
+      .filter(col("rk") <= PRI_K)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Fns.roundP(col("priority"), 4).as("priority"),
+        Fns.roundP(greatest(col("n_chars").cast("double"), col("tau")), 4)
+          .as("est_w"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-mix budget: keep ~MIX_NUM/MIX_DEN of the MEAN per-source token
     * total from every source. */
   val MIX_NUM = 6L
@@ -1197,6 +1240,7 @@ object DedupOps {
     "q_stratified_sample" -> qStratifiedSample,
     "q_uniform_k"         -> qUniformK,
     "q_weighted_sample"   -> qWeightedSample,
+    "q_priority_sample"   -> qPrioritySample,
     "q_corpus_mix"        -> qCorpusMix,
     "q_temperature_sample" -> qTemperatureSample,
     "q_jaccard_pairs"     -> qJaccardPairs,
@@ -1431,6 +1475,20 @@ object DedupOps {
          |SELECT doc_id, source, w, ${Fns.roundPSql("ln(u) / CAST(w AS DOUBLE)", 6)} AS es_key
          |FROM t WHERE w > 0
          |ORDER BY ln(u) / CAST(w AS DOUBLE) DESC, doc_id LIMIT $WEIGHTED_K""".stripMargin,
+    "q_priority_sample" ->
+      s"""WITH pri AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(n_chars AS DOUBLE) /
+         |      ((CAST(${sqlHash32("'pri_' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+         |        / ${graft.functions.Kmv.HASH_SPACE}) AS priority
+         |  FROM documents),
+         |top AS (SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT ${PRI_K + 1}),
+         |tau AS (SELECT min(priority) AS tau FROM top),
+         |r AS (SELECT t.*, row_number() OVER (ORDER BY priority DESC, doc_id) AS rk FROM top t)
+         |SELECT doc_id, source, n_chars,
+         |  ${Fns.roundPSql("priority", 4)} AS priority,
+         |  ${Fns.roundPSql("greatest(CAST(n_chars AS DOUBLE), tau.tau)", 4)} AS est_w
+         |FROM r CROSS JOIN tau WHERE rk <= $PRI_K ORDER BY doc_id""".stripMargin,
     "q_corpus_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, CAST(len(${TextOps.sqlTokens}) AS BIGINT) AS n_toks

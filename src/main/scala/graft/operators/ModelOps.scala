@@ -417,7 +417,11 @@ object ModelOps {
     * Plan: rides the same (doc, token, tf) collapse + broadcast model as
     * qNbLang; the softmax/argmax windows run on the 5-rows-per-doc score
     * frame; the report is one bounded (≤10-row) agg. */
-  val qCalibration: Q = (s, d) => {
+  /** Per-document NB confidence frame (doc_id, lang, pred, conf) — the
+    * calibration chain down to each document's softmax confidence and
+    * top-1 prediction, shared verbatim by [[qCalibration]] and
+    * [[qIsotonic]] so both gates score the identical predictions. */
+  private def calibPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = nbTokenTf(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val (term, pri) = nbModelFromTf(s, tf, docs)
@@ -429,11 +433,15 @@ object ModelOps {
         .cast("decimal(28,18)"))
       .withColumn("rk", row_number().over(
         wD.orderBy(col("score").desc, col("cand"))))
-    val perDoc = scored.groupBy("doc_id")
+    scored.groupBy("doc_id")
       .agg(sum(col("p")).as("denom"),
         min(when(col("rk") === 1, col("cand"))).as("pred"))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("conf", lit(1.0) / col("denom").cast("double"))
+  }
+
+  val qCalibration: Q = (s, d) => {
+    val perDoc = calibPerDoc(s, d)
       .withColumn("bucket",
         least(floor(col("conf") * 10), lit(9.0)).cast("int"))
     perDoc.groupBy("bucket")
@@ -444,6 +452,61 @@ object ModelOps {
         Fns.roundP(col("cs").cast("double") / col("n"), 6).as("mean_conf"),
         Fns.roundP(col("ok").cast("double") / col("n"), 6).as("acc"))
       .withColumn("gap", Fns.roundP(abs(col("mean_conf") - col("acc")), 6))
+      .orderBy("bucket")
+  }
+
+  /** Isotonic (PAVA) recalibration of the NB confidence-vs-accuracy curve
+    * (Zadrozny & Elkan, KDD 2002) — the nonparametric monotone map a
+    * production filter applies on top of [[qCalibration]]'s reliability
+    * diagram: `iso` is the least-squares monotone fit of per-bucket
+    * accuracy on confidence, the lookup table that turns a miscalibrated
+    * score into a usable keep-probability.
+    *
+    * Computed via the minimax identity iso(i) = max_{j≤i} min_{k≥i}
+    * wavg(acc, j..k) (Barlow et al. 1972), which equals the
+    * pool-adjacent-violators fit but is pure BOUNDED relational algebra —
+    * no sequential merge loop, so no driver fold and the DuckDB twin is
+    * plain SQL. Exactness: wavg(j..k) = (cumOk_k − cumOk_j + ok_j) /
+    * (cumN_k − cumN_j + n_j) is an integer÷integer with ONE double
+    * division, so both engines produce the identical IEEE value and the
+    * min/max comparisons cannot diverge.
+    *
+    * Scale posture: the corpus collapses to ≤ 10 decile rows inside the
+    * same doc-keyed chain qCalibration runs; the O(B³) minimax join is
+    * over a B = 10-row frame — plan-literal work, scale-free. PlanSpec's
+    * calibration pins cover the corpus-side chain; IsotonicSpec pins
+    * monotonicity and equality with a from-scratch sequential PAVA. */
+  val qIsotonic: Q = (s, d) => {
+    val b = calibPerDoc(s, d)
+      .withColumn("bucket",
+        least(floor(col("conf") * 10), lit(9.0)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("ok"))
+    // prefix sums over the bounded bucket frame (single-partition window
+    // over ≤ 10 rows — deliberately un-partitioned)
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.select(col("bucket"), col("n"), col("ok"),
+      sum(col("n")).over(wB).as("cn"), sum(col("ok")).over(wB).as("cok"))
+    val pj = cum.select(col("bucket").as("j"), col("n").as("nj"),
+      col("ok").as("okj"), col("cn").as("cnj"), col("cok").as("cokj"))
+    val pk = cum.select(col("bucket").as("k"),
+      col("cn").as("cnk"), col("cok").as("cokk"))
+    val pairs = pj.join(pk, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cokk") - col("cokj") + col("okj")).cast("double") /
+         (col("cnk") - col("cnj") + col("nj")).cast("double")).as("wavg"))
+    cum.select(col("bucket"), col("n"), col("ok"))
+      .join(pairs, col("j") <= col("bucket") && col("k") >= col("bucket"))
+      .groupBy(col("bucket"), col("n"), col("ok"), col("j"))
+      .agg(min(col("wavg")).as("mn"))
+      .groupBy(col("bucket"), col("n"), col("ok"))
+      .agg(max(col("mn")).as("iso_raw"))
+      .select(col("bucket"), col("n"),
+        Fns.roundP(col("ok").cast("double") / col("n").cast("double"), 6)
+          .as("acc"),
+        Fns.roundP(col("iso_raw"), 6).as("iso"))
       .orderBy("bucket")
   }
 
@@ -941,6 +1004,7 @@ object ModelOps {
     "q_nb_lang"      -> qNbLang,
     "q_nb_metrics"   -> qNbMetrics,
     "q_calibration"  -> qCalibration,
+    "q_isotonic"     -> qIsotonic,
     "q_auc"          -> qAuc,
     "q_winnow"       -> qWinnow,
     "q_bpe_merges"   -> qBpeMerges,
@@ -1021,6 +1085,45 @@ object ModelOps {
        |SELECT bucket, n, mean_conf, acc,
        |  ${Fns.roundPSql("abs(mean_conf - acc)", 6)} AS gap
        |FROM rep ORDER BY bucket""".stripMargin
+
+  /** Twin of [[qIsotonic]]: the calibration chain down to the decile
+    * (n, ok) counts, then the same O(B³) minimax over prefix sums —
+    * integer arithmetic until one double division per pair. */
+  private def sqlIsotonic: String =
+    s"""WITH $sqlNbPrelude,
+       |scored AS (SELECT doc_id, cand, score,
+       |    max(score) OVER (PARTITION BY doc_id) AS m,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+       |  FROM fin),
+       |sp AS (SELECT doc_id, cand, rk,
+       |    CAST(exp(CAST(score - m AS DOUBLE)) AS DECIMAL(28,18)) AS p
+       |  FROM scored),
+       |pd AS (SELECT sp.doc_id, sum(sp.p) AS denom,
+       |    min(CASE WHEN sp.rk = 1 THEN sp.cand END) AS pred
+       |  FROM sp GROUP BY 1),
+       |cj AS (SELECT pd.doc_id, pd.pred, d.lang,
+       |    1.0::DOUBLE / CAST(pd.denom AS DOUBLE) AS conf
+       |  FROM pd JOIN documents d USING (doc_id)),
+       |bk AS (SELECT CAST(least(floor(conf * 10), 9.0::DOUBLE) AS INTEGER) AS bucket,
+       |    (pred = lang) AS ok FROM cj),
+       |b AS (SELECT bucket, count(*) AS n,
+       |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS ok
+       |  FROM bk GROUP BY 1),
+       |cum AS (SELECT bucket, n, ok,
+       |    CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cn,
+       |    CAST(sum(ok) OVER (ORDER BY bucket) AS BIGINT) AS cok FROM b),
+       |pairs AS (SELECT j.bucket AS j, k.bucket AS k,
+       |    CAST(k.cok - j.cok + j.ok AS DOUBLE)
+       |      / CAST(k.cn - j.cn + j.n AS DOUBLE) AS wavg
+       |  FROM cum j JOIN cum k ON j.bucket <= k.bucket),
+       |mn AS (SELECT c.bucket, c.n, c.ok, p.j, min(p.wavg) AS mn
+       |  FROM cum c JOIN pairs p ON p.j <= c.bucket AND p.k >= c.bucket
+       |  GROUP BY 1, 2, 3, 4),
+       |iso AS (SELECT bucket, n, ok, max(mn) AS iso_raw FROM mn GROUP BY 1, 2, 3)
+       |SELECT bucket, n,
+       |  ${Fns.roundPSql("CAST(ok AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS acc,
+       |  ${Fns.roundPSql("iso_raw", 6)} AS iso
+       |FROM iso ORDER BY bucket""".stripMargin
 
   /** Twin of [[qAuc]]: same prelude and softmax, then the integer
     * Mann–Whitney prefix-sum over (class, distinct score) counts. */
@@ -1333,6 +1436,7 @@ object ModelOps {
     "q_unigram_tokenize" -> uniTokenizeSql,
     "q_nb_lang" -> s"$sqlNbConfusion\nORDER BY 1, 2",
     "q_calibration" -> sqlCalibration,
+    "q_isotonic" -> sqlIsotonic,
     "q_auc" -> sqlAuc,
     // metrics from the SAME confusion chain; one integer-operand division
     // per ratio, nullif for never-predicted classes

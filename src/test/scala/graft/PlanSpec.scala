@@ -445,4 +445,66 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"count aggs lost map-side combine:\n$p")
   }
+
+  test("q_hyperanf round: register max-merge is an equi-join + partial/final agg") {
+    // qHyperAnf's rounds execute EAGERLY (the curve readout forces each
+    // frame), so the gate's returned 5-row plan can't be pinned — pin the
+    // factored round builder instead, fed by the gate's own inputs.
+    import org.apache.spark.sql.functions._
+    val e = operators.BigGraphOps.coEdges(spark, sfDir)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val regs = operators.SketchOps.hllRegistersAt(
+      und.select(col("a").as("node")).distinct()
+        .select(col("node"),
+          graft.functions.Fns.hash32(
+            concat(lit("anf_"), col("node").cast("string"))).as("h")),
+      "node", operators.BigGraphOps.ANF_BITS)
+    val p = operators.BigGraphOps.anfRound(und, regs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"register merge went non-equi:\n$p")
+    assert(p.contains("partial_max"),
+      s"max-merge lost map-side combine:\n$p")
+    assert(p.contains("bucket"),
+      s"agg no longer keyed by (node, bucket):\n$p")
+  }
+
+  test("q_hyperanf executes rounds over persisted registers behind a lineage cut") {
+    // Runtime pin via QueryExecutionListener: each round's readout plan
+    // must show (a) the register max-merge agg actually executing, (b) the
+    // previous round scanned as a flat ExistingRDD (the lineage cut — a
+    // recursive plan would OOM the driver at depth), (c) InMemoryTableScan
+    // (the persisted edge/register posture).
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("q_hyperanf")(spark, sfDir).collect()
+      // the listener bus is async — poll until the round plans arrive
+      def all() = captured.asScala.mkString("\n===\n")
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !(all().contains("partial_max") && all().contains("ExistingRDD")))
+        Thread.sleep(100)
+      val a = all()
+      assert(a.contains("partial_max"),
+        s"no captured plan shows the register max-merge executing:\n$a")
+      assert(a.contains("ExistingRDD"),
+        s"no captured plan reads the lineage-cut LogicalRDD view:\n$a")
+      assert(a.contains("InMemoryTableScan"),
+        s"no captured plan scans a persisted frame:\n$a")
+    } finally spark.listenerManager.unregister(l)
+  }
 }
