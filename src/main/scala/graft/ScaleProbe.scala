@@ -206,9 +206,35 @@ object ScaleProbe {
     "q_quality_ensemble",    // digest-keyed keeper agg + join-back, signals
                              // row-local codegen, (source × 4)-bounded final
                              // agg (documents)
+    "q_good_turing",         // gram-keyed counts collapse to the bounded
+                             // count-of-counts frame; the GT algebra is a
+                             // GT_MAX-row self-join (documents)
+    "q_cohens_kappa",        // one conditional-count agg, 1-row output
+                             // (documents)
+    "q_priority_sample",     // zero-shuffle scan into TakeOrdered(K+1) +
+                             // 101-row τ algebra (documents)
+    "q_isotonic",            // the calibration chain's corpus-side aggs;
+                             // the minimax join rides the ≤10-row decile
+                             // frame (documents)
+    "q_silhouette",          // one 2-probe plan-literal argmin scan + one
+                             // cid-keyed agg — the q_kmeans assignment
+                             // posture (embeddings)
+    "q_cuped",               // one min/max agg + one user-keyed agg into a
+                             // single global moment row (events)
+    "q_bootstrap_ci",        // B-way per-row expansion collapses map-side
+                             // to B rows/partition; downstream 40-row
+                             // frames (events)
+    "q_lof",                 // three capped broadcast kNN scans over the
+                             // persisted corpus; P·k²-bounded algebra
+                             // (embeddings)
     "q_mst")                 // Borůvka: log-V rounds of component-keyed
                              // min-edge aggs + pointer-doubling joins on
                              // component-count-sized frames (orders)
+    // q_davies_bouldin: q_silhouette's assignment scan (probed) + K²-row
+    // centroid algebra — no separate probe
+    // q_bh_fdr: rides the q_ks_test scan (shared ksPerSource builder);
+    // everything after is #sources-bounded — the scan shape is probed by
+    // the drift family
     // q_sax: rides the q_changepoint (type, hour) frame — calendar-bounded
     // downstream by construction; the scan is the only ×mult term and that
     // shape is probed via q_window_agg-family gates everywhere above

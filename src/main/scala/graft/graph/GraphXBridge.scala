@@ -15,9 +15,23 @@ import org.apache.spark.sql.DataFrame
   * agree on component structure and degree counts.
   */
 object GraphXBridge {
+  /** Bound the edge RDD's partition count before Pregel: a superstep pays
+    * fixed cost PER PARTITION PER ROUND, so the DF→RDD handoff must not
+    * inherit an AQE fan-out sized for one-pass shuffles. Measured: sf10
+    * q_scc_big inherited ~215 partitions from the SF-scaled
+    * initialPartitionNum and its SCC Pregel (hundreds of inner rounds ×
+    * 215 tasks) ran 20× past its 32-partition time — coalesce to
+    * defaultParallelism (executors × cores on a real cluster — the
+    * standard GraphX sizing; coalesce, not repartition: no extra
+    * shuffle). A smaller inherited count is left alone. */
+  private def bounded(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      target: Int) =
+    if (rdd.getNumPartitions > target) rdd.coalesce(target) else rdd
+
   /** Build a directed graph from an (src: int, dst: int) DataFrame. */
   def fromEdgeDF(edges: DataFrame): Graph[Int, Int] = {
-    val e = edges.select("src", "dst").rdd
+    val e = bounded(edges.select("src", "dst").rdd,
+        edges.sparkSession.sparkContext.defaultParallelism)
       .map(r => Edge(r.getInt(0).toLong, r.getInt(1).toLong, 1))
     Graph.fromEdges(e, defaultValue = 0)
   }
@@ -25,7 +39,8 @@ object GraphXBridge {
   /** Build a directed graph from an (src: long, dst: long) DataFrame —
     * the SF-scaled co-purchase graph ([[graft.operators.BigGraphOps]]). */
   def fromLongEdgeDF(edges: DataFrame): Graph[Int, Int] = {
-    val e = edges.select("src", "dst").rdd
+    val e = bounded(edges.select("src", "dst").rdd,
+        edges.sparkSession.sparkContext.defaultParallelism)
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
     Graph.fromEdges(e, defaultValue = 0)
   }

@@ -954,7 +954,15 @@ object BigGraphOps {
   /** Hop-bounded multi-round BFS over an undirected edge frame (a, b):
     * min-hop distances from `start`, [[DS_HOPS]] supersteps of
     * frontier⋈edges + anti-join dedupe ([[qBfsBig]]'s dataflow, reused
-    * for both sweeps). */
+    * for both sweeps). This shape was re-adjudicated in r16 after the
+    * q_diameter warm-time flag: the gate is overhead-dominated (tiny
+    * frontiers × ~0.3 s fixed per-job latency, data-volume-free), and
+    * three restructures all measured AT-OR-WORSE same-host (fused
+    * min-flag agg replacing distinct+anti 6.1 s vs 5.4–6.0 s baseline;
+    * frontier-drain early exit 5.7 s — at shipped SFs ecc hits the hop
+    * CAP so zero rounds drain and the per-round isEmpty probe is pure
+    * added latency; AQE-off 6.5 s). The r14→r15 2× was host drift, not
+    * plan — see PERF.md r16 and the bench canary. */
   private def undBfs(s: SparkSession, und: DataFrame, start: Long): DataFrame = {
     var frontier = s.range(1)
       .select(lit(start).as("node"), lit(0).as("hop")).localCheckpoint()

@@ -737,18 +737,26 @@ object DedupOps {
     * corpora with planted spans at arbitrary offsets. */
   private[graft] def suffixDupOf(docs: DataFrame): DataFrame = {
     val eligible = docs.filter(col("n_chars") >= SUF_K)
-    // explode the cheap INT sequence, hash after: md5-inside-a-transform
+    // explode the cheap INT sequence, hash after: a hash-inside-a-transform
     // would run interpreted per element (HOFs have no codegen), while here
-    // the per-gram md5(substr) is an ordinary projected expression inside
+    // the per-gram digest is an ordinary projected expression inside
     // whole-stage codegen. Inner posexplode keeps the Generate in codegen
     // too (outer drops out, CLAUDE.md); InferFiltersFromGenerate's cloned
     // size(sequence)>0 filter costs one int-array alloc per ROW — noise
     // next to the per-ELEMENT work it would clone under the transform form.
+    // The digest is xxhash64 (8-byte long), NOT an md5 hex string: the
+    // gram stream is the biggest frame in the library (83 M+ rows at
+    // sf10) and it both persists and shuffles — 20-byte rows instead of
+    // ~60, and no per-gram md5+hex CPU (the q_bleu digest-key precedent;
+    // measured 252 s → see PERF.md at sf10). The oracle groups the raw
+    // md5 text digest — identical dup sets modulo a 64-bit collision
+    // (~1.9e-6 at the sf1 sweep's 8.3 M grams), verified hash-exact at
+    // every oracle-checked SF.
     val grams = eligible
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0), col("n_chars") - lit(SUF_K))))
       .select(col("doc_id"), col("pos").as("j"),
-        md5(col("text").substr(col("pos") + lit(1), lit(SUF_K))).as("h"))
+        xxhash64(col("text").substr(col("pos") + lit(1), lit(SUF_K))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cross-doc recurrence without a countDistinct Expand: min ≠ max doc_id
     val dup = grams.groupBy("h")

@@ -917,6 +917,194 @@ object EventOps {
           sqrt(col("v0") / D("n0") + col("v1") / D("n1")), 4).as("z"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013) — the industry-standard pre-experiment covariate adjustment:
+    * unit = user, variant = user_id mod 2 (the [[qAbTest]] split), the
+    * calendar midpoint of the event span divides a PRE period (covariate
+    * X = the user's pre-period value sum) from the EXPERIMENT period
+    * (metric Y = post-period value sum); θ = cov(X,Y)/var(X) pooled over
+    * all units, Ycuped = Y − θ(X − mean X), and the readout is the Welch
+    * z on the adjusted per-user metric beside the naive one — the same
+    * decision statistic with (1 − ρ²) of the variance, free at scale
+    * because X is historical data the warehouse already has.
+    *
+    * Exactness: per-user X/Y are decimal-exact 2-dp event sums re-cast
+    * to decimal(18,2); every second moment (X², Y², XY) sums exact
+    * decimal(37,4) products (re-cast BEFORE multiplying so no
+    * allowPrecisionLoss rounding — the q_sax lesson); θ, both z's, and
+    * the variance-reduction assemble in fixed double trees mirrored
+    * op-for-op, with the [[qAbTest]] n>1 variance guard and a var(X)≠0
+    * guard on θ so degenerate inputs NULL identically on both engines.
+    *
+    * Scale shape: one cheap min/max-day agg + one user-keyed agg that
+    * collapses straight into ONE global moment row — two exchanges, no
+    * windows, nothing driver-side; the adjusted z costs the same plan as
+    * the naive one. */
+  val qCuped: Q = (s, d) => {
+    import org.apache.spark.sql.Column
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        expr(s"unix_micros(ts) div $DAY_US").as("di"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mid = broadcast(ev.agg(expr("(min(di) + max(di)) div 2").as("mid")))
+    val dec2 = (c: Column) => c.cast("decimal(18,2)")
+    val per = ev.crossJoin(mid)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("di") < col("mid"), dec2(col("value")))),
+          lit(0).cast("decimal(18,2)")).as("x0"),
+        coalesce(sum(when(col("di") >= col("mid"), dec2(col("value")))),
+          lit(0).cast("decimal(18,2)")).as("y0"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"),
+        dec2(col("x0")).as("x"), dec2(col("y0")).as("y"))
+    val m = per.agg(
+      count(lit(1)).as("n"),
+      count(when(col("variant") === 0, 1)).as("n0"),
+      count(when(col("variant") === 1, 1)).as("n1"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(when(col("variant") === 0, col("x"))).as("sx0"),
+      sum(when(col("variant") === 0, col("y"))).as("sy0"),
+      sum(when(col("variant") === 0, col("x") * col("x"))).as("sxx0"),
+      sum(when(col("variant") === 0, col("y") * col("y"))).as("syy0"),
+      sum(when(col("variant") === 0, col("x") * col("y"))).as("sxy0"),
+      sum(when(col("variant") === 1, col("x"))).as("sx1"),
+      sum(when(col("variant") === 1, col("y"))).as("sy1"),
+      sum(when(col("variant") === 1, col("x") * col("x"))).as("sxx1"),
+      sum(when(col("variant") === 1, col("y") * col("y"))).as("syy1"),
+      sum(when(col("variant") === 1, col("x") * col("y"))).as("sxy1"))
+    val D = (nm: String) => col(nm).cast("double")
+    def svar(sq: String, sm: String, nn: String): Column =
+      when(col(nn) > 1,
+        (D(sq) - D(sm) * D(sm) / D(nn)) / (D(nn) - 1))
+    def scov(sp: String, sa: String, sb: String, nn: String): Column =
+      when(col(nn) > 1,
+        (D(sp) - D(sa) * D(sb) / D(nn)) / (D(nn) - 1))
+    m.withColumn("mx", D("sx") / D("n"))
+      .withColumn("vx", svar("sxx", "sx", "n"))
+      .withColumn("vy", svar("syy", "sy", "n"))
+      .withColumn("cv", scov("sxy", "sx", "sy", "n"))
+      .withColumn("theta", when(col("vx") =!= 0.0, col("cv") / col("vx")))
+      .withColumn("my0", D("sy0") / D("n0"))
+      .withColumn("my1", D("sy1") / D("n1"))
+      .withColumn("vy0", svar("syy0", "sy0", "n0"))
+      .withColumn("vy1", svar("syy1", "sy1", "n1"))
+      .withColumn("vx0", svar("sxx0", "sx0", "n0"))
+      .withColumn("vx1", svar("sxx1", "sx1", "n1"))
+      .withColumn("cv0", scov("sxy0", "sx0", "sy0", "n0"))
+      .withColumn("cv1", scov("sxy1", "sx1", "sy1", "n1"))
+      .withColumn("ma0",
+        col("my0") - col("theta") * (D("sx0") / D("n0") - col("mx")))
+      .withColumn("ma1",
+        col("my1") - col("theta") * (D("sx1") / D("n1") - col("mx")))
+      .withColumn("va0", col("vy0") - lit(2.0) * col("theta") * col("cv0") +
+        col("theta") * col("theta") * col("vx0"))
+      .withColumn("va1", col("vy1") - lit(2.0) * col("theta") * col("cv1") +
+        col("theta") * col("theta") * col("vx1"))
+      .withColumn("vyc", col("vy") - lit(2.0) * col("theta") * col("cv") +
+        col("theta") * col("theta") * col("vx"))
+      .select(col("n0"), col("n1"),
+        Fns.roundP(col("theta"), 6).as("theta"),
+        Fns.roundP(col("ma0"), 6).as("mean0_adj"),
+        Fns.roundP(col("ma1"), 6).as("mean1_adj"),
+        Fns.roundP((col("my0") - col("my1")) /
+          sqrt(col("vy0") / D("n0") + col("vy1") / D("n1")), 4).as("z_naive"),
+        Fns.roundP((col("ma0") - col("ma1")) /
+          sqrt(col("va0") / D("n0") + col("va1") / D("n1")), 4).as("z_cuped"),
+        Fns.roundP(lit(1.0) - col("vyc") / col("vy"), 6).as("var_reduction"))
+  }
+
+  /** Bootstrap replicate count for [[qBootstrapCi]] — the budget knob:
+    * per-row work is 1 md5 + B integer ops, so cost scales linearly in B
+    * with NO extra shuffle volume (partial aggregation collapses the
+    * B-way expansion to B rows per partition before the exchange). */
+  val BOOT_B = 40
+  /** Knuth multiplicative-hash odd constant — steps one md5-uniform into
+    * B per-replicate uniforms (a Weyl sequence mod 2^32): u_b =
+    * (h + b·STEP) mod 2^32. One md5 per ROW, not per (row, replicate). */
+  val BOOT_STEP = 2654435761L
+  /** Poisson(1) CDF thresholds scaled to the 2^32 hash space, so the
+    * weight draw is an exact INTEGER comparison in both engines (no
+    * float rounding can flip a draw): w = #{thresholds ≤ r}, capped at
+    * [[BOOT_CDF]].length. */
+  val BOOT_CDF: Array[Long] = {
+    val e = math.exp(-1.0)
+    (0 to 5).map(k =>
+      ((0 to k).map(i => e / (1 to i).product).sum * 4294967296.0).toLong)
+      .toArray
+  }
+  /** Percentile-CI rank indices at α = 0.05: lo = ⌈0.025·B⌉, hi =
+    * ⌊0.975·B⌋. */
+  val BOOT_LO = 1
+  val BOOT_HI = 39
+
+  /** Poisson-bootstrap confidence interval for the mean event value
+    * (Efron 1979; the Poisson(1)-weight approximation to multinomial
+    * resampling is THE distributed form — Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): every row gets
+    * [[BOOT_B]] deterministic Poisson(1) weights (md5 hash-uniform
+    * stepped by a Weyl sequence, inverse-CDF via exact integer threshold
+    * comparisons), each replicate's weighted mean is an exact
+    * decimal-sum ratio, and the report is the point estimate, bootstrap
+    * SE, and the rank-based 95% percentile interval.
+    *
+    * Exactness: weights are integers from integer comparisons; Σw·value
+    * sums exact decimals; replicate means are single double divisions;
+    * SE moments sum through decimal(28,18); the CI bounds are ORDER
+    * STATISTICS (rank 1/39 of 40, ties broken by replicate id) — every
+    * number either exact or one fixed double tree.
+    *
+    * Scale shape: one corpus scan; the B-way expansion collapses to
+    * B rows per partition map-side (partial agg before the exchange), so
+    * shuffle volume is O(B·partitions) regardless of input size;
+    * everything downstream rides the B-row frame (single-partition
+    * window over 40 rows). */
+  val qBootstrapCi: Q = (s, d) => {
+    import org.apache.spark.sql.Column
+    val dec2 = (c: Column) => c.cast("decimal(18,2)")
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val pt = broadcast(ev.agg(count(lit(1)).as("n_events"),
+      sum(dec2(col("value"))).as("sv")))
+    val wCase = BOOT_CDF.tail.zipWithIndex
+      .foldLeft(when(col("r") < BOOT_CDF(0), 0)) {
+        case (acc, (c, i)) => acc.when(col("r") < c, i + 1)
+      }.otherwise(BOOT_CDF.length)
+    val reps = ev
+      .select(col("value"),
+        Fns.hash32(concat(lit("boot_"), col("event_id").cast("string")))
+          .as("h"))
+      .select(col("value"), col("h"),
+        explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
+      .withColumn("r",
+        pmod(col("h") + col("b") * lit(BOOT_STEP), lit(4294967296L)))
+      .withColumn("w", wCase)
+      .groupBy("b")
+      .agg(sum(col("w").cast("long")).as("sw"),
+        sum(col("w").cast("decimal(3,0)") * dec2(col("value"))).as("swv"))
+      .withColumn("m", when(col("sw") > 0,
+        col("swv").cast("double") / col("sw").cast("double")))
+      .filter(col("m").isNotNull)
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
+    val D = (nm: String) => col(nm).cast("double")
+    reps.agg(
+        count(lit(1)).as("b_n"),
+        sum(col("m").cast("decimal(28,18)")).as("sm"),
+        sum((col("m") * col("m")).cast("decimal(28,18)")).as("smm"),
+        max(when(col("rn") === BOOT_LO, col("m"))).as("lo"),
+        max(when(col("rn") === BOOT_HI, col("m"))).as("hi"))
+      .crossJoin(pt)
+      .select(col("n_events"), col("b_n"),
+        Fns.roundP(col("sv").cast("double") / D("n_events"), 6).as("est"),
+        Fns.roundP(col("sm").cast("double") / D("b_n"), 6).as("boot_mean"),
+        Fns.roundP(sqrt((col("smm").cast("double") -
+          col("sm").cast("double") * col("sm").cast("double") / D("b_n")) /
+          (D("b_n") - 1)), 6).as("se"),
+        Fns.roundP(col("lo"), 6).as("ci_lo"),
+        Fns.roundP(col("hi"), 6).as("ci_hi"))
+  }
+
   /** Burstiness per event type — the Fano factor (index of dispersion,
     * var/mean) of the hourly count series: 1 for a Poisson arrival
     * process, >1 for bursty traffic, <1 for regular — the one-number
@@ -1282,6 +1470,8 @@ object EventOps {
     "q_burstiness"  -> qBurstiness,
     "q_cohort_ltv"  -> qCohortLtv,
     "q_ab_test"     -> qAbTest,
+    "q_cuped"       -> qCuped,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_transitions" -> qTransitions,
     "q_funnel_time" -> qFunnelTime,
     "q_event_paths" -> qEventPaths,
@@ -1563,6 +1753,110 @@ object EventOps {
          |  ${Fns.roundPSql("m1", 6)} AS mean1,
          |  ${Fns.roundPSql("(m0 - m1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE))", 4)} AS z
          |FROM t""".stripMargin,
+    "q_cuped" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // $DAY_US AS di FROM events),
+         |md AS (SELECT (min(di) + max(di)) // 2 AS mid FROM ev),
+         |per AS (
+         |  SELECT user_id % 2 AS variant,
+         |    CAST(coalesce(sum(CASE WHEN di < mid
+         |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+         |    CAST(coalesce(sum(CASE WHEN di >= mid
+         |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+         |  FROM ev CROSS JOIN md GROUP BY user_id),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |    count(CASE WHEN variant = 0 THEN 1 END) AS n0,
+         |    count(CASE WHEN variant = 1 THEN 1 END) AS n1,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         |    sum(CASE WHEN variant = 0 THEN x END) AS sx0,
+         |    sum(CASE WHEN variant = 0 THEN y END) AS sy0,
+         |    sum(CASE WHEN variant = 0 THEN x * x END) AS sxx0,
+         |    sum(CASE WHEN variant = 0 THEN y * y END) AS syy0,
+         |    sum(CASE WHEN variant = 0 THEN x * y END) AS sxy0,
+         |    sum(CASE WHEN variant = 1 THEN x END) AS sx1,
+         |    sum(CASE WHEN variant = 1 THEN y END) AS sy1,
+         |    sum(CASE WHEN variant = 1 THEN x * x END) AS sxx1,
+         |    sum(CASE WHEN variant = 1 THEN y * y END) AS syy1,
+         |    sum(CASE WHEN variant = 1 THEN x * y END) AS sxy1
+         |  FROM per),
+         |t1 AS (
+         |  SELECT n, n0, n1, sx0, sx1,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         |    CASE WHEN n > 1 THEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) END AS vx,
+         |    CASE WHEN n > 1 THEN (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) END AS vy,
+         |    CASE WHEN n > 1 THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) END AS cv,
+         |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS my0,
+         |    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS my1,
+         |    CASE WHEN n0 > 1 THEN (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1) END AS vy0,
+         |    CASE WHEN n1 > 1 THEN (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) END AS vy1,
+         |    CASE WHEN n0 > 1 THEN (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1) END AS vx0,
+         |    CASE WHEN n1 > 1 THEN (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) END AS vx1,
+         |    CASE WHEN n0 > 1 THEN (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1) END AS cv0,
+         |    CASE WHEN n1 > 1 THEN (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) END AS cv1
+         |  FROM m),
+         |t2 AS (SELECT *, CASE WHEN vx <> 0 THEN cv / vx END AS theta FROM t1),
+         |t3 AS (
+         |  SELECT *,
+         |    my0 - theta * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - mx) AS ma0,
+         |    my1 - theta * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - mx) AS ma1,
+         |    vy0 - 2.0 * theta * cv0 + theta * theta * vx0 AS va0,
+         |    vy1 - 2.0 * theta * cv1 + theta * theta * vx1 AS va1,
+         |    vy - 2.0 * theta * cv + theta * theta * vx AS vyc
+         |  FROM t2)
+         |SELECT n0, n1,
+         |  ${Fns.roundPSql("theta", 6)} AS theta,
+         |  ${Fns.roundPSql("ma0", 6)} AS mean0_adj,
+         |  ${Fns.roundPSql("ma1", 6)} AS mean1_adj,
+         |  ${Fns.roundPSql("(my0 - my1) / sqrt(vy0 / CAST(n0 AS DOUBLE) + vy1 / CAST(n1 AS DOUBLE))", 4)} AS z_naive,
+         |  ${Fns.roundPSql("(ma0 - ma1) / sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE))", 4)} AS z_cuped,
+         |  ${Fns.roundPSql("1.0::DOUBLE - vyc / vy", 6)} AS var_reduction
+         |FROM t3""".stripMargin,
+    "q_bootstrap_ci" ->
+      s"""WITH ev AS (SELECT event_id, value FROM events),
+         |pt AS (SELECT count(*) AS n_events,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS sv FROM ev),
+         |base AS (SELECT value,
+         |    CAST('0x' || substr(md5('boot_' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM ev),
+         |reps0 AS (
+         |  SELECT value, h, b,
+         |    (h + b * $BOOT_STEP) % 4294967296 AS r
+         |  FROM base CROSS JOIN
+         |    (SELECT unnest([${(0 until BOOT_B).mkString(",")}]) AS b) bs),
+         |wts AS (
+         |  SELECT value, b,
+         |    CASE ${BOOT_CDF.zipWithIndex.map { case (c, k) =>
+                  s"WHEN r < $c THEN $k" }.mkString(" ")}
+         |      ELSE ${BOOT_CDF.length} END AS w
+         |  FROM reps0),
+         |agg AS (
+         |  SELECT b, sum(CAST(w AS BIGINT)) AS sw,
+         |    sum(CAST(w AS DECIMAL(3,0)) * CAST(value AS DECIMAL(18,2))) AS swv
+         |  FROM wts GROUP BY b),
+         |mm AS (
+         |  SELECT b, CASE WHEN sw > 0
+         |      THEN CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END AS m
+         |  FROM agg),
+         |rk AS (
+         |  SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn
+         |  FROM mm WHERE m IS NOT NULL),
+         |st AS (
+         |  SELECT count(*) AS b_n,
+         |    sum(CAST(m AS DECIMAL(28,18))) AS sm,
+         |    sum(CAST(m * m AS DECIMAL(28,18))) AS smm,
+         |    max(CASE WHEN rn = $BOOT_LO THEN m END) AS lo,
+         |    max(CASE WHEN rn = $BOOT_HI THEN m END) AS hi
+         |  FROM rk)
+         |SELECT n_events, b_n,
+         |  ${Fns.roundPSql("CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE)", 6)} AS est,
+         |  ${Fns.roundPSql("CAST(sm AS DOUBLE) / CAST(b_n AS DOUBLE)", 6)} AS boot_mean,
+         |  ${Fns.roundPSql("sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(b_n AS DOUBLE)) / (CAST(b_n AS DOUBLE) - 1))", 6)} AS se,
+         |  ${Fns.roundPSql("lo", 6)} AS ci_lo,
+         |  ${Fns.roundPSql("hi", 6)} AS ci_hi
+         |FROM st CROSS JOIN pt""".stripMargin,
     "q_transitions" ->
       s"""WITH r AS (
          |  SELECT event_type, lead(event_type) OVER (

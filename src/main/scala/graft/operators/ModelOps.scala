@@ -493,12 +493,16 @@ object ModelOps {
       col("ok").as("okj"), col("cn").as("cnj"), col("cok").as("cokj"))
     val pk = cum.select(col("bucket").as("k"),
       col("cn").as("cnk"), col("cok").as("cokk"))
-    val pairs = pj.join(pk, col("j") <= col("k"))
+    // both non-equi joins ride the ≤10-row bucket frame — broadcast the
+    // build side so they plan as BroadcastNestedLoopJoin, never the
+    // partitioned CartesianProduct (QueriesSpec's plan gate)
+    val pairs = pj.join(broadcast(pk), col("j") <= col("k"))
       .select(col("j"), col("k"),
         ((col("cokk") - col("cokj") + col("okj")).cast("double") /
          (col("cnk") - col("cnj") + col("nj")).cast("double")).as("wavg"))
     cum.select(col("bucket"), col("n"), col("ok"))
-      .join(pairs, col("j") <= col("bucket") && col("k") >= col("bucket"))
+      .join(broadcast(pairs),
+        col("j") <= col("bucket") && col("k") >= col("bucket"))
       .groupBy(col("bucket"), col("n"), col("ok"), col("j"))
       .agg(min(col("wavg")).as("mn"))
       .groupBy(col("bucket"), col("n"), col("ok"))

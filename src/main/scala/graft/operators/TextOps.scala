@@ -617,7 +617,17 @@ object TextOps {
     * bounded by the length domain (doc lengths are capped), not by rows.
     * The corpus-wide cumsum is a single-partition window over the
     * bounded distinct-length frame — the q_gini posture. */
-  val qKsTest: Q = (s, d) => {
+  val qKsTest: Q = (s, d) =>
+    ksPerSource(s, d)
+      .select(col("source"), col("n_docs"),
+        Fns.roundP(col("ks_d"), 6).as("ks_d"))
+      .orderBy("source")
+
+  /** Shared per-source KS frame behind [[qKsTest]] and [[qBhFdr]]:
+    * (source, n_docs, n, ks_d) with ks_d the RAW unrounded double — the
+    * report gate rounds it, the FDR gate feeds it through the p-value
+    * chain, and sharing the builder means the two can never drift. */
+  private def ksPerSource(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("n_chars").as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -642,11 +652,63 @@ object TextOps {
         max(col("n")).as("n"),
         max(abs(dec(col("scmn")) * dec(col("n")) -
           dec(col("cum")) * dec(col("n_docs")))).as("num"))
-      .select(col("source"), col("n_docs"),
-        Fns.roundP(col("num").cast("double") /
-          (col("n_docs").cast("double") * col("n").cast("double")), 6)
+      .select(col("source"), col("n_docs"), col("n"),
+        (col("num").cast("double") /
+          (col("n_docs").cast("double") * col("n").cast("double")))
           .as("ks_d"))
-      .orderBy("source")
+  }
+
+  /** FDR significance level for [[qBhFdr]]. */
+  val BH_ALPHA = 0.05
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg, JRSS-B
+    * 1995) over the per-source KS drift panel — the multiple-testing
+    * discipline a drift DASHBOARD needs: with dozens of sources each
+    * tested every snapshot, per-test α floods the pager; BH bounds the
+    * expected FALSE-DISCOVERY fraction instead. Each source's two-sample
+    * KS D ([[ksPerSource]], shared with [[qKsTest]] so the statistic
+    * cannot drift) becomes an asymptotic p-value via the Kolmogorov
+    * series p = 2Σ_{j=1..5}(−1)^{j−1}exp(−2j²λ²) at the
+    * Stephens-corrected λ = (√n_e + 0.12 + 0.11/√n_e)·D with effective
+    * size n_e = m·n/(m+n), clamped to [0,1] (the series is asymptotic —
+    * both engines clamp identically); then the step-up: rank p
+    * ascending, k = max{i : p_i ≤ α·i/m}, reject ranks ≤ k.
+    *
+    * Exactness: the p-value is one fixed double tree (exp/sqrt libm
+    * parity ops) mirrored op-for-op; BH decisions compare identical
+    * doubles against identical α·i/m trees, so the reject set is
+    * hash-exact. Scale shape: everything after the KS scan rides the
+    * #sources-bounded frame — single-partition windows over ≤dozens of
+    * rows (the q_gini posture). */
+  val qBhFdr: Q = (s, d) => {
+    val D = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val base = ksPerSource(s, d)
+      .withColumn("ne", D(col("n_docs")) * D(col("n")) /
+        (D(col("n_docs")) + D(col("n"))))
+      .withColumn("lam",
+        (sqrt(col("ne")) + lit(0.12) + lit(0.11) / sqrt(col("ne"))) *
+          col("ks_d"))
+      .withColumn("l2", col("lam") * col("lam"))
+      .withColumn("p_raw", lit(2.0) *
+        (exp(lit(-2.0) * col("l2")) - exp(lit(-8.0) * col("l2")) +
+         exp(lit(-18.0) * col("l2")) - exp(lit(-32.0) * col("l2")) +
+         exp(lit(-50.0) * col("l2"))))
+      .withColumn("p",
+        least(lit(1.0), greatest(lit(0.0), col("p_raw"))))
+    val wRank = Window.orderBy(col("p"), col("source"))
+    val wAll = Window.partitionBy()
+    base
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("flag", when(
+        col("p") <= lit(BH_ALPHA) * D(col("rk")) / D(col("m")), col("rk")))
+      .withColumn("kmax", max(col("flag")).over(wAll))
+      .select(col("rk").as("rank"), col("source"), col("n_docs"),
+        Fns.roundP(col("ks_d"), 6).as("ks_d"),
+        Fns.roundP(col("p"), 6).as("p_value"),
+        when(col("rk") <= coalesce(col("kmax"), lit(0)), lit(1))
+          .otherwise(lit(0)).as("reject"))
+      .orderBy("rank")
   }
 
   /** Chi-square test of independence on the lang × source contingency
@@ -824,6 +886,7 @@ object TextOps {
     "q_bleu"         -> qBleu,
     "q_dataset_card" -> qDatasetCard,
     "q_ks_test"      -> qKsTest,
+    "q_bh_fdr"       -> qBhFdr,
     "q_chi2"         -> qChi2,
     "q_dup_ratio"    -> qDupRatio,
     "q_snapshot_drift" -> qSnapshotDrift,
@@ -916,6 +979,51 @@ object TextOps {
              "CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE))",
              6)} AS ks_d
          |FROM d ORDER BY source""".stripMargin,
+    "q_bh_fdr" ->
+      s"""WITH docs AS (SELECT source, n_chars AS x FROM documents),
+         |lens AS (SELECT x, count(*) AS c FROM docs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lens),
+         |call AS (SELECT x, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cum FROM lens),
+         |srcs AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1),
+         |sl AS (SELECT source, x, count(*) AS sc FROM docs GROUP BY 1, 2),
+         |scum AS (
+         |  SELECT g.source, g.x,
+         |    CAST(sum(coalesce(sl.sc, 0))
+         |      OVER (PARTITION BY g.source ORDER BY g.x) AS BIGINT) AS scmn
+         |  FROM (SELECT l.x, s.source FROM (SELECT x FROM lens) l
+         |        CROSS JOIN (SELECT source FROM srcs) s) g
+         |  LEFT JOIN sl ON g.source = sl.source AND g.x = sl.x),
+         |d AS (
+         |  SELECT s.source, max(r.n_docs) AS n_docs, max(t.n) AS n,
+         |    max(abs(CAST(s.scmn AS HUGEINT) * t.n
+         |          - CAST(a.cum AS HUGEINT) * r.n_docs)) AS num
+         |  FROM scum s JOIN call a ON s.x = a.x
+         |  JOIN srcs r ON s.source = r.source CROSS JOIN tot t
+         |  GROUP BY 1),
+         |ks AS (
+         |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |    CAST(n AS BIGINT) AS n,
+         |    CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE)) AS ks_d
+         |  FROM d),
+         |p1 AS (SELECT source, n_docs, ks_d,
+         |    CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE) /
+         |      (CAST(n_docs AS DOUBLE) + CAST(n AS DOUBLE)) AS ne FROM ks),
+         |p2 AS (SELECT *, (sqrt(ne) + 0.12::DOUBLE + 0.11::DOUBLE / sqrt(ne)) * ks_d AS lam FROM p1),
+         |p3 AS (SELECT *, lam * lam AS l2 FROM p2),
+         |p4 AS (SELECT *, 2.0::DOUBLE * (exp(-2.0::DOUBLE * l2) - exp(-8.0::DOUBLE * l2)
+         |    + exp(-18.0::DOUBLE * l2) - exp(-32.0::DOUBLE * l2)
+         |    + exp(-50.0::DOUBLE * l2)) AS p_raw FROM p3),
+         |p5 AS (SELECT *, least(1.0::DOUBLE, greatest(0.0::DOUBLE, p_raw)) AS p FROM p4),
+         |r1 AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source) AS INT) AS rk,
+         |    count(*) OVER () AS m FROM p5),
+         |r2 AS (SELECT *, CASE WHEN p <= $BH_ALPHA::DOUBLE * CAST(rk AS DOUBLE) / CAST(m AS DOUBLE)
+         |    THEN rk END AS flag FROM r1),
+         |r3 AS (SELECT *, max(flag) OVER () AS kmax FROM r2)
+         |SELECT rk AS rank, source, n_docs,
+         |  ${Fns.roundPSql("ks_d", 6)} AS ks_d,
+         |  ${Fns.roundPSql("p", 6)} AS p_value,
+         |  CAST(CASE WHEN rk <= coalesce(kmax, 0) THEN 1 ELSE 0 END AS INT) AS reject
+         |FROM r3 ORDER BY rank""".stripMargin,
     "q_chi2" ->
       s"""WITH cells AS (
          |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import graft.Tables
 import graft.functions.{Fns, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity operators (SURVEY.md §2 E9/Q10 + the pipeline
@@ -805,6 +806,86 @@ object VectorOps {
         Fns.roundP(sum(col("dist").cast("decimal(28,12)")).cast("double"), 4).as("inertia"))
       .orderBy("cluster")
 
+  /** Simplified silhouette per cluster (Rousseeuw 1987; the centroid-
+    * distance simplification is the standard at-scale variant — true
+    * silhouette is all-pairs O(n²), unrunnable at 100 TB, while this is
+    * a = dist-to-own-centroid, b = dist-to-second-nearest, s = (b−a)/
+    * max(a,b)): the clustering-VALIDITY readout beside [[qKmeans]]'s
+    * inertia (inertia always falls with K; silhouette tells you whether
+    * the clusters mean anything). Rides the identical trained centroids
+    * ([[kmeansCentroids]]' persisted artifact) through the same 2-probe
+    * argmin scan the blocking gates use — one corpus pass, plan-literal
+    * centroid algebra, one cid-keyed agg; no join, no extra shuffle.
+    *
+    * Exactness: a² IS the argmin's dist and b² is dist2 recomputed
+    * against the cid2 pick (bit-equal to the masked min, same fold); the
+    * oracle mirrors b as min-over-others, sqrt/division are libm/IEEE
+    * parity ops, and per-point s ∈ [−1, 1] sums through decimal(28,18). */
+  val qSilhouette: Q = (s, d) => {
+    val cents = kmeansCentroids(s, d)
+    val asg = assignCells(vecs(s, d).select(col("vec_id"), col("v")),
+      cents, probes = 2)
+    // second-nearest distance re-derived from the cid2 pick: a K-branch
+    // case over centroid literals (the masked argmin's VALUE, bit-equal)
+    val d2nd = cents.tail.foldLeft(
+      when(col("cid2") === cents.head._1.toLong,
+        VectorExprs.dist2(col("v"), array(cents.head._2.map(lit): _*)))) {
+      case (acc, (cid, cv)) => acc.when(col("cid2") === cid.toLong,
+        VectorExprs.dist2(col("v"), array(cv.map(lit): _*)))
+    }
+    asg
+      .withColumn("a", sqrt(col("dist")))
+      .withColumn("b", sqrt(d2nd))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) === lit(0.0), lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Fns.roundP(sum(col("sil").cast("decimal(28,18)")).cast("double") /
+          count(lit(1)), 6).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
+  /** Davies–Bouldin index per cluster (Davies & Bouldin, TPAMI 1979) —
+    * the OTHER classic internal validity measure: scatter S_i = mean
+    * euclidean distance to own centroid, separation M_ij = centroid
+    * distance, R_i = max_{j≠i} (S_i + S_j)/M_ij (worst overlap partner);
+    * the DB index is the mean R_i, derivable from the report. Low R_i =
+    * tight well-separated cluster.
+    *
+    * Scale: S_i is one cid-keyed agg over the SAME assignment scan the
+    * other k-means gates share (CacheManager dedups the persisted
+    * corpus); everything after is K-row algebra (K² pair frame = 56
+    * rows) — broadcast joins, plan-bounded. Exactness: S_i sums
+    * sqrt(dist) through decimal(28,18); M and R are fixed double trees
+    * mirrored op-for-op in the oracle. */
+  val qDaviesBouldin: Q = (s, d) => {
+    import s.implicits._
+    val scat = kmeansAssign(s, d)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(sqrt(col("dist")).cast("decimal(28,18)")).cast("double") /
+          count(lit(1))).as("s_i"))
+    val cdf = kmeansCentroids(s, d).toDF("cid", "cv")
+      .select(col("cid").cast("long").as("cid"), col("cv"))
+    val pairs = cdf.select(col("cid").as("i"), col("cv").as("ci"))
+      .join(broadcast(cdf.select(col("cid").as("j"), col("cv").as("cj"))),
+        col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        sqrt(VectorExprs.dist2(col("ci"), col("cj"))).as("m_ij"))
+    val r = pairs
+      .join(broadcast(scat.select(col("cid").as("i"), col("s_i"))), Seq("i"))
+      .join(broadcast(scat.select(col("cid").as("j"), col("s_i").as("s_j"))),
+        Seq("j"))
+      .groupBy(col("i"))
+      .agg(max((col("s_i") + col("s_j")) / col("m_ij")).as("r_i"))
+    scat.select(col("cid").as("cluster"), col("n_vecs"),
+        Fns.roundP(col("s_i"), 6).as("scatter"))
+      .join(r.select(col("i").as("cluster"), col("r_i")), Seq("cluster"))
+      .withColumn("r_i", Fns.roundP(col("r_i"), 6))
+      .orderBy("cluster")
+  }
+
   /** Coreset size for [[qKcenter]]. */
   val KC_K = 8
 
@@ -1237,6 +1318,92 @@ object VectorOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TOPK)
       .orderBy("query_id", "rn")
+  }
+
+  /** Neighborhood size for [[qLof]]. */
+  val LOF_K = 5
+  /** Audit-sample budget for [[qLof]] — the capped-probe discipline
+    * (q_ann_recall): LOF's transitive neighborhoods mean an uncapped
+    * probe set costs three corpus scans per probe tier. */
+  val LOF_P = 16
+
+  /** Shared brute-force kNN stage for [[qLof]]: top-[[LOF_K]] corpus
+    * neighbors (self excluded) for a BOUNDED broadcast query frame
+    * (qid, qv) — one corpus scan, WindowGroupLimit top-k, both raw d2
+    * (the cross-engine tie key) and the euclidean dist. */
+  private def lofKnn(corpus: DataFrame, qs: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorExprs.dist2(col("v"), col("qv")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .withColumn("dist", sqrt(col("d2")))
+
+  /** Local Outlier Factor (Breunig, Kriegel, Ng & Sander, SIGMOD 2000)
+    * over a capped embedding audit sample — the density-aware outlier
+    * score a curation pass runs where a global distance threshold fails
+    * (a point is outlying relative to its OWN neighborhood's density):
+    * k-dist(o) = distance to the k-th neighbor, reach_k(p,o) =
+    * max(k-dist(o), d(p,o)), lrd(p) = k / Σ_{o∈kNN(p)} reach(p,o),
+    * LOF(p) = (Σ_{o∈kNN(p)} lrd(o)) / k / lrd(p) — ≈1 inside uniform
+    * density, ≫1 for outliers.
+    *
+    * Scale shape: LOF's transitive neighborhoods (lrd(o) needs kNN(o),
+    * whose reach terms need k-dist of THEIR neighbors) are resolved as
+    * three TIERED broadcast kNN scans over the persisted corpus — probes
+    * ([[LOF_P]]) → their neighbors M (≤ P·k) → M's neighbors M2
+    * (≤ P·k²) — each one linear corpus scan with WindowGroupLimit top-k;
+    * every frame after the scans is P·k²-bounded broadcast algebra. The
+    * probe CAP is the posture (the q_ann_recall lesson): full-corpus LOF
+    * composes the same three tiers with the IVF cell route instead of
+    * broadcast. Exactness: distances are the shared codegen dist2 kernel
+    * (+ libm sqrt), reach is a max of two identically-derived doubles,
+    * each k-term mean sums through decimal(28,18), and zero-distance
+    * degenerate neighborhoods NULL identically via an explicit guard. */
+  val qLof: Q = (s, d) => {
+    val corpus = vecs(s, d).select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = corpus.filter(pmod(col("vec_id"), lit(KJ_MOD)) === 0)
+      .orderBy("vec_id").limit(LOF_P)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val knnP = lofKnn(corpus, probes, LOF_K)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mQs = corpus.join(
+        broadcast(knnP.select(col("vec_id").as("qid")).distinct()),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"))
+    val knnM = lofKnn(corpus, mQs, LOF_K)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kdistM = knnM.groupBy("qid").agg(max(col("dist")).as("kdist"))
+    val m2Qs = corpus.join(
+        broadcast(knnM.select(col("vec_id").as("qid")).distinct()),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"))
+    val kdist2 = lofKnn(corpus, m2Qs, LOF_K)
+      .groupBy("qid").agg(max(col("dist")).as("kdist"))
+    def lrdOf(knn: DataFrame, kd: DataFrame): DataFrame = knn
+      .join(broadcast(kd.select(col("qid").as("vec_id"), col("kdist"))),
+        Seq("vec_id"))
+      .withColumn("reach", greatest(col("kdist"), col("dist")))
+      .groupBy("qid")
+      .agg(sum(col("reach").cast("decimal(28,18)")).cast("double").as("sr"))
+      .select(col("qid"), when(col("sr") > 0,
+        lit(LOF_K.toDouble) / col("sr")).as("lrd"))
+    val lrdM = lrdOf(knnM, kdist2)
+    val lrdP = lrdOf(knnP, kdistM)
+    knnP
+      .join(broadcast(lrdM.select(col("qid").as("vec_id"),
+        col("lrd").as("lrd_o"))), Seq("vec_id"))
+      .groupBy(col("qid"))
+      .agg((sum(col("lrd_o").cast("decimal(28,18)")).cast("double") /
+        lit(LOF_K.toDouble)).as("mlrd"))
+      .join(broadcast(lrdP), Seq("qid"))
+      .select(col("qid").as("vec_id"),
+        Fns.roundP(col("lrd"), 6).as("lrd"),
+        Fns.roundP(col("mlrd") / col("lrd"), 6).as("lof"))
+      .orderBy("vec_id")
   }
 
   /** Fixed probe budget for [[qAnnRecall]] — the eval's brute-force side
@@ -1716,6 +1883,9 @@ object VectorOps {
     "q_hybrid_search"  -> qHybridSearch,
     "q_semantic_search" -> qSemanticSearch,
     "q_kmeans"         -> qKmeans,
+    "q_lof"            -> qLof,
+    "q_silhouette"     -> qSilhouette,
+    "q_davies_bouldin" -> qDaviesBouldin,
     "q_kcenter"        -> qKcenter,
     "q_mmd_drift"      -> qMmdDrift,
     "q_topic_terms"    -> qTopicTerms,
@@ -1873,6 +2043,36 @@ object VectorOps {
        |SELECT cid AS cluster, count(*) AS n_vecs,
        |  ${Fns.roundPSql("CAST(sum(CAST(dist AS DECIMAL(28,12))) AS DOUBLE)", 4)} AS inertia
        |FROM af GROUP BY 1 ORDER BY cluster""".stripMargin
+
+  /** Twin of [[qSilhouette]]: same Lloyd chain; b = min distance to a
+    * non-own centroid (value-equal to the gate's cid2 re-derivation). */
+  private def sqlSilhouette: String =
+    s"""WITH $sqlKmeansCtes,
+       |ds AS (SELECT a.vec_id, a.cid, a.dist,
+       |    min(CASE WHEN c.cid <> a.cid THEN ${sqlDist2("a.v", "c.cv")} END) AS d2nd
+       |  FROM af a CROSS JOIN c$KM_ITERS c GROUP BY 1, 2, 3),
+       |sl AS (SELECT cid, sqrt(dist) AS a, sqrt(d2nd) AS b FROM ds),
+       |s2 AS (SELECT cid, CASE WHEN greatest(a, b) = 0.0::DOUBLE THEN 0.0::DOUBLE
+       |    ELSE (b - a) / greatest(a, b) END AS sil FROM sl)
+       |SELECT cid AS cluster, count(*) AS n_vecs,
+       |  ${Fns.roundPSql("CAST(sum(CAST(sil AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_sil
+       |FROM s2 GROUP BY 1 ORDER BY cluster""".stripMargin
+
+  /** Twin of [[qDaviesBouldin]]: same Lloyd chain, same K-row algebra. */
+  private def sqlDaviesBouldin: String =
+    s"""WITH $sqlKmeansCtes,
+       |sc AS (SELECT cid, count(*) AS n_vecs,
+       |    CAST(sum(CAST(sqrt(dist) AS DECIMAL(28,18))) AS DOUBLE) / count(*) AS s_i
+       |  FROM af GROUP BY 1),
+       |pr AS (SELECT i.cid AS i, j.cid AS j, sqrt(${sqlDist2("i.cv", "j.cv")}) AS m_ij
+       |  FROM c$KM_ITERS i JOIN c$KM_ITERS j ON i.cid <> j.cid),
+       |r AS (SELECT pr.i, max((si.s_i + sj.s_i) / pr.m_ij) AS r_i
+       |  FROM pr JOIN sc si ON pr.i = si.cid JOIN sc sj ON pr.j = sj.cid
+       |  GROUP BY 1)
+       |SELECT sc.cid AS cluster, sc.n_vecs,
+       |  ${Fns.roundPSql("sc.s_i", 6)} AS scatter,
+       |  ${Fns.roundPSql("r.r_i", 6)} AS r_i
+       |FROM sc JOIN r ON sc.cid = r.i ORDER BY cluster""".stripMargin
 
   /** Unrolled greedy-MMR twin: pool CTE (same shape as the q_knn_cosine
     * oracle + LIMIT), then [[MMR_K]] rounds of argmax-then-penalize. The
@@ -2040,6 +2240,49 @@ object VectorOps {
          |FROM documents d JOIN nn ON d.doc_id = nn.vec_id
          |ORDER BY nn.cos_sim DESC, d.doc_id""".stripMargin,
     "q_kmeans" -> sqlKmeans,
+    "q_lof" -> {
+      def knn(src: String, qs: String, dName: String, kName: String) =
+        s"""$dName AS (
+           |  SELECT p.qid, b.vec_id, ${sqlDist2("b.v", "p.qv")} AS d2
+           |  FROM $src b CROSS JOIN $qs p WHERE b.vec_id <> p.qid),
+           |$kName AS (
+           |  SELECT qid, vec_id, d2, sqrt(d2) AS dist FROM (
+           |    SELECT qid, vec_id, d2,
+           |      row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+           |    FROM $dName) WHERE rn <= $LOF_K)""".stripMargin
+      def lrd(knnN: String, kdN: String, outN: String) =
+        s"""${outN}0 AS (
+           |  SELECT k.qid,
+           |    CAST(sum(CAST(greatest(d.kdist, k.dist) AS DECIMAL(28,18))) AS DOUBLE) AS sr
+           |  FROM $knnN k JOIN $kdN d ON k.vec_id = d.qid GROUP BY k.qid),
+           |$outN AS (SELECT qid,
+           |    CASE WHEN sr > 0 THEN $LOF_K.0::DOUBLE / sr END AS lrd
+           |  FROM ${outN}0)""".stripMargin
+      s"""WITH e AS ($sqlVecs),
+         |pr AS (SELECT vec_id AS qid, v AS qv FROM e
+         |  WHERE vec_id % $KJ_MOD = 0 ORDER BY vec_id LIMIT $LOF_P),
+         |${knn("e", "pr", "kpd", "knnp")},
+         |mq AS (SELECT e.vec_id AS qid, e.v AS qv FROM e
+         |  JOIN (SELECT DISTINCT vec_id FROM knnp) m ON e.vec_id = m.vec_id),
+         |${knn("e", "mq", "kmd", "knnm")},
+         |kdm AS (SELECT qid, max(dist) AS kdist FROM knnm GROUP BY qid),
+         |m2q AS (SELECT e.vec_id AS qid, e.v AS qv FROM e
+         |  JOIN (SELECT DISTINCT vec_id FROM knnm) m ON e.vec_id = m.vec_id),
+         |${knn("e", "m2q", "k2d", "knn2")},
+         |kd2 AS (SELECT qid, max(dist) AS kdist FROM knn2 GROUP BY qid),
+         |${lrd("knnm", "kd2", "lrdm")},
+         |${lrd("knnp", "kdm", "lrdp")},
+         |ml AS (
+         |  SELECT k.qid,
+         |    CAST(sum(CAST(l.lrd AS DECIMAL(28,18))) AS DOUBLE) / $LOF_K.0::DOUBLE AS mlrd
+         |  FROM knnp k JOIN lrdm l ON k.vec_id = l.qid GROUP BY k.qid)
+         |SELECT ml.qid AS vec_id,
+         |  ${Fns.roundPSql("p.lrd", 6)} AS lrd,
+         |  ${Fns.roundPSql("ml.mlrd / p.lrd", 6)} AS lof
+         |FROM ml JOIN lrdp p ON ml.qid = p.qid ORDER BY vec_id""".stripMargin
+    },
+    "q_silhouette" -> sqlSilhouette,
+    "q_davies_bouldin" -> sqlDaviesBouldin,
     "q_mmd_drift" -> {
       def k(p: String, q: String) =
         s"exp(-$MMD_GAMMA * ${sqlDist2(p, q)})"
