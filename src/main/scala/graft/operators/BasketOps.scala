@@ -37,9 +37,14 @@ object BasketOps {
     * wrap them; a double product of two int-exact values is correctly
     * rounded and therefore engine-identical. */
   val qItemsets: Q = (s, d) => {
+    // persisted (r16, guide §2.4): four consumers below (baskets, both
+    // itemCnt broadcast builds, nOrders) and no cross-branch CSE — the
+    // lineitem scan + corpus-scale DISTINCT exchange executed 4× without
+    // it (measured; OPTIMIZATION_r16.md).
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baskets = items.groupBy("ok")
       .agg(sort_array(collect_set(col("pk"))).as("arr"))
     // basket-local pair expansion: for item i, pair with every later item

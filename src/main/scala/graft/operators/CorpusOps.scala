@@ -162,17 +162,30 @@ object CorpusOps {
     * count-of-counts (≤ distinct-count-values rows), then a GT_MAX-row
     * self-join + 1-row total broadcast — bounded. */
   val qGoodTuring: Q = (s, d) => {
-    // stage the gram array as an attribute, then explode the bare column
-    // (generator rule: an inline transform(...) child would be cloned
-    // into the inferred filter)
-    val gs = Tables.documents(s, d)
+    // r16 optimization (guide §2.3/§2.4 + PERF.md r16): the first cut
+    // (a) materialized every trigram as a concat_ws STRING inside a
+    // transform whose full tokenize+slice+concat tree was then CLONED
+    // into the InferFiltersFromGenerate scan filter (~6 evaluations of
+    // the regex/split per row), and (b) re-executed the whole
+    // corpus→gram→count subtree THREE times (tot / nr1 / join consumers,
+    // no cross-branch CSE). Now: explode token POSITIONS (the generate
+    // child is a cheap sequence over an attribute, nothing expensive to
+    // clone), identify each gram by an 8-byte xxhash64 of its token
+    // slice (the q_suffix_dup digest discipline — gram text never
+    // reaches the output, only count-of-counts; dup-identity modulo a
+    // ~2e-9 64-bit collision, re-verified hash-exact at sf0.001/0.01/0.1),
+    // and persist the tiny count-of-counts frame so the corpus chain
+    // executes ONCE. Measured: 10.66 s → see OPTIMIZATION_r16.md.
+    val gr = Tables.documents(s, d)
       .select(Fns.tokens(lower(col("text"))).as("w"))
       .filter(size(col("w")) >= GT_N)
-      .select(transform(sequence(lit(1), size(col("w")) - (GT_N - 1)),
-        i => concat_ws(" ", slice(col("w"), i, lit(GT_N)))).as("gs"))
-    val nr = gs.select(explode(col("gs")).as("gr"))
+      .select(col("w"),
+        explode(sequence(lit(1), size(col("w")) - (GT_N - 1))).as("i"))
+      .select(xxhash64(slice(col("w"), col("i"), lit(GT_N))).as("gr"))
+    val nr = gr
       .groupBy("gr").agg(count(lit(1)).as("r"))
       .groupBy("r").agg(count(lit(1)).as("n_r"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // tot + nr1 + join consumers
     val tot = nr.agg(sum(col("r") * col("n_r")).as("n_tokens"))
     val nr1 = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
     val rstar = (col("r") + 1).cast("double") *

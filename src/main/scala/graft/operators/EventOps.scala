@@ -1192,10 +1192,14 @@ object EventOps {
     * permutation of equals): both engines agree with a bare
     * ORDER BY slope. Even counts average the two middle values. */
   val qTheilSen: Q = (s, d) => {
+    // persisted (r16, guide §2.4): the pair self-join consumes hourly on
+    // BOTH sides — without the persist the events scan + hourly agg ran
+    // twice. The frame is calendar-bounded (hours × types), tiny.
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"),
         expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr"))
       .agg(count(lit(1)).cast("double").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = hourly.select(col("event_type"), col("hr").as("h1"), col("c").as("c1"))
     val b = hourly.select(col("event_type"), col("hr").as("h2"), col("c").as("c2"))
     val slopes = a.join(b, Seq("event_type"))

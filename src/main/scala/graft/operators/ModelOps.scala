@@ -484,11 +484,17 @@ object ModelOps {
       .agg(count(lit(1)).as("n"),
         sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("ok"))
     // prefix sums over the bounded bucket frame (single-partition window
-    // over ≤ 10 rows — deliberately un-partitioned)
+    // over ≤ 10 rows — deliberately un-partitioned). PERSISTED (r16,
+    // guide §2.4/§5): cum has THREE consumers below (pj, pk, and the
+    // final select) and Spark has no cross-branch CSE, so without the
+    // persist each one re-executed the ENTIRE NB corpus chain — three
+    // full scoring passes for a ≤10-row frame. Measured 4.07 s → see
+    // OPTIMIZATION_r16.md.
     val wB = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = b.select(col("bucket"), col("n"), col("ok"),
       sum(col("n")).over(wB).as("cn"), sum(col("ok")).over(wB).as("cok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pj = cum.select(col("bucket").as("j"), col("n").as("nj"),
       col("ok").as("okj"), col("cn").as("cnj"), col("cok").as("cokj"))
     val pk = cum.select(col("bucket").as("k"),

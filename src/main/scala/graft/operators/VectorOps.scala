@@ -474,9 +474,14 @@ object VectorOps {
     * retrieval the same way it bounds q_hard_negatives). */
   val qBitextMine: Q = (s, d) => {
     val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    // persisted (r16, guide §2.4): BOTH join sides (a = non-en anchors,
+    // b = en candidates) derive from this frame and Spark has no
+    // cross-branch CSE — without the persist the whole cellBucketed
+    // chain (centroid assignment + hyperplane bucketing) executed twice.
     val n = cellBucketed(vecs(s, d), CELL_CAP)
       .join(langs, col("vec_id") === col("doc_id"))
       .select(col("cell"), col("bkt"), col("vec_id"), col("lang"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = n.filter(col("lang") =!= "en")
       .select(col("cell"), col("bkt"), col("vec_id").as("src_doc"),
         col("lang").as("src_lang"), col("v").as("va"), col("nrm").as("na"))
@@ -495,7 +500,10 @@ object VectorOps {
                   // and counts must see it once
       .persist() // consumed by both pool windows — no cross-branch CSE
     val dec6 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+    // topA feeds both the da pool mean and the final margin chain (two
+    // consumers) — persist the ≤ anchors×K survivor frame (r16).
     val topA = pairs.withColumn("rk", row_number().over(wA)).filter(col("rk") <= BM_K)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topB = pairs.withColumn("rk", row_number().over(wB)).filter(col("rk") <= BM_K)
     val da = topA.groupBy("src_doc")
       .agg((sum(dec6(col("cos_sim"))).cast("double") / count(lit(1))).as("da"))

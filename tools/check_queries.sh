@@ -1,0 +1,17 @@
+#!/bin/bash
+# Dev loop: verify + oracle-compare a SUBSET of queries at one SF.
+# Usage: tools/check_queries.sh <sfDir> <q1,q2,...>
+# Runs graft.Verify with the name filter, prunes oracle_sql.json to the
+# subset (compare.py iterates the json), then compare.py.
+set -e
+SF="$1"; QS="$2"
+OUT=$(mktemp -d)
+sbt "runMain graft.Verify $SF $OUT $QS" >/dev/null 2>&1 || { echo "verify failed"; exit 1; }
+python3 - "$OUT" "$QS" <<'EOF'
+import json, sys
+out, qs = sys.argv[1], set(sys.argv[2].split(","))
+o = json.load(open(f"{out}/oracle_sql.json"))
+json.dump({k: v for k, v in o.items() if k in qs}, open(f"{out}/oracle_sql.json", "w"))
+EOF
+python3 tools/compare.py "$SF" "$OUT"
+rm -rf "$OUT"
