@@ -233,14 +233,20 @@ object BigGraphOps {
       .select(col("start"), col("wk"), col("start").as("node"))
     var corpus = frontier.select(col("start"), col("wk"),
       lit(0).as("step"), col("node"))
+    // r16: steps persist instead of localCheckpoint. A frontier is
+    // referenced twice per round (next step's join + the corpus union),
+    // so the lazy plan grows 2^WC_STEPS — bounded at the fixed 4 steps
+    // (16 leaf copies, all persisted scans) — and in exchange the walk's
+    // canonicalized per-step plans are CacheManager-shareable, so
+    // q_walk_corpus and q_skipgram_pairs build the walk once per bench
+    // pass instead of once each (checkpoint RDD ids were per-build).
     for (t <- 1 to WC_STEPS) {
       val pick =
         pmod(Fns.hash32(concat_ws(":", col("start"), col("wk"), lit(t))),
           col("deg")) + 1
-      frontier = frontier.join(adj, col("node") === col("a"))
+      frontier = persisted(frontier.join(adj, col("node") === col("a"))
         .filter(col("rn") === pick)
-        .select(col("start"), col("wk"), col("b").as("node"))
-        .localCheckpoint()
+        .select(col("start"), col("wk"), col("b").as("node")))
       corpus = corpus.unionByName(
         frontier.select(col("start"), col("wk"), lit(t).as("step"), col("node")))
     }
@@ -384,17 +390,23 @@ object BigGraphOps {
     * so [[qModularity]] scores the IDENTICAL rounds. */
   private def labelPropLabels(s: SparkSession, d: String): DataFrame = {
     val und = persisted(undWeighted(s, d))
-    var labels = und.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    // r16: rounds persist instead of localCheckpoint. Each round
+    // references its predecessor exactly ONCE (votes join), so the plan
+    // stays LINEAR in LP_ITERS — the ≥2-references-per-round explosion
+    // rule doesn't bite at this fixed depth — and persisted rounds keep
+    // their canonicalized plans, so q_label_prop and q_modularity (which
+    // scores the IDENTICAL rounds) share one LP execution per bench pass
+    // via CacheManager instead of running the chain twice; checkpoint
+    // RDDs got a fresh id per build and could never be shared.
+    var labels = persisted(und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     for (_ <- 1 to LP_ITERS) {
       val votes = und.join(labels, col("node") === col("b"))
         .groupBy(col("a"), col("lbl")).agg(sum(col("w")).as("wt"))
       val w = Window.partitionBy(col("a")).orderBy(col("wt").desc, col("lbl").asc)
-      labels = votes.withColumn("rn", row_number().over(w))
+      labels = persisted(votes.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("a").as("node"), col("lbl"))
-        .localCheckpoint()
+        .select(col("a").as("node"), col("lbl")))
     }
     labels.select(col("node"), col("lbl").as("community"))
   }

@@ -944,9 +944,14 @@ object CorpusOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val raw = featsOf(toks.filter(col("split") === "train"))
       .persist(StorageLevel.MEMORY_AND_DISK) // count table + scored stream
+    // persisted (r16, guide §2.4): ct and cr are each consumed twice
+    // (the totals agg + the ratio join) — both re-ran the bigram
+    // explode+hash stream without it. DSIR_B-bounded frames.
     val ct = featsOf(toks.filter(col("split") === "valid"))
       .groupBy("f").agg(count(lit(1)).as("ct"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cr = raw.groupBy("f").agg(count(lit(1)).as("cr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // full outer: a bucket seen on either side carries its smoothed ratio;
     // unseen-on-both buckets contribute the constant ratio of the floors,
     // folded in via the coalesce defaults at probe time
@@ -1112,6 +1117,9 @@ object CorpusOps {
     val pos = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, 0)
+    // persisted (r16, guide §2.4): members feeds BOTH the vocab score agg
+    // and the phrase-assembly join — the posexplode + two-window chain
+    // executed twice without it.
     val members = pos
       .withColumn("is_stop", col("w").isInCollection(RAKE_STOP))
       .withColumn("phrase_id",
@@ -1119,6 +1127,7 @@ object CorpusOps {
       .filter(!col("is_stop"))
       .withColumn("plen",
         count(lit(1)).over(Window.partitionBy("doc_id", "phrase_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val scores = members.groupBy("w")
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .select(col("w"),

@@ -532,11 +532,16 @@ object DedupOps {
       explode(col("sh")).as("g"))
     val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("c"), col("g"))
+    // persisted (r16, guide §2.4): prefix feeds BOTH sides of the PPJoin
+    // self-join — without the persist the posting⋈dfreq + window chain
+    // executed twice. Prefix-filtered postings are a small fraction of
+    // the shingle volume.
     val prefix = posting.join(dfreq, "g")
       .withColumn("rn", row_number().over(w))
       // prefix length |x| - ceil(t|x|) + 1 with ceil(4sz/5) = (4sz+4) div 5
       .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
       .select(col("doc_id"), col("g"), col("rn"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&

@@ -133,8 +133,12 @@ object ModelOps {
   private[graft] def nbModelFromTf(s: SparkSession, tf: DataFrame,
                                    docs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
+    // persisted (r16, guide §2.4): cw has THREE consumers (tl, vocabN,
+    // and the term grid join) — without the persist the token-frequency
+    // agg re-ran for each. The frame is vocab×classes-bounded.
     val cw = tf.groupBy(col("lang").as("cand"), col("w"))
       .agg(sum(col("tf")).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tl = cw.groupBy("cand").agg(sum(col("c")).as("tl"))
     val vocabN = cw.agg(countDistinct(col("w")).as("v"))
     val cands = CorpusOps.LANGS.toDF("cand")
@@ -172,8 +176,14 @@ object ModelOps {
       .join(broadcast(term), Seq("w"))
       .groupBy("doc_id", "cand")
       .agg(sum(col("s") * col("tf").cast("decimal(9,0)")).as("s"))
+    // persisted (r16): the (doc × class) score frame is the shared input
+    // of five gates (q_nb_lang, q_auc, q_calibration, q_isotonic,
+    // q_pivot_langs' predict path) — CacheManager dedups the identical
+    // canonicalized plan within a pass, so the token⋈model join + agg
+    // runs once per pass instead of once per consumer. docs×classes rows.
     sc.join(broadcast(pri), Seq("cand"))
       .select(col("doc_id"), col("cand"), (col("s") + col("lp")).as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   private[graft] def nbPredict(tokTf: DataFrame, term: DataFrame,

@@ -869,11 +869,17 @@ object VectorOps {
     * mirrored op-for-op in the oracle. */
   val qDaviesBouldin: Q = (s, d) => {
     import s.implicits._
+    // persisted (r16, guide §2.4): scat has three consumers (two
+    // broadcast builds + the final report join) — each re-ran the
+    // centroid-assignment scan and re-embedded the K×D centroid-literal
+    // expression tree in the plan (the un-persisted plan was 641 KB of
+    // formatted text; analysis time is driver-side cost per run). K rows.
     val scat = kmeansAssign(s, d)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"),
         (sum(sqrt(col("dist")).cast("decimal(28,18)")).cast("double") /
           count(lit(1))).as("s_i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cdf = kmeansCentroids(s, d).toDF("cid", "cv")
       .select(col("cid").cast("long").as("cid"), col("cv"))
     val pairs = cdf.select(col("cid").as("i"), col("cv").as("ci"))
@@ -1636,13 +1642,19 @@ object VectorOps {
     // is a single small split locally, so without this the 4M decimal
     // casts run on one task (measured 7.8 s exec → 3.5 s). The one-time
     // N×D shuffle is ~1/D of the expansion volume — noise at any scale.
+    // persisted (r16, guide §2.4): three consumers (n1, dimSum, pairSum)
+    // each re-ran the scan + repartition shuffle without it; dimSum
+    // likewise feeds two broadcast builds. Both frames are small (N×D
+    // floats / D rows).
     val e = Tables.embeddings(s, d).select(col("embedding").as("emb"))
       .repartition(s.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = e.agg(count(lit(1)).as("n"))
     val dimSum = e
       .select(posexplode(col("emb")).as(Seq("i0", "x")))
       .groupBy((col("i0") + lit(1)).as("i"))
       .agg(sum(col("x").cast("double").cast("decimal(18,12)")).as("sx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairSum = e
       .select(col("emb"), posexplode(col("emb")).as(Seq("i0", "x")))
       .filter(size(col("emb")) > col("i0") + 1) // last element pairs with nothing
