@@ -345,8 +345,11 @@ object BigGraphOps {
     * walks × L × 2W, linear in the corpus, never corpus². One
     * (center, context) agg with map-side combine follows. */
   val qSkipgramPairs: Q = (s, d) => {
+    // r16: no outer persist — walkCorpusCore's per-step frontiers are now
+    // persisted themselves, so both self-join sides re-assemble the
+    // union from cached step scans; caching the union again was a
+    // duplicate write of the whole corpus (measured +1.1 s at sf0.1).
     val core = walkCorpusCore(s, d)
-      .persist(StorageLevel.MEMORY_AND_DISK) // both join sides, no cross-branch CSE
     val a = core.select(col("start"), col("wk"),
       col("step").as("sa"), col("node").as("center"))
     val b = core.select(col("start"), col("wk"),
