@@ -206,6 +206,33 @@ object Bench {
       else s"""{$head,"n_errors":${errors.size},"n_flaky":${flaky.size}}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     println(line)
+    // r17 (verdict #2): the totals-only summary blinded the driver's
+    // per-query comparison (PERF_r16 per_query: {}, n_common: 0) — the
+    // only complete JSON in its capture window was the summary, and the
+    // 12 KB full line loses its front to any bounded tail. Re-emit the
+    // per-query min map as SHORT standalone lines, each a complete JSON
+    // object ≤ ~700 chars, so every line that falls inside a capture
+    // window of any size is parseable on its own:
+    //   {"metric":"queries_part","i":k,"n_parts":N,"queries":{...}}
+    // Ordering: chunks BEFORE the final summary — the known 2000-char
+    // artifact tail must still END with the parseable totals line
+    // (round-11 postmortem); a larger capture sees every chunk. Purely
+    // additive: bench.json stays canonical, no existing key changed.
+    val chunkBudget = 700
+    val parts = {
+      val items = results.map { case (k, v) => jstr(k) + ":" + ms(v) }
+      val bufs = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+      items.foreach { it =>
+        if (bufs.last.nonEmpty && bufs.last.length + it.length + 1 > chunkBudget)
+          bufs += new StringBuilder
+        if (bufs.last.nonEmpty) bufs.last.append(',')
+        bufs.last.append(it)
+      }
+      bufs.toSeq
+    }
+    parts.zipWithIndex.foreach { case (b, i) =>
+      println(s"""{"metric":"queries_part","i":$i,"n_parts":${parts.size},"queries":{$b}}""")
+    }
     println(summary)
     spark.stop()
   }

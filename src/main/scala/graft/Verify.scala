@@ -44,6 +44,16 @@ object Verify {
         s"2^${BigGraphOps.MST_ROUNDS}; raise BigGraphOps.MST_ROUNDS / " +
         s"MST_DOUBLE (oracle unroll depth) to cover this SF")
     }
+    // r17 (verdict #5): periodic cache drop. Query functions persist
+    // bounded frames for their own multi-consumer stages; Bench drops them
+    // per pass, but Verify ran all 252 gates in ONE session with no drop,
+    // so sf1/sf10 sweeps accumulated every gate's MEMORY_AND_DISK blocks
+    // (correct — spills — but unbounded dead weight). Clearing every
+    // CLEAR_EVERY gates bounds the footprint to one window's frames while
+    // keeping most cross-gate stage sharing (shared chains re-persist on
+    // next use; values cannot change — persist is execution-transparent).
+    val CLEAR_EVERY = 32
+    var sinceClear = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -54,6 +64,8 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      sinceClear += 1
+      if (sinceClear >= CLEAR_EVERY) { spark.catalog.clearCache(); sinceClear = 0 }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

